@@ -1,0 +1,27 @@
+"""networkframe_spark — a PySpark-native graph-as-two-DataFrames engine.
+
+Re-expresses the capabilities of the reference library
+``bdpedigo/networkframe`` (a pandas NetworkFrame) on Spark: lazy
+DataFrame transformations, Catalyst-optimized joins/aggregates, and
+driver-orchestrated iterative loops for graph algorithms — designed for
+cluster scale, tested locally.
+
+Public surface mirrors the reference's ``__init__`` exports
+(reference: networkframe/__init__.py:6) plus the scale extensions
+(dedup / similarity / text analysis / streaming).
+"""
+
+from .algorithms import aggregate_over_graph
+from .frame import LocIndexer, NetworkFrame
+from .groupby import NodeGroupBy
+from .session import get_spark
+
+__all__ = [
+    "NetworkFrame",
+    "NodeGroupBy",
+    "LocIndexer",
+    "aggregate_over_graph",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

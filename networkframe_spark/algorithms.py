@@ -1,0 +1,455 @@
+"""Iterative graph algorithms as driver-orchestrated DataFrame loops.
+
+The reference delegates these to ``scipy.sparse.csgraph`` over a CSR
+adjacency (reference: networkframe/networkframe.py:721-730, 1241-1307,
+1332-1511).  Catalyst cannot express fixpoints, so each algorithm here
+is a driver-side Python loop issuing DataFrame jobs — the classic
+iterative-Spark pattern: cache the loop-carried table, localCheckpoint
+periodically to truncate lineage, check convergence with a cheap action.
+
+Scale notes (100 TB):
+- Loop-carried state is one row per node (labels, frontiers) — small
+  relative to edges; every join against the edge table shuffles on the
+  join key unless the frontier broadcasts (AQE decides from runtime
+  sizes, which is exactly right for shrinking frontiers).
+- The dense n x n artifacts of the reference (k_hop_mask,
+  networkframe.py:1279-1307) are replaced by long-format pair tables.
+- Weak components use min-label propagation + pointer-jumping
+  (shortcutting), converging in ~O(log n) rounds rather than
+  O(diameter) — same family as large-star/small-star.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 3
+_MAX_ITER = 200
+
+
+def _edge_pairs(frame, directed: bool) -> DataFrame:
+    """Distinct (source, target) pairs, symmetrized when undirected."""
+    if directed:
+        e = frame.edges.select("source", "target")
+    else:
+        e = frame.symmetrized_edges()
+    return e.distinct()
+
+
+def _seed_df(frame, node_id: Any) -> DataFrame:
+    from .frame import _as_id_df
+
+    return _as_id_df(frame.spark, node_id, frame.nodes)
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability
+# ---------------------------------------------------------------------------
+def reachable_from(frame, node_id: Any, directed: bool = True) -> DataFrame:
+    """IDs reachable from ``node_id`` (including itself).
+
+    Reference: networkframe.py:962-998 computes this with a scipy
+    ``shortest_path`` from one source; here a BFS frontier-expansion
+    loop — one semi/anti-join round per hop, frontier cached.
+    """
+    edges = _edge_pairs(frame, directed).cache()
+    visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
+    frontier = visited
+    for it in range(_MAX_ITER):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("id", "source"), on="source", how="left_semi"
+            )
+            .select(F.col("target").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def k_hop_reachable(frame, node_id: Any, k: int, directed: bool = False) -> DataFrame:
+    """IDs within k hops of ``node_id`` (including itself).
+
+    Reference: networkframe.py:1241-1277 (single-source dijkstra with
+    ``limit=k``, unweighted); here the BFS loop bounded at k rounds.
+    """
+    edges = _edge_pairs(frame, directed).cache()
+    visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(k):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("id", "source"), on="source", how="left_semi"
+            )
+            .select(F.col("target").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def k_hop_pair_table(
+    frame, k: int, directed: bool = False, drop_self: bool = True
+) -> DataFrame:
+    """All-pairs bounded reachability as a long ``(node, neighbor)``
+    table — the scale-safe replacement for the reference's dense n x n
+    boolean mask (networkframe.py:1279-1307, flagged O(n^2) memory in
+    BASELINE.md).
+
+    k rounds of ``pairs ⋈ edges`` with dedup; each round one shuffle
+    join keyed on the expanding frontier's ``neighbor`` column.
+    """
+    edges = _edge_pairs(frame, directed).cache()
+    base = frame.nodes.select(F.col("id").alias("node"), F.col("id").alias("neighbor"))
+    visited = base.localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(k):
+        nxt = (
+            frontier.join(
+                edges.withColumnRenamed("source", "neighbor"), on="neighbor"
+            )
+            .select("node", F.col("target").alias("neighbor"))
+            .distinct()
+            .join(visited, on=["node", "neighbor"], how="left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    if drop_self:
+        visited = visited.filter(F.col("node") != F.col("neighbor"))
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+def _weak_component_min_labels(frame) -> DataFrame:
+    """(id, comp) where comp = min node id in the weak component.
+
+    Min-label propagation with pointer-jumping: each round (1) pulls the
+    min neighbor label across edges, (2) shortcuts labels through the
+    label graph (comp <- label[comp]), giving ~O(log n) convergence.
+    Reference semantics: scipy ``connected_components(connection='weak')``
+    (networkframe.py:721-730) up to label numbering.
+    """
+    edges = frame.symmetrized_edges().distinct().cache()
+    labels = frame.nodes.select(F.col("id"), F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for it in range(_MAX_ITER):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "source"), on="source")
+            .select(F.col("target").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- label(comp)
+        hop = new_labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            new_labels.join(hop, on="comp", how="left")
+            .select("id", F.coalesce("comp2", "comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _strong_component_min_labels(frame) -> DataFrame:
+    """(id, comp) for strongly connected components, comp = min member.
+
+    Forward-Backward coloring (Orzan): propagate max id forward to
+    color the graph; each color's root vertex anchors one SCC = the
+    backward-reachable set from the root within its color class; peel
+    found SCCs and repeat.  All roots are processed simultaneously each
+    round, so rounds needed = peeling depth, not #SCCs.  (Tarjan is
+    inherently sequential — reference uses scipy's compiled version,
+    networkframe.py:721-730.)
+    """
+    spark = frame.spark
+    fwd = frame.edges.select("source", "target").distinct().cache()
+    bwd = fwd.select(
+        F.col("target").alias("source"), F.col("source").alias("target")
+    ).cache()
+    remaining = frame.nodes.select("id").localCheckpoint(eager=True)
+    results: list[DataFrame] = []
+    for outer in range(_MAX_ITER):
+        if remaining.isEmpty():
+            break
+        # forward max-label propagation within remaining
+        e = (
+            fwd.join(remaining.withColumnRenamed("id", "source"), on="source", how="left_semi")
+            .join(remaining.withColumnRenamed("id", "target"), on="target", how="left_semi")
+        ).localCheckpoint(eager=True)
+        colors = remaining.select(F.col("id"), F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        for _ in range(_MAX_ITER):
+            nbr = (
+                e.join(colors.withColumnRenamed("id", "source"), on="source")
+                .select(F.col("target").alias("id"), "color")
+            )
+            new_colors = (
+                colors.union(nbr).groupBy("id").agg(F.max("color").alias("color"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), on="id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        # backward BFS from each color root within its color class
+        roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
+        scc = roots.localCheckpoint(eager=True)
+        frontier = scc
+        eb = (
+            bwd.join(remaining.withColumnRenamed("id", "source"), on="source", how="left_semi")
+            .join(remaining.withColumnRenamed("id", "target"), on="target", how="left_semi")
+        ).localCheckpoint(eager=True)
+        for _ in range(_MAX_ITER):
+            nxt = (
+                eb.join(frontier.withColumnRenamed("id", "source"), on="source")
+                .select(F.col("target").alias("id"), "color")
+                .join(colors.withColumnRenamed("color", "c2"), on="id")
+                .filter(F.col("color") == F.col("c2"))
+                .select("id", "color")
+                .distinct()
+                .join(scc, on=["id", "color"], how="left_anti")
+            ).localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            scc = scc.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        # scc: (id, color-root) pairs; comp label = min member id per root
+        comp = scc.groupBy("color").agg(F.min("id").alias("comp"))
+        results.append(scc.join(comp, on="color").select("id", "comp"))
+        remaining = remaining.join(
+            scc.select("id"), on="id", how="left_anti"
+        ).localCheckpoint(eager=True)
+    fwd.unpersist()
+    bwd.unpersist()
+    if not results:
+        return frame.nodes.select("id", F.col("id").alias("comp")).limit(0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
+def connected_component_labels(
+    frame, directed: bool = True, connection: str = "weak"
+) -> DataFrame:
+    """(id, component) with deterministic dense labels 0..k-1, ordered
+    by (component size desc, min member id asc).
+
+    scipy's label numbering (reference networkframe.py:721-730) is an
+    internal artifact; this deterministic renumbering makes labels
+    stable across runs and engines for comparison.
+    """
+    if connection not in ("weak", "strong"):
+        raise ValueError("connection must be 'weak' or 'strong'")
+    if not directed or connection == "weak" or not frame.directed:
+        raw = _weak_component_min_labels(frame)
+    else:
+        raw = _strong_component_min_labels(frame)
+    sizes = raw.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("comp"))
+    numbered = sizes.select(
+        "comp", (F.row_number().over(w) - F.lit(1)).alias("component")
+    )
+    return raw.join(F.broadcast(numbered), on="comp").select("id", "component")
+
+
+# ---------------------------------------------------------------------------
+# neighborhood aggregation
+# ---------------------------------------------------------------------------
+_AGG_FUNCS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "std": F.stddev_samp,
+    "max": F.max,
+    "min": F.min,
+    "count": F.count,
+}
+
+
+def aggregate_over_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    aggregations: Union[str, list] = "mean",
+    drop_non_numeric: bool = True,
+    feature_columns: list | None = None,
+) -> DataFrame:
+    """Aggregate node features over a caller-supplied (node, neighbor)
+    pair table — the scale-native analog of the reference's
+    ``aggregate_over_graph`` (algorithms.py:9-139), whose "mask" input
+    becomes the long pair table.
+
+    Output: one row per node id with ``{col}_neighbor_{agg}`` columns
+    (naming per reference networkframe.py:1378-1379).  Spark's
+    null-ignoring aggregates reproduce the reference's NaN-aware
+    divisors (networkframe.py:1440-1447); ``stddev_samp`` matches its
+    ddof=1 variance (networkframe.py:1487-1489).  The reference's
+    std-without-mean ``NameError`` bug (networkframe.py:1483 vs 1447)
+    is fixed here, by construction.
+    """
+    if isinstance(aggregations, str):
+        aggregations = [aggregations]
+    from pyspark.sql.types import NumericType
+
+    if feature_columns is None:
+        feature_columns = [
+            f.name
+            for f in nodes.schema.fields
+            if f.name != "id" and (not drop_non_numeric or isinstance(f.dataType, NumericType))
+        ]
+    feats = nodes.select(F.col("id").alias("neighbor"), *feature_columns)
+    joined = pairs.join(feats, on="neighbor")
+    aggs = []
+    for col in feature_columns:
+        for agg in aggregations:
+            if agg not in _AGG_FUNCS:
+                raise ValueError(f"unknown aggregation '{agg}'")
+            aggs.append(_AGG_FUNCS[agg](col).alias(f"{col}_neighbor_{agg}"))
+    out = joined.groupBy(F.col("node").alias("id")).agg(*aggs)
+    # nodes with an empty neighborhood still get a row (all-null aggs)
+    return nodes.select("id").join(out, on="id", how="left")
+
+
+def k_hop_aggregation(
+    frame,
+    k: int,
+    aggregations: Union[str, list] = "mean",
+    directed: bool = False,
+    drop_self_in_neighborhood: bool = True,
+    drop_non_numeric: bool = True,
+) -> DataFrame:
+    """GNN-style k-hop neighborhood feature aggregation
+    (reference: networkframe.py:1332-1511): pair table ⋈ neighbor
+    features, then one hash aggregate per node."""
+    pairs = k_hop_pair_table(
+        frame, k, directed=directed, drop_self=drop_self_in_neighborhood
+    )
+    return aggregate_over_pairs(
+        pairs, frame.nodes, aggregations=aggregations, drop_non_numeric=drop_non_numeric
+    )
+
+
+# ---------------------------------------------------------------------------
+# spectral ordering
+# ---------------------------------------------------------------------------
+def spectral_scores(
+    frame, weight_col: str = "weight", max_iter: int = 60, tol: float = 1e-7
+) -> DataFrame:
+    """Leading-eigenvector scores of the symmetrized weighted adjacency
+    via power iteration (reference: networkframe.py:1540-1549 uses
+    ``eigsh(adj + adj.T, k=1, "LM")``).
+
+    Each round: one join + hash aggregate (v <- A·v) and a scalar norm
+    collect.  Eigenvector sign is not pinned (matches the reference's
+    eigsh, which is also sign-ambiguous).
+    """
+    agg = frame.aggregated_edges(weight_col=weight_col)
+    sym = (
+        agg.union(
+            agg.select(
+                F.col("target").alias("source"),
+                F.col("source").alias("target"),
+                "weight",
+            )
+        )
+        .groupBy("source", "target")
+        .agg(F.sum("weight").alias("weight"))
+    ).cache()
+    ids = frame.nodes.select("id").localCheckpoint(eager=True)
+    n = ids.count()
+    if n == 0:
+        return ids.select("id", F.lit(0.0).alias("spectral_score"))
+    # Diagonal shift sigma = max absolute row sum makes A + sigma*I PSD,
+    # so power iteration converges even on bipartite graphs (where A's
+    # extreme eigenvalues are +/-lambda and the unshifted iteration
+    # oscillates).  The shift changes eigenvalues, not eigenvectors.
+    sigma = (
+        sym.groupBy("source").agg(F.sum(F.abs(F.col("weight"))).alias("s"))
+        .agg(F.max("s")).collect()[0][0]
+    ) or 1.0
+    v = ids.select("id", F.lit(1.0 / (n ** 0.5)).alias("v")).localCheckpoint(eager=True)
+    prev_dot = None
+    for it in range(max_iter):
+        av = (
+            sym.join(v.withColumnRenamed("id", "target"), on="target")
+            .groupBy(F.col("source").alias("id"))
+            .agg(F.sum(F.col("weight") * F.col("v")).alias("av"))
+        )
+        av = ids.join(av, on="id", how="left").join(v, on="id").select(
+            "id",
+            (F.coalesce("av", F.lit(0.0)) + F.lit(float(sigma)) * F.col("v")).alias("av"),
+        )
+        stats = av.agg(
+            F.sqrt(F.sum(F.col("av") * F.col("av"))).alias("norm")
+        ).collect()[0]
+        norm = stats["norm"] or 0.0
+        if norm == 0.0:
+            v = ids.select("id", F.lit(0.0).alias("v"))
+            break
+        v_new = av.select("id", (F.col("av") / F.lit(norm)).alias("v")).localCheckpoint(
+            eager=True
+        )
+        dot = (
+            v_new.withColumnRenamed("v", "v2")
+            .join(v, on="id")
+            .agg(F.abs(F.sum(F.col("v") * F.col("v2"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        v = v_new
+        if prev_dot is not None and dot is not None and abs(dot - 1.0) < tol:
+            break
+        prev_dot = dot
+    sym.unpersist()
+    return v.select("id", F.col("v").alias("spectral_score"))
+
+
+def aggregate_over_graph(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    aggregations: Union[str, list] = "mean",
+    drop_self_in_neighborhood: bool = True,
+    verbose: bool = False,
+    engine: str = "auto",
+) -> DataFrame:
+    """Module-level export mirroring the reference's
+    ``aggregate_over_graph`` (algorithms.py:9-139); the dense mask
+    argument becomes a (node, neighbor) pair DataFrame."""
+    if drop_self_in_neighborhood:
+        pairs = pairs.filter(F.col("node") != F.col("neighbor"))
+    return aggregate_over_pairs(pairs, nodes, aggregations=aggregations)

@@ -1,0 +1,699 @@
+"""NetworkFrame: a graph as a pair of Spark DataFrames.
+
+Spark-native re-expression of the reference's core abstraction
+(reference: networkframe/networkframe.py:33-99) — "a network as a pair
+of DataFrames, one for nodes and one for edges".  Differences by design:
+
+- Spark DataFrames have no index, so node IDs live in an explicit
+  ``id`` column (unique); edges carry ``source`` / ``target`` columns
+  referring to node IDs, same as the reference.
+- Every operator is a lazy DataFrame transformation: nothing executes
+  until an action.  Chains of filters/joins fuse into one physical plan
+  under Catalyst (predicate pushdown, column pruning, broadcast joins,
+  AQE skew handling come for free).
+- ``inplace=True`` is supported for API parity by swapping the frame's
+  (immutable) DataFrame references, mirroring the reference's
+  copy-on-write ``_return`` (networkframe.py:101-110).
+- Validation (unique IDs + edge referential integrity,
+  networkframe.py:72-81) is expressed as two aggregate queries and is
+  OFF by default: at 100 TB an eager integrity scan per construction is
+  a full pass over the edge table.  Call ``validate()`` explicitly or
+  pass ``validate=True``.
+
+The induced-subgraph closure idiom (drop edges whose endpoints vanished,
+networkframe.py:334-336) compiles to two left-semi joins against the
+surviving node IDs; with AQE these become broadcast semi-joins whenever
+the node side is small, which is the common shape (|N| << |E|).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterable, Literal, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .expr import to_sql_predicate
+
+AxisType = Literal["source", "target", "both"]
+
+
+def _ids_only(df: DataFrame, col: str = "id") -> DataFrame:
+    return df.select(col)
+
+
+def _as_id_df(spark: SparkSession, ids: Any, like: DataFrame) -> DataFrame:
+    """Build a single-column ``id`` DataFrame from a python list/scalar or
+    pass through an existing DataFrame, casting to the node-ID type."""
+    id_type = like.schema["id"].dataType
+    if isinstance(ids, DataFrame):
+        col = "id" if "id" in ids.columns else ids.columns[0]
+        return ids.select(F.col(col).cast(id_type).alias("id"))
+    if not isinstance(ids, (list, tuple)):
+        ids = [ids]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    return df.select(F.col("id").cast(id_type).alias("id"))
+
+
+def closure_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Keep only edges whose both endpoints exist in ``nodes``.
+
+    The reference's signature semantic (networkframe.py:219, 243,
+    334-336): two left-semi joins; AQE turns them into broadcast
+    semi-joins when the id set is small.
+    """
+    ids = nodes.select("id")
+    return edges.join(
+        ids.withColumnRenamed("id", "source"), on="source", how="left_semi"
+    ).join(ids.withColumnRenamed("id", "target"), on="target", how="left_semi")
+
+
+class NetworkFrame:
+    """A graph represented as a pair of Spark DataFrames.
+
+    Parameters
+    ----------
+    nodes : DataFrame with a unique ``id`` column plus attribute columns.
+    edges : DataFrame with ``source`` and ``target`` columns (values in
+        ``nodes.id``) plus attribute columns (canonically ``weight``).
+        Duplicate (source, target) rows are legal (multigraph).
+    directed : semantic flag; undirected graphs store each edge once and
+        symmetrize on demand (reference: networkframe.py:41, 769-771).
+    validate : run uniqueness/integrity checks eagerly (two Spark jobs).
+    """
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        directed: bool = True,
+        sources: Optional[DataFrame] = None,
+        targets: Optional[DataFrame] = None,
+        validate: bool = False,
+        induced: bool = True,
+    ):
+        if "id" not in nodes.columns:
+            raise ValueError("nodes DataFrame must have an 'id' column")
+        for c in ("source", "target"):
+            if c not in edges.columns:
+                raise ValueError(f"edges DataFrame must have a '{c}' column")
+        self._nodes = nodes
+        self._edges = edges
+        self._directed = directed
+        self._sources = sources
+        self._targets = targets
+        self._induced = induced
+        self._n_nodes_cache: Optional[int] = None
+        self._n_edges_cache: Optional[int] = None
+        if validate:
+            self.validate()
+
+    # ------------------------------------------------------------------
+    # basics
+    # ------------------------------------------------------------------
+    @property
+    def nodes(self) -> DataFrame:
+        return self._nodes
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._edges
+
+    @property
+    def directed(self) -> bool:
+        return self._directed
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._nodes.sparkSession
+
+    def validate(self) -> None:
+        """Uniqueness of node IDs + edge referential integrity.
+
+        Reference: networkframe.py:72-81 (an O(E) membership scan the
+        author flags "very very slow"); here two aggregate queries that
+        Catalyst plans as hash aggregates / broadcast anti-joins.
+        """
+        dup = (
+            self._nodes.groupBy("id").count().filter(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            raise ValueError("Node IDs must be unique")
+        ids = self._nodes.select("id")
+        dangling = (
+            self._edges.select(F.col("source").alias("id"))
+            .union(self._edges.select(F.col("target").alias("id")))
+            .distinct()
+            .join(ids, on="id", how="left_anti")
+            .limit(1)
+        ).count()
+        if dangling:
+            raise ValueError("source/target values must all appear in nodes id")
+
+    def _return(self, inplace: bool = False, **kwargs) -> Optional["NetworkFrame"]:
+        """Copy-on-write return (reference: networkframe.py:101-110).
+
+        DataFrames are immutable, so "mutation" is swapping references.
+        """
+        if inplace:
+            for k, v in kwargs.items():
+                setattr(self, f"_{k}", v)
+            self._n_nodes_cache = None
+            self._n_edges_cache = None
+            return None
+        out = object.__new__(NetworkFrame)
+        out.__dict__.update(self.__dict__)
+        out._n_nodes_cache = None
+        out._n_edges_cache = None
+        for k, v in kwargs.items():
+            setattr(out, f"_{k}", v)
+        return out
+
+    def __len__(self) -> int:
+        if self._n_nodes_cache is None:
+            self._n_nodes_cache = self._nodes.count()
+        return self._n_nodes_cache
+
+    @property
+    def n_edges(self) -> int:
+        if self._n_edges_cache is None:
+            self._n_edges_cache = self._edges.count()
+        return self._n_edges_cache
+
+    def __repr__(self) -> str:
+        return (
+            f"NetworkFrame(nodes={len(self)}x{len(self._nodes.columns)}, "
+            f"edges={self.n_edges}x{len(self._edges.columns)}, "
+            f"directed={self._directed})"
+        )
+
+    def copy(self) -> "NetworkFrame":
+        return self._return()
+
+    def deepcopy(self) -> "NetworkFrame":
+        # immutable DataFrames: a shallow copy is a deep copy
+        return self._return()
+
+    def get_public_attributes(self) -> dict:
+        return {k.lstrip("_"): v for k, v in self.__dict__.items() if not k.endswith("_cache")}
+
+    # ------------------------------------------------------------------
+    # sources/targets bookkeeping (non-induced sub-block support,
+    # reference: networkframe.py:147-177)
+    # ------------------------------------------------------------------
+    @property
+    def sources(self) -> DataFrame:
+        ids = self._nodes.select("id")
+        if self._sources is None:
+            return ids
+        return ids.join(self._sources.select("id"), on="id", how="left_semi")
+
+    @property
+    def targets(self) -> DataFrame:
+        ids = self._nodes.select("id")
+        if self._targets is None:
+            return ids
+        return ids.join(self._targets.select("id"), on="id", how="left_semi")
+
+    @property
+    def source_nodes(self) -> DataFrame:
+        if self._sources is None:
+            return self._nodes
+        return self._nodes.join(self._sources.select("id"), on="id", how="left_semi")
+
+    @property
+    def target_nodes(self) -> DataFrame:
+        if self._targets is None:
+            return self._nodes
+        return self._nodes.join(self._targets.select("id"), on="id", how="left_semi")
+
+    # ------------------------------------------------------------------
+    # selection (SURVEY §2.2)
+    # ------------------------------------------------------------------
+    def query_nodes(
+        self,
+        query: str,
+        inplace: bool = False,
+        local_dict: Optional[dict] = None,
+        global_dict: Optional[dict] = None,
+        **kwargs,
+    ) -> Optional["NetworkFrame"]:
+        """Filter nodes by a predicate; drop edges losing an endpoint.
+
+        Reference: networkframe.py:273-338.  The expression may use
+        pandas-query syntax (``&``, ``@var``) or Spark SQL directly.
+        """
+        predicate = to_sql_predicate(query, local_dict, global_dict)
+        nodes = self._nodes.filter(predicate)
+        edges = closure_edges(self._edges, nodes)
+        return self._return(inplace, nodes=nodes, edges=edges)
+
+    def query_edges(
+        self,
+        query: str,
+        inplace: bool = False,
+        local_dict: Optional[dict] = None,
+        global_dict: Optional[dict] = None,
+        **kwargs,
+    ) -> Optional["NetworkFrame"]:
+        """Filter edges by a predicate; nodes unchanged.
+
+        Reference: networkframe.py:347-409.
+        """
+        predicate = to_sql_predicate(query, local_dict, global_dict)
+        edges = self._edges.filter(predicate)
+        return self._return(inplace, edges=edges)
+
+    def remove_nodes(
+        self, nodes: Any, inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Drop listed node IDs (anti-join); re-close edges.
+
+        Reference: networkframe.py:223-244.
+        """
+        ids = _as_id_df(self.spark, nodes, self._nodes)
+        new_nodes = self._nodes.join(ids, on="id", how="left_anti")
+        new_edges = closure_edges(self._edges, new_nodes)
+        return self._return(inplace, nodes=new_nodes, edges=new_edges)
+
+    def remove_edges(
+        self, remove_edges: DataFrame, inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Drop all edges whose (source, target) pair appears in the
+        given frame — removes every parallel copy of a listed pair.
+
+        Reference: networkframe.py:246-259 (MultiIndex difference).
+        Multi-column left-anti join.
+        """
+        pairs = remove_edges.select("source", "target").distinct()
+        new_edges = self._edges.join(pairs, on=["source", "target"], how="left_anti")
+        return self._return(inplace, edges=new_edges)
+
+    def add_nodes(
+        self, new_nodes: DataFrame, inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Append node rows (no dedup/validation; reference
+        networkframe.py:261-265)."""
+        nodes = self._nodes.unionByName(new_nodes, allowMissingColumns=True)
+        return self._return(inplace, nodes=nodes)
+
+    def add_edges(
+        self, new_edges: DataFrame, inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Append edge rows (reference networkframe.py:267-271)."""
+        edges = self._edges.unionByName(new_edges, allowMissingColumns=True)
+        return self._return(inplace, edges=edges)
+
+    def remove_unused_nodes(self, inplace: bool = False) -> Optional["NetworkFrame"]:
+        """Keep only nodes incident to at least one edge.
+
+        Reference: networkframe.py:411-456.  Semi-join against the
+        distinct endpoint union.
+        """
+        used = (
+            self._edges.select(F.col("source").alias("id"))
+            .union(self._edges.select(F.col("target").alias("id")))
+            .distinct()
+        )
+        nodes = self._nodes.join(used, on="id", how="left_semi")
+        return self._return(inplace, nodes=nodes)
+
+    def reindex_nodes(self, index: Any) -> "NetworkFrame":
+        """Conform nodes to a given ID set: keep listed IDs (introducing
+        all-null attribute rows for missing ones); re-close edges.
+
+        Reference: networkframe.py:203-221 (pandas ``reindex``).  Row
+        *order* is non-semantic in Spark; the ID set is what matters.
+        """
+        ids = _as_id_df(self.spark, index, self._nodes)
+        nodes = ids.join(self._nodes, on="id", how="left")
+        edges = closure_edges(self._edges, nodes)
+        return self._return(False, nodes=nodes, edges=edges)
+
+    @property
+    def loc(self) -> "LocIndexer":
+        """Block selection ``nf.loc[row_ids, col_ids]``
+        (reference: networkframe.py:1075-1112, 1552-1609)."""
+        return LocIndexer(self)
+
+    # ------------------------------------------------------------------
+    # joins (SURVEY §2.3)
+    # ------------------------------------------------------------------
+    def apply_node_features(
+        self,
+        columns: Union[str, list],
+        axis: AxisType = "both",
+        inplace: bool = False,
+    ) -> Optional["NetworkFrame"]:
+        """Decorate edges with source-/target-node attributes as
+        ``source_{col}`` / ``target_{col}``.
+
+        Reference: networkframe.py:458-498 (per-column ``.map`` ≙ left
+        equi-join).  The canonical graph join: node table broadcast when
+        small (AQE decides at runtime from actual sizes).
+        """
+        if isinstance(columns, str):
+            columns = [columns]
+        edges = self._edges
+        if axis in ("source", "both"):
+            right = self._nodes.select(
+                F.col("id").alias("source"),
+                *[F.col(c).alias(f"source_{c}") for c in columns],
+            )
+            edges = edges.join(right, on="source", how="left")
+        if axis in ("target", "both"):
+            right = self._nodes.select(
+                F.col("id").alias("target"),
+                *[F.col(c).alias(f"target_{c}") for c in columns],
+            )
+            edges = edges.join(right, on="target", how="left")
+        return self._return(inplace, edges=edges)
+
+    def node_agreement(self, other: "NetworkFrame") -> float:
+        """Fraction of this frame's node IDs present in ``other``
+        (reference: networkframe.py:1225-1239)."""
+        mine = self._nodes.select("id")
+        total = mine.count()
+        if total == 0:
+            return float("nan")
+        shared = mine.join(
+            other._nodes.select("id"), on="id", how="left_semi"
+        ).count()
+        return shared / total
+
+    def __eq__(self, other: object) -> bool:
+        """Order-insensitive frame equality under bag semantics
+        (reference: networkframe.py:1114-1144): both tables equal as
+        multisets.  ``exceptAll`` both directions per table."""
+        if not isinstance(other, NetworkFrame):
+            return NotImplemented
+        if self._directed != other._directed:
+            return False
+        if sorted(self._nodes.columns) != sorted(other._nodes.columns):
+            return False
+        if sorted(self._edges.columns) != sorted(other._edges.columns):
+            return False
+        n1 = self._nodes.select(*sorted(self._nodes.columns))
+        n2 = other._nodes.select(*sorted(other._nodes.columns))
+        if not (n1.exceptAll(n2).isEmpty() and n2.exceptAll(n1).isEmpty()):
+            return False
+        e1 = self._edges.select(*sorted(self._edges.columns))
+        e2 = other._edges.select(*sorted(other._edges.columns))
+        return e1.exceptAll(e2).isEmpty() and e2.exceptAll(e1).isEmpty()
+
+    def __ne__(self, other: object) -> bool:
+        eq = self.__eq__(other)
+        if eq is NotImplemented:
+            return eq
+        return not eq
+
+    # ------------------------------------------------------------------
+    # grouping (SURVEY §2.4) — implementation in groupby.py
+    # ------------------------------------------------------------------
+    def groupby_nodes(
+        self, by: Any, axis: AxisType = "both", induced: bool = False, **kwargs
+    ):
+        """Group nodes by column(s); see NodeGroupBy
+        (reference: networkframe.py:1000-1073)."""
+        from .groupby import NodeGroupBy
+
+        return NodeGroupBy(self, by=by, axis=axis, induced=induced)
+
+    def condense(
+        self,
+        by: Any,
+        func: Union[Callable, str] = "size",
+        weight_name: str = "weight",
+        columns: Optional[list] = None,
+    ) -> "NetworkFrame":
+        """Quotient graph: nodes = distinct values of ``nodes[by]``,
+        edges = per-(source-group, target-group) aggregate of edges.
+
+        Reference: networkframe.py:1513-1538.
+        """
+        agg_edges = self.groupby_nodes(by).apply_edges(func, columns=columns)
+        # single-agg result column -> weight_name, group cols -> source/target
+        out_cols = [c for c in agg_edges.columns if c not in (f"source_{by}", f"target_{by}")]
+        edges = agg_edges.withColumnRenamed(f"source_{by}", "source").withColumnRenamed(
+            f"target_{by}", "target"
+        )
+        if len(out_cols) == 1:
+            edges = edges.withColumnRenamed(out_cols[0], weight_name)
+        nodes = self._nodes.select(F.col(by).alias("id")).distinct()
+        return NetworkFrame(nodes, edges, directed=self._directed)
+
+    # ------------------------------------------------------------------
+    # graph algorithms (SURVEY §2.6) — implementations in algorithms.py
+    # ------------------------------------------------------------------
+    def symmetrized_edges(self) -> DataFrame:
+        """source/target edge list unioned with its reverse — the
+        undirected view used by weak connectivity and k-hop with
+        ``directed=False`` (reference: networkframe.py:694-698, 1542)."""
+        e = self._edges.select("source", "target")
+        return e.union(
+            e.select(F.col("target").alias("source"), F.col("source").alias("target"))
+        )
+
+    def component_labels(
+        self, directed: bool = True, connection: str = "weak"
+    ) -> DataFrame:
+        from .algorithms import connected_component_labels
+
+        return connected_component_labels(self, directed=directed, connection=connection)
+
+    def label_nodes_by_component(
+        self,
+        name: str = "component",
+        inplace: bool = False,
+        directed: bool = True,
+        connection: str = "weak",
+    ) -> Optional["NetworkFrame"]:
+        """Add an integer component-label column to nodes, labels
+        numbered 0..k-1 by decreasing component size (ties broken by min
+        member id) — deterministic, unlike scipy's internal numbering
+        (reference: networkframe.py:881-929)."""
+        labels = self.component_labels(directed=directed, connection=connection)
+        nodes = self._nodes.join(labels.withColumnRenamed("component", name), on="id", how="left")
+        return self._return(inplace, nodes=nodes)
+
+    def n_connected_components(
+        self, directed: bool = True, connection: str = "weak"
+    ) -> int:
+        labels = self.component_labels(directed=directed, connection=connection)
+        return labels.select("component").distinct().count()
+
+    def is_fully_connected(
+        self, directed: bool = True, connection: str = "weak"
+    ) -> bool:
+        return self.n_connected_components(directed=directed, connection=connection) == 1
+
+    def connected_components(
+        self, directed: bool = True, connection: str = "weak"
+    ) -> Iterable["NetworkFrame"]:
+        """Generator of per-component frames (reference:
+        networkframe.py:785-819).  Labels computed once; each component
+        extracted lazily by semi-join."""
+        labels = self.component_labels(directed=directed, connection=connection)
+        labels = labels.cache()
+        comp_ids = [r[0] for r in labels.select("component").distinct().orderBy("component").collect()]
+        for cid in comp_ids:
+            ids = labels.filter(F.col("component") == F.lit(cid)).select("id")
+            nodes = self._nodes.join(ids, on="id", how="left_semi")
+            edges = closure_edges(self._edges, nodes)
+            yield self._return(False, nodes=nodes, edges=edges)
+
+    def largest_connected_component(
+        self, directed: bool = True, connection: str = "weak", inplace: bool = False,
+        verbose: bool = False,
+    ) -> Optional["NetworkFrame"]:
+        """Top-1 component by node count (reference:
+        networkframe.py:732-783)."""
+        labels = self.component_labels(directed=directed, connection=connection)
+        top = (
+            labels.groupBy("component")
+            .count()
+            .orderBy(F.desc("count"), F.asc("component"))
+            .limit(1)
+            .select("component")
+        )
+        ids = labels.join(F.broadcast(top), on="component", how="left_semi").select("id")
+        nodes = self._nodes.join(ids, on="id", how="left_semi")
+        edges = closure_edges(self._edges, nodes)
+        return self._return(inplace, nodes=nodes, edges=edges)
+
+    def select_component_from_node(
+        self, node_id: Any, directed: bool = True, inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Single-source reachability — avoids computing all components
+        (reference: networkframe.py:962-998)."""
+        from .algorithms import reachable_from
+
+        ids = reachable_from(self, node_id, directed=directed)
+        nodes = self._nodes.join(ids, on="id", how="left_semi")
+        edges = closure_edges(self._edges, nodes)
+        return self._return(inplace, nodes=nodes, edges=edges)
+
+    def k_hop_neighborhood(
+        self, node_id: Any, k: int, directed: bool = False
+    ) -> "NetworkFrame":
+        """Induced subframe on nodes within k hops of ``node_id``
+        (reference: networkframe.py:1241-1277)."""
+        from .algorithms import k_hop_reachable
+
+        ids = k_hop_reachable(self, node_id, k, directed=directed)
+        nodes = self._nodes.join(ids, on="id", how="left_semi")
+        edges = closure_edges(self._edges, nodes)
+        return self._return(False, nodes=nodes, edges=edges)
+
+    def k_hop_pairs(
+        self, k: int, directed: bool = False, drop_self: bool = True
+    ) -> DataFrame:
+        """All-pairs bounded reachability as a long (node, neighbor)
+        table — the scale-safe replacement for the reference's dense
+        n x n boolean mask (networkframe.py:1279-1307)."""
+        from .algorithms import k_hop_pair_table
+
+        return k_hop_pair_table(self, k, directed=directed, drop_self=drop_self)
+
+    def k_hop_aggregation(
+        self,
+        k: int,
+        aggregations: Union[str, list] = "mean",
+        directed: bool = False,
+        drop_self_in_neighborhood: bool = True,
+        drop_non_numeric: bool = True,
+        verbose: bool = False,
+        engine: str = "auto",
+    ) -> DataFrame:
+        """Neighborhood feature aggregation (GNN-style); returns one row
+        per node with ``{col}_neighbor_{agg}`` columns
+        (reference: networkframe.py:1332-1511)."""
+        from .algorithms import k_hop_aggregation
+
+        return k_hop_aggregation(
+            self,
+            k,
+            aggregations=aggregations,
+            directed=directed,
+            drop_self_in_neighborhood=drop_self_in_neighborhood,
+            drop_non_numeric=drop_non_numeric,
+        )
+
+    def sort_spectral(
+        self, weight_col: str = "weight", inplace: bool = False
+    ) -> Optional["NetworkFrame"]:
+        """Order nodes by the leading eigenvector of the symmetrized
+        weighted adjacency, as a ``spectral_score`` column + sorted
+        nodes (reference: networkframe.py:1540-1549; power iteration)."""
+        from .algorithms import spectral_scores
+
+        scores = spectral_scores(self, weight_col=weight_col)
+        nodes = self._nodes.join(scores, on="id", how="left").orderBy("spectral_score")
+        return self._return(inplace, nodes=nodes)
+
+    # ------------------------------------------------------------------
+    # serde / exports (SURVEY §2.1) — implementations in exports.py
+    # ------------------------------------------------------------------
+    def to_dict(self, orient: str = "dict") -> dict:
+        """Driver-side serialization (reference: networkframe.py:1156-1173).
+        Collects both tables — small-graph escape hatch."""
+        nodes_pdf = self._nodes.toPandas().set_index("id")
+        edges_pdf = self._edges.toPandas()
+        return {
+            "nodes": nodes_pdf.to_dict(orient=orient),
+            "edges": edges_pdf.to_dict(orient=orient),
+            "directed": self._directed,
+        }
+
+    def to_json(self, orient: str = "dict") -> str:
+        return json.dumps(self.to_dict(orient=orient), default=str)
+
+    @classmethod
+    def from_dict(
+        cls,
+        d: dict,
+        spark: SparkSession,
+        orient: str = "columns",
+        index_dtype: str = "bigint",
+    ) -> "NetworkFrame":
+        """Deserialize from ``{nodes, edges, directed}``
+        (reference: networkframe.py:1193-1223)."""
+        import pandas as pd
+
+        nodes_pdf = pd.DataFrame.from_dict(d["nodes"], orient=orient)
+        nodes_pdf.index.name = "id"
+        nodes_pdf = nodes_pdf.reset_index()
+        try:
+            nodes_pdf["id"] = nodes_pdf["id"].astype("int64" if index_dtype == "bigint" else index_dtype)
+        except (ValueError, TypeError):
+            pass
+        edges_pdf = pd.DataFrame.from_dict(d["edges"], orient=orient)
+        nodes = spark.createDataFrame(nodes_pdf)
+        edges = spark.createDataFrame(edges_pdf)
+        return cls(nodes, edges, directed=d.get("directed", True))
+
+    def to_adjacency(self, weight_col: str = "weight", aggfunc: str = "sum"):
+        from .exports import to_adjacency
+
+        return to_adjacency(self, weight_col=weight_col, aggfunc=aggfunc)
+
+    def to_sparse_adjacency(
+        self,
+        weight_col: Optional[str] = None,
+        aggfunc: str = "sum",
+        verify_integrity: bool = True,
+        format: str = "csr",
+    ):
+        from .exports import to_sparse_adjacency
+
+        return to_sparse_adjacency(
+            self, weight_col=weight_col, aggfunc=aggfunc, format=format
+        )
+
+    def aggregated_edges(
+        self, weight_col: Optional[str] = None, aggfunc: str = "sum"
+    ) -> DataFrame:
+        """The scale-native sparse adjacency: parallel edges collapsed
+        by groupBy(source, target) — what the reference's CSR export
+        computes before densifying (networkframe.py:630-645)."""
+        if weight_col is None:
+            return self._edges.groupBy("source", "target").agg(
+                F.count(F.lit(1)).alias("weight")
+            )
+        agg = getattr(F, {"mean": "avg"}.get(aggfunc, aggfunc))
+        return self._edges.groupBy("source", "target").agg(
+            agg(weight_col).alias("weight")
+        )
+
+    def to_networkx(self, create_using=None):
+        from .exports import to_networkx
+
+        return to_networkx(self, create_using=create_using)
+
+    def to_torch_geometric(self, directed: bool = True, weight_col: Optional[str] = None):
+        from .exports import to_torch_geometric
+
+        return to_torch_geometric(self, directed=directed, weight_col=weight_col)
+
+
+class LocIndexer:
+    """``nf.loc[row_ids, col_ids]`` block selection: edges from the row
+    set to the col set; nodes = union of both sets (reference:
+    networkframe.py:1552-1609)."""
+
+    def __init__(self, frame: NetworkFrame):
+        self._frame = frame
+
+    def __getitem__(self, args) -> NetworkFrame:
+        if not isinstance(args, tuple) or len(args) != 2:
+            raise ValueError("Must provide exactly two indexes: nf.loc[rows, cols]")
+        row_ids, col_ids = args
+        nf = self._frame
+        rows = _as_id_df(nf.spark, row_ids, nf.nodes)
+        cols = _as_id_df(nf.spark, col_ids, nf.nodes)
+        edges = nf.edges.join(
+            rows.withColumnRenamed("id", "source"), on="source", how="left_semi"
+        ).join(cols.withColumnRenamed("id", "target"), on="target", how="left_semi")
+        nodes = nf.nodes.join(rows.union(cols).distinct(), on="id", how="left_semi")
+        return nf._return(False, nodes=nodes, edges=edges)

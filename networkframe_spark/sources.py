@@ -1,0 +1,117 @@
+"""Graph construction from tabular sources.
+
+The reference has no scan layer — "the user hands us two DataFrames"
+(SURVEY §2.1).  Here ingestion is Spark-native: parquet/csv/json scans
+with predicate pushdown and column pruning, plus the canonical
+graph-shaping of the driver's TPC-H-ish star schema (FIXTURES.md §4):
+
+    nodes = customer ∪ supplier   (id = key, attrs = acctbal/nation)
+    edges = lineitem ⋈ orders  →  (o_custkey as source,
+                                   l_suppkey as target,
+                                   l_extendedprice as weight)
+
+a directed multigraph with duplicate pairs and realistic skew.
+Customer and supplier key spaces overlap, so IDs are namespaced:
+customer keys stay positive, supplier keys are negated (both int64,
+collision-free, order-preserving within each class).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .frame import NetworkFrame
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def supplier_node_id(col):
+    """Suppliers live in negative ID space: -(s_suppkey) - 1."""
+    return (-F.col(col).cast("long") - F.lit(1)).alias("id")
+
+
+def tpch_graph(
+    spark: SparkSession, sf_dir: str, validate: bool = False
+) -> NetworkFrame:
+    """Canonical t2 graph over the driver fixtures (FIXTURES.md §4)."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    cust_nodes = customer.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp_nodes = supplier.select(
+        supplier_node_id("s_suppkey"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    nodes = cust_nodes.unionByName(supp_nodes)
+
+    # lineitem ⋈ orders on orderkey; orders side is the smaller one but
+    # both are fact tables — sort-merge/shuffled-hash with AQE; the
+    # projection prunes the parquet scans to the join keys + payload.
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("source"),
+            (-F.col("l_suppkey").cast("long") - F.lit(1)).alias("target"),
+            F.col("l_extendedprice").alias("weight"),
+        )
+    )
+    return NetworkFrame(nodes, edges, directed=True, validate=validate)
+
+
+def nation_region_graph(spark: SparkSession, sf_dir: str) -> NetworkFrame:
+    """Tiny hierarchy graph: nation → region edges (broadcast-scale)."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    nodes = nation.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("kind"),
+    ).unionByName(
+        region.select(
+            (-F.col("r_regionkey").cast("long") - F.lit(1)).alias("id"),
+            F.col("r_name").alias("name"),
+            F.lit("region").alias("kind"),
+        )
+    )
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("source"),
+        (-F.col("n_regionkey").cast("long") - F.lit(1)).alias("target"),
+    )
+    return NetworkFrame(nodes, edges, directed=True)

@@ -1,0 +1,237 @@
+"""Graph algorithm semantics: components, BFS, k-hop aggregation,
+groupby/condense, spectral ordering."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark import NetworkFrame
+
+
+def ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+@pytest.fixture()
+def two_component_frame(spark):
+    """0-1-2 weakly connected (directed chain + back edge), 3-4 separate,
+    5 isolated."""
+    nodes = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, x double")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4)], "source long, target long"
+    )
+    return NetworkFrame(nodes, edges)
+
+
+def test_weak_components(two_component_frame):
+    labels = {r["id"]: r["component"] for r in two_component_frame.component_labels(
+        connection="weak").collect()}
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert len({labels[0], labels[3], labels[5]}) == 3
+    # deterministic numbering: largest component first
+    assert labels[0] == 0 and labels[3] == 1 and labels[5] == 2
+
+
+def test_n_connected_components(two_component_frame):
+    assert two_component_frame.n_connected_components(connection="weak") == 3
+    assert not two_component_frame.is_fully_connected()
+
+
+def test_strong_components(spark):
+    # 0→1→2→0 is an SCC; 2→3→4, 4→3 back edge makes {3,4} an SCC
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    labels = {r["id"]: r["component"] for r in nf.component_labels(
+        directed=True, connection="strong").collect()}
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+
+
+def test_strong_components_dag(spark):
+    # DAG: every node its own SCC
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    labels = nf.component_labels(directed=True, connection="strong")
+    assert labels.select("component").distinct().count() == 4
+
+
+def test_largest_connected_component(two_component_frame):
+    out = two_component_frame.largest_connected_component(connection="weak")
+    assert ids(out.nodes) == [0, 1, 2]
+    assert out.n_edges == 3
+
+
+def test_connected_components_iterator(two_component_frame):
+    comps = list(two_component_frame.connected_components(connection="weak"))
+    assert len(comps) == 3
+    sizes = sorted(len(c) for c in comps)
+    assert sizes == [1, 2, 3]
+
+
+def test_select_component_from_node(two_component_frame):
+    out = two_component_frame.select_component_from_node(3, directed=True)
+    assert ids(out.nodes) == [3, 4]
+
+
+def test_component_labels_on_undirected_flag(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "source long, target long")
+    nf = NetworkFrame(nodes, edges, directed=False)
+    assert nf.n_connected_components() == 2
+
+
+def test_k_hop_pairs(letter_frame):
+    pairs = letter_frame.k_hop_pairs(1, directed=True, drop_self=True)
+    got = sorted((r["node"], r["neighbor"]) for r in pairs.collect())
+    assert got == [("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")]
+
+
+def test_k_hop_pairs_undirected(letter_frame):
+    pairs = letter_frame.k_hop_pairs(1, directed=False, drop_self=True)
+    per_node = {}
+    for r in pairs.collect():
+        per_node.setdefault(r["node"], set()).add(r["neighbor"])
+    assert per_node["A"] == {"B", "C"}
+    assert per_node["D"] == {"C"}
+
+
+def test_k_hop_aggregation_mean(letter_frame):
+    # undirected, k=1: A's neighbors {B,C} sizes {2,3} -> mean 2.5
+    out = letter_frame.k_hop_aggregation(1, aggregations=["mean", "sum"], directed=False)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["A"]["size_neighbor_mean"] == pytest.approx(2.5)
+    assert rows["A"]["size_neighbor_sum"] == 5
+    assert rows["D"]["size_neighbor_mean"] == pytest.approx(3.0)
+    assert len(rows) == 4
+
+
+def test_k_hop_aggregation_std_only(letter_frame):
+    # the reference NameErrors on std-without-mean; we fix it (SURVEY §2.6 A10)
+    out = letter_frame.k_hop_aggregation(1, aggregations="std", directed=False)
+    rows = {r["id"]: r for r in out.collect()}
+    # A neighbors sizes {2,3}: stddev_samp = sqrt(0.5)
+    assert rows["A"]["size_neighbor_std"] == pytest.approx(math.sqrt(0.5))
+
+
+def test_k_hop_aggregation_isolated_node(spark):
+    nodes = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 9.0)], "id long, x double")
+    edges = spark.createDataFrame([(0, 1)], "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    out = nf.k_hop_aggregation(1, aggregations="mean", directed=False)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["x_neighbor_mean"] is None
+    assert rows[0]["x_neighbor_mean"] == pytest.approx(2.0)
+
+
+# -- groupby / condense ----------------------------------------------------
+def test_groupby_size_edges(readme_frame):
+    gb = readme_frame.groupby_nodes("color")
+    out = gb.size_edges()
+    rows = {(r["source_color"], r["target_color"]): r["size"] for r in out.collect()}
+    # edges: 0r→1b, 1b→2r, 2r→3b, 2r→1b, 3b→0r
+    assert rows[("red", "blue")] == 3
+    assert rows[("blue", "red")] == 2
+    assert ("red", "red") not in rows
+
+
+def test_groupby_apply_edges_sum(readme_frame):
+    out = readme_frame.groupby_nodes("color").apply_edges("sum", columns=["weight"])
+    rows = {(r["source_color"], r["target_color"]): r["weight"] for r in out.collect()}
+    assert rows[("red", "blue")] == 1 + 3 + 4
+    assert rows[("blue", "red")] == 2 + 5
+
+
+def test_groupby_apply_edges_callable(readme_frame):
+    out = readme_frame.groupby_nodes("color").apply_edges(
+        lambda df: df.sum(), columns=["weight"]
+    )
+    rows = {(r["source_color"], r["target_color"]): r["weight"] for r in out.collect()}
+    assert rows[("red", "blue")] == pytest.approx(8.0)
+
+
+def test_groupby_iteration(readme_frame):
+    gb = readme_frame.groupby_nodes("color", induced=True)
+    got = {key: (len(sub), sub.n_edges) for key, sub in gb}
+    assert set(got) == {("blue", "blue"), ("red", "red")}
+    assert got[("red", "red")] == (3, 0)
+
+
+def test_groupby_len(readme_frame):
+    assert len(readme_frame.groupby_nodes("color")) == 4
+    assert len(readme_frame.groupby_nodes("color", induced=True)) == 2
+
+
+def test_condense(readme_frame):
+    out = readme_frame.condense("color", func="size")
+    assert ids(out.nodes) == ["blue", "red"]
+    rows = {(r["source"], r["target"]): r["weight"] for r in out.edges.collect()}
+    assert rows[("red", "blue")] == 3
+    assert rows[("blue", "red")] == 2
+
+
+def test_condense_sum(readme_frame):
+    out = readme_frame.condense("color", func="sum", columns=["weight"], weight_name="w")
+    rows = {(r["source"], r["target"]): r["w"] for r in out.edges.collect()}
+    assert rows[("red", "blue")] == 8
+
+
+# -- spectral --------------------------------------------------------------
+def test_sort_spectral(spark):
+    # star: hub 0 connected to 1..4 — hub must have extreme |score|
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 5)], "source long, target long, weight double"
+    )
+    nf = NetworkFrame(nodes, edges)
+    out = nf.sort_spectral()
+    rows = out.nodes.collect()
+    scores = {r["id"]: r["spectral_score"] for r in rows}
+    hub = abs(scores[0])
+    for i in range(1, 5):
+        assert hub > abs(scores[i]) * 1.5
+    # leaves all get equal scores
+    leaf = [scores[i] for i in range(1, 5)]
+    assert max(leaf) - min(leaf) < 1e-6
+
+
+# -- exports ---------------------------------------------------------------
+def test_aggregated_edges(spark):
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 3.0)], "source long, target long, weight double"
+    )
+    nf = NetworkFrame(nodes, edges)
+    agg = {(r["source"], r["target"]): r["weight"] for r in nf.aggregated_edges("weight").collect()}
+    assert agg[(0, 1)] == 5.0
+    cnt = {(r["source"], r["target"]): r["weight"] for r in nf.aggregated_edges().collect()}
+    assert cnt[(0, 1)] == 2
+
+
+def test_to_adjacency(readme_frame):
+    adj = readme_frame.to_adjacency(weight_col="weight")
+    assert adj.loc[2, 1] == 4
+    assert adj.loc[0, 1] == 1
+    assert adj.loc[0, 2] == 0
+    assert adj.shape == (5, 5)
+
+
+def test_to_sparse_adjacency(readme_frame):
+    mat, order = readme_frame.to_sparse_adjacency(weight_col="weight")
+    pos = {v: i for i, v in enumerate(order)}
+    assert mat[pos[2], pos[1]] == 4.0
+    assert mat.shape == (5, 5)
+
+
+def test_to_networkx(readme_frame):
+    pytest.importorskip("networkx")
+    g = readme_frame.to_networkx()
+    assert g.number_of_nodes() == 5
+    assert g.number_of_edges() == 5
+    assert g.nodes[0]["color"] == "red"

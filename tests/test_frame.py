@@ -1,0 +1,180 @@
+"""Core NetworkFrame semantics — ports of the reference's unit tests
+(reference: tests/test_networkframe.py) plus the selection/join family.
+"""
+
+import pytest
+
+from networkframe_spark import NetworkFrame
+
+
+def ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def pairs(df):
+    return sorted((r["source"], r["target"]) for r in df.select("source", "target").collect())
+
+
+# -- reference test ports (test_networkframe.py:37-72) ---------------------
+def test_construction(letter_frame):
+    assert isinstance(letter_frame, NetworkFrame)
+
+
+def test_validate_bad_edges(spark):
+    nodes = spark.createDataFrame([("A",), ("B",)], "id string")
+    edges = spark.createDataFrame([("A", "Z")], "source string, target string")
+    with pytest.raises(ValueError):
+        NetworkFrame(nodes, edges, validate=True)
+
+
+def test_validate_duplicate_ids(spark):
+    nodes = spark.createDataFrame([("A",), ("A",)], "id string")
+    edges = spark.createDataFrame([("A", "A")], "source string, target string")
+    with pytest.raises(ValueError):
+        NetworkFrame(nodes, edges, validate=True)
+
+
+def test_len(letter_frame):
+    assert len(letter_frame) == 4
+
+
+def test_query_nodes(letter_frame):
+    out = letter_frame.query_nodes("color == 'red'")
+    assert len(out) == 2
+    assert ids(out.nodes) == ["A", "D"]
+    assert out.n_edges == 0  # no red-red edges
+
+
+def test_query_edges(letter_frame):
+    out = letter_frame.query_edges("weight > 2")
+    assert out.n_edges == 2
+    assert len(out) == 4  # nodes unchanged
+
+
+def test_k_hop_neighborhood(letter_frame):
+    for k, expected in [(0, 1), (1, 3), (2, 4)]:
+        out = letter_frame.k_hop_neighborhood("A", k)
+        assert len(out) == expected, f"k={k}"
+
+
+# -- closure semantics -----------------------------------------------------
+def test_query_nodes_closure(letter_frame):
+    out = letter_frame.query_nodes("color == 'blue'")
+    assert ids(out.nodes) == ["B", "C"]
+    assert pairs(out.edges) == [("B", "C")]
+
+
+def test_query_nodes_at_variable(letter_frame):
+    out = letter_frame.query_nodes("size >= @threshold", local_dict={"threshold": 3})
+    assert ids(out.nodes) == ["C", "D"]
+    assert pairs(out.edges) == [("C", "D")]
+
+
+def test_query_nodes_pandas_ops(letter_frame):
+    out = letter_frame.query_nodes("(color == 'blue') & (size > 2)")
+    assert ids(out.nodes) == ["C"]
+
+
+def test_query_nodes_in_list(letter_frame):
+    out = letter_frame.query_nodes("id in ['A', 'B']")
+    assert ids(out.nodes) == ["A", "B"]
+    assert pairs(out.edges) == [("A", "B")]
+
+
+def test_inplace(letter_frame):
+    res = letter_frame.query_nodes("color == 'blue'", inplace=True)
+    assert res is None
+    assert len(letter_frame) == 2
+
+
+# -- selection family ------------------------------------------------------
+def test_remove_nodes(letter_frame):
+    out = letter_frame.remove_nodes(["A"])
+    assert ids(out.nodes) == ["B", "C", "D"]
+    assert pairs(out.edges) == [("B", "C"), ("C", "D")]
+
+
+def test_remove_edges(spark, letter_frame):
+    rm = spark.createDataFrame([("A", "B")], "source string, target string")
+    out = letter_frame.remove_edges(rm)
+    assert out.n_edges == 3
+    assert len(out) == 4
+
+
+def test_add_nodes_edges(spark, letter_frame):
+    new_nodes = spark.createDataFrame([("E", "green", 5)], "id string, color string, size long")
+    new_edges = spark.createDataFrame([("D", "E", 9)], "source string, target string, weight long")
+    out = letter_frame.add_nodes(new_nodes).add_edges(new_edges)
+    assert len(out) == 5
+    assert out.n_edges == 5
+
+
+def test_remove_unused_nodes(spark, letter_frame):
+    iso = spark.createDataFrame([("Z", "grey", 0)], "id string, color string, size long")
+    out = letter_frame.add_nodes(iso).remove_unused_nodes()
+    assert ids(out.nodes) == ["A", "B", "C", "D"]
+
+
+def test_reindex_nodes(letter_frame):
+    out = letter_frame.reindex_nodes(["A", "B", "X"])
+    assert ids(out.nodes) == ["A", "B", "X"]
+    assert pairs(out.edges) == [("A", "B")]
+    x = out.nodes.filter("id = 'X'").collect()[0]
+    assert x["color"] is None and x["size"] is None
+
+
+def test_loc(readme_frame):
+    out = readme_frame.loc[[1, 2], [2, 3]]
+    assert pairs(out.edges) == [(1, 2), (2, 3)]
+    assert ids(out.nodes) == [1, 2, 3]
+
+
+def test_loc_diagonal(readme_frame):
+    out = readme_frame.loc[[1, 2], [1, 2]]
+    assert pairs(out.edges) == [(1, 2), (2, 1)]
+    assert ids(out.nodes) == [1, 2]
+
+
+# -- joins -----------------------------------------------------------------
+def test_apply_node_features(letter_frame):
+    out = letter_frame.apply_node_features("color", axis="both")
+    rows = {(r["source"], r["target"]): (r["source_color"], r["target_color"])
+            for r in out.edges.collect()}
+    assert rows[("A", "B")] == ("red", "blue")
+    assert rows[("C", "D")] == ("blue", "red")
+
+
+def test_apply_node_features_source_only(letter_frame):
+    out = letter_frame.apply_node_features("size", axis="source")
+    assert "source_size" in out.edges.columns
+    assert "target_size" not in out.edges.columns
+
+
+def test_node_agreement(letter_frame):
+    other = letter_frame.query_nodes("color == 'red'")
+    assert letter_frame.node_agreement(other) == pytest.approx(0.5)
+    assert other.node_agreement(letter_frame) == pytest.approx(1.0)
+
+
+def test_eq(letter_frame):
+    same = letter_frame.query_nodes("size >= 1")
+    assert letter_frame == same
+    smaller = letter_frame.query_nodes("color == 'red'")
+    assert letter_frame != smaller
+
+
+def test_sources_targets_default(letter_frame):
+    assert ids(letter_frame.sources) == ["A", "B", "C", "D"]
+    assert letter_frame.source_nodes.columns == letter_frame.nodes.columns
+
+
+# -- serde -----------------------------------------------------------------
+def test_dict_roundtrip(spark, readme_frame):
+    d = readme_frame.to_dict()
+    back = NetworkFrame.from_dict(d, spark)
+    assert back == readme_frame
+
+
+def test_repr(letter_frame):
+    assert "nodes=4" in repr(letter_frame)
+    assert "directed=True" in repr(letter_frame)
