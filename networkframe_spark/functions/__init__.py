@@ -1,0 +1,40 @@
+"""Scale-extension operator library: text analysis, deduplication,
+similarity search, multimodal column plumbing.
+
+These go beyond the reference's surface (SURVEY §7 phase 3 / BASELINE
+north star): the operations a large-scale training-data pipeline needs,
+built on the same DataFrame-first principles — JVM-side built-in
+functions wherever possible, Arrow-batched pandas UDFs only where the
+semantics demand Python.
+"""
+
+from .dedup import (
+    embedding_duplicates,
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_duplicates,
+)
+from .similarity import brute_force_top_k, lsh_top_k
+from .text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+    tokens_col,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_lsh_duplicates",
+    "simhash_duplicates",
+    "ngram_jaccard_duplicates",
+    "embedding_duplicates",
+    "brute_force_top_k",
+    "lsh_top_k",
+    "add_token_count",
+    "add_quality_score",
+    "add_language_id",
+    "add_fingerprint",
+    "tokens_col",
+]

@@ -1,0 +1,352 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design for scale (SURVEY §7 phase 3 / BASELINE north star):
+
+- Exact dedup is one hash aggregate over a 128-bit content key — the
+  100 TB workhorse; no shuffle beyond the groupBy.
+- Candidate generation for near-dup never does an n^2 comparison:
+  MinHash bands, SimHash bands, and shared-shingle joins each bucket
+  the corpus so only same-bucket pairs meet, then exact verification
+  runs on the (small) candidate set.
+- All hash functions are engine-portable (md5-derived), so the DuckDB
+  oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint_col, normalized_text_col, tokens_col
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P is the largest prime < 2^31; (a_i, b_i) fixed odd/arbitrary
+# constants derived from a seeded linear sequence so both engines can
+# enumerate them identically.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(n_perm: int) -> list[tuple[int, int]]:
+    params = []
+    a, b = 1103515245, 12345  # classic LCG multipliers, deterministic
+    x = 42
+    for _ in range(n_perm):
+        x = (a * x + b) % MINHASH_PRIME
+        ai = (2 * x + 1) % MINHASH_PRIME  # odd, nonzero
+        x = (a * x + b) % MINHASH_PRIME
+        bi = x
+        params.append((ai, bi))
+    return params
+
+
+def shingles_col(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Built with sequence/transform over the token array — JVM-side, and
+    reproducible in DuckDB with list comprehensions over
+    ``string_split``.
+    """
+    toks = tokens_col(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def shingle_hash_col(shingle: Column) -> Column:
+    """Portable 60-bit integer hash of a shingle string."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint.
+
+    Returns ``(id_col, fingerprint, canonical_id, is_duplicate)`` where
+    ``canonical_id`` is the min id sharing the fingerprint.  One hash
+    aggregate + one broadcast-able join; at 100 TB this is a single
+    shuffle keyed on the 128-bit fingerprint (uniform, skew-free).
+    """
+    with_fp = df.select(F.col(id_col), fingerprint_col(text_col).alias("fingerprint"))
+    canon = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        with_fp.join(canon, on="fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Filtered view: keep one representative (min id) per fingerprint."""
+    marks = exact_duplicates(df, text_col, id_col)
+    keep = marks.filter(~F.col("is_duplicate")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh"))
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word n-gram shingle
+    sets: pairs sharing >= 1 shingle meet in a shuffle keyed on the
+    shingle, shared counts aggregate per pair, and
+    ``J = shared / (|A| + |B| - shared)`` filters at ``threshold``.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Scale note: the shingle join only materializes co-occurring pairs;
+    a stopword-like super-common shingle would create a quadratic
+    bucket — cap with a document-frequency filter when corpus-scale
+    skew appears (not needed at fixture scale).
+    """
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``sig`` array<bigint>.
+
+    One explode + one hash aggregate: ``min((a_i*h + b_i) mod P)`` per
+    permutation, h = portable shingle hash.  All JVM-side.
+    """
+    params = minhash_params(n_perm)
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    h = shingle_hash_col(F.col("sh")) % MINHASH_PRIME
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        F.col("id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature → band buckets →
+    same-bucket candidate pairs → (optional) exact Jaccard verification.
+
+    With ``n_perm=32, bands=8`` (rows r=4 per band) the S-curve crosses
+    ~0.59; candidates above ``threshold`` survive verification.
+    Returns ``(id_a, id_b, jaccard)`` (jaccard null when verify=False).
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                   for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    sh = _shingle_table(df, text_col, id_col, shingle_n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on=[cand.id_b == sh_b.id_b, F.col("sh") == sh_b.sh_b])
+        .groupBy("id_a", cand.id_b.alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_col(col: str | Column = "text", bits: int = 60) -> Column:
+    """SimHash over whitespace tokens: per-bit vote of token hashes,
+    packed into a 60-bit integer.  Pure column expressions: explode-free
+    (aggregate over the token array with transform/filter)."""
+    toks = tokens_col(col)
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the hash into ``bands`` chunks
+    (pigeonhole: hamming <= bands-1 guarantees one exact band match),
+    join on (band, chunk), verify with bit_count(xor) <= max_hamming.
+
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh")
+    )
+    banded = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * chunk).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_duplicates(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity >= threshold.
+
+    Brute-force pair join (suitable as correctness baseline and for
+    bucketed/blocked inputs); the scale path is
+    :func:`networkframe_spark.functions.similarity.lsh_top_k` which
+    buckets by random-hyperplane signature first.
+    Returns ``(id_a, id_b, cosine)``.
+    """
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

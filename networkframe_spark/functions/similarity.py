@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_top_k``: exact cosine top-k — the correctness baseline.
+  Query side broadcast, dot products via ``F.zip_with``/``F.aggregate``
+  (JVM-side, no Python), window row_number for top-k.
+- ``lsh_top_k``: random-hyperplane LSH — the scale path.  Signatures
+  from deterministic Rademacher (+/-1) hyperplanes; only same-bucket
+  pairs get exact scoring.  At 100 TB the bucket join replaces the
+  corpus-size crossJoin with a shuffle keyed on the signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k most similar
+    corpus rows.  Returns ``(query_id, vec_id, cosine, rank)``.
+
+    The query side is broadcast (queries << corpus is the normal
+    shape); scoring is one codegen'd projection over the corpus —
+    no shuffle until the per-query top-k aggregate.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes: sign from md5(seed,j,d).
+    Reproducible everywhere (no RNG state, no numpy dependency)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def signature_col(emb: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id: one bit per hyperplane = sign(dot(plane, v))."""
+    bits = []
+    for j, row in enumerate(planes):
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        d = dot_expr(signs, emb)
+        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH with
+    ``n_tables`` independent hash tables of ``n_planes`` bits each.
+
+    Candidates = rows sharing a bucket with the query in any table;
+    exact cosine is computed only for candidates.  Recall rises with
+    ``n_tables``; cost is one bucket-keyed shuffle per corpus row per
+    table instead of a full crossJoin.
+    Returns ``(query_id, vec_id, cosine, rank)`` (rank <= k; fewer rows
+    than k when buckets are sparse — the approximate contract).
+    """
+    query_id_col = query_id_col or id_col
+    if dim is None:
+        first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    tables = [
+        _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+
+    def banded(df: DataFrame, idc: str, embc: str, out_id: str, out_emb: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(embc).alias(out_emb),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signature_col(F.col(embc), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, out_emb, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb")
+    qb = banded(queries, query_id_col, emb_col, "query_id", "q_emb")
+    cand = (
+        cb.join(qb, on=["table", "bucket"])
+        .select("query_id", "vec_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

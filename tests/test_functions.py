@@ -1,0 +1,216 @@
+"""Extension operator tests: text analysis, dedup, similarity,
+multimodal plumbing — run on small inline corpora plus the sf0.001
+fixture tables when present."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark.functions import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+    brute_force_top_k,
+    embedding_duplicates,
+    exact_duplicates,
+    lsh_top_k,
+    minhash_lsh_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_duplicates,
+)
+from networkframe_spark.functions.dedup import dedup_exact, minhash_signatures
+from networkframe_spark.functions.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+    synthetic_media,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different content about spark engines and shuffles"),
+        (4, "der hund läuft durch die stadt und das ist gut"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    rows = {r["doc_id"]: r["n_tokens"] for r in add_token_count(docs).collect()}
+    assert rows[0] == 9
+    assert rows[5] == 0
+
+
+def test_quality_score_range(docs):
+    rows = add_quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+    scores = {r["doc_id"]: r["quality_score"] for r in rows}
+    assert scores[0] > scores[5]  # real text beats empty
+
+
+def test_language_id(docs):
+    rows = {r["doc_id"]: r["lang_pred"] for r in add_language_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "de"
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(df).collect()}
+    assert rows[0] == rows[1]  # case/whitespace-normalized
+    assert rows[0] != rows[2]
+
+
+def test_exact_duplicates(docs):
+    marks = {r["doc_id"]: r for r in exact_duplicates(docs).collect()}
+    assert marks[1]["is_duplicate"] and marks[1]["canonical_id"] == 0
+    assert not marks[0]["is_duplicate"]
+    assert not marks[2]["is_duplicate"]
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_duplicates(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and got[(0, 2)] > 0.5
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_signatures_deterministic(docs):
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, n_perm=16).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, n_perm=16).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical docs identical sigs
+    assert s1[0] != s1[3]
+
+
+def test_minhash_lsh_duplicates(docs):
+    pairs = minhash_lsh_duplicates(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+
+
+def test_simhash_duplicates(spark, docs):
+    pairs = simhash_duplicates(docs, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0  # identical docs, zero hamming
+
+
+def test_simhash_near_dup_long_docs(spark):
+    # simhash bit stability needs vote margin ~sqrt(n_tokens): use long
+    # docs differing in a single token
+    base = " ".join(f"word{i}" for i in range(40))
+    variant = base.replace("word7", "altered")
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, base), (1, variant), (2, other)], "doc_id long, text string"
+    )
+    pairs = simhash_duplicates(df, max_hamming=12).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] <= 12
+    assert (0, 2) not in got
+
+
+def test_embedding_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_duplicates(df, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 2) not in got
+
+
+def test_brute_force_top_k(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_top_k(df, df, k=2)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert sorted(per_query[0])[0] == (1, 1)  # 0's nearest is 1
+    assert len(per_query[0]) == 2
+
+
+def test_lsh_top_k_recall(spark):
+    # clustered vectors: LSH must recover the exact nearest neighbor
+    # for most queries when planes/tables are generous
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [b + 0.01 * ((i * 7 + j) % 5) for j, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = brute_force_top_k(df, df, k=1)
+    approx = lsh_top_k(df, df, k=1, n_planes=6, n_tables=6)
+    e = {r["query_id"]: r["vec_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["vec_id"] for r in approx.collect()}
+    hits = sum(1 for q in e if a.get(q) == e[q])
+    assert hits / len(e) >= 0.8
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["n_bytes"] == 256
+    img_rows = [r for r in rows if r["media_type"] == "image"]
+    assert all(r["mean_intensity"] is not None for r in img_rows)
+    # determinism
+    rows2 = {r["media_id"]: r["mean_intensity"] for r in extract_image_features(media).collect()}
+    assert all(rows2[r["media_id"]] == r["mean_intensity"] for r in rows)
+
+
+def test_multimodal_resize(spark):
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, out_w=8, out_h=8).collect()
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)
+    assert len(out) == sum(1 for r in media.collect() if r["media_type"] == "image")
+
+
+def test_video_frame_sampling(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_video_frames(media, every_n=8).collect()
+    vids = [r for r in media.collect() if r["media_type"] == "video"]
+    assert len(frames) == len(vids) * 3  # 24 frames, every 8th -> 0,8,16
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixtures absent")
+def test_on_fixture_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = add_token_count(add_quality_score(add_language_id(docs)))
+    row = out.first()
+    assert row["n_tokens"] > 0
+    marks = exact_duplicates(docs)
+    assert marks.count() == docs.count()
