@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry smoke, queries(), oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator claimed in SURVEY.md §2 (plus the scale-extension ops)
+gets a ``queries()`` entry running through the engine and a matching
+DuckDB ``oracle_sql()`` string.  Conventions that keep the value-hash
+comparison deterministic:
+
+- every aggregate / computed column is aliased identically in both;
+- floating SUM/AVG goes through DECIMAL (exact, order-independent)
+  and is cast back to double;
+- unordered float expressions (cosine, ratios) are rounded to 6 dp;
+- graph construction follows FIXTURES.md §4: nodes = customer ∪
+  supplier (supplier keys negated-1), edges = lineitem ⋈ orders.
 """
 
 from __future__ import annotations
@@ -12,27 +18,733 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkframe_spark import NetworkFrame
+from networkframe_spark.functions.dedup import (
+    MINHASH_PRIME,
+    embedding_duplicates,
+    exact_duplicates,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_duplicates,
+    simhash_col,
+)
+from networkframe_spark.functions.similarity import brute_force_top_k
+from networkframe_spark.functions.text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+)
+from networkframe_spark.sources import read_embeddings, read_events, read_table, tpch_graph
+from networkframe_spark.streaming.ops import session_stats, windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# shared SQL prelude: the canonical graph as DuckDB CTEs
+# ---------------------------------------------------------------------------
+GRAPH_CTE = """
+nodes AS (
+  SELECT c_custkey AS id, 'customer' AS kind, c_name AS name,
+         c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT -s_suppkey - 1 AS id, 'supplier' AS kind, s_name AS name,
+         s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+),
+edges AS (
+  SELECT o_custkey AS source, -l_suppkey - 1 AS target,
+         l_extendedprice AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+"""
+
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+)
+"""
+
+# word 3-gram shingles, mirroring networkframe_spark.functions.dedup.shingles_col
+SHINGLE_CTE = (
+    TOKS_CTE
+    + """,
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM idx
+  WHERE array_to_string(t[i:i+2], ' ') <> ''
+)
+"""
+)
+
+SIMHASH_BITS = 32
+N_PERM = 4
 
 
+def _graph(spark: SparkSession, sf_dir: str, decimal_weight: bool = False) -> NetworkFrame:
+    nf = tpch_graph(spark, sf_dir)
+    if decimal_weight:
+        nf = nf._return(
+            edges=nf.edges.withColumn("weight", F.col("weight").cast("decimal(18,2)"))
+        )
+    return nf
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship smoke query at sf0.001
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the TPC-H graph, filter nodes with closure,
+    condense to the nation-level quotient graph."""
+    nf = _graph(spark, "/root/testdata/sf0.001", decimal_weight=True)
+    active = nf.query_nodes("acctbal > 0")
+    cond = active.condense("nationkey", func="sum", columns=["weight"])
+    return cond.edges.select(
+        "source", "target", F.col("weight").cast("double").alias("block_weight")
+    )
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- S1 query_nodes (filter only) -----------------------------------
+    def q_query_nodes(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.query_nodes("acctbal > 5000").nodes.select(
+            "id", "kind", "nationkey", "acctbal"
+        )
+
+    q["query_nodes"] = q_query_nodes
+
+    # -- S1 closure: edges after node filter ----------------------------
+    def q_query_nodes_closure(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.query_nodes("acctbal > 1000").edges
+
+    q["query_nodes_closure"] = q_query_nodes_closure
+
+    # -- S2 query_edges --------------------------------------------------
+    def q_query_edges(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.query_edges("weight > @w", local_dict={"w": 50000}).edges
+
+    q["query_edges"] = q_query_edges
+
+    # -- S3 loc block selection ------------------------------------------
+    def q_loc_block(spark, sf):
+        nf = _graph(spark, sf)
+        rows = nf.nodes.filter("kind = 'customer' AND nationkey < 5").select("id")
+        cols = nf.nodes.filter("kind = 'supplier' AND nationkey < 5").select("id")
+        return nf.loc[rows, cols].edges
+
+    q["loc_block"] = q_loc_block
+
+    # -- S5 remove_nodes (anti-join + closure) ---------------------------
+    def q_remove_nodes(spark, sf):
+        nf = _graph(spark, sf)
+        victims = nf.nodes.filter("nationkey IN (0, 1, 2)").select("id")
+        return nf.remove_nodes(victims).edges
+
+    q["remove_nodes"] = q_remove_nodes
+
+    # -- S6 remove_edges (pair anti-join) --------------------------------
+    def q_remove_edges(spark, sf):
+        nf = _graph(spark, sf)
+        heavy = nf.edges.filter("weight > 80000")
+        return nf.remove_edges(heavy).edges
+
+    q["remove_edges"] = q_remove_edges
+
+    # -- S8 add_nodes (union) --------------------------------------------
+    def q_add_nodes(spark, sf):
+        nf = _graph(spark, sf)
+        nation = read_table(spark, sf, "nation").select(
+            (F.col("n_nationkey").cast("long") + F.lit(1000000)).alias("id"),
+            F.lit("nation").alias("kind"),
+            F.col("n_name").alias("name"),
+            F.col("n_nationkey").cast("int").alias("nationkey"),
+            F.lit(None).cast("double").alias("acctbal"),
+        )
+        out = nf.add_nodes(nation)
+        return out.nodes.select("id", "kind")
+
+    q["add_nodes"] = q_add_nodes
+
+    # -- S7 remove_unused_nodes (semi-join) ------------------------------
+    def q_remove_unused_nodes(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.remove_unused_nodes().nodes.select("id", "kind")
+
+    q["remove_unused_nodes"] = q_remove_unused_nodes
+
+    # -- S4 reindex_nodes -------------------------------------------------
+    def q_reindex_nodes(spark, sf):
+        nf = _graph(spark, sf)
+        idx = spark.range(1, 2001).select(F.col("id").cast("long"))
+        return nf.reindex_nodes(idx).nodes.select("id", "kind", "acctbal")
+
+    q["reindex_nodes"] = q_reindex_nodes
+
+    # -- J1 apply_node_features ------------------------------------------
+    def q_apply_node_features(spark, sf):
+        nf = _graph(spark, sf)
+        out = nf.apply_node_features("nationkey", axis="both")
+        return out.edges.select(
+            "source", "target", "weight", "source_nationkey", "target_nationkey"
+        )
+
+    q["apply_node_features"] = q_apply_node_features
+
+    # -- J2 node_agreement ------------------------------------------------
+    def q_node_agreement(spark, sf):
+        nf = _graph(spark, sf)
+        a = nf.query_nodes("kind == 'customer'")
+        b = nf.query_nodes("acctbal > 0")
+        val = a.node_agreement(b)
+        return spark.createDataFrame([(round(val, 6),)], "agreement double")
+
+    q["node_agreement"] = q_node_agreement
+
+    # -- G4/G5 groupby size ----------------------------------------------
+    def q_groupby_size(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.groupby_nodes("nationkey").size_edges()
+
+    q["groupby_size"] = q_groupby_size
+
+    # -- G6 condense sum (decimal-exact) ---------------------------------
+    def q_condense_sum(spark, sf):
+        nf = _graph(spark, sf, decimal_weight=True)
+        cond = nf.condense("nationkey", func="sum", columns=["weight"])
+        return cond.edges.select(
+            "source", "target", F.col("weight").cast("double").alias("block_weight")
+        )
+
+    q["condense_sum"] = q_condense_sum
+
+    # -- A10 k-hop aggregation (k=1, decimal-exact mean) ------------------
+    def q_khop_agg(spark, sf):
+        nf = _graph(spark, sf)
+        pairs = nf.k_hop_pairs(1, directed=False, drop_self=True)
+        feats = nf.nodes.select(
+            F.col("id").alias("neighbor"), F.col("acctbal").cast("decimal(18,2)").alias("a")
+        )
+        return (
+            pairs.join(feats, on="neighbor")
+            .groupBy(F.col("node").alias("id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_neighbors"),
+                (F.sum("a").cast("double") / F.count(F.lit(1))).alias("acctbal_neighbor_mean"),
+            )
+        )
+
+    q["khop_aggregation"] = q_khop_agg
+
+    # -- A7 k-hop neighborhood (k=2 undirected from node 1) ---------------
+    def q_khop_neighborhood(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.k_hop_neighborhood(1, 2, directed=False).nodes.select("id")
+
+    q["khop_neighborhood"] = q_khop_neighborhood
+
+    # -- A6 reachability on the sparse heavy-edge subgraph ----------------
+    def q_reachable(spark, sf):
+        nf = _graph(spark, sf).query_edges("weight > 103000")
+        seed = (
+            nf.edges.orderBy(F.desc("weight"), F.asc("source"), F.asc("target"))
+            .limit(1)
+            .collect()[0]["source"]
+        )
+        out = nf.select_component_from_node(seed, directed=True)
+        used = out.remove_unused_nodes()
+        return used.nodes.select("id")
+
+    q["reachable_from"] = q_reachable
+
+    # -- A1-A4 weak components on the sparse subgraph ----------------------
+    def q_components(spark, sf):
+        nf = _graph(spark, sf).query_edges("weight > 103000").remove_unused_nodes()
+        return nf.label_nodes_by_component(connection="weak").nodes.select(
+            "id", "component"
+        )
+
+    q["weak_components"] = q_components
+
+    # -- text ops ----------------------------------------------------------
+    def q_token_count(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return add_token_count(docs).select("doc_id", "n_tokens")
+
+    q["token_count"] = q_token_count
+
+    def q_lang_id(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return add_language_id(docs).select("doc_id", "lang_pred")
+
+    q["language_id"] = q_lang_id
+
+    def q_quality(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return add_quality_score(docs).select("doc_id", "quality_score")
+
+    q["quality_score"] = q_quality
+
+    def q_fingerprint(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return add_fingerprint(docs).select("doc_id", "fingerprint")
+
+    q["fingerprint"] = q_fingerprint
+
+    # -- dedup -------------------------------------------------------------
+    def q_exact_dups(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return exact_duplicates(docs).select("doc_id", "canonical_id", "is_duplicate")
+
+    q["exact_dedup"] = q_exact_dups
+
+    def q_minhash(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        sig = minhash_signatures(docs, n_perm=N_PERM)
+        return sig.select(
+            "doc_id",
+            *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(N_PERM)],
+        )
+
+    q["minhash_signatures"] = q_minhash
+
+    def q_jaccard(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return ngram_jaccard_duplicates(docs, n=3, threshold=0.5)
+
+    q["ngram_jaccard_dedup"] = q_jaccard
+
+    def q_simhash(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return docs.select(
+            "doc_id", simhash_col("text", bits=SIMHASH_BITS).alias("simhash")
+        )
+
+    q["simhash"] = q_simhash
+
+    def q_embed_dups(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return embedding_duplicates(emb, threshold=0.8)
+
+    q["embedding_dedup"] = q_embed_dups
+
+    # -- similarity search -------------------------------------------------
+    def q_topk(spark, sf):
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        return brute_force_top_k(emb, qs, k=3)
+
+    q["cosine_topk"] = q_topk
+
+    # -- temporal / streaming-equivalent ----------------------------------
+    def q_events_window(spark, sf):
+        events = read_events(spark, sf)
+        return windowed_event_counts(events, "1 hour")
+
+    q["events_window_agg"] = q_events_window
+
+    def q_sessions(spark, sf):
+        events = read_events(spark, sf)
+        return session_stats(events, gap_minutes=30)
+
+    q["sessionize"] = q_sessions
+
+    return q
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same column names, same determinism rules)
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["query_nodes"] = f"""
+WITH {GRAPH_CTE}
+SELECT id, kind, nationkey, acctbal FROM nodes WHERE acctbal > 5000
+"""
+
+    o["query_nodes_closure"] = f"""
+WITH {GRAPH_CTE},
+kept AS (SELECT id FROM nodes WHERE acctbal > 1000)
+SELECT e.source, e.target, e.weight
+FROM edges e
+WHERE e.source IN (SELECT id FROM kept) AND e.target IN (SELECT id FROM kept)
+"""
+
+    o["query_edges"] = f"""
+WITH {GRAPH_CTE}
+SELECT source, target, weight FROM edges WHERE weight > 50000
+"""
+
+    o["loc_block"] = f"""
+WITH {GRAPH_CTE},
+r AS (SELECT id FROM nodes WHERE kind = 'customer' AND nationkey < 5),
+c AS (SELECT id FROM nodes WHERE kind = 'supplier' AND nationkey < 5)
+SELECT e.source, e.target, e.weight
+FROM edges e
+WHERE e.source IN (SELECT id FROM r) AND e.target IN (SELECT id FROM c)
+"""
+
+    o["remove_nodes"] = f"""
+WITH {GRAPH_CTE},
+kept AS (SELECT id FROM nodes WHERE nationkey NOT IN (0, 1, 2))
+SELECT e.source, e.target, e.weight
+FROM edges e
+WHERE e.source IN (SELECT id FROM kept) AND e.target IN (SELECT id FROM kept)
+"""
+
+    o["remove_edges"] = f"""
+WITH {GRAPH_CTE},
+bad AS (SELECT DISTINCT source, target FROM edges WHERE weight > 80000)
+SELECT e.source, e.target, e.weight
+FROM edges e
+WHERE NOT EXISTS (
+  SELECT 1 FROM bad b WHERE b.source = e.source AND b.target = e.target
+)
+"""
+
+    o["add_nodes"] = f"""
+WITH {GRAPH_CTE}
+SELECT id, kind FROM nodes
+UNION ALL
+SELECT n_nationkey + 1000000 AS id, 'nation' AS kind FROM nation
+"""
+
+    o["remove_unused_nodes"] = f"""
+WITH {GRAPH_CTE}
+SELECT id, kind FROM nodes
+WHERE id IN (SELECT source FROM edges UNION SELECT target FROM edges)
+"""
+
+    o["reindex_nodes"] = f"""
+WITH {GRAPH_CTE},
+idx AS (SELECT x AS id FROM range(1, 2001) t(x))
+SELECT idx.id, n.kind, n.acctbal
+FROM idx LEFT JOIN nodes n ON idx.id = n.id
+"""
+
+    o["apply_node_features"] = f"""
+WITH {GRAPH_CTE}
+SELECT e.source, e.target, e.weight,
+       ns.nationkey AS source_nationkey, nt.nationkey AS target_nationkey
+FROM edges e
+LEFT JOIN nodes ns ON e.source = ns.id
+LEFT JOIN nodes nt ON e.target = nt.id
+"""
+
+    o["node_agreement"] = f"""
+WITH {GRAPH_CTE},
+a AS (SELECT id FROM nodes WHERE kind = 'customer'),
+b AS (SELECT id FROM nodes WHERE acctbal > 0)
+SELECT round(
+  (SELECT count(*) FROM a WHERE id IN (SELECT id FROM b))::DOUBLE
+  / (SELECT count(*) FROM a), 6) AS agreement
+"""
+
+    o["groupby_size"] = f"""
+WITH {GRAPH_CTE}
+SELECT ns.nationkey AS source_nationkey, nt.nationkey AS target_nationkey,
+       count(*) AS size
+FROM edges e
+JOIN nodes ns ON e.source = ns.id
+JOIN nodes nt ON e.target = nt.id
+GROUP BY 1, 2
+"""
+
+    o["condense_sum"] = f"""
+WITH {GRAPH_CTE}
+SELECT ns.nationkey AS source, nt.nationkey AS target,
+       CAST(SUM(CAST(e.weight AS DECIMAL(18,2))) AS DOUBLE) AS block_weight
+FROM edges e
+JOIN nodes ns ON e.source = ns.id
+JOIN nodes nt ON e.target = nt.id
+GROUP BY 1, 2
+"""
+
+    o["khop_aggregation"] = f"""
+WITH {GRAPH_CTE},
+sym AS (
+  SELECT DISTINCT source, target FROM (
+    SELECT source, target FROM edges
+    UNION ALL
+    SELECT target AS source, source AS target FROM edges
+  )
+),
+pairs AS (SELECT source AS node, target AS neighbor FROM sym WHERE source <> target)
+SELECT p.node AS id,
+       count(*) AS n_neighbors,
+       CAST(SUM(CAST(n.acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS acctbal_neighbor_mean
+FROM pairs p JOIN nodes n ON p.neighbor = n.id
+GROUP BY p.node
+"""
+
+    o["khop_neighborhood"] = f"""
+WITH {GRAPH_CTE},
+sym AS (
+  SELECT DISTINCT source, target FROM (
+    SELECT source, target FROM edges
+    UNION ALL
+    SELECT target AS source, source AS target FROM edges
+  )
+),
+h1 AS (SELECT DISTINCT target AS id FROM sym WHERE source = 1),
+h2 AS (SELECT DISTINCT s2.target AS id FROM sym s2 WHERE s2.source IN (SELECT id FROM h1))
+SELECT DISTINCT id FROM (
+  SELECT 1 AS id UNION ALL SELECT id FROM h1 UNION ALL SELECT id FROM h2
+)
+"""
+
+    o["reachable_from"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT source, target FROM edges WHERE weight > 103000),
+seed AS (
+  SELECT source AS id FROM edges WHERE weight > 103000
+  ORDER BY weight DESC, source ASC, target ASC LIMIT 1
+),
+reach AS (
+  SELECT id FROM seed
+  UNION
+  SELECT h.target AS id FROM reach JOIN heavy h ON h.source = reach.id
+),
+used AS (SELECT source AS id FROM heavy UNION SELECT target FROM heavy),
+kept_edges AS (
+  SELECT h.source, h.target FROM heavy h
+  WHERE h.source IN (SELECT id FROM reach) AND h.target IN (SELECT id FROM reach)
+)
+SELECT DISTINCT id FROM reach
+WHERE id IN (SELECT source FROM kept_edges UNION SELECT target FROM kept_edges)
+"""
+
+    o["weak_components"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT DISTINCT source, target FROM edges WHERE weight > 103000),
+used AS (SELECT source AS id FROM heavy UNION SELECT target FROM heavy),
+sym AS (
+  SELECT source, target FROM heavy
+  UNION
+  SELECT target AS source, source AS target FROM heavy
+),
+reach AS (
+  SELECT id, id AS r FROM used
+  UNION
+  SELECT s.target AS id, reach.r FROM reach JOIN sym s ON s.source = reach.id
+),
+comp AS (SELECT id, min(r) AS comp_min FROM reach GROUP BY id),
+numbered AS (
+  SELECT comp_min,
+         row_number() OVER (ORDER BY count(*) DESC, comp_min ASC) - 1 AS component
+  FROM comp GROUP BY comp_min
+)
+SELECT c.id, n.component
+FROM comp c JOIN numbered n ON c.comp_min = n.comp_min
+"""
+
+    o["token_count"] = f"""
+WITH {TOKS_CTE}
+SELECT d.doc_id,
+       CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS n_tokens
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+"""
+
+    # quality score mirrors functions/text.py::add_quality_score exactly
+    o["quality_score"] = f"""
+WITH {TOKS_CTE},
+feats AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         greatest(len(t.t), 1) AS n_tokens,
+         length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS punct,
+         len(list_filter(t.t, x -> list_contains(
+           ['the','and','of','to','a','in','is','it','that','for','was','with'], x)))
+           AS n_stop,
+         length(regexp_replace(d.text, '\\s+', '', 'g')) AS nonspace
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, round(
+    0.4 * least(n_chars / 1000.0, 1.0)
+  + 0.3 * least((n_stop::DOUBLE / n_tokens) / 0.4, 1.0)
+  + 0.2 * (1.0 - punct::DOUBLE / greatest(n_chars, 1))
+  + 0.1 * (CASE WHEN nonspace::DOUBLE / n_tokens BETWEEN 2 AND 12
+           THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+FROM feats
+"""
+
+    # language id mirrors functions/text.py::add_language_id (fold order =
+    # dict order en,de,fr,es,it; strictly-greater replacement = sort by
+    # (-score, index) and take first)
+    lang_structs = []
+    from networkframe_spark.functions.text import STOPWORDS
+
+    for i, (lang, words) in enumerate(STOPWORDS.items()):
+        wl = ", ".join(f"'{w}'" for w in words)
+        lang_structs.append(
+            "{'s': -len(list_filter(t.t, x -> list_contains([" + wl + "], x))), "
+            f"'i': {i}, 'l': '{lang}'}}"
+        )
+    structs = ", ".join(lang_structs)
+    o["language_id"] = f"""
+WITH {TOKS_CTE},
+scored AS (
+  SELECT d.doc_id, lower(d.text) AS lt,
+         list_sort([{structs}]) AS ranking
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(lt, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+    WHEN regexp_matches(lt, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+    WHEN regexp_matches(lt, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
+    WHEN regexp_matches(lt, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+    WHEN regexp_matches(lt, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+    WHEN ranking[1].s < 0 THEN ranking[1].l
+    ELSE 'unknown'
+  END AS lang_pred
+FROM scored
+"""
+
+    o["fingerprint"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+    o["exact_dedup"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint)
+SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_duplicate
+FROM fp f JOIN canon c ON f.fingerprint = c.fingerprint
+"""
+
+    # minhash signatures with the same (a, b) parameters
+    params = minhash_params(N_PERM)
+    sig_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    o["minhash_signatures"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+)
+SELECT id AS doc_id, {sig_cols}
+FROM hashed GROUP BY id
+"""
+
+    o["ngram_jaccard_dedup"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+"""
+
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    o["simhash"] = f"""
+WITH {TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(t) AS w FROM toks),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok_rows
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes
+"""
+
+    o["embedding_dedup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product((a.embedding::DOUBLE[]), (b.embedding::DOUBLE[]))
+         / (sqrt(list_dot_product((a.embedding::DOUBLE[]), (a.embedding::DOUBLE[])))
+            * sqrt(list_dot_product((b.embedding::DOUBLE[]), (b.embedding::DOUBLE[])))), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product((a.embedding::DOUBLE[]), (b.embedding::DOUBLE[]))
+      / (sqrt(list_dot_product((a.embedding::DOUBLE[]), (a.embedding::DOUBLE[])))
+         * sqrt(list_dot_product((b.embedding::DOUBLE[]), (b.embedding::DOUBLE[])))) >= 0.8
+"""
+
+    o["cosine_topk"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product((q.embedding::DOUBLE[]), (c.embedding::DOUBLE[]))
+           / (sqrt(list_dot_product((q.embedding::DOUBLE[]), (q.embedding::DOUBLE[])))
+              * sqrt(list_dot_product((c.embedding::DOUBLE[]), (c.embedding::DOUBLE[])))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+    o["events_window_agg"] = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+    o["sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         floor(epoch(ts))::BIGINT AS ts_s,
+         lag(floor(epoch(ts))::BIGINT) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_s,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+    return o

@@ -47,6 +47,28 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with a proper timestamp column.
+
+    The fixture parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as long nanos and convert losslessly to
+    a microsecond timestamp (fixture values are micro-precision)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = read_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the vector cast to array<double>: similarity
+    math then runs in double precision end-to-end, matching what any
+    SQL oracle computes (float32 dot products diverge at ~1e-7)."""
+    return read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
 def supplier_node_id(col):
     """Suppliers live in negative ID space: -(s_suppkey) - 1."""
     return (-F.col(col).cast("long") - F.lit(1)).alias("id")

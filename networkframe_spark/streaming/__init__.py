@@ -1,0 +1,19 @@
+"""Streaming extension over the temporal `events` table.
+
+The reference is purely batch (SURVEY §2.9); this layer adds the
+Structured-Streaming-native operations a temporal edge stream needs.
+The transformation functions in :mod:`.ops` are defined on generic
+DataFrames so the exact same code runs in batch (correctness oracle)
+and behind ``readStream`` (production path) — the Structured Streaming
+unified-API contract.
+"""
+
+from .ops import session_stats, sessionize, windowed_event_counts
+from .stream import stream_events_windowed
+
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "windowed_event_counts",
+    "stream_events_windowed",
+]

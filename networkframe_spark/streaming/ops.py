@@ -1,0 +1,81 @@
+"""Temporal event-stream operators, batch/streaming dual-use.
+
+Written against plain DataFrames: in batch they are ordinary window /
+aggregate plans (and get DuckDB oracles); the same logic runs under
+Structured Streaming readStream for the production path (tumbling
+windows via ``F.window``; sessionization via gap detection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type.
+
+    Batch form of the canonical streaming aggregation; epoch-aligned
+    windows (``F.window``) so DuckDB's ``date_trunc`` reproduces the
+    bucketing for whole-unit durations.
+    Output: (event_type, window_start, n_events, sum_value).
+    """
+    return (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.window(F.col(ts_col), window_duration)["start"].alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum -> double: deterministic across engines
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign session ids per user by inactivity gap: a new session
+    starts when the time since the previous event exceeds the gap.
+
+    Classic lag + cumulative-sum-over-boundary pattern (one shuffle on
+    user_id; the two windows share the same partitioning so Catalyst
+    plans a single sort).  Output: events + ``session_id`` (1-based
+    per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session summary: event count, duration seconds, value sum.
+
+    Output: (user_id, session_id, n_events, duration_s, sum_value).
+    """
+    s = sessionize(events, gap_minutes, user_col, ts_col)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
+            "duration_s"
+        ),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

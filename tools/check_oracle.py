@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry through Spark and its ``oracle_sql()`` through
+DuckDB on the same parquet tables; compare row count, column names,
+and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from networkframe_spark.session import get_spark
+from networkframe_spark.sources import TABLES
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns {scols} vs {dcols}")
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                af = av.astype(float)
+                bf = bv.astype(float)
+                exact = ((af == bf) | (af.isna() & bf.isna())).all()
+                if not exact:
+                    close = (
+                        ((af - bf).abs() < 1e-9) | (af.isna() & bf.isna())
+                    ).all()
+                    bad = (~((af == bf) | (af.isna() & bf.isna()))).sum()
+                    if close:
+                        problems.append(f"col {c}: {bad} float-noise diffs (<1e-9)")
+                    else:
+                        idx = (~((af == bf) | (af.isna() & bf.isna()))).idxmax()
+                        problems.append(
+                            f"col {c}: {bad} value diffs, e.g. {af[idx]} vs {bf[idx]}"
+                        )
+            else:
+                if not (av.astype(str).fillna("∅") == bv.astype(str).fillna("∅")).all():
+                    bad = (av.astype(str) != bv.astype(str)).sum()
+                    idx = (av.astype(str) != bv.astype(str)).idxmax()
+                    problems.append(
+                        f"col {c}: {bad} value diffs, e.g. {av[idx]!r} vs {bv[idx]!r}"
+                    )
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"col {c}: compare error {e}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)} ({t_spark:.1f}s)")
+        else:
+            print(f"ok    {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
+    spark.stop()
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
