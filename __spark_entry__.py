@@ -28,7 +28,7 @@ from networkframe_spark.functions.dedup import (
     minhash_params,
     minhash_signatures,
     ngram_jaccard_duplicates,
-    simhash_col,
+    simhash_table,
 )
 from networkframe_spark.functions.similarity import brute_force_top_k
 from networkframe_spark.functions.text import (
@@ -328,9 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash(spark, sf):
         docs = read_table(spark, sf, "documents")
-        return docs.select(
-            "doc_id", simhash_col("text", bits=SIMHASH_BITS).alias("simhash")
-        )
+        return simhash_table(docs, bits=SIMHASH_BITS)
 
     q["simhash"] = q_simhash
 

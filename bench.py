@@ -1,0 +1,67 @@
+"""Benchmark headline queries; prints ONE JSON line.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Each query is forced end-to-end with the
+noop sink (full materialization, no collect/driver cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from networkframe_spark.session import get_spark
+
+HEADLINE = [
+    "query_nodes_closure",   # filter + induced closure (2 semi-joins)
+    "apply_node_features",   # edge decoration joins
+    "condense_sum",          # quotient-graph aggregation
+    "groupby_size",          # block hash aggregate
+    "khop_aggregation",      # pair-table expansion + neighborhood agg
+    "weak_components",       # iterative min-label propagation
+    "exact_dedup",           # fingerprint hash-agg
+    "minhash_signatures",    # shingle explode + 4-perm min-agg
+    "simhash",               # 32-bit vote aggregation
+    "cosine_topk",           # brute-force similarity + window top-k
+    "events_window_agg",     # tumbling-window aggregate
+    "sessionize",            # lag/cumsum session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,7 +111,21 @@ def k_hop_pair_table(
 
     k rounds of ``pairs ⋈ edges`` with dedup; each round one shuffle
     join keyed on the expanding frontier's ``neighbor`` column.
+    k=1 short-circuits to the distinct (symmetrized) edge list itself.
     """
+    if k == 1:
+        pairs = _edge_pairs(frame, directed).select(
+            F.col("source").alias("node"), F.col("target").alias("neighbor")
+        )
+        if drop_self:
+            pairs = pairs.filter(F.col("node") != F.col("neighbor"))
+        else:
+            pairs = pairs.union(
+                frame.nodes.select(
+                    F.col("id").alias("node"), F.col("id").alias("neighbor")
+                )
+            ).distinct()
+        return pairs
     edges = _edge_pairs(frame, directed).cache()
     base = frame.nodes.select(F.col("id").alias("node"), F.col("id").alias("neighbor"))
     visited = base.localCheckpoint(eager=True)
@@ -150,6 +164,7 @@ def _weak_component_min_labels(frame) -> DataFrame:
     edges = frame.symmetrized_edges().distinct().cache()
     labels = frame.nodes.select(F.col("id"), F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
     for it in range(_MAX_ITER):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "source"), on="source")
@@ -166,16 +181,17 @@ def _weak_component_min_labels(frame) -> DataFrame:
             new_labels.join(hop, on="comp", how="left")
             .select("id", F.coalesce("comp2", "comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # convergence via state fingerprint: one cheap aggregate per
+        # round instead of an old-vs-new join.  Any label change alters
+        # the xxhash64 sum except with ~2^-64 collision probability
+        # (labels are also monotone non-increasing, so no oscillation).
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 

@@ -40,20 +40,28 @@ def minhash_params(n_perm: int) -> list[tuple[int, int]]:
     return params
 
 
-def shingles_col(col: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a (materialized) token array.
 
-    Built with sequence/transform over the token array — JVM-side, and
-    reproducible in DuckDB with list comprehensions over
-    ``string_split``.
+    Built with sequence/transform — JVM-side, reproducible in DuckDB
+    with list comprehensions over ``string_split``.  Pass an attribute
+    reference to an already-projected token column: inlining the
+    tokenizer expression here makes Catalyst re-run the regex split per
+    sub-expression (~7x slower at corpus scale).
     """
-    toks = tokens_col(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingles_col(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (inline
+    tokenizer — prefer :func:`shingles_from_tokens` over a materialized
+    token column in hot paths)."""
+    return shingles_from_tokens(tokens_col(col), n)
 
 
 def shingle_hash_col(shingle: Column) -> Column:
@@ -99,7 +107,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh"))
+        df.withColumn("__toks", tokens_col(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"),
+        )
         .filter(F.col("sh") != "")
         .distinct()
     )
@@ -163,12 +175,16 @@ def minhash_signatures(
     """
     params = minhash_params(n_perm)
     sh = _shingle_table(df, text_col, id_col, shingle_n)
-    h = shingle_hash_col(F.col("sh")) % MINHASH_PRIME
+    # materialize the shingle hash once; the n_perm aggregates then
+    # reference the attribute instead of re-deriving md5 per permutation
+    hashed = sh.withColumn(
+        "h", shingle_hash_col(F.col("sh")) % MINHASH_PRIME
+    ).select("id", "h")
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = hashed.groupBy("id").agg(*aggs)
     return sig.select(
         F.col("id").alias(id_col),
         F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
@@ -246,31 +262,39 @@ def minhash_lsh_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_col(col: str | Column = "text", bits: int = 60) -> Column:
-    """SimHash over whitespace tokens: per-bit vote of token hashes,
-    packed into a 60-bit integer.  Pure column expressions: explode-free
-    (aggregate over the token array with transform/filter)."""
-    toks = tokens_col(col)
-    tok_hash = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """SimHash per document: per-bit vote of token hashes packed into a
+    ``bits``-wide integer.  Returns ``(id_col, simhash)``.
+
+    Plan shape: explode tokens → hash each token ONCE (materialized
+    projection) → one hash aggregate with ``bits`` conditional sums →
+    pack.  One shuffle keyed on the doc id with map-side partial
+    aggregation.  (A naive per-bit array-aggregate would recompute the
+    md5 per bit — 60x the hash work.)
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
     )
-    bit_cols = []
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    ).select("id", "h")
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = None
     for j in range(bits):
-        vote = F.aggregate(
-            tok_hash,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bit_cols.append(
-            F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
-    return out
+        packed = term if packed is None else packed + term
+    return votes.select(F.col("id").alias(id_col), packed.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -289,8 +313,8 @@ def simhash_duplicates(
     """
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh")
+    hashed = simhash_table(df, text_col, id_col, bits).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sh")
     )
     banded = hashed.select(
         "id",
