@@ -250,14 +250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- A7 k-hop neighborhood (k=2 undirected from node 1) ---------------
     def q_khop_neighborhood(spark, sf):
-        nf = _graph(spark, sf)
+        nf = _graph(spark, sf).persist()
         return nf.k_hop_neighborhood(1, 2, directed=False).nodes.select("id")
 
     q["khop_neighborhood"] = q_khop_neighborhood
 
     # -- A6 reachability on the sparse heavy-edge subgraph ----------------
     def q_reachable(spark, sf):
-        nf = _graph(spark, sf).query_edges("weight > 103000")
+        nf = _graph(spark, sf).query_edges("weight > 103000").persist()
         seed = (
             nf.edges.orderBy(F.desc("weight"), F.asc("source"), F.asc("target"))
             .limit(1)
@@ -271,7 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- A1-A4 weak components on the sparse subgraph ----------------------
     def q_components(spark, sf):
-        nf = _graph(spark, sf).query_edges("weight > 103000").remove_unused_nodes()
+        nf = (
+            _graph(spark, sf)
+            .query_edges("weight > 103000")
+            .remove_unused_nodes()
+            .persist()
+        )
         return nf.label_nodes_by_component(connection="weak").nodes.select(
             "id", "component"
         )

@@ -53,9 +53,12 @@ def reachable_from(frame, node_id: Any, directed: bool = True) -> DataFrame:
 
     Reference: networkframe.py:962-998 computes this with a scipy
     ``shortest_path`` from one source; here a BFS frontier-expansion
-    loop — one semi/anti-join round per hop, frontier cached.
+    loop — one semi/anti-join round per hop.  The edge table is cached
+    hash-partitioned on ``source`` so each round only shuffles the
+    (small) frontier; the frontier count is the single action per round
+    and materializes the lazy checkpoint as a side effect.
     """
-    edges = _edge_pairs(frame, directed).cache()
+    edges = _edge_pairs(frame, directed).repartition("source").cache()
     visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
     frontier = visited
     for it in range(_MAX_ITER):
@@ -66,10 +69,10 @@ def reachable_from(frame, node_id: Any, directed: bool = True) -> DataFrame:
             .select(F.col("target").alias("id"))
             .distinct()
             .join(visited, on="id", how="left_anti")
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -79,9 +82,10 @@ def k_hop_reachable(frame, node_id: Any, k: int, directed: bool = False) -> Data
     """IDs within k hops of ``node_id`` (including itself).
 
     Reference: networkframe.py:1241-1277 (single-source dijkstra with
-    ``limit=k``, unweighted); here the BFS loop bounded at k rounds.
+    ``limit=k``, unweighted); here the BFS loop bounded at k rounds,
+    same per-round plan shape as :func:`reachable_from`.
     """
-    edges = _edge_pairs(frame, directed).cache()
+    edges = _edge_pairs(frame, directed).repartition("source").cache()
     visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
     frontier = visited
     for _ in range(k):
@@ -92,10 +96,10 @@ def k_hop_reachable(frame, node_id: Any, k: int, directed: bool = False) -> Data
             .select(F.col("target").alias("id"))
             .distinct()
             .join(visited, on="id", how="left_anti")
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -126,22 +130,25 @@ def k_hop_pair_table(
                 )
             ).distinct()
         return pairs
-    edges = _edge_pairs(frame, directed).cache()
+    edges = (
+        _edge_pairs(frame, directed)
+        .withColumnRenamed("source", "neighbor")
+        .repartition("neighbor")
+        .cache()
+    )
     base = frame.nodes.select(F.col("id").alias("node"), F.col("id").alias("neighbor"))
     visited = base.localCheckpoint(eager=True)
     frontier = visited
     for _ in range(k):
         nxt = (
-            frontier.join(
-                edges.withColumnRenamed("source", "neighbor"), on="neighbor"
-            )
+            frontier.join(edges, on="neighbor")
             .select("node", F.col("target").alias("neighbor"))
             .distinct()
             .join(visited, on=["node", "neighbor"], how="left_anti")
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     if drop_self:
@@ -152,20 +159,103 @@ def k_hop_pair_table(
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find: one shuffle-free pass over the edge
+    partitions, emitting an ``(id, comp)`` mapping where ``comp`` is the
+    min id of the node's component *within that partition*.
+
+    This is the local-contraction phase of scalable CC (the same trick
+    large-star/small-star implementations use): every intra-partition
+    path collapses to a star around its local minimum, so the global
+    min-label loop afterwards only has to stitch across partitions —
+    rounds become ~log(#partitions that a component spans) instead of
+    ~log(graph diameter).  A node appearing in p partitions emits p
+    mapping rows; the mapping is at most one row per (node, partition),
+    typically far smaller than the edge table.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    idt = edges.schema["source"].dataType.simpleString()
+    schema = f"id {idt}, comp {idt}"
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, t in zip(pdf["source"].tolist(), pdf["target"].tolist()):
+                if s not in parent:
+                    parent[s] = s
+                if t not in parent:
+                    parent[t] = t
+                rs, rt = find(s), find(t)
+                if rs != rt:
+                    if rt < rs:
+                        rs, rt = rt, rs
+                    parent[rt] = rs
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids, "comp": [find(x) for x in ids]})
+
+    return edges.mapInPandas(uf, schema)
+
+
 def _weak_component_min_labels(frame) -> DataFrame:
     """(id, comp) where comp = min node id in the weak component.
 
-    Min-label propagation with pointer-jumping: each round (1) pulls the
-    min neighbor label across edges, (2) shortcuts labels through the
-    label graph (comp <- label[comp]), giving ~O(log n) convergence.
-    Reference semantics: scipy ``connected_components(connection='weak')``
-    (networkframe.py:721-730) up to label numbering.
+    Min-label propagation with double pointer-jumping: each round
+    (1) pulls the min neighbor label across edges, (2) shortcuts labels
+    twice through the label graph (comp <- label[label[comp]]), giving
+    ~O(log diameter) convergence.  Reference semantics: scipy
+    ``connected_components(connection='weak')`` (networkframe.py:721-730)
+    up to label numbering.
+
+    Scale design: a partition-local union-find pass first contracts
+    every intra-partition path (:func:`_local_contract`), so the loop
+    runs over the much smaller ``(id, local-root)`` mapping and only
+    stitches components across partitions.  The mapping is cached
+    hash-partitioned on ``source`` so every round's label pull reuses
+    that layout and only the per-node label table shuffles.
+    Checkpoints are lazy — the convergence fingerprint aggregate is the
+    action that materializes each round, one job per round.
     """
-    edges = frame.symmetrized_edges().distinct().cache()
-    labels = frame.nodes.select(F.col("id"), F.col("id").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    # union-find is direction- and duplicate-insensitive: contract the
+    # raw edge projection directly — no symmetrize/distinct shuffle
+    mapping = _local_contract(frame.edges.select("source", "target"))
+    # loop edge table = star links id <-> local root, both directions;
+    # duplicate (id, root) pairs across partitions are harmless under
+    # the min aggregate, so no dedup shuffle either
+    star = mapping.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("source"), F.col("comp").alias("target")
+    )
+    edges = star.union(
+        star.select(F.col("target").alias("source"), F.col("source").alias("target"))
+    ).cache()
+    # round 0 fused: comp = min(id, min over in-neighbors)
+    nbr0 = edges.select(F.col("target").alias("id"), F.col("source").alias("comp"))
+    self0 = frame.nodes.select("id", F.col("id").alias("comp"))
+    labels = (
+        self0.union(nbr0).groupBy("id").agg(F.min("comp").alias("comp"))
+    ).localCheckpoint(eager=False)
     prev_sum = None
     for it in range(_MAX_ITER):
+        # convergence via state fingerprint: one cheap aggregate per
+        # round (this action also materializes the lazy checkpoint).
+        # Any label change alters the xxhash64 sum except with ~2^-64
+        # collision probability (labels are monotone non-increasing,
+        # so no oscillation).
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
         nbr = (
             edges.join(labels.withColumnRenamed("id", "source"), on="source")
             .select(F.col("target").alias("id"), "comp")
@@ -173,25 +263,17 @@ def _weak_component_min_labels(frame) -> DataFrame:
         new_labels = (
             labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
         )
-        # pointer jumping: comp <- label(comp)
-        hop = new_labels.select(
-            F.col("id").alias("comp"), F.col("comp").alias("comp2")
-        )
-        new_labels = (
-            new_labels.join(hop, on="comp", how="left")
-            .select("id", F.coalesce("comp2", "comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        labels = new_labels
-        # convergence via state fingerprint: one cheap aggregate per
-        # round instead of an old-vs-new join.  Any label change alters
-        # the xxhash64 sum except with ~2^-64 collision probability
-        # (labels are also monotone non-increasing, so no oscillation).
-        cur_sum = labels.agg(
-            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        # double pointer jumping: comp <- label(label(comp)); the hop
+        # table is node-sized, so AQE turns both joins into broadcasts
+        for _ in range(2):
+            hop = new_labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            )
+            new_labels = (
+                new_labels.join(hop, on="comp", how="left")
+                .select("id", F.coalesce("comp2", "comp").alias("comp"))
+            )
+        labels = new_labels.localCheckpoint(eager=False)
     edges.unpersist()
     return labels
 
@@ -224,24 +306,22 @@ def _strong_component_min_labels(frame) -> DataFrame:
         ).localCheckpoint(eager=True)
         colors = remaining.select(F.col("id"), F.col("id").alias("color"))
         colors = colors.localCheckpoint(eager=True)
+        prev_sum = None
         for _ in range(_MAX_ITER):
+            # fingerprint convergence (colors monotone non-decreasing)
+            cur_sum = colors.agg(
+                F.sum(F.xxhash64("id", "color").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
             nbr = (
                 e.join(colors.withColumnRenamed("id", "source"), on="source")
                 .select(F.col("target").alias("id"), "color")
             )
-            new_colors = (
+            colors = (
                 colors.union(nbr).groupBy("id").agg(F.max("color").alias("color"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), on="id")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .limit(1)
-                .count()
-            )
-            colors = new_colors
-            if changed == 0:
-                break
+            ).localCheckpoint(eager=False)
         # backward BFS from each color root within its color class
         roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
         scc = roots.localCheckpoint(eager=True)
@@ -259,10 +339,10 @@ def _strong_component_min_labels(frame) -> DataFrame:
                 .select("id", "color")
                 .distinct()
                 .join(scc, on=["id", "color"], how="left_anti")
-            ).localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            ).localCheckpoint(eager=False)
+            if nxt.count() == 0:
                 break
-            scc = scc.union(nxt).localCheckpoint(eager=True)
+            scc = scc.union(nxt).localCheckpoint(eager=False)
             frontier = nxt
         # scc: (id, color-root) pairs; comp label = min member id per root
         comp = scc.groupBy("color").agg(F.min("id").alias("comp"))

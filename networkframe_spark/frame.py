@@ -188,6 +188,27 @@ class NetworkFrame:
             f"directed={self._directed})"
         )
 
+    def persist(self, storage_level: str | None = None) -> "NetworkFrame":
+        """Cache both tables (returns self).  Call before pipelines that
+        consume nodes/edges repeatedly — e.g. iterative algorithms after
+        a filter chain — so upstream joins/filters run once instead of
+        once per downstream reuse.  Lazy, like ``DataFrame.persist``."""
+        if storage_level is not None:
+            from pyspark import StorageLevel
+
+            lvl = getattr(StorageLevel, storage_level)
+            self._nodes.persist(lvl)
+            self._edges.persist(lvl)
+        else:
+            self._nodes.cache()
+            self._edges.cache()
+        return self
+
+    def unpersist(self) -> "NetworkFrame":
+        self._nodes.unpersist()
+        self._edges.unpersist()
+        return self
+
     def copy(self) -> "NetworkFrame":
         return self._return()
 
