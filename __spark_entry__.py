@@ -25,19 +25,27 @@ from networkframe_spark.functions.dedup import (
     MINHASH_PRIME,
     embedding_duplicates,
     exact_duplicates,
+    minhash_lsh_duplicates,
     minhash_params,
     minhash_signatures,
     ngram_jaccard_duplicates,
     simhash_table,
 )
-from networkframe_spark.functions.similarity import brute_force_top_k
+from networkframe_spark.functions.multimodal import extract_image_features
+from networkframe_spark.functions.similarity import brute_force_top_k, lsh_top_k
 from networkframe_spark.functions.text import (
     add_fingerprint,
     add_language_id,
     add_quality_score,
     add_token_count,
 )
-from networkframe_spark.sources import read_embeddings, read_events, read_table, tpch_graph
+from networkframe_spark.sources import (
+    nation_region_graph,
+    read_embeddings,
+    read_events,
+    read_table,
+    tpch_graph,
+)
 from networkframe_spark.streaming.ops import session_stats, windowed_event_counts
 
 # ---------------------------------------------------------------------------
@@ -283,6 +291,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weak_components"] = q_components
 
+    # -- C7 aggregated (sparse) adjacency --------------------------------
+    def q_aggregated_edges(spark, sf):
+        nf = _graph(spark, sf, decimal_weight=True)
+        return nf.aggregated_edges(weight_col="weight", aggfunc="sum").select(
+            "source", "target", F.col("weight").cast("double").alias("weight")
+        )
+
+    q["aggregated_edges"] = q_aggregated_edges
+
+    # -- G4 apply_edges with a non-size string agg ------------------------
+    def q_apply_edges_max(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.groupby_nodes("nationkey").apply_edges("max", columns=["weight"])
+
+    q["apply_edges_max"] = q_apply_edges_max
+
+    # -- G7/O3 largest connected component --------------------------------
+    def q_largest_component(spark, sf):
+        nf = (
+            _graph(spark, sf)
+            .query_edges("weight > 103000")
+            .remove_unused_nodes()
+            .persist()
+        )
+        return nf.largest_connected_component(connection="weak").nodes.select("id")
+
+    q["largest_component"] = q_largest_component
+
+    # -- A1 strong components on the cyclic nation<->region graph ---------
+    def q_strong_components(spark, sf):
+        nf = nation_region_graph(spark, sf)
+        both = nf._return(
+            edges=nf.edges.union(
+                nf.edges.select(
+                    F.col("target").alias("source"), F.col("source").alias("target")
+                )
+            )
+        )
+        return both.component_labels(directed=True, connection="strong")
+
+    q["strong_components"] = q_strong_components
+
+    # -- A8 bounded pair table (k=2) --------------------------------------
+    def q_khop_pairs(spark, sf):
+        nf = _graph(spark, sf).query_edges("weight > 103000").persist()
+        return nf.k_hop_pairs(2, directed=False, drop_self=True)
+
+    q["khop_pairs"] = q_khop_pairs
+
+    # -- G2/G3 group metadata ---------------------------------------------
+    def q_group_metadata(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.nodes.groupBy("nationkey").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("ids"),
+        )
+
+    q["group_metadata"] = q_group_metadata
+
+    # -- J3 frame equality (order-insensitive comparator) ------------------
+    def q_frame_equality(spark, sf):
+        nf = _graph(spark, sf).persist()
+        shuffled = nf._return(
+            nodes=nf.nodes.orderBy(F.desc("id")), edges=nf.edges.orderBy(F.desc("weight"))
+        )
+        filtered = nf.query_nodes("acctbal > 5000")
+        return spark.createDataFrame(
+            [(nf == shuffled, nf == filtered)], "eq_self boolean, eq_filtered boolean"
+        )
+
+    q["frame_equality"] = q_frame_equality
+
+    # -- C2/C3 serde round-trip --------------------------------------------
+    def q_serde_roundtrip(spark, sf):
+        nf = nation_region_graph(spark, sf)
+        back = NetworkFrame.from_dict(nf.to_dict(), spark)
+        return back.nodes.select("id", "name", "kind")
+
+    q["serde_roundtrip"] = q_serde_roundtrip
+
+    # -- A12 spectral ordering (rows-only: eigenvector not SQL-expressible)
+    def q_sort_spectral(spark, sf):
+        nf = nation_region_graph(spark, sf)
+        weighted = nf._return(edges=nf.edges.withColumn("weight", F.lit(1.0)))
+        return weighted.sort_spectral().nodes.select("id")
+
+    q["sort_spectral"] = q_sort_spectral
+
     # -- text ops ----------------------------------------------------------
     def q_token_count(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -343,6 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dedup"] = q_embed_dups
 
+    def q_lsh_dedup(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return minhash_lsh_duplicates(
+            docs, n_perm=N_PERM, bands=2, threshold=0.5, verify=True
+        )
+
+    q["minhash_lsh_dedup"] = q_lsh_dedup
+
     # -- similarity search -------------------------------------------------
     def q_topk(spark, sf):
         emb = read_embeddings(spark, sf)
@@ -350,6 +454,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_top_k(emb, qs, k=3)
 
     q["cosine_topk"] = q_topk
+
+    # approximate ANN path (rows-only: bucket recall is probabilistic)
+    def q_topk_lsh(spark, sf):
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        return lsh_top_k(emb, qs, k=3, n_planes=6, n_tables=4)
+
+    q["cosine_topk_lsh"] = q_topk_lsh
+
+    # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
+    def q_multimodal(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("image").alias("media_type"),
+            (16 * (1 + F.col("doc_id") % 4)).cast("int").alias("width"),
+            (16 * (1 + F.col("doc_id") % 3)).cast("int").alias("height"),
+        )
+        feats = extract_image_features(media)
+        return feats.select(
+            "media_id", "media_type", "n_bytes", F.round("aspect_ratio", 6).alias("aspect_ratio")
+        )
+
+    q["multimodal_features"] = q_multimodal
 
     # -- temporal / streaming-equivalent ----------------------------------
     def q_events_window(spark, sf):
@@ -363,6 +492,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(events, gap_minutes=30)
 
     q["sessionize"] = q_sessions
+
+    def q_sliding(spark, sf):
+        events = read_events(spark, sf)
+        return (
+            events.groupBy(
+                "event_type",
+                F.window("ts", "1 hour", "30 minutes")["start"].alias("window_start"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    q["events_sliding_window"] = q_sliding
+
+    # batch twin of streaming dropDuplicates-within-watermark
+    def q_event_dedup(spark, sf):
+        events = read_events(spark, sf)
+        return events.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+
+    q["event_dedup"] = q_event_dedup
 
     return q
 
@@ -555,6 +705,111 @@ SELECT c.id, n.component
 FROM comp c JOIN numbered n ON c.comp_min = n.comp_min
 """
 
+    o["aggregated_edges"] = f"""
+WITH {GRAPH_CTE}
+SELECT source, target,
+       CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS weight
+FROM edges GROUP BY source, target
+"""
+
+    o["apply_edges_max"] = f"""
+WITH {GRAPH_CTE}
+SELECT ns.nationkey AS source_nationkey, nt.nationkey AS target_nationkey,
+       max(e.weight) AS weight
+FROM edges e
+JOIN nodes ns ON e.source = ns.id
+JOIN nodes nt ON e.target = nt.id
+GROUP BY 1, 2
+"""
+
+    o["largest_component"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT DISTINCT source, target FROM edges WHERE weight > 103000),
+used AS (SELECT source AS id FROM heavy UNION SELECT target FROM heavy),
+sym AS (
+  SELECT source, target FROM heavy
+  UNION
+  SELECT target AS source, source AS target FROM heavy
+),
+reach AS (
+  SELECT id, id AS r FROM used
+  UNION
+  SELECT s.target AS id, reach.r FROM reach JOIN sym s ON s.source = reach.id
+),
+comp AS (SELECT id, min(r) AS comp_min FROM reach GROUP BY id),
+top AS (
+  SELECT comp_min FROM comp GROUP BY comp_min
+  ORDER BY count(*) DESC, comp_min ASC LIMIT 1
+)
+SELECT c.id FROM comp c WHERE c.comp_min IN (SELECT comp_min FROM top)
+"""
+
+    o["strong_components"] = """
+WITH RECURSIVE
+nr_nodes AS (
+  SELECT n_nationkey::BIGINT AS id FROM nation
+  UNION ALL
+  SELECT -r_regionkey::BIGINT - 1 AS id FROM region
+),
+nr_edges AS (
+  SELECT n_nationkey::BIGINT AS source, -n_regionkey::BIGINT - 1 AS target FROM nation
+  UNION ALL
+  SELECT -n_regionkey::BIGINT - 1 AS source, n_nationkey::BIGINT AS target FROM nation
+),
+reach AS (
+  SELECT source AS a, target AS b FROM nr_edges
+  UNION
+  SELECT r.a, e.target AS b FROM reach r JOIN nr_edges e ON e.source = r.b
+),
+mutual AS (
+  SELECT r1.a AS id, r1.b AS other
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION ALL
+  SELECT id, id AS other FROM nr_nodes
+),
+comp AS (SELECT id, min(other) AS comp_min FROM mutual GROUP BY id),
+numbered AS (
+  SELECT comp_min,
+         row_number() OVER (ORDER BY count(*) DESC, comp_min ASC) - 1 AS component
+  FROM comp GROUP BY comp_min
+)
+SELECT c.id, n.component FROM comp c JOIN numbered n ON c.comp_min = n.comp_min
+"""
+
+    o["khop_pairs"] = f"""
+WITH {GRAPH_CTE},
+heavy AS (SELECT DISTINCT source, target FROM edges WHERE weight > 103000),
+sym AS (
+  SELECT source, target FROM heavy
+  UNION
+  SELECT target AS source, source AS target FROM heavy
+),
+p2 AS (
+  SELECT a.source AS node, b.target AS neighbor
+  FROM sym a JOIN sym b ON a.target = b.source
+  UNION
+  SELECT source AS node, target AS neighbor FROM sym
+)
+SELECT node, neighbor FROM p2 WHERE node <> neighbor
+"""
+
+    o["group_metadata"] = f"""
+WITH {GRAPH_CTE}
+SELECT nationkey, count(*) AS n_nodes,
+       string_agg(id::VARCHAR, ',' ORDER BY id) AS ids
+FROM nodes GROUP BY nationkey
+"""
+
+    o["frame_equality"] = """
+SELECT true AS eq_self, false AS eq_filtered
+"""
+
+    o["serde_roundtrip"] = """
+SELECT n_nationkey::BIGINT AS id, n_name AS name, 'nation' AS kind FROM nation
+UNION ALL
+SELECT -r_regionkey::BIGINT - 1 AS id, r_name AS name, 'region' AS kind FROM region
+"""
+
     o["token_count"] = f"""
 WITH {TOKS_CTE}
 SELECT d.doc_id,
@@ -685,6 +940,48 @@ votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, {packed} AS simhash FROM votes
 """
 
+    # LSH banding over the same 4-perm signatures: 2 bands x 2 rows
+    o["minhash_lsh_dedup"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, 1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+"""
+
+    o["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       round((16 * (1 + doc_id % 4))::DOUBLE / (16 * (1 + doc_id % 3)), 6)
+         AS aspect_ratio
+FROM documents
+"""
+
     o["embedding_dedup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product((a.embedding::DOUBLE[]), (b.embedding::DOUBLE[]))
@@ -748,6 +1045,22 @@ SELECT user_id, session_id,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, session_id
+"""
+
+    o["events_sliding_window"] = """
+WITH w AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start
+  FROM events
+)
+SELECT event_type, window_start, count(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+    o["event_dedup"] = """
+SELECT DISTINCT user_id, event_type FROM events
 """
 
     return o

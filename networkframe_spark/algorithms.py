@@ -464,6 +464,41 @@ def k_hop_aggregation(
 # ---------------------------------------------------------------------------
 # spectral ordering
 # ---------------------------------------------------------------------------
+def _spectral_scores_local(ids_pdf, edges_pdf, sigma, max_iter, tol):
+    """Driver-local power iteration over a collected COO adjacency —
+    the small-graph escape hatch (same role as the reference's direct
+    scipy ``eigsh`` call, networkframe.py:1546).  Identical update rule
+    to the distributed loop: v <- normalize(A·v + sigma·v)."""
+    import numpy as np
+
+    ids = ids_pdf["id"].to_numpy()
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    src = np.fromiter((pos[v] for v in edges_pdf["source"]), dtype=np.int64)
+    dst = np.fromiter((pos[v] for v in edges_pdf["target"]), dtype=np.int64)
+    w = edges_pdf["weight"].to_numpy(dtype=np.float64)
+    v = np.full(n, 1.0 / (n ** 0.5))
+    prev_dot = None
+    for _ in range(max_iter):
+        av = np.zeros(n)
+        np.add.at(av, src, w * v[dst])
+        av += sigma * v
+        norm = float(np.sqrt((av * av).sum()))
+        if norm == 0.0:
+            v = np.zeros(n)
+            break
+        v_new = av / norm
+        dot = abs(float((v * v_new).sum()))
+        v = v_new
+        if prev_dot is not None and abs(dot - 1.0) < tol:
+            break
+        prev_dot = dot
+    return ids, v
+
+
+_SPECTRAL_LOCAL_MAX_NODES = 100_000
+
+
 def spectral_scores(
     frame, weight_col: str = "weight", max_iter: int = 60, tol: float = 1e-7
 ) -> DataFrame:
@@ -471,7 +506,10 @@ def spectral_scores(
     via power iteration (reference: networkframe.py:1540-1549 uses
     ``eigsh(adj + adj.T, k=1, "LM")``).
 
-    Each round: one join + hash aggregate (v <- A·v) and a scalar norm
+    Below ``_SPECTRAL_LOCAL_MAX_NODES`` nodes the aggregated adjacency
+    is collected and iterated driver-side in numpy (per-iteration
+    driver/executor round-trips dominate at small n); above it, each
+    round is one join + hash aggregate (v <- A·v) and a scalar norm
     collect.  Eigenvector sign is not pinned (matches the reference's
     eigsh, which is also sign-ambiguous).
     """
@@ -499,6 +537,16 @@ def spectral_scores(
         sym.groupBy("source").agg(F.sum(F.abs(F.col("weight"))).alias("s"))
         .agg(F.max("s")).collect()[0][0]
     ) or 1.0
+    if n <= _SPECTRAL_LOCAL_MAX_NODES:
+        import pandas as pd
+
+        node_ids, vec = _spectral_scores_local(
+            ids.toPandas(), sym.toPandas(), float(sigma), max_iter, tol
+        )
+        sym.unpersist()
+        return frame.spark.createDataFrame(
+            pd.DataFrame({"id": node_ids, "spectral_score": vec})
+        )
     v = ids.select("id", F.lit(1.0 / (n ** 0.5)).alias("v")).localCheckpoint(eager=True)
     prev_dot = None
     for it in range(max_iter):

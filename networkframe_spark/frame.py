@@ -415,13 +415,21 @@ class NetworkFrame:
             return False
         if sorted(self._edges.columns) != sorted(other._edges.columns):
             return False
+        # exact bag equality, one direction only: |A| == |B| and
+        # A exceptAll B == empty  =>  A == B as multisets.  The count
+        # pre-check is a cheap aggregate and short-circuits the common
+        # unequal case before any exceptAll shuffle.
         n1 = self._nodes.select(*sorted(self._nodes.columns))
         n2 = other._nodes.select(*sorted(other._nodes.columns))
-        if not (n1.exceptAll(n2).isEmpty() and n2.exceptAll(n1).isEmpty()):
+        if n1.count() != n2.count():
+            return False
+        if not n1.exceptAll(n2).isEmpty():
             return False
         e1 = self._edges.select(*sorted(self._edges.columns))
         e2 = other._edges.select(*sorted(other._edges.columns))
-        return e1.exceptAll(e2).isEmpty() and e2.exceptAll(e1).isEmpty()
+        if e1.count() != e2.count():
+            return False
+        return e1.exceptAll(e2).isEmpty()
 
     def __ne__(self, other: object) -> bool:
         eq = self.__eq__(other)
