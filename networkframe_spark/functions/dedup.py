@@ -363,14 +363,34 @@ def embedding_duplicates(
     buckets by random-hyperplane signature first.
     Returns ``(id_a, id_b, cosine)``.
     """
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    # norms are per-row, not per-pair: compute them once on each side
+    # of the join (identical float path to dividing inside the pair).
+    # The left side is repartitioned so the O(n^2) scoring parallelizes
+    # even when the input is a single small parquet partition.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        norm_expr(F.col(emb_col)).alias("norm_a"),
+    ).repartition(n_part)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        norm_expr(F.col(emb_col)).alias("norm_b"),
+    )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -54,12 +54,27 @@ def brute_force_top_k(
     no shuffle until the per-query top-k aggregate.
     """
     query_id_col = query_id_col or id_col
+    # norms are per-row: compute once per side instead of per pair, and
+    # spread the corpus so scoring parallelizes even from a single
+    # parquet partition
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_expr(F.col(emb_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_expr(F.col(emb_col)).alias("c_norm"),
+    ).repartition(n_part)
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+        "cosine",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
@@ -127,8 +142,10 @@ def lsh_top_k(
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
     ]
 
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
     def banded(df: DataFrame, idc: str, embc: str, out_id: str, out_emb: str) -> DataFrame:
-        return df.select(
+        return df.repartition(n_part).select(
             F.col(idc).alias(out_id),
             F.col(embc).alias(out_emb),
             F.explode(

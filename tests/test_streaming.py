@@ -1,0 +1,98 @@
+"""Streaming operator tests: batch semantics on tiny fixtures plus a
+real Structured Streaming run (parquet readStream → memory sink) that
+must agree with the batch plan on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark.streaming.ops import (
+    session_stats,
+    sessionize,
+    windowed_event_counts,
+)
+from networkframe_spark.streaming.stream import stream_events_windowed
+
+
+def _ts(minute, hour=12):
+    return dt.datetime(2026, 1, 1, hour, minute, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a 40-minute gap
+        (1, 1, _ts(0), "click", 1.0),
+        (2, 1, _ts(10), "click", 2.0),
+        (3, 1, _ts(50), "view", 3.0),
+        # user 2: one session crossing the hour boundary
+        (4, 2, _ts(55), "click", 4.0),
+        (5, 2, _ts(5, hour=13), "click", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_windowed_counts(events):
+    out = {
+        (r["event_type"], r["window_start"].hour): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events, "1 hour").collect()
+    }
+    assert out[("click", 12)] == (3, 7.0)
+    assert out[("view", 12)] == (1, 3.0)
+    assert out[("click", 13)] == (1, 5.0)
+
+
+def test_sessionize_gap(events):
+    s = sessionize(events, gap_minutes=30)
+    sid = {r["event_id"]: r["session_id"] for r in s.collect()}
+    assert sid[1] == sid[2] == 1  # 10-min gap, same session
+    assert sid[3] == 2  # 40-min gap starts session 2
+    assert sid[4] == sid[5] == 1  # 10-min gap across the hour boundary
+
+
+def test_session_stats(events):
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"], r["sum_value"])
+        for r in session_stats(events, gap_minutes=30).collect()
+    }
+    assert stats[(1, 1)] == (2, 600, 3.0)
+    assert stats[(1, 2)] == (1, 0, 3.0)
+    assert stats[(2, 1)] == (2, 600, 9.0)
+
+
+def test_readstream_matches_batch(spark, events, tmp_path):
+    """The streaming plan over the same rows must reproduce the batch
+    aggregate (complete output mode, memory sink)."""
+    src = str(tmp_path / "events_src")
+    events.repartition(3).write.parquet(src)
+    q = stream_events_windowed(
+        spark, src, schema=events.schema, window_duration="1 hour",
+        query_name="t_events_windowed",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["window_start"].hour): (r["n_events"], r["sum_value"])
+            for r in spark.table("t_events_windowed").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["event_type"], r["window_start"].hour): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events, "1 hour").collect()
+    }
+    assert got == want
+
+
+def test_sliding_window_membership(events):
+    """Every event lands in exactly windowDuration/slide sliding windows."""
+    win = events.groupBy(
+        F.window("ts", "1 hour", "30 minutes")["start"].alias("ws")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = sum(r["n"] for r in win.collect())
+    assert total == 2 * events.count()
