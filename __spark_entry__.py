@@ -38,6 +38,7 @@ from networkframe_spark.functions.text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    word_tokens_col,
 )
 from networkframe_spark.sources import (
     nation_region_graph,
@@ -46,7 +47,11 @@ from networkframe_spark.sources import (
     read_table,
     tpch_graph,
 )
-from networkframe_spark.streaming.ops import session_stats, windowed_event_counts
+from networkframe_spark.streaming.ops import (
+    session_stats,
+    session_window_stats,
+    windowed_event_counts,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL prelude: the canonical graph as DuckDB CTEs
@@ -386,6 +391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count"] = q_token_count
 
+    def q_bpe_tokens(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return docs.select(
+            "doc_id", F.size(word_tokens_col("text")).alias("n_bpe_tokens")
+        )
+
+    q["bpe_token_count"] = q_bpe_tokens
+
     def q_lang_id(spark, sf):
         docs = read_table(spark, sf, "documents")
         return add_language_id(docs).select("doc_id", "lang_pred")
@@ -492,6 +505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(events, gap_minutes=30)
 
     q["sessionize"] = q_sessions
+
+    def q_session_windows(spark, sf):
+        events = read_events(spark, sf)
+        return session_window_stats(events, gap="30 minutes")
+
+    q["session_windows"] = q_session_windows
 
     def q_sliding(spark, sf):
         events = read_events(spark, sf)
@@ -817,6 +836,13 @@ SELECT d.doc_id,
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 """
 
+    o["bpe_token_count"] = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
     # quality score mirrors functions/text.py::add_quality_score exactly
     o["quality_score"] = f"""
 WITH {TOKS_CTE},
@@ -1042,6 +1068,31 @@ sess AS (
 SELECT user_id, session_id,
        count(*) AS n_events,
        max(ts_s) - min(ts_s) AS duration_s,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+    o["session_windows"] = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         floor(epoch(ts))::BIGINT AS ts_s,
+         lag(floor(epoch(ts))::BIGINT) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, session_id

@@ -681,14 +681,40 @@ class NetworkFrame:
         )
 
     def aggregated_edges(
-        self, weight_col: Optional[str] = None, aggfunc: str = "sum"
+        self, weight_col: Optional[str] = None, aggfunc="sum"
     ) -> DataFrame:
         """The scale-native sparse adjacency: parallel edges collapsed
         by groupBy(source, target) — what the reference's CSR export
-        computes before densifying (networkframe.py:630-645)."""
+        computes before densifying (networkframe.py:630-645).
+
+        String ``aggfunc`` compiles to a built-in JVM aggregate; an
+        arbitrary Python callable (reference networkframe.py:501, 595)
+        runs per (source, target) group via ``applyInPandas`` — the
+        Arrow-batched slow path."""
         if weight_col is None:
             return self._edges.groupBy("source", "target").agg(
                 F.count(F.lit(1)).alias("weight")
+            )
+        if callable(aggfunc):
+            import pandas as pd
+
+            st = self._edges.schema["source"].dataType.simpleString()
+            tt = self._edges.schema["target"].dataType.simpleString()
+            schema = f"source {st}, target {tt}, weight double"
+
+            def wrap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    [
+                        {
+                            "source": key[0],
+                            "target": key[1],
+                            "weight": float(aggfunc(pdf[weight_col])),
+                        }
+                    ]
+                )
+
+            return self._edges.groupBy("source", "target").applyInPandas(
+                wrap, schema=schema
             )
         agg = getattr(F, {"mean": "avg"}.get(aggfunc, aggfunc))
         return self._edges.groupBy("source", "target").agg(

@@ -61,6 +61,37 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session summary via Spark's native ``session_window`` —
+    the stateful merging-window primitive (works identically under
+    Structured Streaming with a watermark, where state-store-backed
+    windows merge incrementally as events arrive).
+
+    Semantics match :func:`sessionize` (a session extends while
+    inter-event gaps are <= ``gap``); ``session_start`` is the min
+    event time of the session.
+    Output: (user_id, session_start, n_events, sum_value).
+    """
+    return (
+        events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap_minutes: int = 30,

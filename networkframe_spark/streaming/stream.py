@@ -50,3 +50,38 @@ def stream_events_windowed(
         .queryName(query_name)
         .start()
     )
+
+
+def user_running_totals(events: DataFrame):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user cumulative event count and value sum, updated each
+    micro-batch from state-store-backed per-key state.
+
+    This is the escape hatch for stateful logic ``session_window`` /
+    windowed aggregates can't express (arbitrary per-key accumulators);
+    the state schema is explicit and the state store shuffles on the
+    group key exactly once.  Streaming-only (requires update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (cnt, total) = state.get
+        else:
+            cnt, total = 0, 0.0
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": cnt, "sum_value": total}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n_events long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

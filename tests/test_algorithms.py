@@ -235,3 +235,16 @@ def test_to_networkx(readme_frame):
     assert g.number_of_nodes() == 5
     assert g.number_of_edges() == 5
     assert g.nodes[0]["color"] == "red"
+
+
+def test_aggregated_edges_callable(readme_frame):
+    """Arbitrary python aggfunc per (source, target) group (reference
+    networkframe.py:501, 595) via applyInPandas."""
+    out = {
+        (r["source"], r["target"]): r["weight"]
+        for r in readme_frame.aggregated_edges(
+            weight_col="weight", aggfunc=lambda s: s.max() - s.min()
+        ).collect()
+    }
+    assert out[(0, 1)] == 0.0  # single edge
+    assert all(v >= 0 for v in out.values())

@@ -1,0 +1,119 @@
+"""Property-based invariants over random small graphs (hypothesis).
+
+These check engine-level laws the reference semantics imply, on graphs
+the fixtures don't reach (self-loops, parallel edges, isolated nodes,
+disconnected pieces).  Python-side oracles are tiny BFS/set routines.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from networkframe_spark import NetworkFrame
+
+N_MAX = 7
+
+_edges = st.lists(
+    st.tuples(st.integers(0, N_MAX - 1), st.integers(0, N_MAX - 1)),
+    min_size=0,
+    max_size=10,
+)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, edge_list):
+    nodes = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(N_MAX)], "id long, value double"
+    )
+    edges = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edge_list] or [],
+        "source long, target long, weight double",
+    )
+    return NetworkFrame(nodes, edges)
+
+
+def _py_components(edge_list, n=N_MAX):
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        adj[s].add(t)
+        adj[t].add(s)
+    seen, comps = set(), []
+    for i in range(n):
+        if i in seen:
+            continue
+        stack, comp = [i], set()
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        comps.append(frozenset(comp))
+    return comps
+
+
+@given(edge_list=_edges, threshold=st.integers(0, N_MAX))
+@_settings
+def test_query_nodes_closure_invariant(spark, edge_list, threshold):
+    """Filtered frame keeps exactly the edges with both endpoints
+    surviving, and no others."""
+    nf = _frame(spark, edge_list)
+    out = nf.query_nodes(f"id < {threshold}")
+    kept_nodes = {r["id"] for r in out.nodes.collect()}
+    kept_edges = [(r["source"], r["target"]) for r in out.edges.collect()]
+    assert kept_nodes == {i for i in range(N_MAX) if i < threshold}
+    expect = sorted((s, t) for s, t in edge_list if s in kept_nodes and t in kept_nodes)
+    assert sorted(kept_edges) == expect
+
+
+@given(edge_list=_edges)
+@_settings
+def test_weak_components_partition(spark, edge_list):
+    """Component labels are dense 0..k-1, partition the node set, and
+    agree with a python BFS oracle."""
+    nf = _frame(spark, edge_list)
+    labels = {
+        r["id"]: r["component"]
+        for r in nf.component_labels(directed=False).collect()
+    }
+    assert set(labels) == set(range(N_MAX))
+    comps = _py_components(edge_list)
+    assert len(set(labels.values())) == len(comps)
+    assert set(labels.values()) == set(range(len(comps)))
+    for comp in comps:
+        assert len({labels[i] for i in comp}) == 1, f"split component {comp}"
+
+
+@given(edge_list=_edges)
+@_settings
+def test_k1_pairs_are_neighbors(spark, edge_list):
+    """k=1 undirected pair table == symmetrized neighbor relation
+    minus self-loops."""
+    nf = _frame(spark, edge_list)
+    pairs = {
+        (r["node"], r["neighbor"])
+        for r in nf.k_hop_pairs(1, directed=False, drop_self=True).collect()
+    }
+    expect = set()
+    for s, t in edge_list:
+        if s != t:
+            expect.add((s, t))
+            expect.add((t, s))
+    assert pairs == expect
+
+
+@given(edge_list=_edges)
+@_settings
+def test_condense_preserves_edge_count(spark, edge_list):
+    """Quotient-graph sizes sum to the original edge count."""
+    nf = _frame(spark, edge_list)
+    cond = nf.groupby_nodes("value").size_edges()
+    assert sum(r["size"] for r in cond.collect()) == len(edge_list)

@@ -11,10 +11,14 @@ from pyspark.sql import functions as F
 
 from networkframe_spark.streaming.ops import (
     session_stats,
+    session_window_stats,
     sessionize,
     windowed_event_counts,
 )
-from networkframe_spark.streaming.stream import stream_events_windowed
+from networkframe_spark.streaming.stream import (
+    stream_events_windowed,
+    user_running_totals,
+)
 
 
 def _ts(minute, hour=12):
@@ -65,6 +69,31 @@ def test_session_stats(events):
     assert stats[(2, 1)] == (2, 600, 9.0)
 
 
+def test_session_window_matches_sessionize(events):
+    """Native session_window must induce the same sessions as the
+    lag/cumsum formulation: same (count, sum) multiset per user and
+    session_start = min ts of each sessionize group."""
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_window_stats(events, gap="30 minutes").collect()
+    }
+    derived = sessionize(events, gap_minutes=30)
+    grouped = (
+        derived.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in grouped
+    }
+    assert native == want
+
+
 def test_readstream_matches_batch(spark, events, tmp_path):
     """The streaming plan over the same rows must reproduce the batch
     aggregate (complete output mode, memory sink)."""
@@ -87,6 +116,45 @@ def test_readstream_matches_batch(spark, events, tmp_path):
         for r in windowed_event_counts(events, "1 hour").collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState accumulates per-key state across
+    micro-batches; the final per-user update must equal the batch
+    totals."""
+    src = str(tmp_path / "events_state_src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_running_totals").collect()
+    finally:
+        q.stop()
+    # last update per user (max n_events) == batch aggregate
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == want
 
 
 def test_sliding_window_membership(events):
