@@ -100,6 +100,14 @@ class NetworkFrame:
                 raise ValueError(f"edges DataFrame must have a '{c}' column")
         self._nodes = nodes
         self._edges = edges
+        # closure-fusion state (SURVEY §4.2): the edge table as of the
+        # last non-shrinking operation.  Node-shrinking ops
+        # (query_nodes / remove_nodes) re-close from here, so a chain
+        # of k filters costs one closure (2 semi-joins), not k.
+        # Sound because closure(closure(E, N1), N2) == closure(E, N2)
+        # whenever N2 ⊆ N1; any op that can grow the node set or that
+        # replaces the edge table resets this to the current edges.
+        self._raw_edges = edges
         self._directed = directed
         self._sources = sources
         self._targets = targets
@@ -156,6 +164,8 @@ class NetworkFrame:
 
         DataFrames are immutable, so "mutation" is swapping references.
         """
+        if "edges" in kwargs and "raw_edges" not in kwargs:
+            kwargs["raw_edges"] = kwargs["edges"]
         if inplace:
             for k, v in kwargs.items():
                 setattr(self, f"_{k}", v)
@@ -267,8 +277,12 @@ class NetworkFrame:
         """
         predicate = to_sql_predicate(query, local_dict, global_dict)
         nodes = self._nodes.filter(predicate)
-        edges = closure_edges(self._edges, nodes)
-        return self._return(inplace, nodes=nodes, edges=edges)
+        # fused closure: close against the pre-closure edge table so
+        # filter chains pay two semi-joins total, not two per filter
+        edges = closure_edges(self._raw_edges, nodes)
+        return self._return(
+            inplace, nodes=nodes, edges=edges, raw_edges=self._raw_edges
+        )
 
     def query_edges(
         self,
@@ -295,8 +309,10 @@ class NetworkFrame:
         """
         ids = _as_id_df(self.spark, nodes, self._nodes)
         new_nodes = self._nodes.join(ids, on="id", how="left_anti")
-        new_edges = closure_edges(self._edges, new_nodes)
-        return self._return(inplace, nodes=new_nodes, edges=new_edges)
+        new_edges = closure_edges(self._raw_edges, new_nodes)
+        return self._return(
+            inplace, nodes=new_nodes, edges=new_edges, raw_edges=self._raw_edges
+        )
 
     def remove_edges(
         self, remove_edges: DataFrame, inplace: bool = False
@@ -317,7 +333,9 @@ class NetworkFrame:
         """Append node rows (no dedup/validation; reference
         networkframe.py:261-265)."""
         nodes = self._nodes.unionByName(new_nodes, allowMissingColumns=True)
-        return self._return(inplace, nodes=nodes)
+        # node set may grow: reset the fusion base so a later filter
+        # cannot resurrect edges dropped by an earlier closure
+        return self._return(inplace, nodes=nodes, raw_edges=self._edges)
 
     def add_edges(
         self, new_edges: DataFrame, inplace: bool = False

@@ -178,3 +178,36 @@ def test_dict_roundtrip(spark, readme_frame):
 def test_repr(letter_frame):
     assert "nodes=4" in repr(letter_frame)
     assert "directed=True" in repr(letter_frame)
+
+
+def test_closure_fusion_chain(letter_frame):
+    """Chained node filters: result identical to one combined filter,
+    and the physical plan contains exactly 2 semi-joins (fused), not 4."""
+    chained = letter_frame.query_nodes("size > 1").query_nodes("size < 4")
+    combined = letter_frame.query_nodes("size > 1 and size < 4")
+    assert chained == combined
+    plan = chained.edges._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2
+
+
+def test_closure_fusion_add_nodes_no_resurrection(spark):
+    """Re-adding a dropped node must NOT resurrect its dropped edges."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    dropped = nf.query_nodes("id != 2")
+    assert dropped.edges.count() == 0
+    readded = dropped.add_nodes(spark.createDataFrame([(2,)], "id long"))
+    refiltered = readded.query_nodes("id >= 0")  # keeps everything
+    assert refiltered.edges.count() == 0  # edge stays dropped
+
+
+def test_closure_fusion_query_edges_resets(letter_frame):
+    """query_edges replaces the edge table; a later node filter closes
+    against the filtered edges, not the originals."""
+    ef = letter_frame.query_edges("weight >= 3")  # keeps B->C, C->D
+    out = ef.query_nodes("size >= 2")  # drops A
+    got = {(r["source"], r["target"]) for r in out.edges.collect()}
+    assert got == {("B", "C"), ("C", "D")}
