@@ -32,7 +32,11 @@ from networkframe_spark.functions.dedup import (
     simhash_table,
 )
 from networkframe_spark.functions.multimodal import extract_image_features
-from networkframe_spark.functions.similarity import brute_force_top_k, lsh_top_k
+from networkframe_spark.functions.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_top_k,
+)
 from networkframe_spark.functions.text import (
     add_fingerprint,
     add_language_id,
@@ -475,6 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_top_k(emb, qs, k=3, n_planes=6, n_tables=4)
 
     q["cosine_topk_lsh"] = q_topk_lsh
+
+    # IVF index scale path.  n_probe == n_lists makes it exhaustive, so
+    # this one IS oracle-checkable: identical output to brute force.
+    def q_topk_ivf(spark, sf):
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        return ivf_top_k(emb, qs, k=3, n_lists=8, n_probe=8, n_iter=2)
+
+    q["cosine_topk_ivf"] = q_topk_ivf
 
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
@@ -1037,6 +1050,9 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
 """
+
+    # exhaustive-probe IVF == brute force: same oracle as cosine_topk
+    o["cosine_topk_ivf"] = o["cosine_topk"]
 
     o["events_window_agg"] = """
 SELECT event_type,

@@ -603,6 +603,29 @@ class NetworkFrame:
 
         return k_hop_pair_table(self, k, directed=directed, drop_self=drop_self)
 
+    def k_hop_mask(self, k: int, directed: bool = False) -> DataFrame:
+        """Reference parity for the dense all-pairs k-hop mask
+        (networkframe.py:1279-1307): returned here as the long
+        (node, neighbor) pair table — the O(n^2)-memory dense form is
+        deliberately not materialized (BASELINE.md complexity note);
+        pivot driver-side under a size guard if a matrix is required."""
+        return self.k_hop_pairs(k, directed=directed, drop_self=False)
+
+    def k_hop_decomposition(self, k: int, directed: bool = False):
+        """Yield ``(node_id, subframe)`` per node — the reference's
+        Series of per-node k-hop subframes (networkframe.py:1309-1330).
+        Driver loop over collected ego ids; each subframe is a lazy
+        induced selection.  Small-graph parity surface — the scalable
+        form is :meth:`k_hop_pairs` grouped by ego node."""
+        pairs = self.k_hop_pairs(k, directed=directed, drop_self=False)
+        for row in pairs.select("node").distinct().toLocalIterator():
+            ego = row["node"]
+            members = pairs.filter(F.col("node") == F.lit(ego)).select(
+                F.col("neighbor").alias("id")
+            )
+            nodes = self._nodes.join(members, on="id", how="left_semi")
+            yield ego, self._return(nodes=nodes, edges=closure_edges(self._edges, nodes))
+
     def k_hop_aggregation(
         self,
         k: int,

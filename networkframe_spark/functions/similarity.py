@@ -112,6 +112,140 @@ def signature_col(emb: Column, planes: list[list[int]]) -> Column:
     return out.cast("long")
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means centroids for an IVF index.
+
+    Init: the ``n_lists`` corpus vectors with the smallest
+    ``xxhash64(id)`` (a deterministic pseudo-random sample — no RNG
+    state).  Each Lloyd round is two DataFrame jobs: assign = argmin
+    distance over the broadcast centroid array (k is small); update =
+    per-(list, dimension) mean via posexplode + hash aggregate.  The
+    k x dim centroid table is driver-sized by construction.
+    """
+    seed_rows = (
+        corpus.select(F.col(emb_col).alias("e"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["e"])) for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, centroids, emb_col=emb_col)
+        upd = (
+            assigned.select("list_id", F.posexplode(F.col(emb_col)).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in upd:
+            new[r["list_id"]][r["pos"]] = float(r["m"])
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Add ``list_id`` = index of the nearest centroid (squared L2).
+    One codegen'd projection over a broadcast literal centroid array —
+    no shuffle, no Python."""
+    dist_structs = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(emb_col), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    best = F.array_min(F.array(*dist_structs))
+    return df.withColumn("list_id", best["i"])
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index:
+    k-means-partition the corpus into ``n_lists`` cells, then score each
+    query only against its ``n_probe`` nearest cells.
+
+    At scale the corpus is written partitioned by ``list_id`` (partition
+    pruning turns each query into an ~(n_probe/n_lists) fraction scan);
+    here the cell join is a shuffle on ``list_id``.  Recall rises with
+    ``n_probe`` (= exact at n_probe == n_lists).
+    Returns ``(query_id, vec_id, cosine, rank)``.
+    """
+    query_id_col = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+        )
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("c_emb"),
+            norm_expr(F.col(emb_col)).alias("c_norm"),
+        ).repartition(n_part),
+        centroids,
+        emb_col="c_emb",
+    )
+    # query side: explode the n_probe nearest cells
+    dist_structs = []
+    for i, cen in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in cen])
+        d2 = F.aggregate(
+            F.zip_with(F.col("q_emb"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_expr(F.col(emb_col)).alias("q_norm"),
+    ).select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        F.explode(F.transform(probes, lambda s: s["i"])).alias("list_id"),
+    )
+    scored = c.join(F.broadcast(q), on="list_id").withColumn(
+        "cosine",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -214,3 +214,69 @@ def test_on_fixture_documents(spark):
     assert row["n_tokens"] > 0
     marks = exact_duplicates(docs)
     assert marks.count() == docs.count()
+
+
+def test_ivf_top_k_recall(spark):
+    """IVF with full probing is exact; partial probing keeps decent
+    recall of the brute-force top-1."""
+    import math
+
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        ivf_top_k,
+    )
+
+    rows = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 8")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, qs, k=1).collect()
+    }
+    # full probe == exact
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_top_k(emb, qs, k=1, n_lists=4, n_probe=4).collect()
+    }
+    assert full == exact
+    # partial probe: recall >= 50% on this easy set
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_top_k(emb, qs, k=1, n_lists=8, n_probe=2).collect()
+    }
+    assert len(part & exact) >= len(exact) // 2
+
+
+def test_ivf_assign_deterministic(spark):
+    from networkframe_spark.functions.similarity import (
+        ivf_assign,
+        ivf_fit_centroids,
+    )
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = ivf_fit_centroids(emb, n_lists=3, n_iter=2)
+    c2 = ivf_fit_centroids(emb, n_lists=3, n_iter=2)
+    assert c1 == c2
+    a1 = sorted((r["vec_id"], r["list_id"]) for r in ivf_assign(emb, c1).collect())
+    a2 = sorted((r["vec_id"], r["list_id"]) for r in ivf_assign(emb, c2).collect())
+    assert a1 == a2
+
+
+def test_k_hop_decomposition(spark):
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    decomp = dict(
+        (ego, sorted(r["id"] for r in sub.nodes.collect()))
+        for ego, sub in nf.k_hop_decomposition(1, directed=False)
+    )
+    assert decomp[0] == [0, 1]
+    assert decomp[1] == [0, 1, 2]
+    assert decomp[3] == [2, 3]
