@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 3
 _MAX_ITER = 200
+# hierarchical-contraction guard: max mapping rows allowed into a
+# narrow (coalesced) union-find level; beyond this, components fall
+# back to shuffled fixpoint rounds
+_HIER_MAX_ROWS = 20_000_000
 
 
 def _edge_pairs(frame, directed: bool) -> DataFrame:
@@ -216,66 +220,80 @@ def _weak_component_min_labels(frame) -> DataFrame:
     ``connected_components(connection='weak')`` (networkframe.py:721-730)
     up to label numbering.
 
-    Scale design: a partition-local union-find pass first contracts
-    every intra-partition path (:func:`_local_contract`), so the loop
-    runs over the much smaller ``(id, local-root)`` mapping and only
-    stitches components across partitions.  The mapping is cached
-    hash-partitioned on ``source`` so every round's label pull reuses
-    that layout and only the per-node label table shuffles.
-    Checkpoints are lazy — the convergence fingerprint aggregate is the
-    action that materializes each round, one job per round.
+    Scale design — iterated partition-local contraction (the
+    hash-to-min family, Rastogi et al.; the same local-aggregation
+    trick large-star/small-star implementations use):
+
+    1. One shuffle-free union-find pass per edge partition emits an
+       ``(id, local-root)`` mapping (:func:`_local_contract`) — every
+       intra-partition path collapses immediately.
+    2. The mapping is itself a graph (star links to local roots).
+       Send every link to BOTH endpoints' hash partitions — a node's
+       links from different source partitions co-locate at the node,
+       and links into a shared root co-locate at the root, so chains
+       id -> r1 -> r2 compress every round (source-only routing has
+       non-converged fixpoints: a chain whose endpoints never share a
+       partition would stall).  Contract again; repeat to fixpoint.
+
+    Each round shuffles 2x the (shrinking, deduped) mapping plus one
+    linear union-find pass; rounds needed are ~log of the contraction
+    forest depth, independent of graph diameter.
+    Roots are component minima by construction (union-find roots at the
+    min), so labels are monotone non-increasing and an xxhash64 state
+    fingerprint detects the fixpoint (one cheap aggregate per round,
+    which is also the action that materializes the lazy checkpoint).
     """
     # union-find is direction- and duplicate-insensitive: contract the
     # raw edge projection directly — no symmetrize/distinct shuffle
     mapping = _local_contract(frame.edges.select("source", "target"))
-    # loop edge table = star links id <-> local root, both directions;
-    # duplicate (id, root) pairs across partitions are harmless under
-    # the min aggregate, so no dedup shuffle either
-    star = mapping.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias("source"), F.col("comp").alias("target")
-    )
-    edges = star.union(
-        star.select(F.col("target").alias("source"), F.col("source").alias("target"))
-    ).cache()
-    # round 0 fused: comp = min(id, min over in-neighbors)
-    nbr0 = edges.select(F.col("target").alias("id"), F.col("source").alias("comp"))
-    self0 = frame.nodes.select("id", F.col("id").alias("comp"))
-    labels = (
-        self0.union(nbr0).groupBy("id").agg(F.min("comp").alias("comp"))
-    ).localCheckpoint(eager=False)
+    mapping = mapping.localCheckpoint(eager=False)
+    # Hierarchical narrow phase: coalesce the mapping by 8x per level
+    # (coalesce is shuffle-FREE) and contract again — each level merges
+    # 8 partitions' star forests in one linear pass.  Reaching a single
+    # partition solves the graph outright; a row-count guard keeps each
+    # level's per-partition state within worker memory and falls back
+    # to the shuffled fixpoint rounds below for graphs too big for it.
+    parts = frame.spark.sparkContext.defaultParallelism
+    solved = False
+    while parts > 1:
+        if mapping.count() > _HIER_MAX_ROWS:
+            break
+        parts = max(1, parts // 8)
+        pairs = mapping.select(
+            F.col("id").alias("source"), F.col("comp").alias("target")
+        ).coalesce(parts)
+        mapping = _local_contract(pairs).localCheckpoint(eager=False)
+        solved = parts == 1
     prev_sum = None
-    for it in range(_MAX_ITER):
-        # convergence via state fingerprint: one cheap aggregate per
-        # round (this action also materializes the lazy checkpoint).
-        # Any label change alters the xxhash64 sum except with ~2^-64
-        # collision probability (labels are monotone non-increasing,
-        # so no oscillation).
-        cur_sum = labels.agg(
+    for it in range(0 if solved else _MAX_ITER):
+        cur_sum = mapping.agg(
             F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "source"), on="source")
-            .select(F.col("target").alias("id"), "comp")
-        )
-        new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
-        )
-        # double pointer jumping: comp <- label(label(comp)); the hop
-        # table is node-sized, so AQE turns both joins into broadcasts
-        for _ in range(2):
-            hop = new_labels.select(
-                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+        links = mapping.filter(F.col("id") != F.col("comp"))
+        pairs = (
+            links.select(
+                F.col("id").alias("source"),
+                F.col("comp").alias("target"),
+                F.col("id").alias("k"),
             )
-            new_labels = (
-                new_labels.join(hop, on="comp", how="left")
-                .select("id", F.coalesce("comp2", "comp").alias("comp"))
+            .union(
+                links.select(
+                    F.col("id").alias("source"),
+                    F.col("comp").alias("target"),
+                    F.col("comp").alias("k"),
+                )
             )
-        labels = new_labels.localCheckpoint(eager=False)
-    edges.unpersist()
-    return labels
+            .repartition("k")
+            .drop("k")
+        )
+        mapping = _local_contract(pairs).localCheckpoint(eager=False)
+    # isolated nodes keep their own id as the component label
+    return frame.nodes.select("id").join(mapping, on="id", how="left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )
 
 
 def _strong_component_min_labels(frame) -> DataFrame:
