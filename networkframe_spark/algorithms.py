@@ -28,10 +28,10 @@ from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 3
 _MAX_ITER = 200
-# hierarchical-contraction guard: max mapping rows allowed into a
-# narrow (coalesced) union-find level; beyond this, components fall
-# back to shuffled fixpoint rounds
-_HIER_MAX_ROWS = 20_000_000
+# hierarchical-contraction guard: max mapping rows per post-coalesce
+# partition for a narrow union-find level (~a few GB of numpy state);
+# beyond this, components fall back to shuffled fixpoint rounds
+_HIER_MAX_ROWS_PER_PART = 30_000_000
 
 
 def _edge_pairs(frame, directed: bool) -> DataFrame:
@@ -177,35 +177,45 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     mapping rows; the mapping is at most one row per (node, partition),
     typically far smaller than the edge table.
     """
-    import pandas as pd  # noqa: PLC0415 — worker-side import
-
     idt = edges.schema["source"].dataType.simpleString()
     schema = f"id {idt}, comp {idt}"
 
     def uf(batches):
-        parent: dict = {}
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
+        srcs, tgts = [], []
         for pdf in batches:
-            for s, t in zip(pdf["source"].tolist(), pdf["target"].tolist()):
-                if s not in parent:
-                    parent[s] = s
-                if t not in parent:
-                    parent[t] = t
-                rs, rt = find(s), find(t)
-                if rs != rt:
-                    if rt < rs:
-                        rs, rt = rt, rs
-                    parent[rt] = rs
-        ids = list(parent)
-        yield pd.DataFrame({"id": ids, "comp": [find(x) for x in ids]})
+            srcs.append(pdf["source"].to_numpy())
+            tgts.append(pdf["target"].to_numpy())
+        if not srcs:
+            return
+        s = np.concatenate(srcs)
+        t = np.concatenate(tgts)
+        # vectorized union-find: hook each edge's larger root onto the
+        # smaller + two pointer-doubling compressions per sweep; O(E+V)
+        # numpy work per sweep, ~log(depth) sweeps.  np.unique returns
+        # ids sorted, so index order == value order and the final root
+        # index is the component minimum.
+        ids, inv = np.unique(np.concatenate([s, t]), return_inverse=True)
+        si, ti = inv[: len(s)], inv[len(s):]
+        parent = np.arange(len(ids))
+        while True:
+            rs, rt = parent[si], parent[ti]
+            if len(rs) == 0 or (rs == rt).all():
+                break
+            lo = np.minimum(rs, rt)
+            hi = np.maximum(rs, rt)
+            np.minimum.at(parent, hi, lo)
+            parent = parent[parent]
+            parent = parent[parent]
+        # full path compression
+        while True:
+            nxt = parent[parent]
+            if (nxt == parent).all():
+                break
+            parent = nxt
+        yield pd.DataFrame({"id": ids, "comp": ids[parent]})
 
     return edges.mapInPandas(uf, schema)
 
@@ -256,9 +266,10 @@ def _weak_component_min_labels(frame) -> DataFrame:
     parts = frame.spark.sparkContext.defaultParallelism
     solved = False
     while parts > 1:
-        if mapping.count() > _HIER_MAX_ROWS:
+        target = max(1, parts // 8)
+        if mapping.count() / target > _HIER_MAX_ROWS_PER_PART:
             break
-        parts = max(1, parts // 8)
+        parts = target
         pairs = mapping.select(
             F.col("id").alias("source"), F.col("comp").alias("target")
         ).coalesce(parts)
