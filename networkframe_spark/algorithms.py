@@ -307,80 +307,189 @@ def _weak_component_min_labels(frame) -> DataFrame:
     )
 
 
+def _max_label_fixpoint(e: DataFrame, init: DataFrame, label: str) -> DataFrame:
+    """Fixpoint of ``label(v) = max(label(v), label(u) for u -> v,
+    label(label(v)))`` — max-label propagation over directed edges with
+    a transitive shortcut through the label graph (helps when labels
+    chain through intermediate roots; it cannot shorten a path whose
+    interior labels are self-pointing, so worst-case rounds stay
+    O(diameter) — inherent to data-parallel directed reachability
+    without edge squaring).  Labels are monotone non-decreasing, so an
+    xxhash64 fingerprint detects the fixpoint; the loop is uncapped
+    because stopping early would return a silently wrong coloring.
+    """
+    labels = init.localCheckpoint(eager=False)
+    prev_sum = None
+    while True:
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("id", label).cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr = e.join(labels.withColumnRenamed("id", "source"), on="source").select(
+            F.col("target").alias("id"), label
+        )
+        merged = labels.union(nbr).groupBy("id").agg(F.max(label).alias(label))
+        # transitive shortcut: label <- max(label, label(label)).
+        # Unique hop column names + explicit condition: a same-name
+        # self-join here trips Catalyst attribute dedup under
+        # localCheckpoint (key-not-found on the shared exprId).
+        hop = merged.select(
+            F.col("id").alias("__hop_key"), F.col(label).alias("__hop_label")
+        )
+        labels = (
+            merged.join(hop, merged[label] == hop["__hop_key"], how="left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col(label), F.coalesce("__hop_label", label)
+                ).alias(label),
+            )
+        ).localCheckpoint(eager=False)
+    return labels
+
+
+_SCC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _scc_local(src, dst, node_ids):
+    """Driver-local iterative Tarjan over numpy-indexed edges — the
+    same role as the reference's direct scipy call
+    (networkframe.py:721-730).  Returns comp (min member id) per node
+    index.  Explicit stack (no recursion), O(V + E)."""
+    import numpy as np
+
+    n = len(node_ids)
+    # CSR-style adjacency
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(n + 1))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    n_comp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, starts[root])]
+        while work:
+            v, ei = work[-1]
+            if ei == starts[v]:  # first visit
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            while ei < starts[v + 1]:
+                w = dst_s[ei]
+                ei += 1
+                if index[w] == -1:
+                    work[-1] = (v, ei)
+                    work.append((w, starts[w]))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp[w] = n_comp
+                    members.append(w)
+                    if w == v:
+                        break
+                n_comp += 1
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+    # comp holds arbitrary scc numbers; relabel to min member id
+    min_member = {}
+    for i in range(n):
+        c = comp[i]
+        if c not in min_member or node_ids[i] < min_member[c]:
+            min_member[c] = node_ids[i]
+    return [min_member[comp[i]] for i in range(n)]
+
+
 def _strong_component_min_labels(frame) -> DataFrame:
     """(id, comp) for strongly connected components, comp = min member.
 
-    Forward-Backward coloring (Orzan): propagate max id forward to
-    color the graph; each color's root vertex anchors one SCC = the
-    backward-reachable set from the root within its color class; peel
-    found SCCs and repeat.  All roots are processed simultaneously each
-    round, so rounds needed = peeling depth, not #SCCs.  (Tarjan is
-    inherently sequential — reference uses scipy's compiled version,
-    networkframe.py:721-730.)
+    Below ``_SCC_LOCAL_MAX_EDGES`` distinct edges the graph is
+    collected and solved with an iterative driver-local Tarjan —
+    exactly the reference's own strategy (scipy.csgraph,
+    networkframe.py:721-730): Tarjan is inherently sequential, and the
+    data-parallel alternative below is diameter-bound.
+
+    Above the guard: Forward-Backward coloring (Orzan's FB family).
+    Per peel round:
+    1. color(v) = max id that reaches v (max-propagation + transitive
+       shortcut, ~log diameter rounds).  A root r has color(r) == r.
+    2. M(v) = max id reachable FROM v over same-color edges only, same
+       loop shape on reversed edges.  Every node on a class-internal
+       v -> r path has color exactly r, so
+       v ∈ SCC(r)  ⟺  color(v) == r == M(v).
+    3. Peel all found SCCs (every color class yields one) and repeat on
+       the remainder — rounds = DAG peeling depth, not #SCCs.
     """
-    spark = frame.spark
     fwd = frame.edges.select("source", "target").distinct().cache()
-    bwd = fwd.select(
-        F.col("target").alias("source"), F.col("source").alias("target")
-    ).cache()
+    if fwd.count() <= _SCC_LOCAL_MAX_EDGES:
+        import numpy as np
+        import pandas as pd
+
+        epdf = fwd.toPandas()
+        fwd.unpersist()
+        ids = frame.nodes.select("id").toPandas()["id"].to_numpy()
+        pos = {v: i for i, v in enumerate(ids)}
+        src = np.fromiter(
+            (pos[v] for v in epdf["source"]), dtype=np.int64, count=len(epdf)
+        )
+        dst = np.fromiter(
+            (pos[v] for v in epdf["target"]), dtype=np.int64, count=len(epdf)
+        )
+        comp = _scc_local(src, dst, ids)
+        return frame.spark.createDataFrame(pd.DataFrame({"id": ids, "comp": comp}))
     remaining = frame.nodes.select("id").localCheckpoint(eager=True)
     results: list[DataFrame] = []
     for outer in range(_MAX_ITER):
         if remaining.isEmpty():
             break
-        # forward max-label propagation within remaining
         e = (
             fwd.join(remaining.withColumnRenamed("id", "source"), on="source", how="left_semi")
             .join(remaining.withColumnRenamed("id", "target"), on="target", how="left_semi")
         ).localCheckpoint(eager=True)
-        colors = remaining.select(F.col("id"), F.col("id").alias("color"))
-        colors = colors.localCheckpoint(eager=True)
-        prev_sum = None
-        for _ in range(_MAX_ITER):
-            # fingerprint convergence (colors monotone non-decreasing)
-            cur_sum = colors.agg(
-                F.sum(F.xxhash64("id", "color").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-            nbr = (
-                e.join(colors.withColumnRenamed("id", "source"), on="source")
-                .select(F.col("target").alias("id"), "color")
-            )
-            colors = (
-                colors.union(nbr).groupBy("id").agg(F.max("color").alias("color"))
-            ).localCheckpoint(eager=False)
-        # backward BFS from each color root within its color class
-        roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
-        scc = roots.localCheckpoint(eager=True)
-        frontier = scc
-        eb = (
-            bwd.join(remaining.withColumnRenamed("id", "source"), on="source", how="left_semi")
-            .join(remaining.withColumnRenamed("id", "target"), on="target", how="left_semi")
+        colors = _max_label_fixpoint(
+            e, remaining.select(F.col("id"), F.col("id").alias("color")), "color"
+        )
+        # same-color reversed edges: M propagates "max id reachable
+        # from me" backwards along v -> u as u's M flowing to v
+        ec = (
+            e.join(colors.withColumnRenamed("id", "source").withColumnRenamed("color", "sc"), on="source")
+            .join(colors.withColumnRenamed("id", "target").withColumnRenamed("color", "tc"), on="target")
+            .filter(F.col("sc") == F.col("tc"))
+            .select(F.col("target").alias("source"), F.col("source").alias("target"))
         ).localCheckpoint(eager=True)
-        for _ in range(_MAX_ITER):
-            nxt = (
-                eb.join(frontier.withColumnRenamed("id", "source"), on="source")
-                .select(F.col("target").alias("id"), "color")
-                .join(colors.withColumnRenamed("color", "c2"), on="id")
-                .filter(F.col("color") == F.col("c2"))
-                .select("id", "color")
-                .distinct()
-                .join(scc, on=["id", "color"], how="left_anti")
-            ).localCheckpoint(eager=False)
-            if nxt.count() == 0:
-                break
-            scc = scc.union(nxt).localCheckpoint(eager=False)
-            frontier = nxt
-        # scc: (id, color-root) pairs; comp label = min member id per root
+        reach = _max_label_fixpoint(
+            ec, remaining.select(F.col("id"), F.col("id").alias("m")), "m"
+        )
+        scc = (
+            colors.join(reach, on="id")
+            .filter(F.col("color") == F.col("m"))
+            .select("id", "color")
+        ).localCheckpoint(eager=True)
         comp = scc.groupBy("color").agg(F.min("id").alias("comp"))
         results.append(scc.join(comp, on="color").select("id", "comp"))
         remaining = remaining.join(
             scc.select("id"), on="id", how="left_anti"
         ).localCheckpoint(eager=True)
     fwd.unpersist()
-    bwd.unpersist()
     if not results:
         return frame.nodes.select("id", F.col("id").alias("comp")).limit(0)
     out = results[0]
