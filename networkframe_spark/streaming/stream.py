@@ -85,3 +85,44 @@ def user_running_totals(events: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "session_windows",
+):
+    """Streaming sessionization with the native ``session_window``:
+    state-store-backed merging windows per user, closed (emitted) once
+    the watermark passes the session gap.  Append output mode — each
+    session row is final when it leaves the state store.
+    """
+    events = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .load(source_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

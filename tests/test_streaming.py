@@ -17,6 +17,7 @@ from networkframe_spark.streaming.ops import (
 )
 from networkframe_spark.streaming.stream import (
     stream_events_windowed,
+    stream_session_windows,
     user_running_totals,
 )
 
@@ -116,6 +117,38 @@ def test_readstream_matches_batch(spark, events, tmp_path):
         for r in windowed_event_counts(events, "1 hour").collect()
     }
     assert got == want
+
+
+def test_stream_session_windows_matches_batch(spark, events, tmp_path):
+    """Streaming session_window (watermarked, append mode) must close
+    the same sessions the batch plan computes once all data is in and
+    the final watermark has passed."""
+    src = str(tmp_path / "events_sess_src")
+    # two files -> two micro-batches; 0-second watermark closes all
+    # sessions once the max event time advances past them
+    events.repartition(2).write.parquet(src)
+    q = stream_session_windows(
+        spark, src, schema=events.schema, gap="30 minutes",
+        watermark="0 seconds", query_name="t_session_windows",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in spark.table("t_session_windows").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_window_stats(events, gap="30 minutes").collect()
+    }
+    # append mode only emits sessions the watermark has passed; the
+    # last session per user may still be open in the state store
+    assert set(got).issubset(set(want))
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= 1
 
 
 def test_stateful_running_totals(spark, events, tmp_path):
