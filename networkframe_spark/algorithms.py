@@ -26,7 +26,6 @@ from typing import Any, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CHECKPOINT_EVERY = 3
 _MAX_ITER = 200
 # hierarchical-contraction guard: max mapping rows per post-coalesce
 # partition for a narrow union-find level (~a few GB of numpy state);
