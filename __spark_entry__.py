@@ -349,6 +349,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["khop_pairs"] = q_khop_pairs
 
+    # -- C1 validation as a query -----------------------------------------
+    def q_validation(spark, sf):
+        nf = _graph(spark, sf)
+        dup = nf.nodes.groupBy("id").count().filter(F.col("count") > 1).count()
+        ids = nf.nodes.select("id")
+        dangling = (
+            nf.edges.select(F.col("source").alias("id"))
+            .union(nf.edges.select(F.col("target").alias("id")))
+            .distinct()
+            .join(ids, on="id", how="left_anti")
+            .count()
+        )
+        return spark.createDataFrame(
+            [(dup, dangling)], "dup_ids long, dangling_endpoints long"
+        )
+
+    q["frame_validation"] = q_validation
+
+    # -- C6 dense adjacency (small graph, via the driver-side export) ------
+    def q_adjacency_dense(spark, sf):
+        nf = nation_region_graph(spark, sf)
+        weighted = nf._return(edges=nf.edges.withColumn("weight", F.lit(1.0)))
+        mat = weighted.to_adjacency()  # pandas, id x id, zero-filled
+        long = mat.reset_index().melt(
+            id_vars="index", var_name="target", value_name="weight"
+        )
+        long.columns = ["source", "target", "weight"]
+        return spark.createDataFrame(long).select(
+            F.col("source").cast("long"),
+            F.col("target").cast("long"),
+            F.col("weight").cast("double"),
+        )
+
+    q["adjacency_dense"] = q_adjacency_dense
+
+    # -- A3 component count ------------------------------------------------
+    def q_n_components(spark, sf):
+        nf = (
+            _graph(spark, sf)
+            .query_edges("weight > 103000")
+            .remove_unused_nodes()
+            .persist()
+        )
+        n = nf.n_connected_components(directed=False)
+        full = nf.is_fully_connected(directed=False)
+        return spark.createDataFrame(
+            [(n, full)], "n_components long, fully_connected boolean"
+        )
+
+    q["n_components"] = q_n_components
+
     # -- G2/G3 group metadata ---------------------------------------------
     def q_group_metadata(spark, sf):
         nf = _graph(spark, sf)
@@ -823,6 +874,55 @@ p2 AS (
   SELECT source AS node, target AS neighbor FROM sym
 )
 SELECT node, neighbor FROM p2 WHERE node <> neighbor
+"""
+
+    o["frame_validation"] = f"""
+WITH {GRAPH_CTE},
+dups AS (SELECT id FROM nodes GROUP BY id HAVING count(*) > 1),
+ends AS (SELECT source AS id FROM edges UNION SELECT target FROM edges),
+dangling AS (SELECT id FROM ends WHERE id NOT IN (SELECT id FROM nodes))
+SELECT (SELECT count(*) FROM dups) AS dup_ids,
+       (SELECT count(*) FROM dangling) AS dangling_endpoints
+"""
+
+    o["adjacency_dense"] = """
+WITH nr_nodes AS (
+  SELECT n_nationkey::BIGINT AS id FROM nation
+  UNION ALL
+  SELECT -r_regionkey::BIGINT - 1 AS id FROM region
+),
+nr_edges AS (
+  SELECT n_nationkey::BIGINT AS source, -n_regionkey::BIGINT - 1 AS target,
+         1.0 AS weight
+  FROM nation
+),
+agg AS (
+  SELECT source, target, SUM(weight) AS w FROM nr_edges GROUP BY source, target
+)
+SELECT a.id AS source, b.id AS target,
+       COALESCE(g.w, 0.0)::DOUBLE AS weight
+FROM nr_nodes a CROSS JOIN nr_nodes b
+LEFT JOIN agg g ON g.source = a.id AND g.target = b.id
+"""
+
+    o["n_components"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT DISTINCT source, target FROM edges WHERE weight > 103000),
+used AS (SELECT source AS id FROM heavy UNION SELECT target FROM heavy),
+sym AS (
+  SELECT source, target FROM heavy
+  UNION
+  SELECT target AS source, source AS target FROM heavy
+),
+reach AS (
+  SELECT id, id AS r FROM used
+  UNION
+  SELECT s.target AS id, reach.r FROM reach JOIN sym s ON s.source = reach.id
+),
+comp AS (SELECT id, min(r) AS comp_min FROM reach GROUP BY id)
+SELECT count(DISTINCT comp_min) AS n_components,
+       count(DISTINCT comp_min) = 1 AS fully_connected
+FROM comp
 """
 
     o["group_metadata"] = f"""
