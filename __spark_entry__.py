@@ -351,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- C1 validation as a query -----------------------------------------
     def q_validation(spark, sf):
-        nf = _graph(spark, sf)
+        nf = _graph(spark, sf).persist()
         dup = nf.nodes.groupBy("id").count().filter(F.col("count") > 1).count()
         ids = nf.nodes.select("id")
         dangling = (

@@ -211,3 +211,13 @@ def test_closure_fusion_query_edges_resets(letter_frame):
     out = ef.query_nodes("size >= 2")  # drops A
     got = {(r["source"], r["target"]) for r in out.edges.collect()}
     assert got == {("B", "C"), ("C", "D")}
+
+
+def test_save_load_graph_roundtrip(spark, letter_frame, tmp_path):
+    from networkframe_spark.sources import load_graph, save_graph
+
+    path = str(tmp_path / "g")
+    save_graph(letter_frame, path, edge_buckets=2)
+    back = load_graph(spark, path, validate=True)
+    assert back == letter_frame
+    assert back.directed == letter_frame.directed
