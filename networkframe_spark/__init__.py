@@ -15,6 +15,7 @@ from .algorithms import aggregate_over_graph
 from .frame import LocIndexer, NetworkFrame
 from .groupby import NodeGroupBy
 from .session import get_spark
+from .sources import load_graph, read_table, save_graph
 
 __all__ = [
     "NetworkFrame",
@@ -22,6 +23,9 @@ __all__ = [
     "LocIndexer",
     "aggregate_over_graph",
     "get_spark",
+    "read_table",
+    "save_graph",
+    "load_graph",
 ]
 
 __version__ = "0.1.0"

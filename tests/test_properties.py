@@ -117,3 +117,29 @@ def test_condense_preserves_edge_count(spark, edge_list):
     nf = _frame(spark, edge_list)
     cond = nf.groupby_nodes("value").size_edges()
     assert sum(r["size"] for r in cond.collect()) == len(edge_list)
+
+
+@given(edge_list=_edges)
+@_settings
+def test_strong_components_vs_reachability_oracle(spark, edge_list):
+    """SCC labels (iterative Tarjan under the local guard) must equal
+    the equivalence classes of mutual reachability."""
+    nf = _frame(spark, edge_list)
+    labels = {
+        r["id"]: r["component"]
+        for r in nf.component_labels(directed=True, connection="strong").collect()
+    }
+    # brute-force reachability closure
+    reach = {i: {i} for i in range(N_MAX)}
+    changed = True
+    while changed:
+        changed = False
+        for s, t in edge_list:
+            new = reach[t] - reach[s]
+            if new:
+                reach[s] |= new
+                changed = True
+    for a in range(N_MAX):
+        for b in range(N_MAX):
+            same = b in reach[a] and a in reach[b]
+            assert (labels[a] == labels[b]) == same, (a, b, labels)
