@@ -191,14 +191,17 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             return
         s = np.concatenate(srcs)
         t = np.concatenate(tgts)
-        # vectorized union-find: hook each edge's larger root onto the
-        # smaller + two pointer-doubling compressions per sweep; O(E+V)
-        # numpy work per sweep, ~log(depth) sweeps.  np.unique returns
-        # ids sorted, so index order == value order and the final root
-        # index is the component minimum.
-        ids, inv = np.unique(np.concatenate([s, t]), return_inverse=True)
-        si, ti = inv[: len(s)], inv[len(s):]
-        parent = np.arange(len(ids))
+        # vectorized union-find: hook each edge's larger root index
+        # onto the smaller + two pointer-doubling compressions per
+        # sweep; O(E+V) numpy work per sweep, ~log(depth) sweeps.
+        # pd.factorize is hash-based (no sort) — ~10x cheaper than
+        # np.unique(return_inverse) at millions of rows; index order is
+        # then arbitrary, so the component-min VALUE is recovered with
+        # one np.minimum.at at the end.
+        codes, uniques = pd.factorize(np.concatenate([s, t]))
+        un = np.asarray(uniques)
+        si, ti = codes[: len(s)], codes[len(s):]
+        parent = np.arange(len(un))
         while True:
             rs, rt = parent[si], parent[ti]
             if len(rs) == 0 or (rs == rt).all():
@@ -214,7 +217,9 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             if (nxt == parent).all():
                 break
             parent = nxt
-        yield pd.DataFrame({"id": ids, "comp": ids[parent]})
+        root_min = un.copy()
+        np.minimum.at(root_min, parent, un)
+        yield pd.DataFrame({"id": un, "comp": root_min[parent]})
 
     return edges.mapInPandas(uf, schema)
 

@@ -50,18 +50,27 @@ def main() -> None:
     nf = synthetic_graph(spark, n_nodes, n_edges).persist()
     timings: dict[str, float] = {}
 
-    def run(name, df):
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 2)
+    def run(name, mk):
+        best = None
+        # best-of-2: the host shows multi-second interference spikes
+        for _ in range(2):
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 2)
 
-    run("materialize", nf.edges)
-    run("closure_filter", nf.query_nodes("score > 50").edges)
-    run("condense", nf.condense("grp", func="sum", columns=["weight"]).edges)
-    run("khop1_agg", nf.k_hop_aggregation(1, aggregations=["mean"], directed=False))
-    t0 = time.time()
-    ncc = nf.n_connected_components(directed=False)
-    timings["weak_components"] = round(time.time() - t0, 2)
+    run("materialize", lambda: nf.edges)
+    run("closure_filter", lambda: nf.query_nodes("score > 50").edges)
+    run("condense", lambda: nf.condense("grp", func="sum", columns=["weight"]).edges)
+    run("khop1_agg", lambda: nf.k_hop_aggregation(1, aggregations=["mean"], directed=False))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ncc = nf.n_connected_components(directed=False)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["weak_components"] = round(best, 2)
     print(
         json.dumps(
             {
