@@ -37,6 +37,7 @@ from networkframe_spark.functions.similarity import (
     ivf_top_k,
     lsh_top_k,
 )
+from networkframe_spark.functions.temporal import asof_join, range_join
 from networkframe_spark.functions.text import (
     add_fingerprint,
     add_language_id,
@@ -575,6 +576,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_window_stats(events, gap="30 minutes")
 
     q["session_windows"] = q_session_windows
+
+    # -- temporal joins (as-of, range) -------------------------------------
+    def q_asof(spark, sf):
+        events = read_events(spark, sf)
+        clicks = events.filter("event_type = 'click'").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = events.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id", F.col("value")
+        )
+        out = asof_join(clicks, purchases, on="user_id", right_cols=["value"])
+        return out.select(
+            "user_id",
+            "event_id",
+            F.round("value_right", 6).alias("last_purchase_value"),
+            F.col("ts_right").alias("last_purchase_ts"),
+        )
+
+    q["asof_join"] = q_asof
+
+    def q_range_join(spark, sf):
+        events = read_events(spark, sf)
+        clicks = events.filter("event_type = 'click'").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        errors = events.filter("event_type = 'error'").select(
+            "user_id", "ts", F.col("event_id").alias("error_id")
+        )
+        out = range_join(clicks, errors, on="user_id", window_seconds=600)
+        return out.select("user_id", "click_id", F.col("error_id_right").alias("error_id"))
+
+    q["range_join"] = q_range_join
 
     def q_sliding(spark, sf):
         events = read_events(spark, sf)
@@ -1212,6 +1245,30 @@ SELECT user_id, min(ts) AS session_start,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, session_id
+"""
+
+    # DuckDB's native ASOF JOIN is the oracle for ours
+    o["asof_join"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id,
+       round(p.value, 6) AS last_purchase_value,
+       p.ts AS last_purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+    o["range_join"] = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND floor(epoch(e.ts)) >= floor(epoch(c.ts))
+ AND floor(epoch(e.ts)) - floor(epoch(c.ts)) <= 600
 """
 
     o["events_sliding_window"] = """

@@ -1,0 +1,109 @@
+"""Temporal joins: as-of and range — operators the reference lacks but
+a large-scale event/training-data pipeline needs (pandas analog:
+``merge_asof``; kdb/TimescaleDB staples).
+
+Both are pure DataFrame plans:
+
+- ``asof_join``: the classic distributed sort-merge formulation —
+  union-tag both sides, one window sort per key, ``last(...,
+  ignorenulls)`` carries the most recent right row forward.  ONE
+  shuffle on the key, one sort; no UDF, no range explosion.
+- ``range_join``: equi-key join + interval predicate.  Catalyst plans
+  the equi part as a hash/sort-merge join and applies the band filter
+  post-join; for highly skewed keys AQE's skew-join splitting applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with the same
+    ``on`` key and ``right.ts <= left.ts`` (inclusive).
+
+    Returns all left columns plus ``{col}{suffix}`` for each requested
+    right column and ``{ts_col}{suffix}`` (the matched right event
+    time, null when nothing precedes / outside ``tolerance_seconds``).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    lcols = [c for c in left.columns if c not in (on, ts_col)]
+
+    tagged_l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+    )
+    tagged_r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    # right rows sort before left rows at equal ts (__is_left asc), so
+    # a right event at exactly left.ts matches — inclusive semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    matched = F.col("__m_ts").isNotNull()
+    if tolerance_seconds is not None:
+        matched = matched & (
+            F.col(ts_col).cast("long") - F.col("__m_ts").cast("long")
+            <= tolerance_seconds
+        )
+    return out.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c) for c in lcols],
+        *[
+            F.when(matched, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.when(matched, F.col("__m_ts")).alias(f"{ts_col}{suffix}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    window_seconds: int = 300,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Pairs (left, right) sharing ``on`` with
+    ``0 <= right.ts - left.ts <= window_seconds`` — "right happened
+    within the window after left"."""
+    r = right.select(
+        F.col(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != on],
+    )
+    lt = F.col(ts_col).cast("long")
+    rt = F.col(f"{ts_col}{suffix}").cast("long")
+    return left.join(r, on=on).filter((rt >= lt) & (rt - lt <= window_seconds))

@@ -197,3 +197,59 @@ def test_sliding_window_membership(events):
     ).agg(F.count(F.lit(1)).alias("n"))
     total = sum(r["n"] for r in win.collect())
     assert total == 2 * events.count()
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import asof_join
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(30), "b"), (2, ts(5), "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(20), 200.0), (2, ts(50), 300.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: (r["value_right"], r["ts_right"])
+        for r in asof_join(left, right, on="user_id", right_cols=["value"]).collect()
+    }
+    naive = lambda d: d.replace(tzinfo=None)  # noqa: E731 — collect() returns naive UTC
+    assert out["a"] == (100.0, naive(ts(10)))  # inclusive: equal ts matches
+    assert out["b"] == (200.0, naive(ts(20)))  # latest preceding
+    assert out["c"] == (None, None)  # nothing precedes
+    # tolerance: b's match is 10 min old -> dropped at 300 s tolerance
+    out_tol = {
+        r["tag"]: r["value_right"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["value"], tolerance_seconds=300
+        ).collect()
+    }
+    assert out_tol["a"] == 100.0 and out_tol["b"] is None
+
+
+def test_range_join(spark):
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import range_join
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), 1)], "user_id long, ts timestamp, click_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(12), 10), (1, ts(9), 11), (1, ts(40), 12), (2, ts(11), 13)],
+        "user_id long, ts timestamp, err_id long",
+    )
+    got = {
+        r["err_id_right"]
+        for r in range_join(left, right, on="user_id", window_seconds=600).collect()
+    }
+    assert got == {10}  # within 10 min after; not before, not later, not other user
