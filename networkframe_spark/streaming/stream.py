@@ -126,3 +126,57 @@ def stream_session_windows(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_range_join(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    left_type: str = "click",
+    right_type: str = "error",
+    window_seconds: int = 600,
+    watermark: str = "1 hour",
+    query_name: str = "stream_range_join",
+):
+    """Watermarked stream-stream interval join: left events joined to
+    right events of the same user arriving within ``window_seconds``
+    after them.  Both sides carry watermarks so the state store can
+    evict rows once no in-range partner can still arrive — the bounded-
+    state form of the batch :func:`...functions.temporal.range_join`.
+    """
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .load(source_dir)
+    )
+    left = (
+        src.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        src.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+    ).select("user_id", "l_id", "r_id")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -253,3 +253,47 @@ def test_range_join(spark):
         for r in range_join(left, right, on="user_id", window_seconds=600).collect()
     }
     assert got == {10}  # within 10 min after; not before, not later, not other user
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join must produce the same
+    pairs as the batch range_join on the same rows."""
+    from networkframe_spark.functions.temporal import range_join
+    from networkframe_spark.streaming.stream import stream_range_join
+
+    rows = [
+        (1, 1, _ts(0), "click", 1.0),
+        (2, 1, _ts(5), "error", 0.0),   # within 10 min of click 1
+        (3, 1, _ts(20), "error", 0.0),  # outside
+        (4, 2, _ts(30), "click", 1.0),
+        (5, 2, _ts(31), "error", 0.0),  # within
+        (6, 3, _ts(40), "error", 0.0),  # no click for user 3
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    src = str(tmp_path / "events_ssj_src")
+    events.repartition(2).write.parquet(src)
+    q = stream_range_join(
+        spark, src, schema=events.schema, window_seconds=600,
+        query_name="t_ssj",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["l_id"], r["r_id"])
+            for r in spark.table("t_ssj").collect()
+        }
+    finally:
+        q.stop()
+    clicks = events.filter("event_type='click'").select(
+        "user_id", "ts", F.col("event_id").alias("l_id")
+    )
+    errors = events.filter("event_type='error'").select(
+        "user_id", "ts", F.col("event_id").alias("r_id")
+    )
+    want = {
+        (r["user_id"], r["l_id"], r["r_id_right"])
+        for r in range_join(clicks, errors, on="user_id", window_seconds=600).collect()
+    }
+    assert got == want and got == {(1, 1, 2), (2, 4, 5)}
