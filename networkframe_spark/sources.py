@@ -52,8 +52,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark
     rejects by default; read it as long nanos and convert losslessly to
-    a microsecond timestamp (fixture values are micro-precision)."""
+    a microsecond timestamp (fixture values are micro-precision).
+
+    The session timezone is pinned to UTC here: window/date_trunc
+    results and collected timestamps are session-timezone-dependent,
+    and the DuckDB oracles are timezone-naive — a caller session in
+    another zone would silently shift every window boundary."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = read_table(spark, sf_dir, "events")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
