@@ -39,7 +39,18 @@ TABLES = (
 )
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable safety pins for sessions we didn't build (the
+    driver harness constructs its own): AQE gives broadcast-conversion
+    and partition coalescing at runtime sizes — the plans in PLANS.md
+    assume it."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
