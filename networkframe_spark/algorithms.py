@@ -561,7 +561,7 @@ def aggregate_over_pairs(
     std-without-mean ``NameError`` bug (networkframe.py:1483 vs 1447)
     is fixed here, by construction.
     """
-    if isinstance(aggregations, str):
+    if isinstance(aggregations, str) or callable(aggregations):
         aggregations = [aggregations]
     from pyspark.sql.types import NumericType
 
@@ -573,6 +573,40 @@ def aggregate_over_pairs(
         ]
     feats = nodes.select(F.col("id").alias("neighbor"), *feature_columns)
     joined = pairs.join(feats, on="neighbor")
+    if any(callable(a) for a in aggregations):
+        # reference parity (§2.8 / networkframe.py:1352-1355): arbitrary
+        # pandas-style callables run per neighborhood via applyInPandas
+        # (Arrow grouped map — the slow path; string aggs stay JVM-side)
+        import pandas as pd
+
+        idt = nodes.schema["id"].dataType.simpleString()
+
+        def agg_name(a):
+            return a if isinstance(a, str) else getattr(a, "__name__", "agg")
+
+        out_cols = [
+            (col, a, f"{col}_neighbor_{agg_name(a)}")
+            for col in feature_columns
+            for a in aggregations
+        ]
+        schema = ", ".join(
+            [f"id {idt}"] + [f"`{name}` double" for _, _, name in out_cols]
+        )
+
+        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            row = {"id": key[0]}
+            for col, a, name in out_cols:
+                series = pdf[col].dropna()
+                if isinstance(a, str):
+                    val = getattr(series, {"mean": "mean", "sum": "sum", "std": "std",
+                                           "max": "max", "min": "min", "count": "count"}[a])()
+                else:
+                    val = a(series)
+                row[name] = float(val) if val is not None and val == val else None
+            return pd.DataFrame([row])
+
+        out = joined.groupBy(F.col("node").alias("id")).applyInPandas(fn, schema)
+        return nodes.select("id").join(out, on="id", how="left")
     aggs = []
     for col in feature_columns:
         for agg in aggregations:

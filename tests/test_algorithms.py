@@ -248,3 +248,30 @@ def test_aggregated_edges_callable(readme_frame):
     }
     assert out[(0, 1)] == 0.0  # single edge
     assert all(v >= 0 for v in out.values())
+
+
+def test_k_hop_aggregation_callable(letter_frame):
+    """Arbitrary pandas callable over neighborhoods (reference
+    networkframe.py:1352-1355) via applyInPandas; must agree with the
+    JVM-side built-in on the same data."""
+    import math
+
+    def span(s):
+        return s.max() - s.min()
+
+    out = {
+        r["id"]: r["size_neighbor_span"]
+        for r in letter_frame.k_hop_aggregation(
+            1, aggregations=[span], directed=False
+        ).collect()
+    }
+    builtin_max = {
+        r["id"]: (r["size_neighbor_max"], r["size_neighbor_min"])
+        for r in letter_frame.k_hop_aggregation(
+            1, aggregations=["max", "min"], directed=False
+        ).collect()
+    }
+    for node, got in out.items():
+        mx, mn = builtin_max[node]
+        want = None if mx is None else float(mx - mn)
+        assert (got is None and want is None) or math.isclose(got, want), node
