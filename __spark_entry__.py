@@ -1217,7 +1217,7 @@ sess AS (
 SELECT user_id, session_id,
        count(*) AS n_events,
        max(ts_s) - min(ts_s) AS duration_s,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM sess
 GROUP BY user_id, session_id
 """

@@ -108,5 +108,8 @@ def session_stats(
         (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
             "duration_s"
         ),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        # round(6) after the decimal-exact sum: hash-stable across engines
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
     )
