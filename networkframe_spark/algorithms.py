@@ -519,13 +519,56 @@ def connected_component_labels(
     else:
         raw = _strong_component_min_labels(frame)
     sizes = raw.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    numbered = _dense_rank_distributed(
+        sizes, [F.desc("n"), F.asc("comp")], out_col="component"
+    ).select("comp", "component")
+    # numbered has one row per component; AQE broadcasts when small and
+    # falls back to a shuffled join on near-edgeless graphs (k ~ n),
+    # where a forced broadcast would be its own scale-killer.
+    return raw.join(numbered, on="comp").select("id", "component")
+
+
+def _dense_rank_distributed(
+    df: DataFrame, order: list, out_col: str = "rank"
+) -> DataFrame:
+    """0-based global dense row rank by ``order`` WITHOUT a
+    single-partition window (``Window.orderBy`` with no partitionBy
+    pulls every row into one task — fine for dozens of rows, a
+    driver-killer when row count approaches node count).
+
+    Two-phase scheme (same as RDD ``zipWithIndex``): range-repartition
+    on the sort key so partition *p* holds a contiguous rank range,
+    rank locally per partition, then add per-partition offsets.  The
+    offsets table has one row per partition — bounded by an engine
+    config constant, not by data — so collecting it to the driver is
+    scale-safe.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("n"), F.asc("comp"))
-    numbered = sizes.select(
-        "comp", (F.row_number().over(w) - F.lit(1)).alias("component")
+    n_part = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
+    part = df.repartitionByRange(n_part, *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    return raw.join(F.broadcast(numbered), on="comp").select("id", "component")
+    lw = Window.partitionBy("_pid").orderBy(*order)
+    local = part.withColumn("_lrank", F.row_number().over(lw) - F.lit(1))
+    local = local.localCheckpoint(eager=True)  # avoid recompute across the 2 uses
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    return local.withColumn(
+        out_col, (F.col("_lrank") + off_expr).cast("int")
+    ).drop("_pid", "_lrank")
 
 
 # ---------------------------------------------------------------------------

@@ -57,3 +57,41 @@ def test_filter_chain_fuses(spark):
     nf = tpch_graph(spark, SF_DIR)
     chained = nf.query_nodes("acctbal > 0").query_nodes("nationkey < 10")
     assert _plan(chained.edges).count("LeftSemi") == 2
+
+
+def test_component_renumber_has_no_global_window(spark):
+    """Dense component relabeling must not funnel all rows through a
+    single-partition window (scale-killer when component count ~ node
+    count on near-edgeless graphs).
+
+    Two checks: (a) the distributed ranker is exact at a row count well
+    above the partition count, so the per-partition offset phase is
+    actually exercised; (b) every window spec it plans is partitioned
+    (``windowspecdefinition`` lists partition cols before order cols —
+    an unpartitioned spec starts directly with the DESC order key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.algorithms import _dense_rank_distributed
+
+    df = spark.range(1000).select(
+        F.col("id").alias("comp"), (F.col("id") % 97).alias("n")
+    )
+    ranked = _dense_rank_distributed(df, [F.desc("n"), F.asc("comp")], "component")
+    rows = ranked.orderBy("component").collect()
+    expected = sorted(range(1000), key=lambda i: (-(i % 97), i))
+    assert [r["comp"] for r in rows] == expected
+    assert [r["component"] for r in rows] == list(range(1000))
+    # analyzed plan of the pre-checkpoint stage: window must be keyed
+    lw_plan = (
+        df.repartitionByRange(8, F.desc("n"), F.asc("comp"))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(F.desc("n"), F.asc("comp"))
+            ),
+        )
+    )
+    plan = _plan(lw_plan)
+    assert "windowspecdefinition(_pid" in plan
