@@ -105,8 +105,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return (
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None = None
+) -> DataFrame:
+    """(id, shingle) long table, one row per distinct doc-shingle pair.
+
+    ``max_df`` drops shingles appearing in more than ``max_df``
+    documents BEFORE any pair join: a stopword-like shingle shared by
+    m docs would otherwise create an m^2 same-key bucket in the
+    shingle self-join (the classic dedup skew-killer at corpus scale).
+    The cap is one partial-aggregated groupBy + a semi-join — both
+    keyed on the shingle hash, both skew-tolerant.  Dropped shingles
+    leave BOTH the candidate join and the set sizes, so downstream
+    Jaccard stays a true Jaccard over the filtered sets.
+    """
+    sh = (
         df.withColumn("__toks", tokens_col(text_col))
         .select(
             F.col(id_col).alias("id"),
@@ -115,6 +128,15 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
         .filter(F.col("sh") != "")
         .distinct()
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, on="sh", how="left_semi")
+    return sh
 
 
 def ngram_jaccard_duplicates(
@@ -123,6 +145,7 @@ def ngram_jaccard_duplicates(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle
     sets: pairs sharing >= 1 shingle meet in a shuffle keyed on the
@@ -131,12 +154,14 @@ def ngram_jaccard_duplicates(
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
 
-    Scale note: the shingle join only materializes co-occurring pairs;
-    a stopword-like super-common shingle would create a quadratic
-    bucket — cap with a document-frequency filter when corpus-scale
-    skew appears (not needed at fixture scale).
+    Scale note: the shingle join only materializes co-occurring pairs,
+    but a stopword-like super-common shingle creates a quadratic
+    same-key bucket — set ``max_df`` at corpus scale to drop shingles
+    above that document frequency before the self-join (see
+    :func:`_shingle_table`; default off, which is exact and fine at
+    fixture scale).
     """
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sh = _shingle_table(df, text_col, id_col, n, max_df=max_df).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -167,14 +192,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_perm: int = 32,
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``sig`` array<bigint>.
 
     One explode + one hash aggregate: ``min((a_i*h + b_i) mod P)`` per
     permutation, h = portable shingle hash.  All JVM-side.
+    ``max_df`` (corpus scale) drops stopword-like shingles before
+    hashing — see :func:`_shingle_table`.
     """
     params = minhash_params(n_perm)
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df)
     # materialize the shingle hash once; the n_perm aggregates then
     # reference the attribute instead of re-deriving md5 per permutation
     hashed = sh.withColumn(
@@ -200,6 +228,7 @@ def minhash_lsh_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.8,
     verify: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band buckets →
     same-bucket candidate pairs → (optional) exact Jaccard verification.
@@ -207,9 +236,12 @@ def minhash_lsh_duplicates(
     With ``n_perm=32, bands=8`` (rows r=4 per band) the S-curve crosses
     ~0.59; candidates above ``threshold`` survive verification.
     Returns ``(id_a, id_b, jaccard)`` (jaccard null when verify=False).
+    ``max_df`` applies the document-frequency cap consistently to both
+    the signature and the verification shingle tables (corpus-scale
+    skew control; default off = exact).
     """
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n, max_df=max_df)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -236,7 +268,7 @@ def minhash_lsh_duplicates(
     )
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    sh = _shingle_table(df, text_col, id_col, shingle_n).cache()
+    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -354,20 +386,71 @@ def embedding_duplicates(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    mode: str = "auto",
+    exact_max_rows: int = 20_000,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity >= threshold.
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
 
-    Brute-force pair join (suitable as correctness baseline and for
-    bucketed/blocked inputs); the scale path is
-    :func:`networkframe_spark.functions.similarity.lsh_top_k` which
-    buckets by random-hyperplane signature first.
-    Returns ``(id_a, id_b, cosine)``.
+    Two physical strategies:
+
+    - ``exact``: all-pairs broadcast join — bit-exact, O(n^2).  Only
+      legal under ``exact_max_rows`` (broadcast and pair count both
+      bounded); above the guard it raises rather than silently planning
+      a corpus-scale cartesian.
+    - ``lsh``: the 100 TB path.  Random-hyperplane signatures over
+      ``n_tables`` independent tables bucket the corpus; only
+      same-bucket pairs get exact cosine verification, so the join is a
+      shuffle keyed on (table, bucket) — no ``CartesianProduct`` /
+      ``BroadcastNestedLoopJoin`` anywhere in the plan.  Probabilistic
+      recall: a true pair at cosine ``t`` is missed with probability
+      ``(1 - p^n_planes)^n_tables``, ``p = 1 - acos(t)/pi`` — defaults
+      give ~1e-3 miss at t=0.95; raise ``n_tables`` to push it down.
+
+    ``mode="auto"`` picks exact under the row guard (one cheap
+    limit+count job), LSH above it.
     """
+    if mode not in ("auto", "exact", "lsh"):
+        raise ValueError("mode must be 'auto', 'exact' or 'lsh'")
+    if mode == "auto":
+        n = df.limit(exact_max_rows + 1).count()
+        mode = "exact" if n <= exact_max_rows else "lsh"
+        checked = True
+    else:
+        checked = False
+    if mode == "exact":
+        return _embedding_duplicates_exact(
+            df, emb_col, id_col, threshold, exact_max_rows, check=not checked
+        )
+    return _embedding_duplicates_lsh(
+        df, emb_col, id_col, threshold, n_planes, n_tables, dim
+    )
+
+
+def _embedding_duplicates_exact(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    exact_max_rows: int,
+    check: bool = True,
+) -> DataFrame:
+    """All-pairs scoring, guarded: correctness baseline for small /
+    pre-blocked inputs only."""
     from .similarity import dot_expr, norm_expr
 
+    if check and df.limit(exact_max_rows + 1).count() > exact_max_rows:
+        raise ValueError(
+            f"exact embedding dedup refused: >{exact_max_rows} rows "
+            "(would plan an O(n^2) cartesian + unbounded broadcast); "
+            "use mode='lsh'"
+        )
     # norms are per-row, not per-pair: compute them once on each side
     # of the join (identical float path to dividing inside the pair).
-    # The left side is repartitioned so the O(n^2) scoring parallelizes
+    # The left side is repartitioned so the pair scoring parallelizes
     # even when the input is a single small parquet partition.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = df.select(
@@ -384,6 +467,81 @@ def embedding_duplicates(
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_duplicates_lsh(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None,
+) -> DataFrame:
+    """Banded self-join: explode each row into its ``n_tables`` bucket
+    keys, equi-join on (table, bucket), dedupe candidate pairs, verify
+    with exact cosine.  The only shuffles are the bucket join and the
+    pair dedup — both keyed, both AQE-skew-splittable."""
+    from .similarity import _hyperplane_signs, dot_expr, norm_expr, signature_col
+
+    if dim is None:
+        first = df.select(F.size(F.col(emb_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    tables = [
+        _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            norm_expr(F.col(emb_col)).alias("norm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signature_col(F.col(emb_col), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "id", "emb", "norm",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    a = banded.select(
+        "table", "bucket",
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = banded.select(
+        "table", "bucket",
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cand = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
             "cosine",
             F.round(
                 dot_expr(F.col("emb_a"), F.col("emb_b"))

@@ -280,3 +280,94 @@ def test_k_hop_decomposition(spark):
     assert decomp[0] == [0, 1]
     assert decomp[1] == [0, 1, 2]
     assert decomp[3] == [2, 3]
+
+
+def test_embedding_duplicates_lsh_matches_exact(spark):
+    """The bucketed (scale) path must agree with the exact path on
+    planted near-duplicates: deterministic hyperplanes, near-1 cosine
+    pairs -> miss probability is numerically negligible and the test is
+    fully reproducible."""
+    import math
+
+    rows = []
+    for i in range(60):
+        base = [math.sin(0.37 * i + d) for d in range(16)]
+        rows.append((i, base))
+        # planted near-dup: tiny deterministic perturbation
+        rows.append((1000 + i, [x + 0.001 * ((i + d) % 3) for d, x in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_duplicates(df, threshold=0.999, mode="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_duplicates(
+            df, threshold=0.999, mode="lsh", n_planes=8, n_tables=12
+        ).collect()
+    }
+    assert set(exact) == set(lsh)
+    assert all(abs(exact[k] - lsh[k]) < 1e-9 for k in exact)
+    assert len(exact) >= 60  # every planted pair found
+
+
+def test_embedding_duplicates_exact_guard(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exact embedding dedup refused"):
+        embedding_duplicates(df, mode="exact", exact_max_rows=10).count()
+    # auto mode silently routes the same oversized input to LSH
+    out = embedding_duplicates(df, mode="auto", exact_max_rows=10, threshold=0.9999)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    out.collect()
+
+
+def test_ngram_max_df_caps_stopword_shingle(spark):
+    """A shingle shared by every doc must not survive a max_df cap:
+    without the cap it creates an O(m^2) candidate bucket."""
+    common = "spark spark spark"  # identical 3-shingle in every doc
+    rows = [
+        (i, f"{common} unique{i} tail{i} word{i} extra{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from networkframe_spark.functions.dedup import _shingle_table
+
+    uncapped = _shingle_table(df, "text", "doc_id", 3)
+    capped = _shingle_table(df, "text", "doc_id", 3, max_df=5)
+    assert uncapped.filter(F.col("sh") == common).count() == 20
+    assert capped.filter(F.col("sh") == common).count() == 0
+    # with the common shingle capped away, no pair shares a shingle
+    pairs = ngram_jaccard_duplicates(df, threshold=0.01, max_df=5)
+    assert pairs.count() == 0
+    # uncapped: every pair collides through the stopword shingle
+    pairs_uncapped = ngram_jaccard_duplicates(df, threshold=0.01)
+    assert pairs_uncapped.count() == 20 * 19 // 2
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixtures absent")
+def test_lsh_top_k_recall_fixture(spark):
+    """Quantitative contract for the approximate ANN path on the real
+    embeddings fixture: recall@10 of brute-force top-10 >= 0.9 with
+    n_tables=8 (VERDICT r1 item 7).
+
+    Plane count follows the S-curve for this fixture's data: its
+    vectors are random/near-orthogonal, so brute-force top-10
+    neighbors sit at cosine ~0.24-0.43 (p_bit ~ 1 - acos(c)/pi ~ 0.58)
+    and per-neighbor hit probability with 8 tables is
+    1-(1-0.58^P)^8: P=2 -> 0.96, P=3 -> 0.82.  Only P<=2 clears 0.9 —
+    coarse buckets are the honest price of low-cosine neighbors;
+    clustered corpora (the production near-dup case) support deeper
+    planes, covered by test_lsh_top_k_recall above."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter("vec_id < 20")
+    exact = {}
+    for r in brute_force_top_k(emb, qs, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in lsh_top_k(emb, qs, k=10, n_planes=2, n_tables=8).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9

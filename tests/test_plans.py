@@ -95,3 +95,17 @@ def test_component_renumber_has_no_global_window(spark):
     )
     plan = _plan(lw_plan)
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_embedding_dedup_lsh_plan_no_cartesian(spark):
+    """The scale path of embedding near-dup must plan a keyed bucket
+    join — never a CartesianProduct / BroadcastNestedLoopJoin (the r1
+    all-pairs scale-killer)."""
+    from networkframe_spark.functions.dedup import embedding_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_duplicates(emb, mode="lsh", threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is an equi-join on (table, bucket)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
