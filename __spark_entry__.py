@@ -432,11 +432,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["serde_roundtrip"] = q_serde_roundtrip
 
-    # -- A12 spectral ordering (rows-only: eigenvector not SQL-expressible)
+    # -- A12 spectral ordering -----------------------------------------
+    # Hash-checkable: tol=0 + fixed iterations converge the power
+    # iteration to machine precision, abs() kills the eigenvector sign
+    # ambiguity, and the oracle derives the closed-form limit (the
+    # nation→region graph is R disjoint equal unit-weight stars, so the
+    # uniform-init limit is the symmetric mix of per-star Perron
+    # vectors: leaf = 1/sqrt(2N), center = sqrt(N/R) * leaf).
     def q_sort_spectral(spark, sf):
         nf = nation_region_graph(spark, sf)
         weighted = nf._return(edges=nf.edges.withColumn("weight", F.lit(1.0)))
-        return weighted.sort_spectral().nodes.select("id")
+        sorted_nf = weighted.sort_spectral(max_iter=200, tol=0.0)
+        return sorted_nf.nodes.select(
+            "id", F.round(F.abs(F.col("spectral_score")), 6).alias("abs_score")
+        )
 
     q["sort_spectral"] = q_sort_spectral
 
@@ -973,6 +982,26 @@ SELECT true AS eq_self, false AS eq_filtered
 SELECT n_nationkey::BIGINT AS id, n_name AS name, 'nation' AS kind FROM nation
 UNION ALL
 SELECT -r_regionkey::BIGINT - 1 AS id, r_name AS name, 'region' AS kind FROM region
+"""
+
+    # Closed-form power-iteration limit for R disjoint equal stars with
+    # unit weights (the nation→region graph): from a uniform start the
+    # per-star amplitudes stay equal (equal leading eigenvalues), so
+    # the limit is the symmetric mix of per-star Perron vectors —
+    # leaf |v| = 1/sqrt(2N), center |v| = sqrt(d) * leaf with
+    # d = N/R leaves per star.  Derived from the data, not hardcoded:
+    # N and R are counted from the tables.
+    o["sort_spectral"] = """
+WITH n AS (SELECT count(*)::DOUBLE AS nn FROM nation),
+     r AS (SELECT count(*)::DOUBLE AS nr FROM region)
+SELECT n_nationkey::BIGINT AS id,
+       round(1.0 / sqrt(2.0 * (SELECT nn FROM n)), 6) AS abs_score
+FROM nation
+UNION ALL
+SELECT -r_regionkey::BIGINT - 1 AS id,
+       round(sqrt((SELECT nn FROM n) / (SELECT nr FROM r))
+             / sqrt(2.0 * (SELECT nn FROM n)), 6) AS abs_score
+FROM region
 """
 
     o["token_count"] = f"""

@@ -651,14 +651,25 @@ class NetworkFrame:
         )
 
     def sort_spectral(
-        self, weight_col: str = "weight", inplace: bool = False
+        self,
+        weight_col: str = "weight",
+        inplace: bool = False,
+        max_iter: int = 60,
+        tol: float = 1e-7,
     ) -> Optional["NetworkFrame"]:
         """Order nodes by the leading eigenvector of the symmetrized
         weighted adjacency, as a ``spectral_score`` column + sorted
-        nodes (reference: networkframe.py:1540-1549; power iteration)."""
+        nodes (reference: networkframe.py:1540-1549; power iteration).
+
+        ``tol=0`` disables the early-convergence stop and always runs
+        ``max_iter`` rounds — use for bit-reproducible scores (the
+        eigenvector sign remains ambiguous, as in the reference's
+        eigsh; take ``abs`` for engine-portable comparisons)."""
         from .algorithms import spectral_scores
 
-        scores = spectral_scores(self, weight_col=weight_col)
+        scores = spectral_scores(
+            self, weight_col=weight_col, max_iter=max_iter, tol=tol
+        )
         nodes = self._nodes.join(scores, on="id", how="left").orderBy("spectral_score")
         return self._return(inplace, nodes=nodes)
 
