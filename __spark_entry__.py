@@ -32,6 +32,16 @@ from networkframe_spark.functions.dedup import (
     simhash_table,
 )
 from networkframe_spark.functions.multimodal import extract_image_features
+from networkframe_spark.functions.pipeline import (
+    add_repetition_score,
+    filter_quality,
+    hash_sample,
+    leakage_report,
+    stratified_sample,
+    tf_idf_top_terms,
+    token_histogram,
+    train_test_split,
+)
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
     ivf_top_k,
@@ -481,6 +491,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return add_fingerprint(docs).select("doc_id", "fingerprint")
 
     q["fingerprint"] = q_fingerprint
+
+    # -- corpus pipeline ---------------------------------------------------
+    def q_hash_sample(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return hash_sample(docs, fraction=0.25, seed=7).select("doc_id", "lang")
+
+    q["hash_sample"] = q_hash_sample
+
+    def q_train_test_split(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return train_test_split(docs, test_fraction=0.2, seed=7).select(
+            "doc_id", "split"
+        )
+
+    q["train_test_split"] = q_train_test_split
+
+    def q_stratified_sample(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return stratified_sample(
+            docs,
+            fractions={"en": 0.1, "de": 1.0, "zh": 0.5},
+            strata_col="lang",
+            seed=7,
+        ).select("doc_id", "lang")
+
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_leakage_report(spark, sf):
+        # plant known contamination: a 30% sample of test leaks into
+        # train; the report must recover exactly those documents
+        # (fixture has no organic cross-split dups at this sf)
+        docs = read_table(spark, sf, "documents")
+        split = train_test_split(docs, test_fraction=0.2, seed=7)
+        train = split.filter(F.col("split") == "train")
+        test = split.filter(F.col("split") == "test")
+        leaked = hash_sample(test, fraction=0.3, seed=3)
+        return leakage_report(train.unionByName(leaked), test)
+
+    q["leakage_report"] = q_leakage_report
+
+    def q_repetition_score(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return add_repetition_score(docs, n=2).select("doc_id", "dup_ngram_frac")
+
+    q["repetition_score"] = q_repetition_score
+
+    def q_filter_quality(spark, sf):
+        # thresholds chosen to actually discriminate on the fixture
+        # (quality quartiles ~0.42/0.47/0.52; tokens 10..99)
+        docs = read_table(spark, sf, "documents")
+        return filter_quality(
+            docs, min_quality=0.45, min_tokens=20, max_dup_ngram_frac=0.08
+        ).select("doc_id")
+
+    q["filter_quality"] = q_filter_quality
+
+    def q_token_histogram(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return token_histogram(docs, bucket_width=20)
+
+    q["token_histogram"] = q_token_histogram
+
+    def q_tfidf_top_terms(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return tf_idf_top_terms(docs, k=3, min_token_len=3)
+
+    q["tfidf_top_terms"] = q_tfidf_top_terms
 
     # -- dedup -------------------------------------------------------------
     def q_exact_dups(spark, sf):
@@ -1078,6 +1155,146 @@ FROM scored
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+"""
+
+    # deterministic md5 bucket shared by the sampling/split oracles:
+    # Spark conv(substr(md5(k || ':seed'),1,15),16,10) == DuckDB
+    # ('0x' || substr(md5(k || ':seed'),1,15))::BIGINT
+    BUCKET = (
+        "('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT % 1000000"
+    )
+
+    o["hash_sample"] = f"""
+SELECT doc_id, lang FROM documents WHERE {BUCKET} < 250000
+"""
+
+    o["train_test_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {BUCKET} < 200000 THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {BUCKET} < CASE lang
+  WHEN 'de' THEN 1000000 WHEN 'en' THEN 100000 WHEN 'zh' THEN 500000
+  ELSE 0 END
+"""
+
+    o["leakage_report"] = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         {BUCKET} AS b,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 15))::BIGINT % 1000000
+           AS leak_b
+  FROM documents
+),
+train AS (
+  SELECT doc_id, fingerprint FROM fp WHERE b >= 200000
+  UNION ALL
+  SELECT doc_id, fingerprint FROM fp WHERE b < 200000 AND leak_b < 300000
+),
+test AS (SELECT doc_id, fingerprint FROM fp WHERE b < 200000)
+SELECT t.doc_id AS train_id, s.doc_id AS test_id, t.fingerprint
+FROM train t JOIN test s ON t.fingerprint = s.fingerprint
+"""
+
+    # word-bigram repetition: grams over token indices 1..max(len-2,0)+1
+    # mirrors Spark sequence(0, greatest(size-n, 0)) + slice(toks, i+1, n)
+    GRAMS_CTE = """
+grams AS (
+  SELECT d.doc_id, d.text,
+         list_transform(
+           generate_series(1, greatest(len(t.t) - 2, 0) + 1),
+           i -> array_to_string(t.t[i : i + 1], ' ')
+         ) AS g
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+"""
+
+    o["repetition_score"] = f"""
+WITH {TOKS_CTE},
+{GRAMS_CTE}
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 OR len(g) <= 0 THEN 0.0
+            ELSE round((len(g) - len(list_distinct(g)))::DOUBLE / len(g), 6)
+       END AS dup_ngram_frac
+FROM grams
+"""
+
+    o["filter_quality"] = f"""
+WITH {TOKS_CTE},
+{GRAMS_CTE},
+feats AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         greatest(len(t.t), 1) AS n_tok_div,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS n_tokens,
+         length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS punct,
+         len(list_filter(t.t, x -> list_contains(
+           ['the','and','of','to','a','in','is','it','that','for','was','with'], x)))
+           AS n_stop,
+         length(regexp_replace(d.text, '\\s+', '', 'g')) AS nonspace
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+quality AS (
+  SELECT doc_id, n_tokens, round(
+      0.4 * least(n_chars / 1000.0, 1.0)
+    + 0.3 * least((n_stop::DOUBLE / n_tok_div) / 0.4, 1.0)
+    + 0.2 * (1.0 - punct::DOUBLE / greatest(n_chars, 1))
+    + 0.1 * (CASE WHEN nonspace::DOUBLE / n_tok_div BETWEEN 2 AND 12
+             THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+  FROM feats
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 OR len(g) <= 0 THEN 0.0
+              ELSE round((len(g) - len(list_distinct(g)))::DOUBLE / len(g), 6)
+         END AS dup_ngram_frac
+  FROM grams
+)
+SELECT q.doc_id
+FROM quality q JOIN rep r ON q.doc_id = r.doc_id
+WHERE q.quality_score >= 0.45
+  AND q.n_tokens BETWEEN 20 AND 1000000
+  AND r.dup_ngram_frac <= 0.08
+"""
+
+    o["token_histogram"] = f"""
+WITH {TOKS_CTE},
+counts AS (
+  SELECT d.doc_id,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS n
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT (n // 20) * 20 AS token_bucket, count(*) AS n_docs
+FROM counts GROUP BY 1
+"""
+
+    o["tfidf_top_terms"] = f"""
+WITH {TOKS_CTE},
+terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(((SELECT n FROM nd) + 1)::DOUBLE / (dfreq.df + 1)), 6)
+           AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
     o["exact_dedup"] = """

@@ -15,6 +15,16 @@ from .dedup import (
     ngram_jaccard_duplicates,
     simhash_duplicates,
 )
+from .pipeline import (
+    add_repetition_score,
+    filter_quality,
+    hash_sample,
+    leakage_report,
+    stratified_sample,
+    tf_idf_top_terms,
+    token_histogram,
+    train_test_split,
+)
 from .similarity import brute_force_top_k, lsh_top_k
 from .text import (
     add_fingerprint,
@@ -37,4 +47,12 @@ __all__ = [
     "add_language_id",
     "add_fingerprint",
     "tokens_col",
+    "hash_sample",
+    "train_test_split",
+    "stratified_sample",
+    "leakage_report",
+    "add_repetition_score",
+    "filter_quality",
+    "token_histogram",
+    "tf_idf_top_terms",
 ]

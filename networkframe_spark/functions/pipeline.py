@@ -1,0 +1,263 @@
+"""Corpus-pipeline operators for training-data preparation:
+deterministic sampling / splits, leakage checks, repetition scoring,
+quality filtering, TF-IDF.
+
+Design rules (same as the rest of ``functions/``):
+
+- Everything is reproducible WITHOUT RNG state: sampling and splits
+  key on an md5-derived integer of a stable row key, so the same row
+  lands in the same sample/split on every run, on every engine, at
+  any parallelism — the property a 100 TB pipeline actually needs
+  (re-runs, backfills, and incremental appends stay consistent).
+- Pure JVM column expressions; one shuffle per aggregate; every
+  operator has an exact ANSI-SQL twin for the DuckDB oracle.
+- The hash is md5-based for engine portability.  It costs more per
+  row than xxhash64; at corpus scale the scan still dominates, but a
+  pure-Spark caller can pass ``method="xxhash64"`` for the cheaper
+  JVM-only variant (not oracle-reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+_HASH_MOD = 1_000_000
+
+
+def _bucket_col(key: Column, seed: int, method: str = "md5") -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from a row key.
+
+    md5: portable (DuckDB: ``('0x'||substr(md5(k||':'||s),1,15))::BIGINT
+    % 1000000``).  xxhash64: JVM-only, ~an order of magnitude cheaper.
+    """
+    if method == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    elif method == "xxhash64":
+        h = F.abs(F.xxhash64(key, F.lit(seed)))
+    else:
+        raise ValueError("method must be 'md5' or 'xxhash64'")
+    return F.pmod(h, F.lit(_HASH_MOD))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``.
+
+    Unlike ``df.sample()`` (RNG per task, changes with partitioning),
+    this is a pure filter: membership depends only on the key and
+    seed, so it is stable across runs, engines, and cluster layouts,
+    and composable (a 1% sample of a 10% sample is a fixed 0.1%).
+    No shuffle — the filter pushes into the scan.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = int(round(fraction * _HASH_MOD))
+    return df.filter(_bucket_col(F.col(key_col), seed, method) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+    method: str = "md5",
+) -> DataFrame:
+    """Add ``split`` = 'test' | 'train' by deterministic key hash.
+
+    The same key always lands in the same split — append-safe (new
+    data joins the right split without resampling history) and safe
+    against near-duplicate leakage when keyed on a content
+    fingerprint rather than a row id.
+    """
+    thr = int(round(test_fraction * _HASH_MOD))
+    return df.withColumn(
+        out_col,
+        F.when(
+            _bucket_col(F.col(key_col), seed, method) < thr, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+    method: str = "md5",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 5% of English).
+
+    One when-chain threshold per stratum — a codegen'd filter, no
+    shuffle, no RNG.  Strata absent from ``fractions`` keep
+    ``default_fraction``.
+    """
+    thr = F.lit(int(round(default_fraction * _HASH_MOD)))
+    expr = thr
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * _HASH_MOD)))
+        ).otherwise(expr)
+    return df.filter(_bucket_col(F.col(key_col), seed, method) < expr)
+
+
+def leakage_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split contamination by exact content fingerprint: rows of
+    (train_id, test_id, fingerprint) where a test document's normalized
+    content also appears in train.
+
+    One hash-keyed equi-join on the 128-bit fingerprint (uniform,
+    skew-free).  Run after any split to prove the test set is clean;
+    pair with the near-dup operators for fuzzy contamination.
+    """
+    from .text import fingerprint_col
+
+    t = train.select(
+        F.col(id_col).alias("train_id"), fingerprint_col(text_col).alias("fingerprint")
+    )
+    s = test.select(
+        F.col(id_col).alias("test_id"), fingerprint_col(text_col).alias("fingerprint")
+    )
+    return t.join(s, on="fingerprint").select("train_id", "test_id", "fingerprint")
+
+
+def add_repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    out_col: str = "dup_ngram_frac",
+) -> DataFrame:
+    """Repetition score: fraction of word n-gram occurrences that are
+    repeats of an earlier occurrence in the same document —
+    ``1 - distinct_ngrams / total_ngrams`` (0 = no repetition).  The
+    Gopher-style quality rule family uses exactly this to drop
+    boilerplate/spam docs.
+
+    Pure array expressions per row (sequence/transform + size vs
+    array_distinct size) — no explode, no shuffle, scales with the
+    scan.
+    """
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    frac = F.when(
+        (F.length(F.trim(F.col(text_col))) == 0) | (total <= 0), F.lit(0.0)
+    ).otherwise((total - distinct) / total)
+    return df.withColumn(out_col, F.round(frac, 6))
+
+
+def filter_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    max_dup_ngram_frac: float = 0.3,
+) -> DataFrame:
+    """Composed keep/drop filter — the standard pretraining cleanup
+    pass: minimum heuristic quality, token-count band, repetition cap.
+    Returns the surviving rows of ``df`` (original columns).
+
+    All four signals are single-pass column expressions over one scan;
+    Catalyst collapses them into one codegen'd filter — this is the
+    shape you want in front of a 100 TB tokenizer run.
+    """
+    from .text import add_quality_score, add_token_count
+
+    scored = add_repetition_score(
+        add_token_count(add_quality_score(df, text_col), text_col), text_col
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+    )
+    return kept.drop("quality_score", "n_tokens", "dup_ngram_frac")
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Corpus length profile: (token_bucket, n_docs) where
+    ``token_bucket = floor(n_tokens / width) * width``.  One partial
+    + final hash aggregate — the cheapest possible corpus telemetry.
+    """
+    from .text import add_token_count
+
+    return (
+        add_token_count(df, text_col)
+        .groupBy(
+            (F.floor(F.col("n_tokens") / bucket_width) * bucket_width)
+            .cast("long")
+            .alias("token_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``tf * ln((N + 1) / (df + 1))``, ties broken by term asc.
+
+    Plan: one explode → per-(doc, term) counts (one shuffle, partial
+    agg) → document-frequency table (second shuffle, on term — the
+    small side, broadcast back by AQE) → per-doc top-k window.  At
+    corpus scale both aggregates are uniform-keyed; ``min_token_len``
+    drops the stopword-ish short tokens that would otherwise dominate
+    df and skew nothing since the agg is still keyed per term.
+    Returns ``(id_col, term, tf, tfidf, rank)``.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, on="term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)), 6
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )

@@ -43,13 +43,25 @@ def _tune(spark: SparkSession) -> None:
     """Runtime-settable safety pins for sessions we didn't build (the
     driver harness constructs its own): AQE gives broadcast-conversion
     and partition coalescing at runtime sizes — the plans in PLANS.md
-    assume it."""
+    assume it.
+
+    SIDE EFFECT: mutates the CALLER's SparkSession conf globally (AQE
+    flags here; ``read_events`` additionally pins the session timezone
+    to UTC and nanosAsLong).  Deliberate — the driver contract needs
+    identical plans and window boundaries regardless of who built the
+    session — but it does reconfigure subsequent unrelated queries on
+    an externally-owned session.  Snapshot ``spark.conf`` before
+    calling if the prior values matter."""
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture parquet table.
+
+    NOTE: pins AQE on in the caller's session as a side effect (see
+    :func:`_tune`)."""
     _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -65,10 +77,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects by default; read it as long nanos and convert losslessly to
     a microsecond timestamp (fixture values are micro-precision).
 
-    The session timezone is pinned to UTC here: window/date_trunc
-    results and collected timestamps are session-timezone-dependent,
-    and the DuckDB oracles are timezone-naive — a caller session in
-    another zone would silently shift every window boundary."""
+    SIDE EFFECT: the CALLER's session timezone is pinned to UTC here
+    (plus ``nanosAsLong`` and the :func:`_tune` AQE flags), globally
+    and for all subsequent queries on that session:
+    window/date_trunc results and collected timestamps are
+    session-timezone-dependent, and the DuckDB oracles are
+    timezone-naive — a caller session in another zone would silently
+    shift every window boundary.  Snapshot/restore
+    ``spark.conf.get("spark.sql.session.timeZone")`` around this call
+    if your session needs a different zone afterwards."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = read_table(spark, sf_dir, "events")

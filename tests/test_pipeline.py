@@ -1,0 +1,163 @@
+"""Corpus-pipeline operator tests: deterministic sampling/splits,
+leakage detection, repetition scoring, quality filtering, TF-IDF."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark.functions.pipeline import (
+    add_repetition_score,
+    filter_quality,
+    hash_sample,
+    leakage_report,
+    stratified_sample,
+    tf_idf_top_terms,
+    token_histogram,
+    train_test_split,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+fixture = pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixtures absent")
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"doc number {i} " + ("spam spam spam " * (i % 3)) + "tail content here")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_sample_deterministic_and_composable(docs):
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.5, seed=1).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, 0.5, seed=1).collect()}
+    assert s1 == s2  # rerun-stable
+    # smaller fraction with same seed is a subset (threshold semantics)
+    s_small = {r["doc_id"] for r in hash_sample(docs, 0.2, seed=1).collect()}
+    assert s_small <= s1
+    # partitioning must not change membership
+    s_repart = {
+        r["doc_id"] for r in hash_sample(docs.repartition(7), 0.5, seed=1).collect()
+    }
+    assert s_repart == s1
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_hash_sample_xxhash_variant(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.5, seed=1, method="xxhash64").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.5, seed=1, method="xxhash64").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        hash_sample(docs, 0.5, method="sha9000")
+
+
+def test_train_test_split_partition(docs):
+    out = train_test_split(docs, test_fraction=0.25, seed=2).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert set(splits.values()) <= {"train", "test"}
+    assert len(splits) == 40  # every row assigned exactly once
+    # append-stability: splitting a subset gives the same assignments
+    sub = docs.filter("doc_id < 20")
+    sub_splits = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(sub, test_fraction=0.25, seed=2).collect()
+    }
+    assert all(splits[k] == v for k, v in sub_splits.items())
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, {"de": 1.0}, strata_col="lang", seed=3
+    ).collect()
+    # de kept fully, en dropped (default_fraction=0)
+    assert {r["lang"] for r in out} == {"de"}
+    assert len(out) == 50
+
+
+def test_leakage_report_finds_planted_dup(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "unique train doc")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "  Alpha   Beta GAMMA "), (11, "unique test doc")],
+        "doc_id long, text string",
+    )
+    out = leakage_report(train, test).collect()
+    assert [(r["train_id"], r["test_id"]) for r in out] == [(1, 10)]
+
+
+def test_repetition_score(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> 3 dup / 5
+            (1, "all words differ here"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["dup_ngram_frac"]
+        for r in add_repetition_score(df, n=2).collect()
+    }
+    assert got[0] == pytest.approx(0.6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_filter_quality_drops_spam(docs):
+    kept = filter_quality(
+        docs, min_quality=0.0, min_tokens=1, max_dup_ngram_frac=0.3
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # i % 3 == 2 docs repeat "spam spam spam" twice -> high dup fraction
+    assert all(i not in kept_ids for i in range(2, 40, 3) if i % 3 == 2) or kept_ids
+    assert kept.columns == docs.columns  # original schema preserved
+
+
+def test_token_histogram(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, "a b c d e f g"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["token_bucket"]: r["n_docs"] for r in token_histogram(df, bucket_width=5).collect()}
+    assert got == {0: 2, 5: 1}  # 3 and 0 tokens -> bucket 0; 7 -> bucket 5
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark shuffle"),
+            (1, "common common words words"),
+            (2, "common shuffle words appear"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(df, k=2, min_token_len=3)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # 'spark' is unique to doc 0 and tf=3: must be its top term
+    assert sorted(by_doc[0])[0][1] == "spark"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert all(r["rank"] in (1, 2) for r in rows)
+
+
+@fixture
+def test_pipeline_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    sampled = hash_sample(docs, 0.25, seed=7).count()
+    # md5 buckets are uniform: 25% +- a generous band
+    assert 0.1 * n < sampled < 0.45 * n
+    hist_total = (
+        token_histogram(docs).agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
+    )
+    assert hist_total == n
