@@ -31,6 +31,8 @@ HEADLINE = [
     "cosine_topk",           # brute-force similarity + window top-k
     "events_window_agg",     # tumbling-window aggregate
     "sessionize",            # lag/cumsum session windows
+    "filter_quality",        # fused corpus cleanup filter (r2)
+    "tfidf_top_terms",       # explode + double agg + top-k window (r2)
 ]
 
 

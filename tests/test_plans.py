@@ -109,3 +109,41 @@ def test_embedding_dedup_lsh_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # candidate generation is an equi-join on (table, bucket)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """save_graph_table bucket layout: the node-decoration join
+    (nodes.id = edges.source) must be bucket-aligned — no Exchange on
+    either side of the SortMergeJoin."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.sources import (
+        load_graph_table,
+        save_graph_table,
+        tpch_graph,
+    )
+
+    nf = tpch_graph(spark, SF_DIR)
+    name = "bucket_plan_test"
+    for t in (f"{name}_nodes", f"{name}_edges"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    save_graph_table(nf, name, n_buckets=8, mode="overwrite")
+    try:
+        loaded = load_graph_table(spark, name)
+        # force SMJ (broadcast would hide the bucket question entirely)
+        joined = (
+            loaded.nodes.hint("merge")
+            .join(
+                loaded.edges,
+                on=F.col("id") == F.col("source"),
+            )
+            .select("id", "target", "weight")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        assert joined.count() == loaded.edges.count()
+    finally:
+        for t in (f"{name}_nodes", f"{name}_edges"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
