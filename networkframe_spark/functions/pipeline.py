@@ -153,21 +153,38 @@ def add_repetition_score(
     Gopher-style quality rule family uses exactly this to drop
     boilerplate/spam docs.
 
-    Pure array expressions per row (sequence/transform + size vs
-    array_distinct size) — no explode, no shuffle, scales with the
-    scan.
+    Pure array expressions per row — no explode, no shuffle, scales
+    with the scan.  Grams are built by zipping n shifted slices of the
+    token array (NOT a transform whose lambda slices the tokens per
+    element): a per-element lambda reference re-evaluates its input
+    once per gram, and predicate pushdown re-inlines the tokenizer
+    through any materializing projection — measured 12s vs <1s on the
+    sf0.1 documents table inside ``filter_quality``.  With zip_with
+    every input array is evaluated once per row no matter how the
+    optimizer rewrites the plan.
     """
-    toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = _grams_expr(tokens_col(text_col), n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     frac = F.when(
         (F.length(F.trim(F.col(text_col))) == 0) | (total <= 0), F.lit(0.0)
     ).otherwise((total - distinct) / total)
     return df.withColumn(out_col, F.round(frac, 6))
+
+
+def _grams_expr(toks: Column, n: int) -> Column:
+    """Word n-gram array via n-1 ``zip_with`` folds over shifted
+    slices.  Count = max(len - n, 0) + 1; a doc shorter than ``n``
+    tokens yields its single truncated gram (``zip_with`` pads the
+    short side with null, ``concat_ws`` skips nulls) — identical
+    output to a slice+concat loop, without per-element re-evaluation
+    of ``toks``."""
+    length = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.slice(toks, 1, length)
+    for i in range(1, n):
+        part = F.slice(toks, 1 + i, length)
+        grams = F.zip_with(grams, part, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
 
 
 def filter_quality(

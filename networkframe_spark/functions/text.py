@@ -62,15 +62,19 @@ def add_quality_score(
     - mean word length sanity band (penalize <2 or >12)
 
     score = 0.4*length + 0.3*stopword + 0.2*(1-punct) + 0.1*wordlen
+
+    Tokens are materialized to a column first so the regex split runs
+    once per row, not once per referencing sub-expression.
     """
     c = F.col(text_col)
+    toks = F.col("__q_toks")
     n_chars = F.length(c)
-    n_tokens = F.greatest(F.size(tokens_col(text_col)), F.lit(1))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
     punct = F.length(F.regexp_replace(F.lower(c), r"[a-z0-9\s]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     n_stop = F.size(
-        F.filter(tokens_col(text_col), lambda t: F.array_contains(stop_arr, t))
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
     )
     stop_ratio = F.least(n_stop / n_tokens / F.lit(0.4), F.lit(1.0))
     mean_wl = (
@@ -83,7 +87,11 @@ def add_quality_score(
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.1) * wl_ok
     )
-    return df.withColumn(out_col, F.round(score, 6))
+    return (
+        df.withColumn("__q_toks", tokens_col(text_col))
+        .withColumn(out_col, F.round(score, 6))
+        .drop("__q_toks")
+    )
 
 
 def add_language_id(
