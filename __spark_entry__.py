@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from networkframe_spark import NetworkFrame
 from networkframe_spark.functions.dedup import (
     MINHASH_PRIME,
+    duplicate_clusters,
     embedding_duplicates,
     exact_duplicates,
     minhash_lsh_duplicates,
@@ -42,11 +43,13 @@ from networkframe_spark.functions.pipeline import (
     token_histogram,
     train_test_split,
 )
+from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
     ivf_top_k,
     lsh_top_k,
 )
+from networkframe_spark.functions.stats import group_percentiles
 from networkframe_spark.functions.temporal import asof_join, range_join
 from networkframe_spark.functions.text import (
     add_fingerprint,
@@ -112,6 +115,7 @@ sh AS (
 
 SIMHASH_BITS = 32
 N_PERM = 4
+PAGERANK_ITERS = 5
 
 
 def _graph(spark: SparkSession, sf_dir: str, decimal_weight: bool = False) -> NetworkFrame:
@@ -715,6 +719,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["event_dedup"] = q_event_dedup
+
+    # -- round-2 extensions: centrality, motifs, cluster dedup, search,
+    # -- distribution stats -------------------------------------------------
+    def q_pagerank(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.pagerank(damping=0.85, n_iter=PAGERANK_ITERS)
+
+    q["pagerank"] = q_pagerank
+
+    def q_triangles(spark, sf):
+        # doc-clique graph: docs < 450 form 7 mod-cliques, the rest are
+        # isolated (exercises the zero-fill path)
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        return NetworkFrame(ids, pairs).triangle_counts()
+
+    q["triangle_count"] = q_triangles
+
+    def q_dedup_clusters(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        pairs = ngram_jaccard_duplicates(docs, n=3, threshold=0.5)
+        return duplicate_clusters(docs, pairs)
+
+    q["dedup_clusters"] = q_dedup_clusters
+
+    def q_bm25(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return bm25_top_docs(docs, ["spark", "hash", "vector"], k=10)
+
+    q["bm25_search"] = q_bm25
+
+    def q_percentiles(spark, sf):
+        events = read_events(spark, sf)
+        return group_percentiles(
+            events, "value", "event_type", ps=(0.25, 0.5, 0.9, 0.99)
+        )
+
+    q["value_percentiles"] = q_percentiles
 
     return q
 
@@ -1531,6 +1579,133 @@ FROM w GROUP BY 1, 2
 
     o["event_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    # -- round-2 extensions -------------------------------------------------
+    # fixed-iteration PageRank, unrolled: one (contribution, rank) CTE
+    # pair per iteration; DECIMAL sums + 12-dp per-round rounding match
+    # the engine bit-for-bit
+    pr_iters = "".join(
+        f""",
+c{i} AS (
+  SELECT e.target AS id,
+         SUM(CAST(p.pr / d.w_out AS DECIMAL(38,18))) AS s
+  FROM edges e
+  JOIN pr{i - 1} p ON e.source = p.id
+  JOIN deg d ON e.source = d.source
+  GROUP BY e.target
+),
+pr{i} AS (
+  SELECT n.id,
+         round((1 - 0.85) / (SELECT count(*) FROM nodes)
+               + 0.85 * coalesce(CAST(c{i}.s AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes n LEFT JOIN c{i} ON n.id = c{i}.id
+)"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    o["pagerank"] = f"""
+WITH {GRAPH_CTE},
+deg AS (SELECT source, count(*) AS w_out FROM edges GROUP BY source),
+pr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)
+{pr_iters}
+SELECT id, round(pr, 6) AS pagerank FROM pr{PAGERANK_ITERS}
+"""
+
+    o["triangle_count"] = """
+WITH e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 450 AND b.doc_id < 450
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cnt.triangles, 0) AS triangles
+FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.id
+"""
+
+    # near-dup pairs (same SQL as ngram_jaccard_dedup) folded to
+    # clusters by transitive closure; min id per component
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT s.id_a, s.id_b FROM shared s
+  JOIN sizes sa ON s.id_a = sa.id
+  JOIN sizes sb ON s.id_b = sb.id
+  WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+)
+SELECT id AS doc_id, min(r) AS cluster_id, (min(r) <> id) AS is_duplicate
+FROM reach GROUP BY id
+"""
+
+    o["bm25_search"] = f"""
+WITH {TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ('spark', 'hash', 'vector')
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6)
+         AS DECIMAL(38,12)) AS ts
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+  FROM per_term GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    o["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value::DOUBLE, 0.25), 6) AS p25,
+       round(quantile_cont(value::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(value::DOUBLE, 0.9), 6) AS p90,
+       round(quantile_cont(value::DOUBLE, 0.99), 6) AS p99,
+       count(*) AS n_rows
+FROM events GROUP BY event_type
 """
 
     return o

@@ -33,6 +33,8 @@ HEADLINE = [
     "sessionize",            # lag/cumsum session windows
     "filter_quality",        # fused corpus cleanup filter (r2)
     "tfidf_top_terms",       # explode + double agg + top-k window (r2)
+    "pagerank",              # 5-iteration join/agg loop (r2)
+    "bm25_search",           # posting-list scoring + global top-k (r2)
 ]
 
 

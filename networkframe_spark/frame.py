@@ -673,6 +673,27 @@ class NetworkFrame:
         nodes = self._nodes.join(scores, on="id", how="left").orderBy("spectral_score")
         return self._return(inplace, nodes=nodes)
 
+    def pagerank(
+        self,
+        damping: float = 0.85,
+        n_iter: int = 10,
+        weight_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Fixed-iteration PageRank ``(id, pagerank)`` — scale-extension
+        centrality beyond the reference's surface; see
+        :func:`networkframe_spark.algorithms.pagerank`."""
+        from .algorithms import pagerank
+
+        return pagerank(self, damping=damping, n_iter=n_iter, weight_col=weight_col)
+
+    def triangle_counts(self) -> DataFrame:
+        """Per-node triangle counts ``(id, triangles)`` over the
+        undirected simple projection; see
+        :func:`networkframe_spark.algorithms.triangle_counts`."""
+        from .algorithms import triangle_counts
+
+        return triangle_counts(self)
+
     # ------------------------------------------------------------------
     # serde / exports (SURVEY §2.1) — implementations in exports.py
     # ------------------------------------------------------------------

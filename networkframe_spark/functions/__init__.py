@@ -9,12 +9,16 @@ semantics demand Python.
 """
 
 from .dedup import (
+    dedup_near,
+    duplicate_clusters,
     embedding_duplicates,
     exact_duplicates,
     minhash_lsh_duplicates,
     ngram_jaccard_duplicates,
     simhash_duplicates,
 )
+from .search import bm25_top_docs
+from .stats import group_percentiles
 from .pipeline import (
     add_repetition_score,
     filter_quality,
@@ -55,4 +59,8 @@ __all__ = [
     "filter_quality",
     "token_histogram",
     "tf_idf_top_terms",
+    "duplicate_clusters",
+    "dedup_near",
+    "bm25_top_docs",
+    "group_percentiles",
 ]

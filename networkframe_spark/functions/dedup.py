@@ -552,3 +552,57 @@ def _embedding_duplicates_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment over near-dup pairs
+# ---------------------------------------------------------------------------
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a near-dup PAIR table into per-document CLUSTER assignments:
+    connected components over the pair graph, ``cluster_id`` = min doc
+    id in the component.  Returns ``(id_col, cluster_id, is_duplicate)``
+    for EVERY row of ``df`` (singletons are their own cluster,
+    ``is_duplicate = false``).
+
+    This is the step pair-emitting dedup (MinHash-LSH / SimHash /
+    n-gram Jaccard / embedding) needs before it can actually drop rows:
+    near-duplication is not transitive pairwise, so keeping "one per
+    pair" over-deletes chains (A~B, B~C keeps only A) unless pairs are
+    first closed into clusters.  Reuses the engine's hierarchical
+    partition-local union-find CC (:mod:`networkframe_spark.algorithms`
+    — shuffle-free local contraction + min-label stitching), so it
+    inherits the same near-linear scaling as ``weak_components``.
+    """
+    from ..algorithms import _weak_component_min_labels
+    from ..frame import NetworkFrame
+
+    nodes = df.select(F.col(id_col).alias("id"))
+    edges = pairs.select(
+        F.col("id_a").alias("source"), F.col("id_b").alias("target")
+    )
+    labels = _weak_component_min_labels(NetworkFrame(nodes, edges))
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") != F.col("comp")).alias("is_duplicate"),
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: keep exactly one representative (the min
+    id) per :func:`duplicate_clusters` cluster.  One left-semi join —
+    ``df``'s columns pass through untouched."""
+    keep = (
+        duplicate_clusters(df, pairs, id_col=id_col)
+        .filter(~F.col("is_duplicate"))
+        .select(F.col(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")

@@ -1,0 +1,103 @@
+"""Full-text relevance search over the documents table: BM25 top-k.
+
+Scale-extension operator (no reference counterpart — the reference is a
+graph-frame library).  Design rules match the rest of ``functions/``:
+pure JVM column expressions, uniform-keyed shuffles, float determinism
+via per-term rounding + exact DECIMAL summation so the DuckDB oracle
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def bm25_top_docs(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25:
+
+        score(d) = sum_t  idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))        (Robertson/Lucene)
+
+    Returns ``(id_col, score, rank)``, rank 1..k ordered by
+    (score desc, id asc).
+
+    Plan: one explode filtered to the query's terms (the filter prunes
+    the exploded stream before any shuffle, so cost is ~one scan +
+    |matching postings|), per-(doc,term) hash-agg for tf, a tiny
+    per-term document-frequency aggregate that AQE broadcasts back, one
+    per-doc sum, one global top-k window.  The global window sorts only
+    docs that matched ≥1 query term — for selective queries that's the
+    posting-list size, not the corpus; for 100 TB corpora swap the final
+    window for a per-partition ``limit k`` + driver merge if the match
+    set itself is huge.
+
+    Determinism: per-term scores are rounded to 6 dp, summed through
+    DECIMAL(38,12) (exact, order-independent), and the total rounded to
+    6 dp — bit-reproducible at any parallelism and engine-portable
+    (``avgdl`` is an exact-integer-sum / count double division).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+    )
+    lens = toks.select("id", F.size("t").alias("dl"))
+    tot = lens.agg(
+        F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_docs = tot["n"]
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double, rank int"
+        )
+    avgdl = tot["sdl"] / n_docs
+    tf = (
+        toks.select("id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(lens, on="id")
+        .select(
+            "id",
+            F.round(
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+                6,
+            )
+            .cast("decimal(38,12)")
+            .alias("ts"),
+        )
+    )
+    scored = per_term.groupBy("id").agg(
+        F.round(F.sum("ts").cast("double"), 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )

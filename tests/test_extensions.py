@@ -1,0 +1,178 @@
+"""Round-2 extension operators: pagerank, triangle counts, near-dup
+cluster folding, BM25 search, grouped percentiles."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark import NetworkFrame
+from networkframe_spark.functions.dedup import dedup_near, duplicate_clusters
+from networkframe_spark.functions.search import bm25_top_docs
+from networkframe_spark.functions.stats import group_percentiles
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+def _pagerank_py(nodes, edges, d=0.85, n_iter=10):
+    """Driver-side reference: same semantics (dangling mass dropped)."""
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += pr[s] / outdeg[s]
+        pr = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference_loop(spark, letter_frame):
+    got = {r["id"]: r["pagerank"] for r in letter_frame.pagerank(n_iter=10).collect()}
+    want = _pagerank_py(
+        ["A", "B", "C", "D"], [("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")]
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+    # sink D collects the most mass; source A only the teleport share
+    assert got["D"] == max(got.values())
+    assert got["A"] == min(got.values())
+
+
+def test_pagerank_sums_below_one_with_dangling(spark, letter_frame):
+    # D is dangling: its mass leaks, so the total is < 1 but > (1-d)
+    total = sum(r["pagerank"] for r in letter_frame.pagerank(n_iter=20).collect())
+    assert 0.15 < total < 1.0
+
+
+def test_pagerank_weighted(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "source long, target long, weight double"
+    )
+    pr = {
+        r["id"]: r["pagerank"]
+        for r in NetworkFrame(nodes, edges)
+        .pagerank(n_iter=1, weight_col="weight")
+        .collect()
+    }
+    # after 1 iter: node1 gets d * (1/3) * 0.75, node2 gets d * (1/3) * 0.25
+    base = 0.15 / 3
+    assert pr[1] == pytest.approx(base + 0.85 * 0.75 / 3, abs=1e-6)
+    assert pr[2] == pytest.approx(base + 0.85 * 0.25 / 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# triangle counts
+# ---------------------------------------------------------------------------
+def test_triangle_counts_known_graph(spark):
+    # K4 on 0-3 (each node in C(3,2)=3 triangles) plus pendant 4, isolated 5
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 4)], "source long, target long")
+    got = {
+        r["id"]: r["triangles"]
+        for r in NetworkFrame(nodes, edges).triangle_counts().collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0}
+
+
+def test_triangle_counts_ignores_direction_dupes_loops(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    # triangle encoded with mixed directions, a duplicate edge and a loop
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (1, 1)], "source long, target long"
+    )
+    got = {
+        r["id"]: r["triangles"]
+        for r in NetworkFrame(nodes, edges).triangle_counts().collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "source long, target long"
+    )
+    plan = NetworkFrame(nodes, edges).triangle_counts()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters
+# ---------------------------------------------------------------------------
+def test_duplicate_clusters_chain(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    # chain 0~1, 1~2 plus pair 4~5: clusters {0,1,2}, {3}, {4,5}
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_duplicate"])
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, False), 1: (0, True), 2: (0, True),
+        3: (3, False), 4: (4, False), 5: (4, True),
+    }
+
+
+def test_dedup_near_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    assert kept == [0, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# bm25
+# ---------------------------------------------------------------------------
+def test_bm25_exact_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark spark hash"), (1, "spark slow"), (2, "other words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["score"], r["rank"]) for r in
+           bm25_top_docs(docs, ["spark"], k=5).collect()}
+    # hand-computed: N=3, df=2, idf=ln(1+(3-2+0.5)/2.5); avgdl=8/3
+    idf = math.log(1 + 1.5 / 2.5)
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3))), 6)
+    assert out[0] == (pytest.approx(s(2, 3), abs=1e-6), 1)
+    assert out[1] == (pytest.approx(s(1, 2), abs=1e-6), 2)
+    assert 2 not in out
+
+
+def test_bm25_rank_ties_break_by_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "a b"), (3, "a b"), (5, "a b")], "doc_id long, text string"
+    )
+    ranks = [r["doc_id"] for r in bm25_top_docs(docs, ["a"], k=3)
+             .orderBy("rank").collect()]
+    assert ranks == [3, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# percentiles
+# ---------------------------------------------------------------------------
+def test_group_percentiles_exact(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["grp"]: r for r in
+           group_percentiles(df, "value", "grp", ps=(0.5, 0.9)).collect()}
+    # percentile_cont over 1..10: p50 = 5.5, p90 = 9.1
+    assert got["a"]["p50"] == pytest.approx(5.5)
+    assert got["a"]["p90"] == pytest.approx(9.1)
+    assert got["a"]["n_rows"] == 10
+    assert got["b"]["p50"] == 5.0 and got["b"]["p90"] == 5.0
+
+
+def test_group_percentiles_approx_path(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1000)], "grp string, value double"
+    )
+    row = group_percentiles(df, "value", "grp", ps=(0.5,), exact=False).collect()[0]
+    assert abs(row["p50"] - 499.5) < 20  # sketch-bounded, not exact
