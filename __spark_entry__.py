@@ -1583,13 +1583,13 @@ SELECT DISTINCT user_id, event_type FROM events
 
     # -- round-2 extensions -------------------------------------------------
     # fixed-iteration PageRank, unrolled: one (contribution, rank) CTE
-    # pair per iteration; DECIMAL sums + 12-dp per-round rounding match
-    # the engine bit-for-bit
+    # pair per iteration; 1e-18 scaled-long integer sums + 12-dp
+    # per-round rounding match the engine bit-for-bit
     pr_iters = "".join(
         f""",
 c{i} AS (
   SELECT e.target AS id,
-         SUM(CAST(p.pr / d.w_out AS DECIMAL(38,18))) AS s
+         SUM(floor(p.pr / d.w_out * 1e18)::BIGINT) AS s
   FROM edges e
   JOIN pr{i - 1} p ON e.source = p.id
   JOIN deg d ON e.source = d.source
@@ -1598,7 +1598,7 @@ c{i} AS (
 pr{i} AS (
   SELECT n.id,
          round((1 - 0.85) / (SELECT count(*) FROM nodes)
-               + 0.85 * coalesce(CAST(c{i}.s AS DOUBLE), 0.0), 12) AS pr
+               + 0.85 * (coalesce(c{i}.s, 0) / 1e18), 12) AS pr
   FROM nodes n LEFT JOIN c{i} ON n.id = c{i}.id
 )"""
         for i in range(1, PAGERANK_ITERS + 1)

@@ -62,7 +62,7 @@ for i in range(1, 6):
     iters += f""",
 c{i} AS (
   SELECT e.target AS id,
-         SUM(CAST(p.pr / d.w_out AS DECIMAL(38,18))) AS s
+         SUM(floor(p.pr / d.w_out * 1e18)::BIGINT) AS s
   FROM edges e
   JOIN pr{i-1} p ON e.source = p.id
   JOIN deg d ON e.source = d.source
@@ -71,7 +71,7 @@ c{i} AS (
 pr{i} AS (
   SELECT n.id,
          round((1 - 0.85) / (SELECT count(*) FROM nodes)
-               + 0.85 * coalesce(CAST(c{i}.s AS DOUBLE), 0.0), 12) AS pr
+               + 0.85 * (coalesce(c{i}.s, 0) / 1e18), 12) AS pr
   FROM nodes n LEFT JOIN c{i} ON n.id = c{i}.id
 )"""
 pr_sql = prelude + iters + "\nSELECT id, round(pr, 6) AS pagerank FROM pr5"
