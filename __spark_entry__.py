@@ -38,6 +38,7 @@ from networkframe_spark.functions.pipeline import (
     filter_quality,
     hash_sample,
     leakage_report,
+    pack_token_sequences,
     stratified_sample,
     tf_idf_top_terms,
     token_histogram,
@@ -68,6 +69,7 @@ from networkframe_spark.sources import (
 from networkframe_spark.streaming.ops import (
     session_stats,
     session_window_stats,
+    user_event_sequences,
     windowed_event_counts,
 )
 
@@ -763,6 +765,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["value_percentiles"] = q_percentiles
+
+    def q_pack(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return pack_token_sequences(docs, max_tokens=2048)
+
+    q["pack_sequences"] = q_pack
+
+    def q_sequences(spark, sf):
+        events = read_events(spark, sf)
+        return user_event_sequences(events)
+
+    q["user_sequences"] = q_sequences
 
     return q
 
@@ -1706,6 +1720,35 @@ SELECT event_type,
        round(quantile_cont(value::DOUBLE, 0.99), 6) AS p99,
        count(*) AS n_rows
 FROM events GROUP BY event_type
+"""
+
+    # deterministic hash-order layout + running token total; the
+    # engine's two-phase distributed prefix sum equals this single
+    # global window by construction
+    o["pack_sequences"] = f"""
+WITH {TOKS_CTE},
+d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT % 1000000
+           AS key,
+         len(t) AS n_tokens
+  FROM toks
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       floor(start_offset / 2048)::BIGINT AS shard_id
+FROM cum
+"""
+
+    o["user_sequences"] = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+FROM events GROUP BY user_id
 """
 
     return o

@@ -24,6 +24,7 @@ from .pipeline import (
     filter_quality,
     hash_sample,
     leakage_report,
+    pack_token_sequences,
     stratified_sample,
     tf_idf_top_terms,
     token_histogram,
@@ -63,4 +64,5 @@ __all__ = [
     "dedup_near",
     "bm25_top_docs",
     "group_percentiles",
+    "pack_token_sequences",
 ]

@@ -278,3 +278,74 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards: documents
+    are laid out in deterministic hash order (shuffled but reproducible
+    — the property sequence packing needs so re-runs produce identical
+    shards) and cut into ``max_tokens``-sized bins by running token
+    count.  Returns ``(id_col, n_tokens, start_offset, shard_id)``
+    where ``start_offset`` is the document's global token position and
+    ``shard_id = floor(start_offset / max_tokens)`` (a document may
+    straddle its shard boundary — standard pretraining packing
+    semantics where the tokenizer splits at the boundary).
+
+    Scale design — distributed prefix sum, NO global window: rows are
+    range-partitioned by the hash key (order-preserving across
+    partitions), each partition computes a local running total, the
+    per-partition totals (one tiny row each) are prefix-summed on the
+    driver and broadcast back as offsets.  The global cumulative sum is
+    invariant to where the (sampled, nondeterministic) range boundaries
+    fall, so the output is deterministic even though the partitioning
+    isn't.  This is the same two-phase pattern as the component
+    renumbering in ``algorithms._dense_rank_distributed``.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        _bucket_col(F.col(id_col), seed, method).alias("key"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartitionByRange(n_part, "key", "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("pid").orderBy("key", "id")
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(local)).localCheckpoint(
+        eager=False
+    )
+    part_totals = (
+        d.groupBy("pid").agg(F.max("local_cum").alias("total")).orderBy("pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in part_totals:
+        offsets[r["pid"]] = acc
+        acc += r["total"]
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, part_offset long"
+    )
+    return (
+        d.join(F.broadcast(off_df), on="pid")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("part_offset") + F.col("local_cum") - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+            F.floor(
+                (F.col("part_offset") + F.col("local_cum") - F.col("n_tokens"))
+                / max_tokens
+            ).alias("shard_id"),
+        )
+    )

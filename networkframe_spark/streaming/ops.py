@@ -113,3 +113,49 @@ def session_stats(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> DataFrame:
+    """Reconstruct each user's ordered action sequence — the
+    behavioral-modeling / next-event-prediction training shape:
+    ``(user_id, n_events, first_ts, last_ts, sequence)`` where
+    ``sequence`` is the time-ordered ``event_type`` trail joined by
+    ``sep`` (ties broken by event_id for determinism).
+
+    One hash aggregate: ``collect_list`` of (ts, event_id, type)
+    structs, sorted per group with ``array_sort`` (struct comparison
+    is lexicographic on the fields, JVM-side), then projected to the
+    type trail.  No window, no second shuffle — the sort happens
+    inside each group's collected array, which is exactly the
+    per-entity-bounded state a sequence builder needs at corpus scale
+    (a user's history fits in memory; the corpus doesn't have to).
+    """
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("ts"),
+                                F.col("event_id").alias("eid"),
+                                F.col(type_col).alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                sep,
+            ).alias("sequence"),
+        )
+    )

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from networkframe_spark import NetworkFrame
 from networkframe_spark.functions.dedup import dedup_near, duplicate_clusters
+from networkframe_spark.functions.pipeline import pack_token_sequences
 from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.stats import group_percentiles
+from networkframe_spark.streaming.ops import user_event_sequences
 
 
 # ---------------------------------------------------------------------------
@@ -176,3 +178,58 @@ def test_group_percentiles_approx_path(spark):
     )
     row = group_percentiles(df, "value", "grp", ps=(0.5,), exact=False).collect()[0]
     assert abs(row["p50"] - 499.5) < 20  # sketch-bounded, not exact
+
+
+# ---------------------------------------------------------------------------
+# token-sequence packing
+# ---------------------------------------------------------------------------
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_token_sequences(docs, max_tokens=7).collect()
+    assert len(out) == 40
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    # contiguous layout: each start = previous start + previous length
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        assert r["shard_id"] == pos // 7
+        pos += r["n_tokens"]
+    assert pos == sum(i % 5 + 1 for i in range(40))
+
+
+def test_pack_sequences_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["start_offset"]
+         for r in pack_token_sequences(docs, max_tokens=7).collect()}
+    b = {r["doc_id"]: r["start_offset"]
+         for r in pack_token_sequences(docs.repartition(7), max_tokens=7).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# user event sequences
+# ---------------------------------------------------------------------------
+def test_user_event_sequences_order_and_ties(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 103, t0, "view"),
+        (1, 101, t0, "click"),          # same ts: event_id breaks the tie
+        (1, 105, t0 + datetime.timedelta(minutes=1), "purchase"),
+        (2, 104, t0, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r for r in user_event_sequences(ev).collect()}
+    assert got[1]["sequence"] == "click>view>purchase"
+    assert got[1]["n_events"] == 3
+    assert got[1]["first_ts"] == t0
+    assert got[2]["sequence"] == "signup"
