@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from networkframe_spark import NetworkFrame
 from networkframe_spark.functions.dedup import (
     MINHASH_PRIME,
+    containment_duplicates,
     duplicate_clusters,
     embedding_duplicates,
     exact_duplicates,
@@ -777,6 +778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return user_event_sequences(events)
 
     q["user_sequences"] = q_sequences
+
+    def q_containment(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return containment_duplicates(docs, n=3, threshold=0.8)
+
+    q["containment_dedup"] = q_containment
 
     return q
 
@@ -1749,6 +1756,22 @@ FROM cum
 SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
 FROM events GROUP BY user_id
+"""
+
+    o["containment_dedup"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+WHERE s.shared::DOUBLE / least(sa.n_sh, sb.n_sh) >= 0.8
 """
 
     return o

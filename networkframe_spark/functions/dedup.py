@@ -183,6 +183,48 @@ def ngram_jaccard_duplicates(
     return out
 
 
+def containment_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-subset pairs by shingle CONTAINMENT:
+    ``C(small in big) = shared / min(|A|, |B|)``.  Catches the cases
+    symmetric Jaccard structurally misses — a paragraph quoted inside a
+    much longer document, boilerplate wrapped around a copied body —
+    where the union term dilutes J below any usable threshold even
+    though one side is almost entirely inside the other.
+
+    Returns ``(id_a, id_b, containment)`` with ``id_a < id_b``; the
+    contained (smaller-set) side is whichever of the pair has fewer
+    shingles.  Same plan shape and ``max_df`` skew cap as
+    :func:`ngram_jaccard_duplicates` — one shingle-keyed self-join plus
+    one pair aggregate.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, max_df=max_df).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

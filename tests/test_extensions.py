@@ -233,3 +233,26 @@ def test_user_event_sequences_order_and_ties(spark):
     assert got[1]["n_events"] == 3
     assert got[1]["first_ts"] == t0
     assert got[2]["sequence"] == "signup"
+
+
+# ---------------------------------------------------------------------------
+# containment dedup
+# ---------------------------------------------------------------------------
+def test_containment_catches_subset_jaccard_misses(spark):
+    from networkframe_spark.functions.dedup import (
+        containment_duplicates,
+        ngram_jaccard_duplicates,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, quote), (1, long_doc), (2, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    cont = containment_duplicates(docs, n=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(0, 1)]
+    assert cont[0]["containment"] == 1.0  # the quote is fully inside
+    # symmetric jaccard is diluted by the filler and misses the pair
+    jac = ngram_jaccard_duplicates(docs, n=3, threshold=0.9).collect()
+    assert jac == []

@@ -151,6 +151,8 @@ def main() -> None:
     run("closure_filter", lambda: nf.query_nodes("score > 50").edges)
     run("condense", lambda: nf.condense("grp", func="sum", columns=["weight"]).edges)
     run("khop1_agg", lambda: nf.k_hop_aggregation(1, aggregations=["mean"], directed=False))
+    run("pagerank5", lambda: nf.pagerank(n_iter=5))
+    run("triangles", lambda: nf.triangle_counts())
     best = None
     for _ in range(2):
         t0 = time.time()
