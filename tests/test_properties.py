@@ -143,3 +143,92 @@ def test_strong_components_vs_reachability_oracle(spark, edge_list):
         for b in range(N_MAX):
             same = b in reach[a] and a in reach[b]
             assert (labels[a] == labels[b]) == same, (a, b, labels)
+
+
+@given(edge_list=_edges)
+@_settings
+def test_triangle_counts_match_bruteforce(spark, edge_list):
+    """Per-node triangle counts equal the brute-force count over the
+    undirected simple projection (loops dropped, duplicates collapsed)."""
+    nf = _frame(spark, edge_list)
+    got = {r["id"]: r["triangles"] for r in nf.triangle_counts().collect()}
+    und = {frozenset((s, t)) for s, t in edge_list if s != t}
+    want = {i: 0 for i in range(N_MAX)}
+    import itertools
+
+    for a, b, c in itertools.combinations(range(N_MAX), 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((a, c)) in und
+            and frozenset((b, c)) in und
+        ):
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    assert got == want, (sorted(und), got, want)
+
+
+@given(edge_list=_edges)
+@_settings
+def test_pagerank_matches_python_loop(spark, edge_list):
+    """Engine PageRank equals the plain-Python recurrence (dangling
+    mass dropped, multigraph multiplicity) within rounding tolerance."""
+    nf = _frame(spark, edge_list)
+    got = {r["id"]: r["pagerank"] for r in nf.pagerank(n_iter=3).collect()}
+    outdeg: dict[int, int] = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / N_MAX for v in range(N_MAX)}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in range(N_MAX)}
+        for s, t in edge_list:
+            contrib[t] += pr[s] / outdeg[s]
+        pr = {v: 0.15 / N_MAX + 0.85 * contrib[v] for v in range(N_MAX)}
+    for v in range(N_MAX):
+        assert abs(got[v] - pr[v]) < 5e-6, (v, got[v], pr[v])
+
+
+@given(
+    pair_list=st.lists(
+        st.tuples(st.integers(0, N_MAX - 1), st.integers(0, N_MAX - 1)),
+        min_size=0,
+        max_size=8,
+    )
+)
+@_settings
+def test_duplicate_clusters_match_union_find(spark, pair_list):
+    """Cluster folding equals a driver-side union-find over the same
+    pairs (self-pairs and duplicates included)."""
+    from networkframe_spark.functions.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(N_MAX)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in pair_list] or [], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_duplicate"])
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    parent = list(range(N_MAX))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    roots = {}
+    for i in range(N_MAX):
+        r = find(i)
+        roots.setdefault(r, i)  # min member = first seen ascending
+    for i in range(N_MAX):
+        cid = roots[find(i)]
+        want[i] = (cid, i != cid)
+    assert got == want, (pair_list, got, want)
