@@ -58,6 +58,7 @@ from networkframe_spark.functions.text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    redact_pii,
     word_tokens_col,
 )
 from networkframe_spark.sources import (
@@ -784,6 +785,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return containment_duplicates(docs, n=3, threshold=0.8)
 
     q["containment_dedup"] = q_containment
+
+    def q_redact(spark, sf):
+        # plant deterministic PII spans so the redaction has visible
+        # effect on the synthetic corpus; the oracle plants identically
+        docs = read_table(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        out = redact_pii(planted)
+        return out.select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.substring("text_redacted", 1, 80).alias("head"),
+        )
+
+    q["pii_redact"] = q_redact
+
+    def q_describe(spark, sf):
+        return _graph(spark, sf).describe()
+
+    q["graph_describe"] = q_describe
 
     return q
 
@@ -1772,6 +1804,53 @@ FROM shared s
 JOIN sizes sa ON s.id_a = sa.id
 JOIN sizes sb ON s.id_b = sb.id
 WHERE s.shared::DOUBLE / least(sa.n_sh, sb.n_sh) >= 0.8
+"""
+
+    o["pii_redact"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                 ELSE '' END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\+?\d[\d\-\s]{7,}\d')) AS n_phone
+  FROM planted
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       substr(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+           '\+?\d[\d\-\s]{7,}\d', '[PHONE]', 'g'),
+         1, 80) AS head
+FROM counted
+"""
+
+    o["graph_describe"] = f"""
+WITH {GRAPH_CTE}
+SELECT
+  (SELECT count(*) FROM nodes) AS n_nodes,
+  (SELECT count(*) FROM edges) AS n_edges,
+  (SELECT count(*) FROM (SELECT DISTINCT source, target FROM edges)) AS n_distinct_pairs,
+  (SELECT coalesce(sum(CASE WHEN source = target THEN 1 ELSE 0 END), 0) FROM edges) AS n_self_loops,
+  (SELECT coalesce(max(d), 0) FROM (SELECT count(*) AS d FROM edges GROUP BY source)) AS max_out_degree,
+  (SELECT coalesce(max(d), 0) FROM (SELECT count(*) AS d FROM edges GROUP BY target)) AS max_in_degree,
+  (SELECT count(*) FROM nodes n
+   WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.source = n.id OR e.target = n.id))
+    AS n_isolated
 """
 
     return o

@@ -694,6 +694,54 @@ class NetworkFrame:
 
         return triangle_counts(self)
 
+    def describe(self) -> DataFrame:
+        """One-row structural profile of the graph: ``n_nodes,
+        n_edges, n_distinct_pairs, n_self_loops, max_out_degree,
+        max_in_degree, n_isolated`` — the first thing to run on an
+        unfamiliar graph (multigraph-ness = n_edges vs
+        n_distinct_pairs; hub skew = max degrees; coverage =
+        n_isolated).
+
+        Fully lazy: composed from one-row aggregates cross-joined
+        together (each side is a single row, so the joins are free);
+        the heavy inputs are one pass over edges + two degree
+        aggregates.  Every term is a plain SQL scalar, so the profile
+        is oracle-checkable.
+        """
+        e = self._edges
+        edge_stats = e.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct(F.struct("source", "target")).alias("n_distinct_pairs"),
+            F.sum(
+                (F.col("source") == F.col("target")).cast("long")
+            ).alias("n_self_loops"),
+        ).select(
+            "n_edges", "n_distinct_pairs", F.coalesce("n_self_loops", F.lit(0)).alias("n_self_loops")
+        )
+        node_stats = self._nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        max_out = (
+            e.groupBy("source").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.coalesce(F.max("d"), F.lit(0)).alias("max_out_degree"))
+        )
+        max_in = (
+            e.groupBy("target").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.coalesce(F.max("d"), F.lit(0)).alias("max_in_degree"))
+        )
+        endpoints = e.select(F.col("source").alias("id")).unionAll(
+            e.select(F.col("target").alias("id"))
+        ).distinct()
+        isolated = (
+            self._nodes.select("id")
+            .join(endpoints, on="id", how="left_anti")
+            .agg(F.count(F.lit(1)).alias("n_isolated"))
+        )
+        return (
+            node_stats.crossJoin(edge_stats)
+            .crossJoin(max_out)
+            .crossJoin(max_in)
+            .crossJoin(isolated)
+        )
+
     # ------------------------------------------------------------------
     # serde / exports (SURVEY §2.1) — implementations in exports.py
     # ------------------------------------------------------------------

@@ -37,6 +37,7 @@ from .text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    redact_pii,
     tokens_col,
 )
 
@@ -67,4 +68,5 @@ __all__ = [
     "group_percentiles",
     "pack_token_sequences",
     "containment_duplicates",
+    "redact_pii",
 ]

@@ -154,3 +154,46 @@ def add_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:
     return df.withColumn(out_col, fingerprint_col(text_col))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) agree on —
+# no lookbehind, no backreferences — so the oracle reproduces them
+# exactly.  Order matters (email before phone: an address's digits must
+# not be half-eaten first); applied sequentially in dict order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\-\s]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "[{name}]",
+) -> DataFrame:
+    """Scrub PII-shaped spans from ``text_col``: each pattern is
+    counted (``n_<name>`` columns) then replaced with its redaction
+    token, sequentially.  The standard pre-release / pre-training
+    compliance pass.
+
+    Pure JVM ``regexp_count`` / ``regexp_replace`` column expressions —
+    single scan, codegen'd, no shuffle; at corpus scale this is
+    IO-bound like any map-only pass.  Counts are computed on the
+    ORIGINAL text (before any replacement), so they are independent of
+    pattern order even when matches of different patterns overlap.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, token_fmt.format(name=name.upper()))
+    return out.withColumn(out_col, red)

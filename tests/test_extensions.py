@@ -256,3 +256,55 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric jaccard is diluted by the filler and misses the pair
     jac = ngram_jaccard_duplicates(docs, n=3, threshold=0.9).collect()
     assert jac == []
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_redact_pii_counts_and_replaces(spark):
+    from networkframe_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a@b.co and c@d.org please"),
+            (1, "server at 10.0.0.1 answered"),
+            (2, "call +1 555-123-4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["n_email"] == 2 and "[EMAIL]" in got[0]["text_redacted"]
+    assert "@" not in got[0]["text_redacted"]
+    assert got[1]["n_ipv4"] == 1 and got[1]["text_redacted"] == "server at [IPV4] answered"
+    assert got[2]["n_phone"] == 1 and got[2]["text_redacted"] == "call [PHONE] today"
+    assert got[3]["text_redacted"] == "nothing sensitive here"
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# graph describe
+# ---------------------------------------------------------------------------
+def test_describe_profile(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    # 0->1 twice (parallel), 1->1 loop, 2->0; node 3, 4 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (2, 0)], "source long, target long"
+    )
+    row = NetworkFrame(nodes, edges).describe().collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 4
+    assert row["n_distinct_pairs"] == 3
+    assert row["n_self_loops"] == 1
+    assert row["max_out_degree"] == 2
+    assert row["max_in_degree"] == 3
+    assert row["n_isolated"] == 2
+
+
+def test_describe_empty_edges(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([], "source long, target long")
+    row = NetworkFrame(nodes, edges).describe().collect()[0]
+    assert row["n_edges"] == 0 and row["n_self_loops"] == 0
+    assert row["max_out_degree"] == 0 and row["max_in_degree"] == 0
+    assert row["n_isolated"] == 2
