@@ -180,3 +180,53 @@ def stream_range_join(
         .queryName(query_name)
         .start()
     )
+
+
+def user_sequence_builder(events: DataFrame):
+    """Streaming twin of :func:`networkframe_spark.streaming.ops.
+    user_event_sequences`: per-user ordered event-type trail maintained
+    in state-store-backed per-key state via ``applyInPandasWithState``.
+
+    Robust to cross-micro-batch disorder: state holds the (ts,
+    event_id, event_type) triples seen so far and the trail is
+    re-sorted at every emit, so the final update equals the batch
+    aggregate regardless of arrival order.  State is per-key bounded by
+    that user's history — unbounded over time by construction (a
+    sequence builder must remember the sequence); production use pairs
+    this with a state TTL/timeout or a windowed restriction on how much
+    trail to keep.  Streaming-only (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_list, eid_list, et_list = state.get
+            ts_list = list(ts_list)
+            eid_list = list(eid_list)
+            et_list = list(et_list)
+        else:
+            ts_list, eid_list, et_list = [], [], []
+        for pdf in pdfs:
+            ts_list += [int(t) for t in pdf["ts"].astype("int64")]
+            eid_list += [int(x) for x in pdf["event_id"]]
+            et_list += [str(x) for x in pdf["event_type"]]
+        state.update((ts_list, eid_list, et_list))
+        order = sorted(range(len(ts_list)), key=lambda i: (ts_list[i], eid_list[i]))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": len(et_list),
+                    "sequence": ">".join(et_list[i] for i in order),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sequence string",
+        stateStructType="ts array<long>, eid array<long>, et array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

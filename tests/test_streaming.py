@@ -297,3 +297,42 @@ def test_stream_range_join_matches_batch(spark, tmp_path):
         for r in range_join(clicks, errors, on="user_id", window_seconds=600).collect()
     }
     assert got == want and got == {(1, 1, 2), (2, 4, 5)}
+
+
+def test_stream_sequence_builder_matches_batch(spark, events, tmp_path):
+    """The final per-user update of the stateful sequence builder must
+    equal the batch user_event_sequences trail, even though events
+    arrive across multiple unordered micro-batches."""
+    from networkframe_spark.streaming.ops import user_event_sequences
+    from networkframe_spark.streaming.stream import user_sequence_builder
+
+    src = str(tmp_path / "events_seq_src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        user_sequence_builder(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_seq_builder")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_seq_builder").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sequence"])
+    want = {
+        r["user_id"]: (r["n_events"], r["sequence"])
+        for r in user_event_sequences(events).collect()
+    }
+    assert final == want
