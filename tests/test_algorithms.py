@@ -62,6 +62,32 @@ def test_strong_components_dag(spark):
     assert labels.select("component").distinct().count() == 4
 
 
+def test_strong_components_distributed_fb_path(spark, monkeypatch):
+    """Force the distributed Forward-Backward SCC path (normally gated
+    behind _SCC_LOCAL_MAX_EDGES) on a graph that stresses its fixpoint:
+    a 40-cycle (worst case for plain label propagation — pointer
+    jumping must converge in ~log rounds, not 40), a DAG tail hanging
+    off it, and a separate 2-cycle."""
+    from networkframe_spark import algorithms
+
+    monkeypatch.setattr(algorithms, "_SCC_LOCAL_MAX_EDGES", 0)
+    n = 40
+    cycle = [(i, (i + 1) % n) for i in range(n)]
+    tail = [(0, 100), (100, 101), (101, 102)]
+    duo = [(200, 201), (201, 200)]
+    node_ids = list(range(n)) + [100, 101, 102, 200, 201]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(cycle + tail + duo, "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    labels = {r["id"]: r["component"] for r in nf.component_labels(
+        directed=True, connection="strong").collect()}
+    assert len(labels) == len(node_ids)
+    assert len({labels[i] for i in range(n)}) == 1  # the 40-cycle is one SCC
+    assert labels[200] == labels[201]
+    # DAG tail nodes are singleton SCCs, all distinct
+    assert len({labels[100], labels[101], labels[102], labels[0], labels[200]}) == 5
+
+
 def test_largest_connected_component(two_component_frame):
     out = two_component_frame.largest_connected_component(connection="weak")
     assert ids(out.nodes) == [0, 1, 2]
