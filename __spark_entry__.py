@@ -36,6 +36,7 @@ from networkframe_spark.functions.dedup import (
 from networkframe_spark.functions.multimodal import extract_image_features
 from networkframe_spark.functions.pipeline import (
     add_repetition_score,
+    dedup_chunks,
     filter_quality,
     hash_sample,
     leakage_report,
@@ -49,6 +50,7 @@ from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
     ivf_top_k,
+    label_centroids,
     lsh_top_k,
 )
 from networkframe_spark.functions.stats import group_percentiles
@@ -816,6 +818,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _graph(spark, sf).describe()
 
     q["graph_describe"] = q_describe
+
+    # -- round-2 session-3 extensions: BFS distances, k-core, link
+    # -- prediction, chunk-level dedup, label centroids ---------------------
+    def q_hop_distances(spark, sf):
+        nf = _graph(spark, sf).query_edges("weight > 103000").persist()
+        seed = (
+            nf.edges.orderBy(F.desc("weight"), F.asc("source"), F.asc("target"))
+            .limit(1)
+            .collect()[0]["source"]
+        )
+        return nf.hop_distances(seed, directed=False)
+
+    q["hop_distances"] = q_hop_distances
+
+    def q_k_core(spark, sf):
+        nf = _graph(spark, sf).query_edges("weight > 103000")
+        return nf.k_core(2)
+
+    q["k_core"] = q_k_core
+
+    def q_link_prediction(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.link_prediction(min_common=2, max_hub_degree=50)
+
+    q["link_prediction"] = q_link_prediction
+
+    def q_dedup_chunks(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        out = dedup_chunks(docs, chunk_tokens=20)
+        return out.select(
+            "doc_id", "n_chunks", "n_kept",
+            F.substring("text_deduped", 1, 120).alias("head"),
+        )
+
+    q["dedup_chunks"] = q_dedup_chunks
+
+    def q_label_centroids(spark, sf):
+        emb = read_embeddings(spark, sf)
+        out = label_centroids(emb)
+        return out.select(
+            "label", "n_vectors",
+            F.posexplode("centroid").alias("pos", "c"),
+        )
+
+    q["label_centroids"] = q_label_centroids
 
     return q
 
@@ -1851,6 +1898,125 @@ SELECT
   (SELECT count(*) FROM nodes n
    WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.source = n.id OR e.target = n.id))
     AS n_isolated
+"""
+
+    o["hop_distances"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT source, target FROM edges WHERE weight > 103000),
+seed AS (
+  SELECT source AS id FROM edges WHERE weight > 103000
+  ORDER BY weight DESC, source ASC, target ASC LIMIT 1
+),
+sym AS (
+  SELECT source AS a, target AS b FROM heavy
+  UNION
+  SELECT target AS a, source AS b FROM heavy
+),
+walk AS (
+  SELECT id, 0 AS dist FROM seed
+  UNION
+  SELECT s.b AS id, walk.dist + 1 AS dist
+  FROM walk JOIN sym s ON s.a = walk.id
+  WHERE walk.dist < 30
+)
+SELECT id, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY id
+"""
+
+    # unrolled fixed-iteration peel: fixpoint measured at 3 rounds on
+    # the sf0.01 heavy subgraph; 6 gives margin (extra rounds are
+    # no-ops once converged, so over-unrolling is always safe)
+    _kc = [
+        "und AS (SELECT DISTINCT least(source, target) AS u,"
+        " greatest(source, target) AS v FROM heavy WHERE source != target)",
+        "nb0 AS (SELECT u AS id, v AS nb FROM und"
+        " UNION ALL SELECT v AS id, u AS nb FROM und)",
+    ]
+    for _i in range(6):
+        _kc.append(
+            f"k{_i + 1} AS (SELECT id FROM (SELECT id, count(*) AS c"
+            f" FROM nb{_i} GROUP BY id) WHERE c >= 2)"
+        )
+        _kc.append(
+            f"nb{_i + 1} AS (SELECT nb{_i}.id, nb{_i}.nb FROM nb{_i}"
+            f" WHERE nb{_i}.id IN (SELECT id FROM k{_i + 1})"
+            f" AND nb{_i}.nb IN (SELECT id FROM k{_i + 1}))"
+        )
+    o["k_core"] = (
+        f"WITH {GRAPH_CTE},\n"
+        "heavy AS (SELECT source, target FROM edges WHERE weight > 103000),\n"
+        + ",\n".join(_kc)
+        + "\nSELECT id, count(*) AS core_degree FROM nb6 GROUP BY id"
+        " HAVING count(*) >= 2"
+    )
+
+    o["link_prediction"] = f"""
+WITH {GRAPH_CTE},
+e AS (
+  SELECT DISTINCT least(source, target) AS u, greatest(source, target) AS v
+  FROM edges WHERE source != target
+),
+nb AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+deg AS (SELECT x AS id, count(*) AS deg FROM nb GROUP BY x),
+centers AS (
+  SELECT nb.w, nb.x FROM nb JOIN deg ON deg.id = nb.w WHERE deg.deg <= 50
+),
+wd AS (SELECT c.w, c.x, d.deg AS wdeg FROM centers c JOIN deg d ON d.id = c.w),
+pairs AS (
+  SELECT t1.x AS a, t2.x AS b, count(*) AS n_common,
+         sum(1.0 / ln(t1.wdeg)) AS aa
+  FROM wd t1 JOIN wd t2 ON t1.w = t2.w AND t1.x < t2.x
+  GROUP BY t1.x, t2.x
+  HAVING count(*) >= 2
+),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.a AND e.v = p.b)
+)
+SELECT a AS source, b AS candidate, n_common,
+       round(n_common / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+         AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM nonadj JOIN deg da ON da.id = a JOIN deg db ON db.id = b
+"""
+
+    o["dedup_chunks"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nch AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS INTEGER) AS n_chunks FROM tok
+),
+ch AS (SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS pos, t FROM nch),
+chunks AS (
+  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         array_to_string(t[(pos * 20 + 1):(pos * 20 + 20)], ' ') AS chunk
+  FROM ch
+),
+first AS (
+  SELECT chunk, min(doc_id * 100000 + pos) AS fo FROM chunks GROUP BY chunk
+),
+kept AS (
+  SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+  JOIN first f ON f.chunk = c.chunk AND c.doc_id * 100000 + c.pos = f.fo
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_chunks, CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+       substr(coalesce(a.text_deduped, ''), 1, 120) AS head
+FROM nch n LEFT JOIN agg a USING (doc_id)
+"""
+
+    o["label_centroids"] = """
+WITH longf AS (
+  SELECT label,
+         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors, pos,
+       round(avg(CAST(val AS DOUBLE)), 6) AS c
+FROM longf GROUP BY label, pos
 """
 
     return o

@@ -989,3 +989,190 @@ def triangle_counts(frame) -> DataFrame:
     return ids.join(corners, on="id", how="left").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def hop_distances(
+    frame, node_id: Any, directed: bool = True, max_hops: int | None = None
+) -> DataFrame:
+    """Single-source BFS hop distances: ``(id, dist)`` for every node
+    reachable from ``node_id`` (the seed itself at ``dist = 0``).
+
+    Reference: networkframe.py:962-998 runs scipy ``shortest_path``
+    from one source and keeps the finite rows; this is the distance
+    vector that computation produces, unweighted.  Same frontier loop
+    as :func:`reachable_from` but each wave is stamped with its hop
+    number before being folded into the visited set, so ``dist`` is
+    the minimum hop count by construction (a node is claimed by the
+    first wave that reaches it).
+
+    Scale design: the edge table is cached hash-partitioned on
+    ``source`` once; each round shuffles only the (shrinking) frontier
+    to it, and the single action per round is the frontier count.
+    Rounds are bounded by graph diameter (or ``max_hops``).
+    """
+    edges = _edge_pairs(frame, directed).repartition("source").cache()
+    visited = (
+        _seed_df(frame, node_id)
+        .select("id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    limit = _MAX_ITER if max_hops is None else max_hops
+    for d in range(1, limit + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("id", "source"),
+                on="source",
+                how="left_semi",
+            )
+            .select(F.col("target").alias("id"))
+            .distinct()
+            .join(visited.select("id"), on="id", how="left_anti")
+            .select("id", F.lit(d).alias("dist"))
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("id")
+    edges.unpersist()
+    return visited
+
+
+def k_core(frame, k: int, max_iter: int = 50) -> DataFrame:
+    """The k-core of the undirected simple projection: iteratively
+    peel nodes of degree < k until fixpoint; returns ``(id,
+    core_degree)`` for the surviving nodes (degree counted inside the
+    core).
+
+    Scale-extension operator (no reference counterpart; SURVEY §2.11).
+    The k-core is the unique maximal subgraph with min degree >= k, so
+    the fixpoint is order-independent — any peeling schedule converges
+    to the same set, which is what makes the result oracle-checkable
+    by an unrolled fixed-iteration SQL twin.
+
+    Scale design: each round is one partial+final hash aggregate
+    (degrees) and two semi-joins (drop adjacency rows whose endpoint
+    was peeled) — all keyed equi-joins on the node id, uniform
+    shuffles.  The adjacency is halved rows-per-round in the worst
+    case and lazily checkpointed, so lineage stays O(1); the per-round
+    action is a single count used both for convergence and to
+    materialize the checkpoint.  Rounds are bounded by the peel depth
+    (<= max core number steps, typically << diameter).
+    """
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = e.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    nb = (
+        und.select(F.col("u").alias("id"), F.col("v").alias("nb"))
+        .unionAll(und.select(F.col("v").alias("id"), F.col("u").alias("nb")))
+        .localCheckpoint(eager=False)
+    )
+    n_rows = nb.count()
+    for _ in range(max_iter):
+        keep = (
+            nb.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+        )
+        nb2 = (
+            nb.join(keep, on="id", how="left_semi")
+            .join(
+                keep.withColumnRenamed("id", "nb"), on="nb", how="left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        n2 = nb2.count()
+        nb = nb2
+        if n2 == n_rows:
+            break
+        n_rows = n2
+    return (
+        nb.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def link_prediction(
+    frame,
+    min_common: int = 2,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link-prediction scores over the undirected
+    simple projection: for every non-adjacent pair ``(a, b)`` with at
+    least ``min_common`` shared neighbors, emit ``(source, candidate,
+    n_common, jaccard, adamic_adar)`` with ``source < candidate``.
+
+    Scale-extension operator (SURVEY §2.11).  ``jaccard = |N(a) ∩
+    N(b)| / |N(a) ∪ N(b)|``; ``adamic_adar = Σ_w 1/ln(deg(w))`` over
+    shared neighbors ``w`` (Adamic & Adar 2003) — both standard
+    similarity-based link predictors.
+
+    Scale design: candidate pairs come from a wedge self-join of the
+    adjacency on the shared-neighbor key ``w`` — output is
+    ``Σ_w C(deg(w), 2)`` rows, so a single high-degree hub is
+    quadratic in its degree.  ``max_hub_degree`` caps that skew by
+    dropping wedge centers above the cap BEFORE the self-join (the
+    standard practical mitigation: scores through mega-hubs carry
+    negligible Adamic-Adar weight anyway, 1/ln(deg)).  Everything else
+    is keyed equi-joins + one hash aggregate on the pair key; the
+    existing-edge exclusion is a left-anti join on the same key.
+    Scores round to 6 dp for engine-portable hashes.
+    """
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = e.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    nb = und.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        und.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = nb.groupBy(F.col("x").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    centers = nb
+    if max_hub_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_hub_degree).select(
+            F.col("id").alias("w")
+        )
+        centers = nb.join(ok, on="w", how="left_semi")
+    wd = centers.join(
+        deg.select(F.col("id").alias("w"), F.col("deg").alias("wdeg")), on="w"
+    )
+    t1 = wd.select("w", F.col("x").alias("a"), "wdeg")
+    t2 = wd.select("w", F.col("x").alias("b"))
+    pairs = (
+        t1.join(t2, on="w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("wdeg").cast("double"))).alias("aa"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .join(
+            und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            on=["a", "b"],
+            how="left_anti",
+        )
+    )
+    return (
+        pairs.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(
+            F.col("a").alias("source"),
+            F.col("b").alias("candidate"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+    )

@@ -694,6 +694,37 @@ class NetworkFrame:
 
         return triangle_counts(self)
 
+    def hop_distances(
+        self, node_id, directed: bool = True, max_hops: Optional[int] = None
+    ) -> DataFrame:
+        """Single-source BFS hop distances ``(id, dist)`` — the
+        distance vector behind the reference's
+        ``select_component_from_node`` scipy shortest-path call
+        (networkframe.py:962-998); see
+        :func:`networkframe_spark.algorithms.hop_distances`."""
+        from .algorithms import hop_distances
+
+        return hop_distances(self, node_id, directed=directed, max_hops=max_hops)
+
+    def k_core(self, k: int, max_iter: int = 50) -> DataFrame:
+        """k-core ``(id, core_degree)`` of the undirected simple
+        projection; see :func:`networkframe_spark.algorithms.k_core`."""
+        from .algorithms import k_core
+
+        return k_core(self, k, max_iter=max_iter)
+
+    def link_prediction(
+        self, min_common: int = 2, max_hub_degree: Optional[int] = None
+    ) -> DataFrame:
+        """Common-neighbor / Jaccard / Adamic-Adar link-prediction
+        scores for non-adjacent pairs; see
+        :func:`networkframe_spark.algorithms.link_prediction`."""
+        from .algorithms import link_prediction
+
+        return link_prediction(
+            self, min_common=min_common, max_hub_degree=max_hub_degree
+        )
+
     def describe(self) -> DataFrame:
         """One-row structural profile of the graph: ``n_nodes,
         n_edges, n_distinct_pairs, n_self_loops, max_out_degree,

@@ -349,3 +349,69 @@ def pack_token_sequences(
             ).alias("shard_id"),
         )
     )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Sub-document (chunk-level) exact deduplication, MassiveText /
+    RefinedWeb style: split every document into fixed-size token
+    chunks, drop every chunk whose exact text already occurred earlier
+    in the corpus (global order = ``(doc_id, chunk_pos)``), and
+    reassemble what survives.  Catches boilerplate repeated INSIDE
+    otherwise-distinct documents, which whole-document exact dedup
+    (:func:`~networkframe_spark.functions.dedup.exact_duplicates`)
+    cannot see.
+
+    Returns one row per input doc: ``(doc_id, n_chunks, n_kept,
+    text_deduped)``.
+
+    Scale design: chunking is a pure per-row array expression (no
+    explode until the chunk table); the global first-occurrence
+    choice is ONE hash aggregate on the chunk text — min over an
+    order-encoding integer key ``doc_id * 100000 + pos`` (pos <
+    100000 for any document under 2M tokens) — followed by ONE
+    equi-join back on the chunk key, then a per-doc reassembly
+    aggregate.  Everything is uniform-key partial+final hash aggs;
+    no windows, no skew beyond natural chunk-text frequency (the
+    hottest duplicate chunk folds map-side).  For 100 TB, hash the
+    chunk to a 128-bit key first if chunk text is long; kept as raw
+    text here so the SQL twin is byte-identical.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    okey = F.col(id_col) * 100000 + F.col("pos")
+    first = (
+        exploded.groupBy("chunk")
+        .agg(F.min(okey).alias("first_okey"))
+    )
+    kept = exploded.join(first, on="chunk").filter(okey == F.col("first_okey"))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    totals = df.select(F.col(id_col), n_chunks.alias("n_chunks"))
+    return totals.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )

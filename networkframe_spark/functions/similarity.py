@@ -313,3 +313,37 @@ def lsh_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Element-wise mean embedding per label: ``(label, n_vectors,
+    centroid array<double>)`` — the building block for IVF coarse
+    quantizers, class prototypes, and embedding-drift monitoring.
+
+    Scale design: one ``posexplode`` to long ``(label, pos, val)``
+    form, one partial+final hash aggregate on the uniform composite
+    key ``(label, pos)`` (dims x labels groups — tiny), then a
+    per-label reassembly agg.  No vector ever needs to fit anywhere
+    special; the wide array only re-materializes at k x dim output
+    size.  Means are rounded to 6 dp so sums are engine-portable
+    (same convention as every cosine score here).
+    """
+    longf = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    by_dim = longf.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return by_dim.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid"),
+    )

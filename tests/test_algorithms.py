@@ -301,3 +301,79 @@ def test_k_hop_aggregation_callable(letter_frame):
         mx, mn = builtin_max[node]
         want = None if mx is None else float(mx - mn)
         assert (got is None and want is None) or math.isclose(got, want), node
+
+
+def test_hop_distances(spark):
+    """BFS hop distances on a path-with-branch graph: exact hand
+    distances, unreachable nodes absent (reference semantics:
+    networkframe.py:962-998 keeps only finite scipy distances)."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # 0-1-2-3 path, 1-4 branch; 5 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {r["id"]: r["dist"] for r in nf.hop_distances(0, directed=False).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}
+    # directed: only forward edges
+    got_d = {r["id"]: r["dist"] for r in nf.hop_distances(2, directed=True).collect()}
+    assert got_d == {2: 0, 3: 1}
+    # max_hops truncation
+    got_h = {r["id"]: r["dist"] for r in nf.hop_distances(0, directed=False, max_hops=1).collect()}
+    assert got_h == {0: 0, 1: 1}
+
+
+def test_k_core(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle
+    (chain peels over two rounds — exercises the cascade)."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # triangle 0-1-2, chain 2-3-4, isolated 5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {r["id"]: r["core_degree"] for r in nf.k_core(2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert nf.k_core(3).count() == 0
+
+
+def test_link_prediction(spark):
+    """Hand-computed Adamic-Adar / Jaccard on a 5-node graph."""
+    import math
+
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    # 0 and 1 share neighbors {2, 3}; 0-1 NOT adjacent.
+    # deg: 2 -> {0,1,4} = 3, 3 -> {0,1} = 2
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2), (1, 3), (2, 4)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    rows = {
+        (r["source"], r["candidate"]): r
+        for r in nf.link_prediction(min_common=2).collect()
+    }
+    # (0,1) share {2,3}; (2,3) share {0,1} — both non-adjacent
+    assert set(rows) == {(0, 1), (2, 3)}
+    r01 = rows[(0, 1)]
+    assert r01["n_common"] == 2
+    # jaccard = 2 / (2 + 2 - 2) = 1.0
+    assert r01["jaccard"] == 1.0
+    want_aa = round(1 / math.log(3) + 1 / math.log(2), 6)
+    assert abs(r01["adamic_adar"] - want_aa) < 1e-9
+    r23 = rows[(2, 3)]
+    # jaccard = 2 / (3 + 2 - 2) = 2/3; aa = 2/ln(2)
+    assert r23["jaccard"] == round(2 / 3, 6)
+    assert abs(r23["adamic_adar"] - round(2 / math.log(2), 6)) < 1e-9
+    # hub cap: center 2 (deg 3) is dropped, so (0,1) only counts its
+    # wedge through center 3 — n_common falls from 2 to 1
+    capped = {
+        (r["source"], r["candidate"]): r["n_common"]
+        for r in nf.link_prediction(min_common=1, max_hub_degree=2).collect()
+    }
+    assert capped[(0, 1)] == 1

@@ -371,3 +371,22 @@ def test_lsh_top_k_recall_fixture(spark):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9
+
+
+def test_label_centroids(spark):
+    """Element-wise per-label means, rounded 6dp, order-stable."""
+    from networkframe_spark.functions.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["centroid"] == [2.0, 3.0]
+    assert out[1]["n_vectors"] == 1
+    assert out[1]["centroid"] == [10.0, 20.0]

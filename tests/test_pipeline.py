@@ -161,3 +161,32 @@ def test_pipeline_on_fixture(spark):
         token_histogram(docs).agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
     )
     assert hist_total == n
+
+
+def test_dedup_chunks(spark):
+    """Chunk-level exact dedup: a chunk repeated across docs survives
+    only at its first (doc_id, pos) occurrence; unique text is kept
+    verbatim; a fully-duplicated doc empties out."""
+    from networkframe_spark.functions.pipeline import dedup_chunks
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one whole chunk
+    u1 = " ".join(f"x{i}" for i in range(4))
+    u2 = " ".join(f"y{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1}"),   # chunks: [boiler, u1]
+            (2, f"{u2} {boiler}"),   # boiler already seen -> dropped
+            (3, boiler),             # fully duplicated -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_chunks(docs, chunk_tokens=4).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_deduped"] == f"{boiler} {u1}"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_deduped"] == u2
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_deduped"] == ""
