@@ -22,6 +22,7 @@ from .search import bm25_top_docs
 from .stats import group_percentiles
 from .pipeline import (
     add_repetition_score,
+    dedup_chunks,
     filter_quality,
     hash_sample,
     leakage_report,
@@ -31,7 +32,7 @@ from .pipeline import (
     token_histogram,
     train_test_split,
 )
-from .similarity import brute_force_top_k, lsh_top_k
+from .similarity import brute_force_top_k, label_centroids, lsh_top_k
 from .text import (
     add_fingerprint,
     add_language_id,
@@ -69,4 +70,6 @@ __all__ = [
     "pack_token_sequences",
     "containment_duplicates",
     "redact_pii",
+    "dedup_chunks",
+    "label_centroids",
 ]

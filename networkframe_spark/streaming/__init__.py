@@ -9,11 +9,12 @@ unified-API contract.
 """
 
 from .ops import session_stats, sessionize, windowed_event_counts
-from .stream import stream_events_windowed
+from .stream import stream_deduplicate, stream_events_windowed
 
 __all__ = [
     "sessionize",
     "session_stats",
     "windowed_event_counts",
     "stream_events_windowed",
+    "stream_deduplicate",
 ]

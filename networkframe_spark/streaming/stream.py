@@ -230,3 +230,30 @@ def user_sequence_builder(events: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_deduplicate(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+):
+    """Streaming exact deduplication — the streaming twin of the batch
+    ``event_dedup`` query (``dropDuplicates`` over key columns).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    per-key state is EVICTED once the watermark passes the first-seen
+    event time, so state is bounded by (key cardinality within the
+    watermark horizon), not by stream lifetime — the only formulation
+    that survives an unbounded 100 TB/day stream.  Set it ``False``
+    for the classic exact-forever ``dropDuplicates`` (state grows with
+    distinct keys; only for bounded key domains).
+
+    Takes the streaming DataFrame (caller owns source + sink wiring),
+    returns the deduplicated streaming DataFrame.
+    """
+    keys = keys or ["user_id", "event_type"]
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)

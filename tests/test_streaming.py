@@ -336,3 +336,43 @@ def test_stream_sequence_builder_matches_batch(spark, events, tmp_path):
         for r in user_event_sequences(events).collect()
     }
     assert final == want
+
+
+def test_stream_deduplicate_matches_batch(spark, events, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark over the fixture (all
+    events inside one watermark horizon) must keep exactly one row per
+    (user_id, event_type) — the batch event_dedup result."""
+    from networkframe_spark.streaming.stream import stream_deduplicate
+
+    # duplicate every event so the stream really has something to drop
+    dup = events.unionAll(events)
+    src = str(tmp_path / "events_dedup_src")
+    dup.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream_deduplicate(stream, keys=["user_id", "event_type"], watermark="24 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in spark.table("t_stream_dedup").collect()
+        }
+        n_got = spark.table("t_stream_dedup").count()
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    assert n_got == len(want)  # duplicates actually dropped
