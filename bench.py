@@ -35,6 +35,8 @@ HEADLINE = [
     "tfidf_top_terms",       # explode + double agg + top-k window (r2)
     "pagerank",              # 5-iteration join/agg loop (r2)
     "bm25_search",           # posting-list scoring + global top-k (r2)
+    "link_prediction",       # wedge self-join + pair hash-agg (r2s3)
+    "dedup_chunks",          # chunk explode + first-occurrence agg (r2s3)
 ]
 
 
