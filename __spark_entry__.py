@@ -36,8 +36,10 @@ from networkframe_spark.functions.dedup import (
 from networkframe_spark.functions.multimodal import extract_image_features
 from networkframe_spark.functions.pipeline import (
     add_repetition_score,
+    cap_per_group,
     dedup_chunks,
     filter_quality,
+    ngram_decontaminate,
     hash_sample,
     leakage_report,
     pack_token_sequences,
@@ -863,6 +865,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["label_centroids"] = q_label_centroids
+
+    def q_decontaminate(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        split = train_test_split(docs, test_fraction=0.2, seed=7)
+        train = split.filter("split = 'train'")
+        test = split.filter("split = 'test'")
+        return ngram_decontaminate(train, test, n=4)
+
+    q["ngram_decontaminate"] = q_decontaminate
+
+    def q_cap_per_group(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return cap_per_group(docs, "source", 15).select("doc_id", "source")
+
+    q["cap_per_group"] = q_cap_per_group
 
     return q
 
@@ -2017,6 +2034,46 @@ WITH longf AS (
 SELECT label, count(*) AS n_vectors, pos,
        round(avg(CAST(val AS DOUBLE)), 6) AS c
 FROM longf GROUP BY label, pos
+"""
+
+    o["ngram_decontaminate"] = f"""
+WITH {TOKS_CTE},
+lab AS (
+  SELECT doc_id,
+         CASE WHEN {BUCKET} < 200000 THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram FROM idx
+),
+cg AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  JOIN lab l USING (doc_id) WHERE l.split = 'train'
+),
+eg AS (
+  SELECT g.doc_id AS eval_id, g.gram FROM grams g
+  JOIN lab l USING (doc_id) WHERE l.split = 'test'
+)
+SELECT cg.doc_id,
+       count(DISTINCT cg.gram) AS n_shared_grams,
+       count(DISTINCT eg.eval_id) AS n_eval_docs
+FROM cg JOIN eg ON eg.gram = cg.gram
+GROUP BY cg.doc_id
+"""
+
+    o["cap_per_group"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {BUCKET} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 15
 """
 
     return o

@@ -22,10 +22,12 @@ from .search import bm25_top_docs
 from .stats import group_percentiles
 from .pipeline import (
     add_repetition_score,
+    cap_per_group,
     dedup_chunks,
     filter_quality,
     hash_sample,
     leakage_report,
+    ngram_decontaminate,
     pack_token_sequences,
     stratified_sample,
     tf_idf_top_terms,
@@ -72,4 +74,6 @@ __all__ = [
     "redact_pii",
     "dedup_chunks",
     "label_centroids",
+    "ngram_decontaminate",
+    "cap_per_group",
 ]

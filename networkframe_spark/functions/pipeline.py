@@ -415,3 +415,80 @@ def dedup_chunks(
         F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram eval-set decontamination (GPT-3 appendix-C style): flag
+    every corpus document sharing at least one word ``n``-gram with
+    any eval document.  Returns ``(doc_id, n_shared_grams,
+    n_eval_docs)`` — distinct overlapping grams and distinct eval
+    docs hit — for flagged corpus docs only.
+
+    Complements :func:`leakage_report` (exact whole-doc fingerprints):
+    this catches partial containment — an eval question quoted inside
+    an otherwise-novel document.
+
+    Scale design: both sides explode to DISTINCT (doc, gram) pairs —
+    per-row gram construction is the zip_with fold of
+    :func:`_grams_expr` (no per-element re-evaluation) — then ONE
+    equi-join on the gram key and one hash agg per corpus doc.  At
+    n=13 gram frequencies are near-unique so the join key is
+    skew-free; hash grams to 128 bits at corpus scale (raw text kept
+    here for the byte-identical SQL twin).  The eval side is tiny by
+    definition and broadcasts under AQE.
+    """
+    c = corpus.select(
+        F.col(id_col), F.explode(_grams_expr(tokens_col(text_col), n)).alias("gram")
+    ).distinct()
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(_grams_expr(tokens_col(text_col), n)).alias("gram"),
+    ).distinct()
+    return (
+        c.join(ev, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 7,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic per-group quota sampling: keep at most ``n`` rows
+    per ``group_col`` value, chosen by the md5-bucket order of
+    ``key_col`` (ties broken by the key) — the domain-cap step of a
+    web-corpus pipeline (bound any one domain/source's share), with
+    the same append-stability as :func:`hash_sample`: a row's
+    keep/drop fate flips only if MORE attractive rows arrive in its
+    group, never by reshuffling.
+
+    Scale design: one ``row_number`` window partitioned by the group
+    key — a single shuffle on ``group_col``.  A mega-group sorts
+    within one task chain; at 100 TB pre-prune first with an
+    approximate per-group count and a bucket threshold of roughly
+    ``n / count``, then run this exact pass on the survivors (orders
+    of magnitude fewer rows through the window).
+    """
+    from pyspark.sql import Window
+
+    b = _bucket_col(F.col(key_col), seed, method)
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -190,3 +190,54 @@ def test_dedup_chunks(spark):
     assert out[2]["text_deduped"] == u2
     assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0
     assert out[3]["text_deduped"] == ""
+
+
+def test_ngram_decontaminate(spark):
+    """A planted eval quote inside a corpus doc is flagged; clean docs
+    are not; counts are distinct-gram / distinct-eval-doc."""
+    from networkframe_spark.functions.pipeline import ngram_decontaminate
+
+    quote = "the quick brown fox jumps"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words then {quote} and an outro"),
+            (2, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, quote), (101, f"{quote} again here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(corpus, eval_df, n=4).collect()}
+    assert set(out) == {1}
+    # 5-token quote -> two 4-grams, both shared; both eval docs contain them
+    assert out[1]["n_shared_grams"] == 2
+    assert out[1]["n_eval_docs"] == 2
+
+
+def test_cap_per_group(spark):
+    """Quota per group, deterministic, append-stable across groups."""
+    from networkframe_spark.functions.pipeline import cap_per_group
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", 4, key_col="doc_id")
+    by_group = {}
+    for r in out.collect():
+        by_group.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_group["a"]) == 4
+    assert by_group["b"] == {100, 101, 102}  # under quota: all kept
+    # deterministic: same selection on re-run
+    again = {r["doc_id"] for r in cap_per_group(df, "source", 4).collect()}
+    assert again == by_group["a"] | by_group["b"]
+    # append-stability: growing group b never changes group a's picks
+    more = df.unionAll(
+        spark.createDataFrame([(200 + i, "b") for i in range(5)], "doc_id long, source string")
+    )
+    out2 = {
+        r["doc_id"]
+        for r in cap_per_group(more, "source", 4).collect()
+        if r["source"] == "a"
+    }
+    assert out2 == by_group["a"]
