@@ -881,6 +881,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cap_per_group"] = q_cap_per_group
 
+    def q_ppr(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.pagerank(
+            damping=0.85, n_iter=PAGERANK_ITERS, personalize=[1, 2, 3]
+        )
+
+    q["pagerank_personalized"] = q_ppr
+
     return q
 
 
@@ -2074,6 +2082,39 @@ SELECT doc_id, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 15
+"""
+
+    # personalized PageRank: same unrolled scaled-long scheme as
+    # o["pagerank"], with restart mass and init concentrated on the
+    # seed set {{1,2,3}} instead of uniform over nodes
+    _seed_base = "CASE WHEN n.id IN (1, 2, 3) THEN (1 - 0.85) / 3 ELSE 0 END"
+    ppr_iters = "".join(
+        f""",
+pc{i} AS (
+  SELECT e.target AS id,
+         SUM(floor(p.pr / d.w_out * 1e18)::BIGINT) AS s
+  FROM edges e
+  JOIN ppr{i - 1} p ON e.source = p.id
+  JOIN deg d ON e.source = d.source
+  GROUP BY e.target
+),
+ppr{i} AS (
+  SELECT n.id,
+         round({_seed_base}
+               + 0.85 * (coalesce(pc{i}.s, 0) / 1e18), 12) AS pr
+  FROM nodes n LEFT JOIN pc{i} ON n.id = pc{i}.id
+)"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    o["pagerank_personalized"] = f"""
+WITH {GRAPH_CTE},
+deg AS (SELECT source, count(*) AS w_out FROM edges GROUP BY source),
+ppr0 AS (
+  SELECT id, CASE WHEN id IN (1, 2, 3) THEN 1.0 / 3 ELSE 0 END AS pr
+  FROM nodes
+)
+{ppr_iters}
+SELECT id, round(pr, 6) AS pagerank FROM ppr{PAGERANK_ITERS}
 """
 
     return o

@@ -859,11 +859,19 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     weight_col: str | None = None,
+    personalize: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``pr'(v) = (1-d)/N + d * sum(pr(u) *
     w(u,v) / W_out(u) for u -> v)`` (dangling mass not redistributed —
     the variant with an exact fixed-iteration SQL twin).  Returns
     ``(id, pagerank)`` with pagerank rounded to 6 dp.
+
+    ``personalize``: optional seed-node list — restart mass ``(1-d)``
+    and the initial distribution concentrate uniformly on the seeds
+    instead of all nodes (personalized PageRank / random walk with
+    restart — the similarity ranking behind "related nodes" features).
+    The seed set is assumed small (an ``isin`` literal predicate); for
+    large seed sets join a seeds table instead.
 
     Multigraph semantics: parallel edges each contribute (``W_out``
     counts multiplicity); ``weight_col`` switches to weighted shares.
@@ -901,8 +909,17 @@ def pagerank(
         .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
         .localCheckpoint(eager=False)
     )
-    base = (1.0 - damping) / n
-    pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    if personalize is None:
+        base_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n)
+    else:
+        k = len(personalize)
+        in_seeds = F.col("id").isin(list(personalize))
+        base_col = F.when(in_seeds, F.lit((1.0 - damping) / k)).otherwise(
+            F.lit(0.0)
+        )
+        init_col = F.when(in_seeds, F.lit(1.0 / k)).otherwise(F.lit(0.0))
+    pr = nodes.select("id", init_col.alias("pr"))
     for _ in range(n_iter):
         contrib = (
             e.join(pr.withColumnRenamed("id", "source"), on="source")
@@ -918,7 +935,7 @@ def pagerank(
             .select(
                 "id",
                 F.round(
-                    F.lit(base)
+                    base_col
                     + F.lit(damping)
                     * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(1e18)),
                     12,

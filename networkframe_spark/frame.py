@@ -678,13 +678,21 @@ class NetworkFrame:
         damping: float = 0.85,
         n_iter: int = 10,
         weight_col: Optional[str] = None,
+        personalize: Optional[list] = None,
     ) -> DataFrame:
-        """Fixed-iteration PageRank ``(id, pagerank)`` — scale-extension
-        centrality beyond the reference's surface; see
+        """Fixed-iteration (optionally personalized) PageRank
+        ``(id, pagerank)`` — scale-extension centrality beyond the
+        reference's surface; see
         :func:`networkframe_spark.algorithms.pagerank`."""
         from .algorithms import pagerank
 
-        return pagerank(self, damping=damping, n_iter=n_iter, weight_col=weight_col)
+        return pagerank(
+            self,
+            damping=damping,
+            n_iter=n_iter,
+            weight_col=weight_col,
+            personalize=personalize,
+        )
 
     def triangle_counts(self) -> DataFrame:
         """Per-node triangle counts ``(id, triangles)`` over the

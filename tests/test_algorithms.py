@@ -377,3 +377,21 @@ def test_link_prediction(spark):
         for r in nf.link_prediction(min_common=1, max_hub_degree=2).collect()
     }
     assert capped[(0, 1)] == 1
+
+
+def test_pagerank_personalized(spark):
+    """Restart mass concentrates on the seed; nodes unreachable from
+    the seed set get exactly zero rank."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # 0 -> 1 -> 2 ; 3 disconnected
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    pr = {r["id"]: r["pagerank"] for r in nf.pagerank(n_iter=5, personalize=[0]).collect()}
+    assert pr[3] == 0.0          # unreachable from seeds
+    assert pr[0] == 0.15         # seed keeps only restart mass (no in-edges)
+    assert pr[1] > pr[2] > 0.0   # mass decays along the chain
+    # uniform pagerank differs: node 3 gets base mass
+    pu = {r["id"]: r["pagerank"] for r in nf.pagerank(n_iter=5).collect()}
+    assert pu[3] > 0.0

@@ -153,6 +153,12 @@ def main() -> None:
     run("khop1_agg", lambda: nf.k_hop_aggregation(1, aggregations=["mean"], directed=False))
     run("pagerank5", lambda: nf.pagerank(n_iter=5))
     run("triangles", lambda: nf.triangle_counts())
+    run("k_core3", lambda: nf.k_core(3))
+    run(
+        "link_prediction",
+        lambda: nf.link_prediction(min_common=2, max_hub_degree=30),
+    )
+    run("hop_distances", lambda: nf.hop_distances(0, directed=False))
     best = None
     for _ in range(2):
         t0 = time.time()
