@@ -51,6 +51,7 @@ from networkframe_spark.functions.pipeline import (
 from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
+    embedding_gram,
     ivf_top_k,
     label_centroids,
     lsh_top_k,
@@ -888,6 +889,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pagerank_personalized"] = q_ppr
+
+    def q_embedding_gram(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return embedding_gram(emb, method="explode")
+
+    q["embedding_gram"] = q_embedding_gram
 
     return q
 
@@ -2115,6 +2122,28 @@ ppr0 AS (
 )
 {ppr_iters}
 SELECT id, round(pr, 6) AS pagerank FROM ppr{PAGERANK_ITERS}
+"""
+
+    # centered Gram: the scaled-long floor/sum scheme keeps every
+    # partial order-independent and engine-exact (see similarity.py)
+    o["embedding_gram"] = """
+WITH longf AS (
+  SELECT vec_id,
+         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+sums AS (SELECT i, SUM(floor(x * 1e12)::BIGINT) AS s FROM longf GROUP BY i),
+means AS (
+  SELECT i, s / 1e12 / (SELECT count(*) FROM embeddings) AS m FROM sums
+),
+a AS (
+  SELECT l.vec_id, l.i, l.x - m.m AS cx FROM longf l JOIN means m USING (i)
+)
+SELECT a.i, b.i AS j,
+       round(SUM(floor(a.cx * b.cx * 1e12)::BIGINT) / 1e12, 6) AS g
+FROM a JOIN a AS b USING (vec_id)
+GROUP BY a.i, b.i
 """
 
     return o

@@ -34,7 +34,13 @@ from .pipeline import (
     token_histogram,
     train_test_split,
 )
-from .similarity import brute_force_top_k, label_centroids, lsh_top_k
+from .similarity import (
+    brute_force_top_k,
+    embedding_gram,
+    label_centroids,
+    lsh_top_k,
+    principal_component_scores,
+)
 from .text import (
     add_fingerprint,
     add_language_id,
@@ -76,4 +82,6 @@ __all__ = [
     "label_centroids",
     "ngram_decontaminate",
     "cap_per_group",
+    "embedding_gram",
+    "principal_component_scores",
 ]

@@ -347,3 +347,137 @@ def label_centroids(
             lambda s: s["c"],
         ).alias("centroid"),
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e12,
+    method: str = "explode",
+) -> DataFrame:
+    """Centered Gram (covariance-numerator) matrix of the embedding
+    column in long format: ``(i, j, g)`` with ``g = Σ_rows (x_i - m_i)
+    * (x_j - m_j)`` — the input to PCA / drift monitoring /
+    whitening; dims² output rows (tiny), corpus-size input.
+
+    Exactness across engines and run-to-run: per-row products are
+    floored to ``1/scale``-resolution integers and summed as LONGS —
+    order-independent like the PageRank trick.  Means are themselves
+    exact scaled-long sums divided once, so every engine computes
+    bit-identical centered values.  Overflow bound: |x| ~ O(1)
+    embeddings at 1e12 scale leave 6 decimal digits of headroom in
+    int64 per 1M-row partition sum; lower ``scale`` for larger
+    corpora (headroom = 9.2e18 / (scale * max|product| * n_rows)).
+
+    ``method="explode"``: per-row (i, j) pair explode — dims² rows
+    per input row, ONE hash agg; has a byte-identical SQL twin (the
+    driver oracle).  ``method="partial"``: Arrow-batched
+    ``mapInPandas`` computes a per-batch integer partial Gram in
+    numpy and emits dims² rows per BATCH — the 100 TB path (shuffle
+    volume is dims² per batch instead of dims² per row).  Both floor
+    identical float64 products, so results are BIT-IDENTICAL — the
+    agreement is pytest-asserted, letting the oracle-checked explode
+    path vouch for the partial path.
+    """
+    dd = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    longf = dd.select(
+        F.col(id_col), F.posexplode("v").alias("i", "x")
+    )
+    n = dd.count()
+    sums = longf.groupBy("i").agg(
+        F.sum(F.floor(F.col("x") * F.lit(scale)).cast("long")).alias("s")
+    )
+    means = sums.select("i", (F.col("s") / F.lit(scale) / F.lit(float(n))).alias("m"))
+    if method == "explode":
+        a = longf.join(means, on="i").select(
+            id_col, "i", (F.col("x") - F.col("m")).alias("cx")
+        )
+        b = a.select(
+            F.col(id_col), F.col("i").alias("j"), F.col("cx").alias("cy")
+        )
+        return (
+            a.join(b, on=id_col)
+            .groupBy("i", "j")
+            .agg(
+                F.sum(
+                    F.floor(F.col("cx") * F.col("cy") * F.lit(scale)).cast("long")
+                ).alias("gs")
+            )
+            .select("i", "j", F.round(F.col("gs") / F.lit(scale), 6).alias("g"))
+        )
+    if method != "partial":
+        raise ValueError("method must be 'explode' or 'partial'")
+    import numpy as np
+    import pandas as pd
+
+    m_map = {r["i"]: r["m"] for r in means.collect()}
+    dim = len(m_map)
+    mean_vec = np.array([m_map[i] for i in range(dim)], dtype=np.float64)
+
+    def partial(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64) - mean_vec
+            # floor each product exactly as the explode path does,
+            # THEN sum as int64 — bit-identical, order-free
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            for row in x:
+                acc += np.floor(np.outer(row, row) * scale).astype(np.int64)
+            ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "gs": acc.ravel()}
+            )
+
+    parts = dd.select("v").mapInPandas(partial, "i int, j int, gs long")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("gs").alias("gs"))
+        .select("i", "j", F.round(F.col("gs") / F.lit(scale), 6).alias("g"))
+    )
+
+
+def principal_component_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Projection of every (centered) embedding onto the first
+    principal component: ``(vec_id, pc1)``, pc1 rounded 6 dp, sign
+    pinned so the largest-|loading| coordinate is positive.
+
+    The distributed work is :func:`embedding_gram` (exact integer
+    Gram) + one broadcast-vector projection pass; the eigensolve is
+    dims x dims on the driver — the correct split for dim <= a few
+    thousand at any corpus size.  Deterministic because the Gram is
+    exact (integer sums) and the projection is a fixed-order
+    ``aggregate`` fold over the array.
+    """
+    import numpy as np
+
+    g_rows = embedding_gram(df, vec_col=vec_col, id_col=id_col).collect()
+    dim = max(r["i"] for r in g_rows) + 1
+    G = np.zeros((dim, dim))
+    for r in g_rows:
+        G[r["i"], r["j"]] = r["g"]
+    vals, vecs = np.linalg.eigh(G)
+    v = vecs[:, int(np.argmax(vals))]
+    v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+    dd = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("x"))
+    # means: same exact formulation as embedding_gram
+    longf = dd.select(F.posexplode("x").alias("i", "xv"))
+    n = dd.count()
+    m = {
+        r["i"]: r["s"] / 1e12 / float(n)
+        for r in longf.groupBy("i")
+        .agg(F.sum(F.floor(F.col("xv") * F.lit(1e12)).cast("long")).alias("s"))
+        .collect()
+    }
+    mean_arr = F.array(*[F.lit(m[i]) for i in range(dim)])
+    v_arr = F.array(*[F.lit(float(c)) for c in v])
+    centered = F.zip_with(F.col("x"), mean_arr, lambda a, b: a - b)
+    proj = F.aggregate(
+        F.zip_with(centered, v_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return dd.select(id_col, F.round(proj, 6).alias("pc1"))

@@ -390,3 +390,41 @@ def test_label_centroids(spark):
     assert out[0]["centroid"] == [2.0, 3.0]
     assert out[1]["n_vectors"] == 1
     assert out[1]["centroid"] == [10.0, 20.0]
+
+
+def test_embedding_gram_paths_bit_identical(spark):
+    """The Arrow-batched partial-Gram path must produce BIT-identical
+    output to the oracle-checked explode path (both floor identical
+    float64 products to scaled longs before summing)."""
+    from networkframe_spark.functions.similarity import embedding_gram
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    de = {(r["i"], r["j"]): r["g"] for r in embedding_gram(emb, method="explode").collect()}
+    dp = {(r["i"], r["j"]): r["g"] for r in embedding_gram(emb, method="partial").collect()}
+    assert de == dp
+    assert len(de) == 64 * 64
+    # symmetric, positive diagonal
+    assert all(de[(i, j)] == de[(j, i)] for i in range(8) for j in range(8))
+    assert all(de[(i, i)] > 0 for i in range(64))
+
+
+def test_principal_component_scores(spark):
+    """pc1 must match a numpy eigh + projection on the same data to
+    the 6dp rounding grid (sign pinned the same way)."""
+    import numpy as np
+
+    from networkframe_spark.functions.similarity import principal_component_scores
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    got = {r["vec_id"]: r["pc1"] for r in principal_component_scores(emb).collect()}
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    C = (X - X.mean(0)).T @ (X - X.mean(0))
+    vals, vecs = np.linalg.eigh(C)
+    v = vecs[:, int(np.argmax(vals))]
+    v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+    ref = (X - X.mean(0)) @ v
+    for vid, val in zip(pdf["vec_id"], ref):
+        assert abs(got[int(vid)] - val) < 1e-4
