@@ -356,6 +356,7 @@ def dedup_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 20,
+    key: str = "text",
 ) -> DataFrame:
     """Sub-document (chunk-level) exact deduplication, MassiveText /
     RefinedWeb style: split every document into fixed-size token
@@ -377,10 +378,19 @@ def dedup_chunks(
     equi-join back on the chunk key, then a per-doc reassembly
     aggregate.  Everything is uniform-key partial+final hash aggs;
     no windows, no skew beyond natural chunk-text frequency (the
-    hottest duplicate chunk folds map-side).  For 100 TB, hash the
-    chunk to a 128-bit key first if chunk text is long; kept as raw
-    text here so the SQL twin is byte-identical.
+    hottest duplicate chunk folds map-side).
+
+    ``key="hash"`` groups and joins on the 128-bit md5 of the chunk
+    instead of its raw text — the 100 TB path: the first-occurrence
+    aggregate shuffles 16-byte keys instead of chunk text, and the
+    join key compares fixed-width (the probe side still carries the
+    text it must reassemble).  Collision odds at 128 bits are
+    negligible.  Same output as ``key="text"`` (pytest-asserted);
+    the driver oracle runs the text path so the SQL twin stays
+    byte-identical.
     """
+    if key not in ("text", "hash"):
+        raise ValueError("key must be 'text' or 'hash'")
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
@@ -392,12 +402,14 @@ def dedup_chunks(
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
     )
+    ckey = F.md5(F.col("chunk")).alias("ck") if key == "hash" else F.col("chunk").alias("ck")
+    exploded = exploded.select(id_col, "pos", "chunk", ckey)
     okey = F.col(id_col) * 100000 + F.col("pos")
     first = (
-        exploded.groupBy("chunk")
+        exploded.groupBy("ck")
         .agg(F.min(okey).alias("first_okey"))
     )
-    kept = exploded.join(first, on="chunk").filter(okey == F.col("first_okey"))
+    kept = exploded.join(first, on="ck").filter(okey == F.col("first_okey"))
     per_doc = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -9,7 +9,7 @@ unified-API contract.
 """
 
 from .ops import session_stats, sessionize, windowed_event_counts
-from .stream import stream_deduplicate, stream_events_windowed
+from .stream import stream_deduplicate, stream_events_windowed, stream_unique_users
 
 __all__ = [
     "sessionize",
@@ -17,4 +17,5 @@ __all__ = [
     "windowed_event_counts",
     "stream_events_windowed",
     "stream_deduplicate",
+    "stream_unique_users",
 ]

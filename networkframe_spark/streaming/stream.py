@@ -257,3 +257,30 @@ def stream_deduplicate(
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
+
+
+def stream_unique_users(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+):
+    """Approximate distinct users per event-time window —
+    ``approx_count_distinct`` (HyperLogLog++) is the only distinct
+    aggregate Structured Streaming supports, and the right one at
+    scale anyway: mergeable fixed-size sketches, no per-user state.
+    Exact ``countDistinct`` would need unbounded per-window sets.
+
+    Returns the aggregated streaming DataFrame ``(window_start,
+    n_events, approx_users)``; caller wires the sink.  The batch twin
+    (same expression on a batch frame) gives the sketch-identical
+    answer for bounds testing.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window_duration)["start"].alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        )
+    )

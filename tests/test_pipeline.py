@@ -241,3 +241,17 @@ def test_cap_per_group(spark):
         if r["source"] == "a"
     }
     assert out2 == by_group["a"]
+
+
+def test_dedup_chunks_hash_key_identical(spark):
+    """key='hash' (128-bit md5 shuffle keys) must reproduce the
+    text-key output exactly on the real fixture."""
+    from networkframe_spark.functions.pipeline import dedup_chunks
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_deduped"])
+         for r in dedup_chunks(docs).collect()}
+    b = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_deduped"])
+         for r in dedup_chunks(docs, key="hash").collect()}
+    assert a == b

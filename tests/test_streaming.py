@@ -376,3 +376,41 @@ def test_stream_deduplicate_matches_batch(spark, events, tmp_path):
     }
     assert got == want
     assert n_got == len(want)  # duplicates actually dropped
+
+
+def test_stream_unique_users_bounds(spark, tmp_path):
+    """Streaming HLL distinct-user counts per window must land within
+    the sketch's error bound of the exact batch answer."""
+    from networkframe_spark.sources import read_events
+    from networkframe_spark.streaming.stream import stream_unique_users
+
+    ev = read_events(spark, "/root/testdata/sf0.001").limit(3000)
+    src = str(tmp_path / "uu_src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+    )
+    q = (
+        stream_unique_users(stream, window_duration="1 day", watermark="3650 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_uu")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["window_start"]: r["approx_users"] for r in spark.table("t_uu").collect()}
+    finally:
+        q.stop()
+    exact = {
+        r["window_start"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "1 day")["start"].alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert abs(got[w] - n) <= max(3, 0.15 * n), (w, got[w], n)
