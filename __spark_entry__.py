@@ -57,7 +57,12 @@ from networkframe_spark.functions.similarity import (
     lsh_top_k,
 )
 from networkframe_spark.functions.stats import group_percentiles
-from networkframe_spark.functions.temporal import asof_join, range_join
+from networkframe_spark.functions.temporal import (
+    asof_join,
+    funnel_counts,
+    inter_event_stats,
+    range_join,
+)
 from networkframe_spark.functions.text import (
     add_fingerprint,
     add_language_id,
@@ -895,6 +900,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_gram(emb, method="explode")
 
     q["embedding_gram"] = q_embedding_gram
+
+    def q_graph_metrics(spark, sf):
+        return _graph(spark, sf).metrics()
+
+    q["graph_metrics"] = q_graph_metrics
+
+    def q_inter_event(spark, sf):
+        events = read_events(spark, sf)
+        return inter_event_stats(events)
+
+    q["inter_event_stats"] = q_inter_event
+
+    def q_funnel(spark, sf):
+        events = read_events(spark, sf)
+        return funnel_counts(events, "click", "purchase", within_minutes=60)
+
+    q["funnel"] = q_funnel
 
     return q
 
@@ -2144,6 +2166,66 @@ SELECT a.i, b.i AS j,
        round(SUM(floor(a.cx * b.cx * 1e12)::BIGINT) / 1e12, 6) AS g
 FROM a JOIN a AS b USING (vec_id)
 GROUP BY a.i, b.i
+"""
+
+    o["graph_metrics"] = f"""
+WITH {GRAPH_CTE},
+pairs AS (SELECT DISTINCT source, target FROM edges WHERE source != target),
+und AS (
+  SELECT DISTINCT least(source, target) AS u, greatest(source, target) AS v
+  FROM pairs
+),
+sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY a),
+de AS (
+  SELECT da.deg AS da, db.deg AS db
+  FROM sym s JOIN deg da ON da.id = s.a JOIN deg db ON db.id = s.b
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+mm AS (SELECT count(*) AS m FROM pairs),
+recip AS (
+  SELECT count(*) AS r FROM pairs p
+  WHERE EXISTS (
+    SELECT 1 FROM pairs q WHERE q.source = p.target AND q.target = p.source
+  )
+)
+SELECT
+  round((SELECT m FROM mm) / CAST((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) AS DOUBLE), 6) AS density,
+  round((SELECT r FROM recip) / CAST((SELECT m FROM mm) AS DOUBLE), 6) AS reciprocity,
+  (SELECT round(corr(da, db), 6) FROM de) AS assortativity,
+  round((SELECT sum(deg) FROM deg) / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS avg_degree
+"""
+
+    o["inter_event_stats"] = """
+WITH gapped AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(gap_us) / count(gap_us) / 1e6, 6) AS mean_gap_s,
+       round(max(gap_us) / 1e6, 6) AS max_gap_s
+FROM gapped GROUP BY user_id
+"""
+
+    o["funnel"] = """
+WITH a AS (
+  SELECT user_id AS u, epoch_us(ts) AS ta FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id AS u, epoch_us(ts) AS tb FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT DISTINCT a.u FROM a JOIN b ON a.u = b.u
+  WHERE b.tb > a.ta AND b.tb - a.ta <= 3600000000::BIGINT
+)
+SELECT (SELECT count(DISTINCT u) FROM a) AS n_step1_users,
+       (SELECT count(*) FROM conv) AS n_converted,
+       round((SELECT count(*) FROM conv)
+             / CAST((SELECT count(DISTINCT u) FROM a) AS DOUBLE), 6)
+         AS conversion_rate
 """
 
     return o

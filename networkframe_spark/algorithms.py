@@ -1207,3 +1207,62 @@ def link_prediction(
             F.round("aa", 6).alias("adamic_adar"),
         )
     )
+
+
+def graph_metrics(frame) -> DataFrame:
+    """One-row graph-science summary beyond :meth:`describe`'s
+    structural counts: ``(density, reciprocity, assortativity,
+    avg_degree)`` over the simple projection (self-loops and parallel
+    edges collapsed).
+
+    - density: distinct non-loop ordered pairs / n(n-1)
+    - reciprocity: fraction of distinct directed pairs whose reverse
+      also exists
+    - assortativity: Pearson correlation of endpoint degrees over the
+      symmetrized edge list (each undirected edge contributes both
+      orientations — Newman 2002's definition), degrees from the
+      undirected simple projection
+    - avg_degree: mean undirected simple degree over all nodes
+
+    All four are single-pass aggregates over the distinct-pair table +
+    one degree join; every term is a plain SQL scalar (oracle-
+    checkable).  Values round to 6 dp.
+    """
+    n = frame.nodes.count()
+    pairs = (
+        frame.edges.select("source", "target")
+        .filter(F.col("source") != F.col("target"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = pairs.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    de = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    )
+    assort = de.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    m = pairs.count()
+    recip = (
+        pairs.join(
+            pairs.select(
+                F.col("target").alias("source"), F.col("source").alias("target")
+            ),
+            on=["source", "target"],
+            how="left_semi",
+        ).count()
+    )
+    dens = m / (n * (n - 1)) if n > 1 else 0.0
+    avg_deg = deg.agg(F.sum("deg").alias("s")).collect()[0]["s"] or 0
+    return (
+        assort.withColumn("density", F.round(F.lit(dens), 6))
+        .withColumn("reciprocity", F.round(F.lit(recip / m if m else 0.0), 6))
+        .withColumn("avg_degree", F.round(F.lit(avg_deg / n if n else 0.0), 6))
+        .select("density", "reciprocity", "assortativity", "avg_degree")
+    )

@@ -733,6 +733,14 @@ class NetworkFrame:
             self, min_common=min_common, max_hub_degree=max_hub_degree
         )
 
+    def metrics(self) -> DataFrame:
+        """One-row graph-science summary ``(density, reciprocity,
+        assortativity, avg_degree)`` over the simple projection; see
+        :func:`networkframe_spark.algorithms.graph_metrics`."""
+        from .algorithms import graph_metrics
+
+        return graph_metrics(self)
+
     def describe(self) -> DataFrame:
         """One-row structural profile of the graph: ``n_nodes,
         n_edges, n_distinct_pairs, n_self_loops, max_out_degree,

@@ -19,6 +19,7 @@ from .dedup import (
     simhash_duplicates,
 )
 from .search import bm25_top_docs
+from .temporal import asof_join, funnel_counts, inter_event_stats, range_join
 from .stats import group_percentiles
 from .pipeline import (
     add_repetition_score,
@@ -84,4 +85,8 @@ __all__ = [
     "cap_per_group",
     "embedding_gram",
     "principal_component_scores",
+    "asof_join",
+    "range_join",
+    "inter_event_stats",
+    "funnel_counts",
 ]

@@ -107,3 +107,85 @@ def range_join(
     lt = F.col(ts_col).cast("long")
     rt = F.col(f"{ts_col}{suffix}").cast("long")
     return left.join(r, on=on).filter((rt >= lt) & (rt - lt <= window_seconds))
+
+
+def inter_event_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity inter-arrival statistics: ``(user_id, n_events,
+    mean_gap_s, max_gap_s)`` over consecutive event gaps — burstiness
+    / engagement-cadence profiling of a temporal stream.
+
+    One window pass (lag over ``(user, ts, tiebreak)`` ordering) + one
+    hash aggregate on the SAME key, so Catalyst reuses the window's
+    hash partitioning and the whole thing is a single shuffle.  Gaps
+    are integer microseconds end-to-end; the mean divides two exact
+    integers once, so results are engine-portable (rounded 6 dp).
+    Entities with one event report zero gaps (n_events=1, nulls).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    gapped = events.select(
+        F.col(user_col), (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gapped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / F.lit(1e6), 6).alias(
+            "mean_gap_s"
+        ),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    step1: str,
+    step2: str,
+    within_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-step funnel conversion: one row ``(n_step1_users,
+    n_converted, conversion_rate)`` — users who did ``step1`` and then
+    ``step2`` within ``within_minutes``.
+
+    Both sides filter-push to the scan; the conversion test is one
+    equi-join on the user key with a band predicate (same shape as
+    :func:`range_join` — AQE splits skewed users), then two distinct
+    counts.  Rate rounds to 6 dp.
+    """
+    a = events.filter(F.col(type_col) == step1).select(
+        F.col(user_col).alias("u"), F.unix_micros(F.col(ts_col)).alias("ta")
+    )
+    b = events.filter(F.col(type_col) == step2).select(
+        F.col(user_col).alias("u"), F.unix_micros(F.col(ts_col)).alias("tb")
+    )
+    lim = within_minutes * 60 * 1_000_000
+    conv = (
+        a.join(b, on="u")
+        .filter((F.col("tb") > F.col("ta")) & (F.col("tb") - F.col("ta") <= lim))
+        .select("u")
+        .distinct()
+    )
+    n1 = a.select("u").distinct().count()
+    nc = conv.count()
+    spark = events.sparkSession
+    base = spark.createDataFrame(
+        [(n1, nc)], "n_step1_users long, n_converted long"
+    )
+    # HALF_UP rounding via F.round — matches the SQL twin (Python's
+    # round() is half-even and would drift on exact .5 boundaries)
+    rate = (
+        F.round(F.col("n_converted") / F.col("n_step1_users"), 6)
+        if n1
+        else F.lit(0.0)
+    )
+    return base.select("*", rate.alias("conversion_rate"))

@@ -428,3 +428,65 @@ def test_principal_component_scores(spark):
     ref = (X - X.mean(0)) @ v
     for vid, val in zip(pdf["vec_id"], ref):
         assert abs(got[int(vid)] - val) < 1e-4
+
+
+def test_graph_metrics(spark):
+    """Hand-computed metrics on a 4-node graph with one reciprocal
+    pair: density, reciprocity, assortativity sign, avg degree."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # 0<->1 reciprocal; 1->2; 2->3; plus a self-loop and a dup (ignored)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (2, 2), (1, 2)],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    r = nf.metrics().collect()[0]
+    # distinct non-loop ordered pairs: (0,1),(1,0),(1,2),(2,3) -> m=4
+    assert r["density"] == round(4 / (4 * 3), 6)
+    assert r["reciprocity"] == 0.5  # (0,1),(1,0) reciprocal of 4
+    # undirected degrees: 0:1, 1:2, 2:2, 3:1 -> avg 1.5
+    assert r["avg_degree"] == 1.5
+    # chain-like graph: ends (deg1) attach to middles (deg2) -> negative
+    assert r["assortativity"] < 0
+
+
+def test_inter_event_stats(spark):
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import inter_event_stats
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    ev = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(10)), (3, 1, ts(40)), (4, 2, ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r["user_id"]: r for r in inter_event_stats(ev).collect()}
+    assert out[1]["n_events"] == 3
+    assert out[1]["mean_gap_s"] == 1200.0  # gaps 600s, 1800s
+    assert out[1]["max_gap_s"] == 1800.0
+    assert out[2]["n_events"] == 1 and out[2]["mean_gap_s"] is None
+
+
+def test_funnel_counts(spark):
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import funnel_counts
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    rows = [
+        (1, 1, ts(0), "click"), (2, 1, ts(10), "buy"),    # converts
+        (3, 2, ts(0), "click"), (4, 2, ts(50), "buy"),    # too late
+        (5, 3, ts(20), "click"),                          # no step2
+        (6, 4, ts(30), "buy"),                            # no step1
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    r = funnel_counts(ev, "click", "buy", within_minutes=30).collect()[0]
+    assert r["n_step1_users"] == 3
+    assert r["n_converted"] == 1
+    assert r["conversion_rate"] == round(1 / 3, 6)
