@@ -232,3 +232,89 @@ def test_duplicate_clusters_match_union_find(spark, pair_list):
         cid = roots[find(i)]
         want[i] = (cid, i != cid)
     assert got == want, (pair_list, got, want)
+
+
+def _py_bfs_dist(edge_list, seed, n=N_MAX):
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        adj[s].add(t)
+        adj[t].add(s)
+    dist, frontier, d = {seed: 0}, {seed}, 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+@given(_edges)
+@_settings
+def test_hop_distances_matches_python_bfs(spark, edge_list):
+    nf = _frame(spark, edge_list)
+    got = {r["id"]: r["dist"] for r in nf.hop_distances(0, directed=False).collect()}
+    assert got == _py_bfs_dist(edge_list, 0)
+
+
+def _py_k_core(edge_list, k, n=N_MAX):
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    live = {i for i in range(n) if adj[i]}
+    changed = True
+    while changed:
+        changed = False
+        for i in list(live):
+            deg = len(adj[i] & live)
+            if deg < k:
+                live.discard(i)
+                changed = True
+    return {i: len(adj[i] & live) for i in live}
+
+
+@given(_edges, st.integers(1, 3))
+@_settings
+def test_k_core_matches_python_peel(spark, edge_list, k):
+    nf = _frame(spark, edge_list)
+    got = {r["id"]: r["core_degree"] for r in nf.k_core(k).collect()}
+    assert got == _py_k_core(edge_list, k)
+
+
+@given(_edges)
+@_settings
+def test_link_prediction_matches_python(spark, edge_list):
+    import math
+
+    nf = _frame(spark, edge_list)
+    got = {
+        (r["source"], r["candidate"]): (r["n_common"], r["jaccard"], r["adamic_adar"])
+        for r in nf.link_prediction(min_common=1).collect()
+    }
+    adj = {i: set() for i in range(N_MAX)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    want = {}
+    for a in range(N_MAX):
+        for b in range(a + 1, N_MAX):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            aa = round(sum(1.0 / math.log(len(adj[w])) for w in common), 6)
+            jac = round(len(common) / len(adj[a] | adj[b]), 6)
+            want[(a, b)] = (len(common), jac, aa)
+    assert set(got) == set(want)
+    for key, (nc, jac, aa) in want.items():
+        gnc, gjac, gaa = got[key]
+        assert gnc == nc
+        assert abs(gjac - jac) < 1e-9
+        assert abs(gaa - aa) < 1e-9
