@@ -918,6 +918,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel"] = q_funnel
 
+    def q_local_clustering(spark, sf):
+        # same doc-clique graph as triangle_count (cliques => 1.0,
+        # isolated => 0.0 — both branches exercised)
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        return NetworkFrame(ids, pairs).local_clustering()
+
+    q["local_clustering"] = q_local_clustering
+
     return q
 
 
@@ -2226,6 +2241,40 @@ SELECT (SELECT count(DISTINCT u) FROM a) AS n_step1_users,
        round((SELECT count(*) FROM conv)
              / CAST((SELECT count(DISTINCT u) FROM a) AS DOUBLE), 6)
          AS conversion_rate
+"""
+
+    o["local_clustering"] = """
+WITH e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 450 AND b.doc_id < 450
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+degs AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(cnt.triangles, 0) AS triangles,
+       CASE WHEN coalesce(degs.deg, 0) >= 2
+            THEN round(coalesce(cnt.triangles, 0)
+                       / (degs.deg * (degs.deg - 1) / 2.0), 6)
+            ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN cnt ON d.doc_id = cnt.id
+LEFT JOIN degs ON d.doc_id = degs.id
 """
 
     return o

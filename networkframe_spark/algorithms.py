@@ -1266,3 +1266,42 @@ def graph_metrics(frame) -> DataFrame:
         .withColumn("avg_degree", F.round(F.lit(avg_deg / n if n else 0.0), 6))
         .select("density", "reciprocity", "assortativity", "avg_degree")
     )
+
+
+def local_clustering(frame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    simple projection: ``(id, triangles, clustering)`` with
+    ``clustering = triangles / C(deg, 2)`` (0 where degree < 2).
+
+    One degree aggregate joined onto :func:`triangle_counts` — the
+    O(m^1.5) oriented wedge join there dominates; this adds one
+    uniform hash agg + one keyed join.  Rounds to 6 dp.
+    """
+    tri = triangle_counts(frame)
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = e.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = F.col("deg") * (F.col("deg") - 1) / 2
+    return (
+        tri.join(deg, on="id", how="left")
+        .select(
+            "id",
+            "triangles",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(F.col("triangles") / wedges, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

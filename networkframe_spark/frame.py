@@ -733,6 +733,14 @@ class NetworkFrame:
             self, min_common=min_common, max_hub_degree=max_hub_degree
         )
 
+    def local_clustering(self) -> DataFrame:
+        """Per-node clustering coefficient ``(id, triangles,
+        clustering)``; see
+        :func:`networkframe_spark.algorithms.local_clustering`."""
+        from .algorithms import local_clustering
+
+        return local_clustering(self)
+
     def metrics(self) -> DataFrame:
         """One-row graph-science summary ``(density, reciprocity,
         assortativity, avg_degree)`` over the simple projection; see

@@ -395,3 +395,21 @@ def test_pagerank_personalized(spark):
     # uniform pagerank differs: node 3 gets base mass
     pu = {r["id"]: r["pagerank"] for r in nf.pagerank(n_iter=5).collect()}
     assert pu[3] > 0.0
+
+
+def test_local_clustering(spark):
+    """Triangle+pendant: triangle corners have clustering 1 (deg 2,
+    1 triangle); the junction node 2 has deg 3 -> 1/3; leaves 0."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {r["id"]: (r["triangles"], r["clustering"]) for r in nf.local_clustering().collect()}
+    assert got[0] == (1, 1.0)
+    assert got[1] == (1, 1.0)
+    assert got[2] == (1, round(1 / 3, 6))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)

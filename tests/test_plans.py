@@ -147,3 +147,25 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         for t in (f"{name}_nodes", f"{name}_edges"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embedding_dedup_plan_no_cartesian(spark):
+    from networkframe_spark.functions.dedup import embedding_duplicates
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, SF_DIR)
+    plan = _plan(embedding_duplicates(emb, mode="lsh", threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_plan_no_scan_reexecution(spark):
+    """The shared und/deg tables must materialize once: after the
+    checkpoints resolve, the executed plan contains NO parquet scans
+    (everything reads the checkpointed RDDs) and no cartesian."""
+    nf = tpch_graph(spark, SF_DIR)
+    df = nf.link_prediction(min_common=2, max_hub_degree=50)
+    df.count()  # materialize the lazy checkpoints
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # all inputs via checkpoint
