@@ -40,6 +40,7 @@ from networkframe_spark.functions.pipeline import (
     dedup_chunks,
     filter_quality,
     ngram_decontaminate,
+    split_by_cluster,
     hash_sample,
     leakage_report,
     pack_token_sequences,
@@ -932,6 +933,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return NetworkFrame(ids, pairs).local_clustering()
 
     q["local_clustering"] = q_local_clustering
+
+    def q_split_by_cluster(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        pairs = ngram_jaccard_duplicates(docs, n=3, threshold=0.5)
+        return split_by_cluster(docs, pairs, test_fraction=0.2, seed=7)
+
+    q["split_by_cluster"] = q_split_by_cluster
 
     return q
 
@@ -2275,6 +2283,42 @@ SELECT d.doc_id AS id, coalesce(cnt.triangles, 0) AS triangles,
 FROM documents d
 LEFT JOIN cnt ON d.doc_id = cnt.id
 LEFT JOIN degs ON d.doc_id = degs.id
+"""
+
+    # leakage-safe split: same recursive closure as dedup_clusters,
+    # then the md5 bucket CASE applied to the CLUSTER id (seed 7)
+    _CLUSTER_BUCKET = (
+        "('0x' || substr(md5(cluster_id::VARCHAR || ':7'), 1, 15))::BIGINT"
+        " % 1000000"
+    )
+    o["split_by_cluster"] = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT s.id_a, s.id_b FROM shared s
+  JOIN sizes sa ON s.id_a = sa.id
+  JOIN sizes sb ON s.id_b = sb.id
+  WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_CLUSTER_BUCKET} < 200000 THEN 'test' ELSE 'train' END
+         AS split
+FROM clusters
 """
 
     return o

@@ -30,6 +30,7 @@ from .pipeline import (
     leakage_report,
     ngram_decontaminate,
     pack_token_sequences,
+    split_by_cluster,
     stratified_sample,
     tf_idf_top_terms,
     token_histogram,
@@ -89,4 +90,5 @@ __all__ = [
     "range_join",
     "inter_event_stats",
     "funnel_counts",
+    "split_by_cluster",
 ]

@@ -504,3 +504,45 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Leakage-safe train/test split: hash the near-dup CLUSTER
+    representative, not the document, so near-duplicates can never
+    straddle the split boundary.  Returns ``(id_col, cluster_id,
+    split)`` for every row.
+
+    :func:`train_test_split` keyed on doc id leaks: if A~B are
+    near-duplicates, they can land on opposite sides and the test set
+    silently contains paraphrases of training data —
+    :func:`leakage_report` then finds only EXACT matches.  Closing the
+    pair graph first (:func:`~networkframe_spark.functions.dedup.
+    duplicate_clusters`, the engine's union-find CC) and bucketing on
+    ``cluster_id`` makes the guarantee structural.
+
+    Scale: the CC fold inherits weak_components' near-linear behavior;
+    the split itself is one md5 bucket filter on the cluster key.
+    Append-stability caveat: a NEW near-dup edge can merge two
+    clusters and move the merged cluster's side — that is the point
+    (the guarantee outranks stability), and only merged clusters move.
+    """
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(df, pairs, id_col=id_col)
+    thr = int(round(test_fraction * _HASH_MOD))
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.when(
+            _bucket_col(F.col("cluster_id"), seed, method) < thr, F.lit("test")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -255,3 +255,24 @@ def test_dedup_chunks_hash_key_identical(spark):
     b = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_deduped"])
          for r in dedup_chunks(docs, key="hash").collect()}
     assert a == b
+
+
+def test_split_by_cluster_no_straddle(spark):
+    """Near-duplicate pairs must always land on the same side; every
+    doc is assigned; cluster reps drive the bucket."""
+    from networkframe_spark.functions.pipeline import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    # chain 0~1~2 one cluster; 10~11 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in split_by_cluster(docs, pairs, test_fraction=0.5).collect()}
+    assert len(out) == 30
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+    assert out[10]["split"] == out[11]["split"]
+    # singletons bucket on their own id; with fraction 0.5 both sides occur
+    assert {r["split"] for r in out.values()} == {"train", "test"}
