@@ -125,6 +125,9 @@ def scc_stress(n_nodes: int = 2_400_000, cycle_len: int = 1000) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--corpus":
+        corpus_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--scc":
         scc_stress(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000,
@@ -179,6 +182,69 @@ def main() -> None:
     )
     spark.stop()
 
+
+
+
+def corpus_stress(n_docs: int = 2_000_000) -> None:
+    """Scale-shape check for the corpus-pipeline operators on a
+    synthetic document table ~40x the sf0.1 fixture (deterministic —
+    hash-derived word soup with planted duplicate structure: docs
+    come in runs of 20 sharing identical text, so the dedup operators
+    have real work)."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.dedup import exact_duplicates
+    from networkframe_spark.functions.pipeline import (
+        dedup_chunks,
+        filter_quality,
+        hash_sample,
+    )
+
+    spark = get_spark("corpus_stress")
+    words = F.array(*[F.lit(w) for w in (
+        "spark hash join scan filter table row batch window sort group "
+        "key value vector stream query data column merge fast slow"
+    ).split()])
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.element_at(
+                    words,
+                    (
+                        F.pmod(
+                            F.xxhash64(
+                                F.col("id") - F.pmod(F.col("id"), F.lit(20)), i
+                            ),
+                            F.lit(21),
+                        )
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    ).persist()
+    base.count()
+    timings: dict[str, float] = {}
+
+    def run(name, mk):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.time() - t0)
+        timings[name] = round(best, 2)
+
+    run("exact_dedup", lambda: exact_duplicates(base))
+    run("dedup_chunks_hashkey", lambda: dedup_chunks(base, key="hash").select(
+        "doc_id", "n_chunks", "n_kept"))
+    run("filter_quality", lambda: filter_quality(base))
+    run("hash_sample", lambda: hash_sample(base, 0.1))
+    print(json.dumps({"n_docs": n_docs, "timings": timings,
+                      "total": round(sum(timings.values()), 2)}))
+    spark.stop()
 
 if __name__ == "__main__":
     main()
