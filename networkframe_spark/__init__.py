@@ -14,6 +14,7 @@ Public surface mirrors the reference's ``__init__`` exports
 from .algorithms import aggregate_over_graph
 from .frame import LocIndexer, NetworkFrame
 from .groupby import NodeGroupBy
+from .multilayer import MultilayerNetworkFrame
 from .session import get_spark
 from .sources import load_graph, read_table, save_graph
 
@@ -21,6 +22,7 @@ __all__ = [
     "NetworkFrame",
     "NodeGroupBy",
     "LocIndexer",
+    "MultilayerNetworkFrame",
     "aggregate_over_graph",
     "get_spark",
     "read_table",

@@ -221,3 +221,42 @@ def test_save_load_graph_roundtrip(spark, letter_frame, tmp_path):
     back = load_graph(spark, path, validate=True)
     assert back == letter_frame
     assert back.directed == letter_frame.directed
+
+
+def test_multilayer(spark):
+    """Functional multilayer surface (the reference's class is an
+    all-pass stub, multilayer.py:4-23 — semantics here are ours):
+    per-layer queries, deterministic flatten, summary."""
+    from networkframe_spark import NetworkFrame
+    from networkframe_spark.multilayer import MultilayerNetworkFrame
+
+    nodes = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "id long, attr string"
+    )
+    road = NetworkFrame(nodes, spark.createDataFrame(
+        [(0, 1), (1, 2)], "source long, target long"))
+    rail = NetworkFrame(
+        nodes.filter("id < 2"),
+        spark.createDataFrame([(1, 0)], "source long, target long"),
+    )
+    ml = MultilayerNetworkFrame({"road": road, "rail": rail})
+    assert ml.layer_names == ["rail", "road"]
+    assert ml["road"].n_edges == 2
+
+    flat = ml.flatten()
+    assert len(flat) == 3  # deduped node space
+    assert flat.n_edges == 3
+    layers = {(r["source"], r["target"]): r["layer"] for r in flat.edges.collect()}
+    assert layers[(1, 0)] == "rail" and layers[(0, 1)] == "road"
+
+    # per-layer induced filter
+    small = ml.query_nodes("id < 2")
+    assert small["road"].n_edges == 1  # 0->1 survives, 1->2 dropped
+    assert small["rail"].n_edges == 1
+
+    summ = {r["layer"]: (r["n_nodes"], r["n_edges"]) for r in ml.layer_summary().collect()}
+    assert summ == {"road": (3, 2), "rail": (2, 1)}
+
+    ml2 = ml.add_layer("air", road)
+    assert len(ml2) == 3 and len(ml) == 2
+    assert ml2.drop_layer("air").layer_names == ml.layer_names
