@@ -609,7 +609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embed_dups(spark, sf):
         emb = read_embeddings(spark, sf)
-        return embedding_duplicates(emb, threshold=0.8)
+        # 0.42 sits inside the fixture's similarity distribution (34
+        # pairs at sf0.01) so the oracle check exercises real output;
+        # the old 0.8 threshold matched zero pairs and passed trivially
+        return embedding_duplicates(emb, threshold=0.42)
 
     q["embedding_dedup"] = q_embed_dups
 
@@ -629,11 +632,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = q_topk
 
-    # approximate ANN path (rows-only: bucket recall is probabilistic)
+    # LSH plumbing in deterministic degenerate mode: zero hyperplanes
+    # puts every vector in one bucket, so the banded candidate join is
+    # exhaustive and the output is bit-identical to brute force — the
+    # same trick that makes exhaustive-probe IVF oracle-checkable.
+    # Probabilistic recall of the real multi-plane path is covered by
+    # unit tests (test_lsh_top_k_recall*).
     def q_topk_lsh(spark, sf):
         emb = read_embeddings(spark, sf)
         qs = emb.filter("vec_id < 10")
-        return lsh_top_k(emb, qs, k=3, n_planes=6, n_tables=4)
+        return lsh_top_k(emb, qs, k=3, n_planes=0, n_tables=1)
 
     q["cosine_topk_lsh"] = q_topk_lsh
 
@@ -1634,7 +1642,7 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_dot_product((a.embedding::DOUBLE[]), (b.embedding::DOUBLE[]))
       / (sqrt(list_dot_product((a.embedding::DOUBLE[]), (a.embedding::DOUBLE[])))
-         * sqrt(list_dot_product((b.embedding::DOUBLE[]), (b.embedding::DOUBLE[])))) >= 0.8
+         * sqrt(list_dot_product((b.embedding::DOUBLE[]), (b.embedding::DOUBLE[])))) >= 0.42
 """
 
     o["cosine_topk"] = """
@@ -1657,6 +1665,8 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
 
     # exhaustive-probe IVF == brute force: same oracle as cosine_topk
     o["cosine_topk_ivf"] = o["cosine_topk"]
+    # single-bucket (n_planes=0) LSH == brute force: same oracle
+    o["cosine_topk_lsh"] = o["cosine_topk"]
 
     o["events_window_agg"] = """
 SELECT event_type,

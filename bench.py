@@ -37,6 +37,10 @@ HEADLINE = [
     "bm25_search",           # posting-list scoring + global top-k (r2)
     "link_prediction",       # wedge self-join + pair hash-agg (r2s3)
     "dedup_chunks",          # chunk explode + first-occurrence agg (r2s3)
+    "local_clustering",      # wedge-normalized triangle ratio (r5)
+    "k_core",                # iterative degree-peel loop (r5)
+    "hop_distances",         # frontier BFS join loop (r5)
+    "graph_metrics",         # fused single-pass graph summary (r5)
 ]
 
 

@@ -100,7 +100,14 @@ def _hyperplane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[int]
 
 
 def signature_col(emb: Column, planes: list[list[int]]) -> Column:
-    """LSH bucket id: one bit per hyperplane = sign(dot(plane, v))."""
+    """LSH bucket id: one bit per hyperplane = sign(dot(plane, v)).
+
+    Zero planes is the deterministic degenerate mode: every vector
+    lands in bucket 0, the candidate set is the full corpus, and
+    :func:`lsh_top_k` becomes bit-identical to brute force — the same
+    exhaustive-probe trick IVF uses to stay SQL-oracle-checkable."""
+    if not planes:
+        return F.lit(0).cast("long")
     bits = []
     for j, row in enumerate(planes):
         signs = F.array(*[F.lit(float(s)) for s in row])

@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts(col) -> "F.Column":
+    """Coerce either timestamp flavor to session-tz ``TimestampType``.
+
+    Parquet fixtures have shipped ``ts`` both tz-aware (TimestampType)
+    and tz-naive (TIMESTAMP_NTZ, on which ``cast(bigint)`` /
+    ``unix_micros`` are illegal).  ``cast("timestamp")`` is a no-op on
+    the former and a lossless UTC reinterpretation on the latter
+    (``sources.read_events`` pins the session tz), so every epoch
+    extraction below goes through it."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return c.cast("timestamp")
+
+
+def _epoch_s(col) -> "F.Column":
+    return _ts(col).cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,8 +91,7 @@ def asof_join(
     matched = F.col("__m_ts").isNotNull()
     if tolerance_seconds is not None:
         matched = matched & (
-            F.col(ts_col).cast("long") - F.col("__m_ts").cast("long")
-            <= tolerance_seconds
+            _epoch_s(ts_col) - _epoch_s("__m_ts") <= tolerance_seconds
         )
     return out.select(
         F.col(on),
@@ -104,8 +120,8 @@ def range_join(
         F.col(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != on],
     )
-    lt = F.col(ts_col).cast("long")
-    rt = F.col(f"{ts_col}{suffix}").cast("long")
+    lt = _epoch_s(ts_col)
+    rt = _epoch_s(f"{ts_col}{suffix}")
     return left.join(r, on=on).filter((rt >= lt) & (rt - lt <= window_seconds))
 
 
@@ -128,7 +144,7 @@ def inter_event_stats(
     """
     from pyspark.sql import Window
 
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(_ts(ts_col))
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -163,10 +179,10 @@ def funnel_counts(
     counts.  Rate rounds to 6 dp.
     """
     a = events.filter(F.col(type_col) == step1).select(
-        F.col(user_col).alias("u"), F.unix_micros(F.col(ts_col)).alias("ta")
+        F.col(user_col).alias("u"), F.unix_micros(_ts(ts_col)).alias("ta")
     )
     b = events.filter(F.col(type_col) == step2).select(
-        F.col(user_col).alias("u"), F.unix_micros(F.col(ts_col)).alias("tb")
+        F.col(user_col).alias("u"), F.unix_micros(_ts(ts_col)).alias("tb")
     )
     lim = within_minutes * 60 * 1_000_000
     conv = (

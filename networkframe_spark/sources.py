@@ -89,8 +89,35 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = read_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(df, "ts")
+
+
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-tz ``TimestampType``
+    regardless of how the parquet writer encoded it.
+
+    Fixture regenerations have shipped ``ts`` three ways so far:
+
+    * ``timestamp[ns]`` — rejected by Spark unless ``nanosAsLong`` is
+      set, then read as ``bigint`` epoch-nanos;
+    * ``timestamp[us]`` tz-naive — read as ``TIMESTAMP_NTZ``, which is
+      illegal for ``withWatermark`` and for direct ``cast(bigint)``;
+    * ``timestamp[us]`` tz-aware — already ``TimestampType``.
+
+    All three collapse to the same wall-clock instants under the UTC
+    session timezone :func:`read_events` pins, so every downstream
+    window boundary and epoch extraction is bit-identical to the
+    timezone-naive DuckDB oracles.  Idempotent; no-op when the column
+    is absent or already ``timestamp``.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":  # epoch nanos via nanosAsLong
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        # lossless under the pinned UTC session tz: same wall-clock
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -8,8 +8,20 @@ windows via ``F.window``; sessionization via gap detection).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_s(col) -> Column:
+    """Epoch seconds from either timestamp flavor.
+
+    ``cast(bigint)`` is illegal on TIMESTAMP_NTZ (the type the current
+    parquet fixtures decode to); routing through ``cast("timestamp")``
+    first is a no-op on TimestampType and a lossless session-tz (UTC,
+    pinned by ``sources.read_events``) reinterpretation on NTZ, so the
+    same plan covers both without a schema probe."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast("timestamp").cast("long")
 
 
 def windowed_event_counts(
@@ -53,7 +65,7 @@ def sessionize(
     per user).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    gap = _epoch_s(ts_col) - F.lag(_epoch_s(ts_col)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return events.withColumn(
         "session_id",
@@ -105,9 +117,7 @@ def session_stats(
     s = sessionize(events, gap_minutes, user_col, ts_col)
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
-            "duration_s"
-        ),
+        (F.max(_epoch_s(ts_col)) - F.min(_epoch_s(ts_col))).alias("duration_s"),
         # round(6) after the decimal-exact sum: hash-stable across engines
         F.round(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6

