@@ -31,14 +31,20 @@ from networkframe_spark.functions.dedup import (
     minhash_params,
     minhash_signatures,
     ngram_jaccard_duplicates,
+    semantic_dedup,
     simhash_table,
 )
 from networkframe_spark.functions.multimodal import extract_image_features
 from networkframe_spark.functions.pipeline import (
     add_repetition_score,
     cap_per_group,
+    chunk_documents,
     dedup_chunks,
+    dedup_lines,
+    filter_by_percentile,
     filter_quality,
+    global_shuffle,
+    mix_domains,
     ngram_decontaminate,
     split_by_cluster,
     hash_sample,
@@ -130,6 +136,10 @@ sh AS (
 
 SIMHASH_BITS = 32
 N_PERM = 4
+# domain-mixture targets for mix_domains: upweight src0-src4 2x.  The
+# fixture's 20 sources are uniform, so C* binds on the upweighted ones
+# (kept whole) and the rest keep a 0.5 hash-bucket fraction.
+MIX_WEIGHTS = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
 PAGERANK_ITERS = 5
 
 
@@ -948,6 +958,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return split_by_cluster(docs, pairs, test_fraction=0.2, seed=7)
 
     q["split_by_cluster"] = q_split_by_cluster
+
+    # -- round-5 pipeline ops ----------------------------------------------
+    def q_dedup_lines(spark, sf):
+        # single-line fixture corpus: sep=" " runs the same operator as
+        # common-token (stopword-style) removal — tokens present in
+        # >= 400 distinct docs are the "boilerplate lines"
+        docs = read_table(spark, sf, "documents")
+        return dedup_lines(docs, min_docs=400, sep=" ")
+
+    q["dedup_lines"] = q_dedup_lines
+
+    def q_chunk_documents(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return chunk_documents(docs, chunk_size=32, stride=24)
+
+    q["chunk_documents"] = q_chunk_documents
+
+    def q_mix_domains(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return mix_domains(docs, MIX_WEIGHTS, domain_col="source").select(
+            "doc_id", "source"
+        )
+
+    q["mix_domains"] = q_mix_domains
+
+    def q_global_shuffle(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return global_shuffle(docs, key_col="doc_id", seed=7).select(
+            "doc_id", "shuffle_key"
+        )
+
+    q["global_shuffle"] = q_global_shuffle
+
+    def q_filter_percentile(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return filter_by_percentile(
+            docs, "n_chars", pct=0.75, keep="above"
+        ).select("doc_id", "n_chars")
+
+    q["filter_by_percentile"] = q_filter_percentile
+
+    def q_semantic_dedup(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return semantic_dedup(
+            emb, n_clusters=8, threshold=0.35, init="first_ids"
+        )
+
+    q["semantic_dedup"] = q_semantic_dedup
 
     return q
 
@@ -2329,6 +2387,106 @@ SELECT doc_id, cluster_id,
        CASE WHEN {_CLUSTER_BUCKET} < 200000 THEN 'test' ELSE 'train' END
          AS split
 FROM clusters
+"""
+
+    # -- round-5 pipeline ops ----------------------------------------------
+    o["dedup_lines"] = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS line,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, pos, line,
+         trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS norm
+  FROM lines
+),
+boiler AS (
+  SELECT norm FROM normed WHERE norm <> ''
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= 400
+)
+SELECT n.doc_id,
+       coalesce(
+         string_agg(CASE WHEN b.norm IS NULL THEN n.line END, ' '
+                    ORDER BY n.pos), '') AS text,
+       count(*) AS n_lines,
+       sum(CASE WHEN b.norm IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+FROM normed n LEFT JOIN boiler b ON n.norm = b.norm
+GROUP BY n.doc_id
+"""
+
+    o["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       (start // 24)::BIGINT AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+         AS chunk_text,
+       least(len(toks) - start, 32)::INT AS n_tokens
+FROM s
+"""
+
+    _mix_values = ", ".join(
+        f"('src{i}', {2.0 if i < 5 else 1.0})" for i in range(20)
+    )
+    o["mix_domains"] = f"""
+WITH w(source, wt) AS (VALUES {_mix_values}),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+r AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+cs AS (SELECT min(n / wt) AS cstar FROM r),
+thr AS (
+  SELECT source, floor(cstar * wt / n * 1000000)::BIGINT AS t FROM r, cs
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+      % 1000000 < thr.t
+"""
+
+    o["global_shuffle"] = """
+SELECT doc_id, md5(doc_id::VARCHAR || ':7') AS shuffle_key FROM documents
+"""
+
+    o["filter_by_percentile"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+"""
+
+    o["semantic_dedup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT vec_id AS sid, emb AS semb FROM e ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, e.emb, s.sid,
+         round(list_dot_product(e.emb, s.semb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(s.semb, s.semb))), 6) AS sim
+  FROM e, seeds s
+),
+assigned AS (
+  SELECT vec_id, emb, sid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, sid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM assigned a
+JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35
 """
 
     return o

@@ -648,3 +648,131 @@ def dedup_near(
         .select(F.col(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    init: str = "first_ids",
+    exact_max_cluster_rows: int = 20_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    partition the corpus into ``n_clusters`` cosine cells around seed
+    centroids, then emit near-duplicate pairs (cosine >= threshold)
+    WITHIN each cell only.  Returns ``(id_a, id_b, cluster, cosine)``
+    with ``id_a < id_b``, cosine rounded to 6 dp.
+
+    The cluster pass is what makes embedding dedup tractable at
+    corpus scale: all-pairs work drops from O(n^2) to
+    O(sum_c n_c^2), and each cell's pair join is an equi-join on the
+    cluster id — shuffle-partitionable, AQE-skew-splittable.
+
+    ``init`` picks the centroids:
+
+    - ``"first_ids"``: the ``n_clusters`` corpus vectors with the
+      smallest ids.  Fully deterministic AND SQL-expressible, so the
+      whole operator is oracle-checkable (the quality of the cells is
+      fixture-grade, not production-grade).
+    - ``"kmeans"``: deterministic Lloyd iterations via
+      :func:`~networkframe_spark.functions.similarity.ivf_fit_centroids`
+      — the production path (better-balanced cells, same plan shape
+      downstream).
+
+    Assignment is a broadcast argmax over the ``n_clusters`` seed
+    vectors (map-side, one row_number window keyed on the vector id);
+    ties break toward the lowest cluster id for engine portability.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_expr
+
+    if init not in ("first_ids", "kmeans"):
+        raise ValueError("init must be 'first_ids' or 'kmeans'")
+    if init == "first_ids":
+        seeds = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).alias("__seed_id"),
+                F.col(emb_col).alias("__seed_emb"),
+            )
+        )
+    else:
+        from .similarity import ivf_fit_centroids
+
+        cents = ivf_fit_centroids(
+            df, n_lists=n_clusters, id_col=id_col, emb_col=emb_col
+        )
+        seeds = df.sparkSession.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)],
+            "__seed_id long, __seed_emb array<double>",
+        )
+
+    scored = df.select(
+        F.col(id_col), F.col(emb_col)
+    ).crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        F.col(emb_col),
+        F.col("__seed_id"),
+        # 6-dp rounding before the argmax: engine float-sum order can
+        # differ below ~1e-7, and equal-rounded sims tie-break on the
+        # seed id identically everywhere — portable assignment
+        F.round(
+            cosine_expr(F.col(emb_col), F.col("__seed_emb")), 6
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__sim"), F.asc("__seed_id")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(emb_col),
+            F.col("__seed_id").alias("cluster"),
+        )
+    )
+    if exact_max_cluster_rows is not None:
+        # persist: the guard job materializes the assignment once and
+        # both sides of the pair join below reuse it
+        assigned = assigned.persist()
+        row = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("__m"))
+            .first()
+        )
+        biggest = row["__m"] or 0
+        if biggest > exact_max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup refused: largest cluster has {biggest} "
+                f"rows (> {exact_max_cluster_rows}); its within-cell "
+                "pair join would be an n_c^2 blowup — raise n_clusters "
+                "(cells must shrink as the corpus grows) or pass "
+                "exact_max_cluster_rows=None to override"
+            )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("__emb_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("__emb_b"),
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_expr(F.col("__emb_a"), F.col("__emb_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )
+    return pairs

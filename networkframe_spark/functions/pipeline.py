@@ -546,3 +546,215 @@ def split_by_cluster(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level deduplication (MassiveText/RefinedWeb
+    boilerplate removal): drop every line whose normalized form occurs
+    in at least ``min_docs`` DISTINCT documents (headers, footers,
+    cookie banners, license blurbs), keeping the remaining lines in
+    original order.  Returns ``(id_col, text, n_lines, n_removed)``.
+
+    ``sep`` is the line delimiter (``"\\n"`` for real corpora; on a
+    single-line corpus pass ``" "`` and the same operator does common-
+    token / stopword-style removal — identical plan shape).
+
+    Scale design: one ``posexplode`` to ``(doc, pos, line)``, one
+    distinct-count hash aggregate keyed on the normalized-line
+    fingerprint (uniform 128-bit key — no skew), one equi-join back on
+    that key (AQE broadcasts it when the boilerplate set is small),
+    and one per-document reassembly aggregate.  Line order is restored
+    with ``array_sort`` over ``(pos, line)`` structs — per-document
+    bounded, never a global window.  Normalization-empty lines are
+    never treated as boilerplate (they would trivially match across
+    every document).
+    """
+    from .text import normalized_text_col
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("norm", normalized_text_col(F.col("line")))
+    boiler = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("norm", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(boiler, on="norm", how="left")
+    keep = F.col("__boiler").isNull()
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select(id_col, "text", "n_lines", "n_removed")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking of long documents into training-sized
+    pieces: whitespace tokens are windowed into chunks of
+    ``chunk_size`` tokens starting every ``stride`` tokens
+    (``stride < chunk_size`` = overlapping context, the long-document
+    counterpart of :func:`pack_token_sequences`).  Returns
+    ``(id_col, chunk_id, chunk_text, n_tokens)``.
+
+    Scale design: pure per-row array expressions — tokenize once,
+    ``explode`` a ``sequence`` of start offsets, ``slice`` +
+    ``array_join`` per chunk.  Map-side only: NO shuffle, no UDF, the
+    whole plan stays inside whole-stage codegen and parallelism is
+    whatever the scan provides.
+    """
+    if stride is None:
+        stride = chunk_size
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = F.split(F.col(text_col), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(starts).alias("__start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__toks")) - F.col("__start"), F.lit(chunk_size)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def mix_domains(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each domain
+    so the output follows the target ``weights`` proportions exactly
+    (up to hash-bucket granularity), keeping as much data as the
+    scarcest domain allows — the data-mixing step (e.g. Pile/Dolma
+    style domain reweighting) of a pretraining pipeline.
+
+    The feasible scale factor is ``C* = min_d(n_d / w_d)`` (no
+    upsampling); domain ``d`` then keeps ``C* * w_d / n_d`` of its
+    rows via the same engine-portable md5-bucket filter as
+    :func:`hash_sample` — stable across runs, engines, and cluster
+    layouts.  Domains absent from ``weights`` are dropped.
+
+    Scale design: fully declarative, no driver collect.  Per-domain
+    counts are one hash aggregate (#domains rows — tiny); the scalar
+    ``C*`` and per-domain thresholds join back as broadcasts; the
+    final pass is a map-side filter on the fact table.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in weights.items()],
+        f"{domain_col} string, __w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.join(wdf, on=domain_col)
+    cstar = rates.agg(
+        F.min(F.col("__n") / F.col("__w")).alias("__cstar")
+    )
+    thresholds = rates.crossJoin(F.broadcast(cstar)).select(
+        domain_col,
+        F.floor(
+            F.col("__cstar") * F.col("__w") / F.col("__n") * _HASH_MOD
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=domain_col)
+        .filter(_bucket_col(F.col(key_col), seed, method) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def global_shuffle(
+    df: DataFrame, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets an engine-portable pseudo-random ``shuffle_key``
+    (md5 of key + seed) and the frame is returned sorted by it.
+    Same key + seed → same order on any engine, any cluster layout,
+    any partition count — reproducible epochs without RNG state.
+
+    Scale design: Spark executes ``orderBy`` as a sampled
+    range-partition sort (a TB-scale-proven distributed sort); no
+    global window, no dense rank, no single-partition stage.  Epoch
+    variation = change the seed.
+    """
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+    ).orderBy("shuffle_key", key_col)
+
+
+def filter_by_percentile(
+    df: DataFrame,
+    score_col: str,
+    pct: float = 0.5,
+    keep: str = "above",
+    exact: bool = True,
+) -> DataFrame:
+    """Corpus-relative quality gate: keep rows whose ``score_col`` is
+    above (or below) the corpus-wide ``pct`` percentile — the
+    "keep the best half by model score" step, where the cutoff adapts
+    to the corpus instead of being hand-tuned.
+
+    ``exact=True`` computes the true interpolated percentile (matches
+    DuckDB ``quantile_cont`` bit-for-bit — oracle-checkable);
+    ``exact=False`` uses ``approx_percentile`` (mergeable sketch, the
+    100 TB path — one pass, bounded memory, no global sort).
+
+    Scale design: one scalar aggregate broadcast back as a cross join
+    (1-row build side), then a map-side filter.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    fn = "percentile" if exact else "approx_percentile"
+    thr = df.agg(
+        F.expr(f"{fn}({score_col}, {pct})").alias("__thr")
+    )
+    cond = (
+        F.col(score_col) >= F.col("__thr")
+        if keep == "above"
+        else F.col(score_col) <= F.col("__thr")
+    )
+    return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")

@@ -276,3 +276,143 @@ def test_split_by_cluster_no_straddle(spark):
     assert out[10]["split"] == out[11]["split"]
     # singletons bucket on their own id; with fraction 0.5 both sides occur
     assert {r["split"] for r in out.values()} == {"train", "test"}
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: line dedup, chunking, domain mixing, shuffle, percentile gate
+# ---------------------------------------------------------------------------
+def test_dedup_lines_removes_boilerplate(spark):
+    from networkframe_spark.functions.pipeline import dedup_lines
+
+    rows = [
+        (1, "COOKIE BANNER\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "cookie banner\nunique text\nFOOTER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=3).collect()}
+    # "cookie banner" and "footer" normalize identically across all 3
+    assert out[1]["text"] == "real content one"
+    assert out[2]["text"] == "real content two"
+    assert out[3]["text"] == "unique text"
+    assert all(out[i]["n_removed"] == 2 and out[i]["n_lines"] == 3 for i in (1, 2, 3))
+
+
+def test_dedup_lines_keeps_order_and_empty_lines_safe(spark):
+    from networkframe_spark.functions.pipeline import dedup_lines
+
+    rows = [(1, "a\n\nb\n\nc"), (2, "x\n\ny\n\nz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, min_docs=2).collect()}
+    # empty lines appear in both docs but are never boilerplate-removed
+    assert out[1] == "a\n\nb\n\nc" and out[2] == "x\n\ny\n\nz"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from networkframe_spark.functions.pipeline import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {
+        r["chunk_id"]: r for r in chunk_documents(df, chunk_size=4, stride=3).collect()
+    }
+    # starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    assert sorted(chunks) == [0, 1, 2, 3]
+    assert chunks[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert chunks[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert chunks[3]["chunk_text"] == "t9" and chunks[3]["n_tokens"] == 1
+    # every token appears in at least one chunk
+    seen = set()
+    for r in chunks.values():
+        seen |= set(r["chunk_text"].split())
+    assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_mix_domains_targets_and_determinism(spark):
+    from networkframe_spark.functions.pipeline import mix_domains
+
+    rows = [(i, "a" if i < 400 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target 1:1 from a 2:1 corpus -> domain b (200 rows) binds; a
+    # keeps ~200 of 400 via the hash filter
+    out = mix_domains(df, {"a": 1.0, "b": 1.0}, domain_col="source")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["b"] == 200
+    assert abs(counts["a"] - 200) < 40  # hash-bucket granularity
+    # rerun-stable
+    again = mix_domains(df, {"a": 1.0, "b": 1.0}, domain_col="source")
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    # unknown domains are dropped
+    assert mix_domains(df, {"a": 1.0}, domain_col="source").filter(
+        "source = 'b'").count() == 0
+
+
+def test_global_shuffle_deterministic_full_permutation(spark):
+    from networkframe_spark.functions.pipeline import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    o1 = [r["doc_id"] for r in global_shuffle(df, seed=1).collect()]
+    o2 = [r["doc_id"] for r in global_shuffle(df, seed=1).collect()]
+    o3 = [r["doc_id"] for r in global_shuffle(df, seed=2).collect()]
+    assert o1 == o2  # reproducible epoch
+    assert sorted(o1) == list(range(100))  # a permutation, nothing lost
+    assert o1 != o3  # different seed, different order
+    assert o1 != list(range(100))  # actually shuffled
+
+
+def test_filter_by_percentile_above_below(spark):
+    from networkframe_spark.functions.pipeline import filter_by_percentile
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)],
+                               "doc_id long, score double")
+    top = filter_by_percentile(df, "score", pct=0.9, keep="above")
+    assert top.count() == 11  # scores 90..100 (exact percentile = 90.0)
+    bot = filter_by_percentile(df, "score", pct=0.1, keep="below")
+    assert bot.count() == 11
+    with pytest.raises(ValueError):
+        filter_by_percentile(df, "score", keep="middle")
+
+
+def test_semantic_dedup_finds_planted_pairs(spark):
+    from networkframe_spark.functions.dedup import semantic_dedup
+
+    # seeds (first_ids) are vectors 0 and 1 — one per axis group, so
+    # each group's near-dup lands in its seed's cell (a near-dup that
+    # IS itself a seed would straddle cells: the SemDeDup tradeoff)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (3, [0.01, 0.999, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.0, 1.0]),      # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup(df, n_clusters=2, threshold=0.95, init="first_ids")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 2), (1, 3)}
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    from networkframe_spark.functions.dedup import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="refused"):
+        semantic_dedup(df, n_clusters=1, exact_max_cluster_rows=10).collect()
+
+
+def test_semantic_dedup_kmeans_init_runs(spark):
+    from networkframe_spark.functions.dedup import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup(df, n_clusters=3, threshold=0.99, init="kmeans")
+    # identical vectors within each residue class must pair up inside
+    # their cell
+    assert pairs.count() > 0
+    for r in pairs.collect():
+        assert r["id_a"] % 3 == r["id_b"] % 3
