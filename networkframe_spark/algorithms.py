@@ -1028,15 +1028,18 @@ def hop_distances(
     Rounds are bounded by graph diameter (or ``max_hops``).
     """
     edges = _edge_pairs(frame, directed).repartition("source").cache()
-    visited = (
+    seed = (
         _seed_df(frame, node_id)
         .select("id", F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("id")
+    waves = [seed]
+    frontier = seed.select("id")
+    prev, prev2 = seed.select("id"), None
+    visited = seed.select("id")
     limit = _MAX_ITER if max_hops is None else max_hops
     for d in range(1, limit + 1):
-        nxt = (
+        cand = (
             edges.join(
                 frontier.withColumnRenamed("id", "source"),
                 on="source",
@@ -1044,15 +1047,34 @@ def hop_distances(
             )
             .select(F.col("target").alias("id"))
             .distinct()
-            .join(visited.select("id"), on="id", how="left_anti")
+        )
+        if directed:
+            # a directed edge can reach arbitrarily old waves, so the
+            # anti-join needs the full visited set; keep it compacted
+            # (one checkpointed table, not a union of D waves)
+            seen = visited
+        else:
+            # undirected BFS invariant: neighbors of wave d-1 sit at
+            # distance d-2, d-1, or d — the anti-join only ever needs
+            # the LAST TWO waves, so per-round work is frontier-sized
+            # regardless of how much of the graph is already visited
+            seen = prev if prev2 is None else prev.union(prev2)
+        nxt = (
+            cand.join(seen, on="id", how="left_anti")
             .select("id", F.lit(d).alias("dist"))
         ).localCheckpoint(eager=False)
         if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        waves.append(nxt)
+        prev2, prev = prev, nxt.select("id")
         frontier = nxt.select("id")
+        if directed:
+            visited = visited.union(frontier).localCheckpoint(eager=False)
     edges.unpersist()
-    return visited
+    out = waves[0]
+    for w in waves[1:]:
+        out = out.union(w)
+    return out
 
 
 def k_core(frame, k: int, max_iter: int = 50) -> DataFrame:
@@ -1229,16 +1251,35 @@ def graph_metrics(frame) -> DataFrame:
     checkable).  Values round to 6 dp.
     """
     n = frame.nodes.count()
-    pairs = (
+    # one aggregate keyed on the UNORDERED pair replaces the old
+    # reciprocity self-join: each distinct ordered non-loop pair lands
+    # in its unordered bucket, so per-bucket cnt==2 means "reverse
+    # exists" and m / reciprocal-count / undirected-edge-count all fall
+    # out of a single second-stage agg.  sum(deg) = 2*|und| gives
+    # avg_degree for free.  Driver-side jobs: nodes.count + this agg
+    # (was 4 jobs + a self-join); the assortativity plan below is the
+    # only remaining heavy action and reuses the checkpointed
+    # unordered-pair table.
+    und_counts = (
         frame.edges.select("source", "target")
         .filter(F.col("source") != F.col("target"))
         .distinct()
+        .groupBy(
+            F.least("source", "target").alias("u"),
+            F.greatest("source", "target").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    und = pairs.select(
-        F.least("source", "target").alias("u"),
-        F.greatest("source", "target").alias("v"),
-    ).distinct()
+    stats = und_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 2, 2).otherwise(0)), F.lit(0)
+        ).alias("recip"),
+        F.count(F.lit(1)).alias("n_und"),
+    ).collect()[0]
+    m, recip, n_und = stats["m"], stats["recip"], stats["n_und"]
+    und = und_counts.select("u", "v")
     sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -1248,22 +1289,13 @@ def graph_metrics(frame) -> DataFrame:
         .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
     )
     assort = de.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
-    m = pairs.count()
-    recip = (
-        pairs.join(
-            pairs.select(
-                F.col("target").alias("source"), F.col("source").alias("target")
-            ),
-            on=["source", "target"],
-            how="left_semi",
-        ).count()
-    )
     dens = m / (n * (n - 1)) if n > 1 else 0.0
-    avg_deg = deg.agg(F.sum("deg").alias("s")).collect()[0]["s"] or 0
     return (
         assort.withColumn("density", F.round(F.lit(dens), 6))
         .withColumn("reciprocity", F.round(F.lit(recip / m if m else 0.0), 6))
-        .withColumn("avg_degree", F.round(F.lit(avg_deg / n if n else 0.0), 6))
+        .withColumn(
+            "avg_degree", F.round(F.lit(2 * n_und / n if n else 0.0), 6)
+        )
         .select("density", "reciprocity", "assortativity", "avg_degree")
     )
 
