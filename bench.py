@@ -41,6 +41,8 @@ HEADLINE = [
     "k_core",                # iterative degree-peel loop (r5)
     "hop_distances",         # frontier BFS join loop (r5)
     "graph_metrics",         # fused single-pass graph summary (r5)
+    "dedup_lines",           # line explode + freq agg + reassembly (r5)
+    "semantic_dedup",        # cluster-then-pair embedding dedup (r5)
 ]
 
 

@@ -1008,6 +1008,68 @@ def triangle_counts(frame) -> DataFrame:
     )
 
 
+_BFS_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _bfs_local(frame, pairs: DataFrame, node_id: Any, max_hops: int | None) -> DataFrame:
+    """Driver-local vectorized BFS over a collected pair table.
+
+    Ids map to dense positions via a sorted-unique table (works for
+    int and string ids alike); each hop gathers all frontier
+    adjacency ranges with one repeat/arange construction — no Python
+    per-node loop."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    epdf = pairs.toPandas()
+    seeds = np.asarray(
+        [r["id"] for r in _seed_df(frame, node_id).collect()]
+    )
+    ids = np.unique(
+        np.concatenate(
+            [epdf["source"].to_numpy(), epdf["target"].to_numpy(), seeds]
+        )
+    )
+    n = len(ids)
+    src = np.searchsorted(ids, epdf["source"].to_numpy())
+    dst = np.searchsorted(ids, epdf["target"].to_numpy())
+    order = np.argsort(src, kind="stable")
+    ss, dd = src[order], dst[order]
+    bounds = np.searchsorted(ss, np.arange(n + 1))
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = np.unique(np.searchsorted(ids, seeds))
+    dist[frontier] = 0
+    limit = _MAX_ITER if max_hops is None else max_hops
+    d = 0
+    while frontier.size and d < limit:
+        d += 1
+        lo, hi = bounds[frontier], bounds[frontier + 1]
+        lens = hi - lo
+        total = int(lens.sum())
+        if total == 0:
+            break
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.repeat(lo, lens) + (np.arange(total) - offs)
+        nbrs = dd[idx]
+        fresh = np.unique(nbrs[dist[nbrs] < 0])
+        if fresh.size == 0:
+            break
+        dist[fresh] = d
+        frontier = fresh
+    mask = dist >= 0
+    pdf = pd.DataFrame({"id": ids[mask], "dist": dist[mask].astype("int32")})
+    schema = T.StructType(
+        [
+            T.StructField("id", frame.nodes.schema["id"].dataType),
+            # IntegerType matches the distributed loop's F.lit(d)
+            T.StructField("dist", T.IntegerType()),
+        ]
+    )
+    return frame.spark.createDataFrame(pdf, schema=schema)
+
+
 def hop_distances(
     frame, node_id: Any, directed: bool = True, max_hops: int | None = None
 ) -> DataFrame:
@@ -1027,7 +1089,19 @@ def hop_distances(
     to it, and the single action per round is the frontier count.
     Rounds are bounded by graph diameter (or ``max_hops``).
     """
-    edges = _edge_pairs(frame, directed).repartition("source").cache()
+    pairs = _edge_pairs(frame, directed).cache()
+    if pairs.count() <= _BFS_LOCAL_MAX_EDGES:
+        # same guarded driver-local strategy as SCC/spectral (and the
+        # reference's own scipy shortest_path, networkframe.py:962-998):
+        # a frontier loop costs one fixed-overhead Spark job per hop
+        # (diameter x ~0.5s dominates small graphs), while a vectorized
+        # local BFS on the collected pair table is milliseconds.  The
+        # distributed loop below stays the path for genuinely large
+        # graphs.
+        out = _bfs_local(frame, pairs, node_id, max_hops)
+        pairs.unpersist()
+        return out
+    edges = pairs.repartition("source").cache()
     seed = (
         _seed_df(frame, node_id)
         .select("id", F.lit(0).alias("dist"))
@@ -1071,6 +1145,7 @@ def hop_distances(
         if directed:
             visited = visited.union(frontier).localCheckpoint(eager=False)
     edges.unpersist()
+    pairs.unpersist()
     out = waves[0]
     for w in waves[1:]:
         out = out.union(w)

@@ -325,6 +325,40 @@ def test_hop_distances(spark):
     assert got_h == {0: 0, 1: 1}
 
 
+def test_hop_distances_distributed_path(spark, monkeypatch):
+    """Force the frontier-loop path (guard at 0) and require identical
+    answers to the driver-local BFS on both orientations, including the
+    two-wave anti-join optimization for undirected and the cumulative
+    visited set for directed (a directed back-edge to an old wave must
+    not resurrect it)."""
+    from networkframe_spark import NetworkFrame, algorithms
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # 0->1->2->3->4 path, branch 1->5, back-edge 4->0 (old wave),
+    # cross 5->3; 6,7 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (4, 0), (5, 3)],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    for directed in (True, False):
+        local = {
+            r["id"]: r["dist"]
+            for r in nf.hop_distances(0, directed=directed).collect()
+        }
+        monkeypatch.setattr(algorithms, "_BFS_LOCAL_MAX_EDGES", 0)
+        dist = {
+            r["id"]: r["dist"]
+            for r in nf.hop_distances(0, directed=directed).collect()
+        }
+        monkeypatch.undo()
+        assert dist == local, directed
+    # sanity on the actual values (directed)
+    monkeypatch.setattr(algorithms, "_BFS_LOCAL_MAX_EDGES", 0)
+    got = {r["id"]: r["dist"] for r in nf.hop_distances(0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 5: 2, 3: 3, 4: 4}
+
+
 def test_k_core(spark):
     """Triangle + pendant chain: the 2-core is exactly the triangle
     (chain peels over two rounds — exercises the cascade)."""

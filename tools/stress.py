@@ -128,6 +128,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--corpus":
         corpus_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
+        embedding_stress(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 64,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--scc":
         scc_stress(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000,
@@ -242,8 +249,88 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
         "doc_id", "n_chunks", "n_kept"))
     run("filter_quality", lambda: filter_quality(base))
     run("hash_sample", lambda: hash_sample(base, 0.1))
+    # round-5 ops
+    from networkframe_spark.functions.pipeline import (
+        chunk_documents,
+        dedup_lines,
+        filter_by_percentile,
+        global_shuffle,
+        mix_domains,
+    )
+
+    run(
+        "dedup_lines",
+        lambda: dedup_lines(base, min_docs=n_docs // 2, sep=" ").select(
+            "doc_id", "n_lines", "n_removed"
+        ),
+    )
+    run("chunk_documents", lambda: chunk_documents(base, 32, 24))
+    domained = base.withColumn(
+        "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+    )
+    run(
+        "mix_domains",
+        lambda: mix_domains(
+            domained,
+            {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)},
+        ),
+    )
+    run("global_shuffle", lambda: global_shuffle(base))
+    scored = base.withColumn("len", F.length("text"))
+    run(
+        "filter_pctl_approx",
+        lambda: filter_by_percentile(scored, "len", 0.75, exact=False),
+    )
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
+    spark.stop()
+
+
+def embedding_stress(n_vecs: int = 100_000, dim: int = 16, k: int = 64) -> None:
+    """semantic_dedup at ~50x the sf0.1 embeddings fixture: synthetic
+    hash-derived vectors in runs of 10 sharing identical values, so
+    within-cell pairs have real positives.  The interesting number is
+    wall vs the all-pairs counterfactual (n^2/2 = 5e9 cosines at the
+    default size; the cells cut it ~k-fold)."""
+    from networkframe_spark.functions.dedup import semantic_dedup
+
+    spark = get_spark("embedding_stress")
+    base = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(
+                    F.xxhash64(F.col("id") - F.pmod(F.col("id"), F.lit(10)), i),
+                    F.lit(1000),
+                )
+                / 1000.0
+            ),
+        ).alias("embedding"),
+    ).persist()
+    base.count()
+    t0 = time.time()
+    pairs = semantic_dedup(
+        base,
+        n_clusters=k,
+        threshold=0.999,
+        init="kmeans",
+        exact_max_cluster_rows=None,
+    )
+    n_pairs = pairs.count()
+    wall = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "mode": "semantic_dedup",
+                "n_vecs": n_vecs,
+                "dim": dim,
+                "n_clusters": k,
+                "wall_s": wall,
+                "n_dup_pairs": n_pairs,
+            }
+        )
+    )
     spark.stop()
 
 if __name__ == "__main__":
