@@ -1000,9 +1000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filter_by_percentile"] = q_filter_percentile
 
     def q_semantic_dedup(spark, sf):
+        # score="expr" is the pure-SQL twin of the DuckDB oracle; the
+        # Arrow matmul path (default) is pair-set-equal away from the
+        # threshold boundary and covered by unit tests
         emb = read_embeddings(spark, sf)
         return semantic_dedup(
-            emb, n_clusters=8, threshold=0.35, init="first_ids"
+            emb, n_clusters=8, threshold=0.35, init="first_ids", score="expr"
         )
 
     q["semantic_dedup"] = q_semantic_dedup

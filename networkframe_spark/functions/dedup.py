@@ -658,6 +658,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     init: str = "first_ids",
     exact_max_cluster_rows: int = 20_000,
+    score: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     partition the corpus into ``n_clusters`` cosine cells around seed
@@ -684,6 +685,17 @@ def semantic_dedup(
     Assignment is a broadcast argmax over the ``n_clusters`` seed
     vectors (map-side, one row_number window keyed on the vector id);
     ties break toward the lowest cluster id for engine portability.
+
+    ``score`` picks the within-cell pair engine:
+
+    - ``"arrow"`` (default, the 100 TB path): one ``applyInPandas``
+      per cell — normalized numpy matmul in row blocks, ~10-100x the
+      expression fold for wide vectors; the cell is the Arrow group,
+      so parallelism = #cells and peak memory = block x cell.
+    - ``"expr"``: codegen'd ``zip_with``/``aggregate`` fold per pair —
+      pure-SQL semantics, the DuckDB-oracle twin.  Both paths round to
+      6 dp; they agree except for pairs whose true cosine sits within
+      float-noise of the threshold.
     """
     from pyspark.sql import Window
 
@@ -711,31 +723,34 @@ def semantic_dedup(
             "__seed_id long, __seed_emb array<double>",
         )
 
-    scored = df.select(
-        F.col(id_col), F.col(emb_col)
-    ).crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col),
-        F.col(emb_col),
-        F.col("__seed_id"),
-        # 6-dp rounding before the argmax: engine float-sum order can
-        # differ below ~1e-7, and equal-rounded sims tie-break on the
-        # seed id identically everywhere — portable assignment
-        F.round(
-            cosine_expr(F.col(emb_col), F.col("__seed_emb")), 6
-        ).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("__sim"), F.asc("__seed_id")
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
+    if score == "arrow":
+        assigned = _assign_cells_arrow(df, seeds, id_col, emb_col)
+    else:
+        scored = df.select(
+            F.col(id_col), F.col(emb_col)
+        ).crossJoin(F.broadcast(seeds)).select(
             F.col(id_col),
             F.col(emb_col),
-            F.col("__seed_id").alias("cluster"),
+            F.col("__seed_id"),
+            # 6-dp rounding before the argmax: engine float-sum order
+            # can differ below ~1e-7, and equal-rounded sims tie-break
+            # on the seed id identically everywhere — portable
+            F.round(
+                cosine_expr(F.col(emb_col), F.col("__seed_emb")), 6
+            ).alias("__sim"),
         )
-    )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__sim"), F.asc("__seed_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col(emb_col),
+                F.col("__seed_id").alias("cluster"),
+            )
+        )
     if exact_max_cluster_rows is not None:
         # persist: the guard job materializes the assignment once and
         # both sides of the pair join below reuse it
@@ -755,6 +770,8 @@ def semantic_dedup(
                 "(cells must shrink as the corpus grows) or pass "
                 "exact_max_cluster_rows=None to override"
             )
+    if score == "arrow":
+        return _cell_pairs_arrow(assigned, id_col, emb_col, threshold)
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -776,3 +793,118 @@ def semantic_dedup(
         .select("id_a", "id_b", "cluster", "cosine")
     )
     return pairs
+
+
+def _assign_cells_arrow(
+    df: DataFrame, seeds: DataFrame, id_col: str, emb_col: str
+) -> DataFrame:
+    """Arrow twin of the crossJoin+window assignment: the seed matrix
+    (k x dim — tiny) rides into every task closure; each input batch
+    does one normalized matmul + rounded argmax.  Seeds sorted by id
+    ascending make numpy's first-max argmax reproduce the expr path's
+    (max sim, lowest seed id) tie-break exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    seed_rows = sorted(
+        ((r["__seed_id"], r["__seed_emb"]) for r in seeds.collect()),
+        key=lambda t: t[0],
+    )
+    sid = np.asarray([t[0] for t in seed_rows])
+    S = np.asarray([t[1] for t in seed_rows], dtype=np.float64)
+    snorm = np.linalg.norm(S, axis=1)
+    snorm[snorm == 0] = 1.0
+    Sn = S / snorm[:, None]
+
+    in_schema = df.select(id_col, emb_col).schema
+    out_schema = T.StructType(
+        [
+            in_schema[id_col],
+            in_schema[emb_col],
+            T.StructField("cluster", seeds.schema["__seed_id"].dataType),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((X / norms[:, None]) @ Sn.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    emb_col: pdf[emb_col].to_numpy(),
+                    "cluster": sid[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(fn, out_schema)
+
+
+def _cell_pairs_arrow(
+    assigned: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    block: int = 2048,
+) -> DataFrame:
+    """Within-cell near-dup pairs via one Arrow batch per cluster:
+    normalize once, then block-wise ``X_b @ X.T`` so peak memory is
+    ``block x n_c`` floats regardless of cell size.  Emits the upper
+    triangle only (global ``id_a < id_b`` via min/max)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = assigned.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cluster", assigned.schema["cluster"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf):
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster": [], "cosine": []}
+            )
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = np.round(Xn[lo:hi] @ Xn.T, 6)
+            rr, cc = np.nonzero(S >= threshold)
+            keep = cc > rr + lo  # upper triangle in GLOBAL row index
+            if keep.any():
+                out_a.append(ids[rr[keep] + lo])
+                out_b.append(ids[cc[keep]])
+                out_c.append(S[rr[keep], cc[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster": [], "cosine": []}
+            )
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        cs = np.concatenate(out_c)
+        lo_id = np.minimum(ia, ib)
+        hi_id = np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo_id, "id_b": hi_id, "cluster": key[0], "cosine": cs}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(fn, schema)

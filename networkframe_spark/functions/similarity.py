@@ -158,11 +158,44 @@ def ivf_fit_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Add ``list_id`` = index of the nearest centroid (squared L2).
-    One codegen'd projection over a broadcast literal centroid array —
-    no shuffle, no Python."""
+
+    ``method="arrow"`` (default): one vectorized numpy
+    ``argmin(|x|^2 - 2 x.C^T + |C|^2)`` per Arrow batch — the k x dim
+    centroid matrix rides in the task closure, no shuffle, and the
+    matmul replaces a k-deep codegen expression tree (which gets slow
+    and codegen-heavy past k ~ 64).  ``method="expr"`` keeps the pure
+    codegen'd projection (no Python at all) for small k.  Both are
+    deterministic; ties break to the lowest centroid index."""
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        C = np.asarray(centroids, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        out_schema = T.StructType(
+            list(df.schema) + [T.StructField("list_id", T.IntegerType())]
+        )
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                # argmin of |x-c|^2 == argmin of -2x.c + |c|^2
+                d2 = c2[None, :] - 2.0 * (X @ C.T)
+                out = pdf.copy()
+                out["list_id"] = np.argmin(d2, axis=1).astype("int32")
+                yield out
+
+        return df.mapInPandas(fn, out_schema)
     dist_structs = []
     for i, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])

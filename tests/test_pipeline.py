@@ -416,3 +416,31 @@ def test_semantic_dedup_kmeans_init_runs(spark):
     assert pairs.count() > 0
     for r in pairs.collect():
         assert r["id_a"] % 3 == r["id_b"] % 3
+
+
+def test_semantic_dedup_arrow_matches_expr(spark):
+    """The Arrow matmul scoring path must produce the same pair set
+    and 6-dp cosines as the SQL-expression fold on the real fixture
+    embeddings (threshold away from float-noise boundaries)."""
+    import os
+
+    from networkframe_spark.functions.dedup import semantic_dedup
+    from networkframe_spark.sources import read_embeddings
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        import pytest as _pytest
+
+        _pytest.skip("fixtures absent")
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    kw = dict(n_clusters=8, threshold=0.35, init="first_ids")
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup(emb, score="expr", **kw).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup(emb, score="arrow", **kw).collect()
+    }
+    assert expr.keys() == arrow.keys() and len(expr) > 0
+    for k in expr:
+        assert abs(expr[k] - arrow[k]) < 2e-6, k
