@@ -76,6 +76,7 @@ from networkframe_spark.functions.text import (
     add_quality_score,
     add_token_count,
     redact_pii,
+    unigram_logprob_score,
     word_tokens_col,
 )
 from networkframe_spark.sources import (
@@ -1009,6 +1010,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["semantic_dedup"] = q_semantic_dedup
+
+    def q_shortest_paths(spark, sf):
+        # same heavy subgraph + deterministic seed as hop_distances;
+        # fixed max_rounds matched by the unrolled SQL twin (rounds
+        # past convergence are no-ops, so bounded-round semantics are
+        # exact on both engines)
+        nf = _graph(spark, sf).query_edges("weight > 103000").persist()
+        seed = (
+            nf.edges.orderBy(F.desc("weight"), F.asc("source"), F.asc("target"))
+            .limit(1)
+            .collect()[0]["source"]
+        )
+        return nf.shortest_paths(seed, directed=False, max_rounds=8)
+
+    q["shortest_paths"] = q_shortest_paths
+
+    def q_label_propagation(spark, sf):
+        # doc-clique graph (mod-7 cliques, ids < 450): cliques collapse
+        # to their min id, isolated docs keep their own label
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        return NetworkFrame(ids, pairs).label_propagation(n_iter=2)
+
+    q["label_propagation"] = q_label_propagation
+
+    def q_unigram_logprob(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return unigram_logprob_score(docs)
+
+    q["unigram_logprob"] = q_unigram_logprob
 
     return q
 
@@ -2490,6 +2527,82 @@ JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb))
                * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35
+"""
+
+    # unrolled synchronous Bellman-Ford: 8 rounds matched to the
+    # entry's max_rounds (rounds past convergence are no-ops)
+    _sp = [
+        "heavy AS (SELECT source, target, weight FROM edges"
+        " WHERE weight > 103000)",
+        "seed AS (SELECT source AS id FROM edges WHERE weight > 103000"
+        " ORDER BY weight DESC, source ASC, target ASC LIMIT 1)",
+        "bidir AS (SELECT source, target, weight AS w FROM heavy"
+        " UNION ALL SELECT target, source, weight FROM heavy)",
+        "e AS (SELECT source, target, min(w) AS w FROM bidir"
+        " GROUP BY source, target)",
+        "d0 AS (SELECT id, 0.0 AS dist FROM seed)",
+    ]
+    for _i in range(8):
+        _sp.append(
+            f"d{_i + 1} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT e.target AS id, d{_i}.dist + e.w AS dist"
+            f" FROM d{_i} JOIN e ON e.source = d{_i}.id"
+            f" UNION ALL SELECT id, dist FROM d{_i}) GROUP BY id)"
+        )
+    o["shortest_paths"] = (
+        f"WITH {GRAPH_CTE.strip().rstrip()}, "
+        + ", ".join(_sp)
+        + " SELECT id, round(dist, 6) AS dist FROM d8"
+    )
+
+    # unrolled 2-round deterministic LPA on the doc-clique graph
+    _lp = [
+        "eg AS (SELECT a.doc_id AS u, b.doc_id AS v FROM documents a"
+        " JOIN documents b ON a.doc_id % 7 = b.doc_id % 7"
+        " AND a.doc_id < b.doc_id"
+        " WHERE a.doc_id < 450 AND b.doc_id < 450)",
+        "sym AS (SELECT u AS source, v AS target FROM eg"
+        " UNION SELECT v, u FROM eg)",
+        "l0 AS (SELECT doc_id AS id, doc_id AS community FROM documents)",
+    ]
+    for _i in range(2):
+        _lp.append(
+            f"v{_i + 1} AS (SELECT id, nb, count(*) AS n FROM ("
+            f"SELECT s.target AS id, l{_i}.community AS nb"
+            f" FROM sym s JOIN l{_i} ON s.source = l{_i}.id"
+            f" UNION ALL SELECT id, community FROM l{_i}"
+            f") GROUP BY 1, 2)"
+        )
+        _lp.append(
+            f"w{_i + 1} AS (SELECT id, nb FROM (SELECT id, nb, row_number()"
+            f" OVER (PARTITION BY id ORDER BY n DESC, nb ASC) AS rn"
+            f" FROM v{_i + 1}) WHERE rn = 1)"
+        )
+        _lp.append(
+            f"l{_i + 1} AS (SELECT l{_i}.id,"
+            f" coalesce(w{_i + 1}.nb, l{_i}.community) AS community"
+            f" FROM l{_i} LEFT JOIN w{_i + 1} ON l{_i}.id = w{_i + 1}.id)"
+        )
+    o["label_propagation"] = (
+        "WITH " + ", ".join(_lp) + " SELECT id, community FROM l2"
+    )
+
+    o["unigram_logprob"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tt AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS n FROM tt GROUP BY tok),
+total AS (SELECT sum(n) AS total FROM freq),
+lp AS (
+  SELECT tt.doc_id, ln(freq.n) - ln(total.total) AS lp
+  FROM tt JOIN freq USING (tok), total
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
     return o

@@ -43,6 +43,9 @@ HEADLINE = [
     "graph_metrics",         # fused single-pass graph summary (r5)
     "dedup_lines",           # line explode + freq agg + reassembly (r5)
     "semantic_dedup",        # cluster-then-pair embedding dedup (r5)
+    "shortest_paths",        # sync Bellman-Ford relaxation rounds (r5)
+    "label_propagation",     # deterministic sync LPA communities (r5)
+    "unigram_logprob",       # corpus-relative LM score (r5)
 ]
 
 

@@ -1412,3 +1412,201 @@ def local_clustering(frame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def _bellman_ford_local(
+    frame, e: DataFrame, node_id: Any, max_rounds: int
+) -> DataFrame:
+    """Driver-local synchronous relaxation over the collected minified
+    edge table; each round is one vectorized ``np.minimum.at`` scatter
+    — exact same bounded-round semantics as the distributed loop."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    epdf = e.toPandas()
+    seeds = np.asarray([r["id"] for r in _seed_df(frame, node_id).collect()])
+    ids = np.unique(
+        np.concatenate(
+            [epdf["source"].to_numpy(), epdf["target"].to_numpy(), seeds]
+        )
+    )
+    src = np.searchsorted(ids, epdf["source"].to_numpy())
+    dst = np.searchsorted(ids, epdf["target"].to_numpy())
+    w = epdf["w"].to_numpy(dtype=np.float64)
+    dist = np.full(len(ids), np.inf)
+    dist[np.searchsorted(ids, seeds)] = 0.0
+    for _ in range(max_rounds):
+        cand = dist[src] + w
+        new = dist.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    mask = np.isfinite(dist)
+    pdf = pd.DataFrame({"id": ids[mask], "dist": dist[mask]})
+    schema = T.StructType(
+        [
+            T.StructField("id", frame.nodes.schema["id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+    # F.round (HALF_UP) here, NOT np.round (half-even): must match the
+    # distributed path and the SQL twin bit-for-bit
+    return frame.spark.createDataFrame(pdf, schema=schema).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
+def shortest_paths(
+    frame,
+    node_id: Any,
+    weight_col: str = "weight",
+    directed: bool = True,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Single-source weighted shortest-path distances (synchronous
+    Bellman-Ford): ``(id, dist)`` for every node reachable from
+    ``node_id`` within ``max_rounds`` relaxations, ``dist`` rounded to
+    6 dp.  Weights must be non-negative (no negative-cycle detection).
+
+    Scale-extension operator (SURVEY §2.11); the weighted counterpart
+    of :func:`hop_distances`.  Each synchronous round computes
+
+        dist_r(v) = min(dist_{r-1}(v), min_u(dist_{r-1}(u) + w(u, v)))
+
+    which is a pure function of the previous round, so a fixed-round
+    unrolled SQL twin reproduces it exactly (extra rounds after
+    convergence are no-ops — early exit is just an optimization and
+    cannot change the output).
+
+    Scale design: the weighted edge table is cached hash-partitioned
+    on ``source``; each round shuffles only the current distance
+    table (node-sized) into one keyed join + one min-aggregate, with
+    lineage cut by a checkpoint per round.  Convergence is one count
+    comparison on the changed set; rounds are bounded by the weighted
+    hop diameter.
+    """
+    if directed:
+        e = frame.edges.select("source", "target", F.col(weight_col).alias("w"))
+    else:
+        # undirected: each edge is traversable both ways at its weight
+        rev = frame.edges.select(
+            F.col("target").alias("source"),
+            F.col("source").alias("target"),
+            F.col(weight_col).alias("w"),
+        )
+        e = (
+            frame.edges.select("source", "target", F.col(weight_col).alias("w"))
+            .unionByName(rev)
+        )
+    # parallel edges: keep the cheapest (shortest-path semantics)
+    e = (
+        e.groupBy("source", "target")
+        .agg(F.min("w").alias("w"))
+        .cache()
+    )
+    if e.count() <= _BFS_LOCAL_MAX_EDGES:
+        # guarded local twin (same policy as hop_distances/SCC): R
+        # numpy scatter-min relaxation rounds are bit-equal to the
+        # distributed sync rounds — min is order-independent and the
+        # per-candidate float add is identical
+        out = _bellman_ford_local(frame, e, node_id, max_rounds)
+        e.unpersist()
+        return out
+    e = e.repartition("source").cache()
+    dist = (
+        _seed_df(frame, node_id)
+        .select("id", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("id", "source"), on="source")
+            .select(
+                F.col("target").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        # converged when no node improved (count is the one action per
+        # round and materializes the checkpoint)
+        n_changed = (
+            relaxed.join(
+                dist.withColumnRenamed("dist", "__old"), on="id", how="left"
+            )
+            .filter(
+                F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+            )
+            .count()
+        )
+        old = dist
+        dist = relaxed
+        if n_changed == 0:
+            dist = old
+            break
+    e.unpersist()
+    return dist.select("id", F.round("dist", 6).alias("dist"))
+
+
+def label_propagation(
+    frame, n_iter: int = 3, directed: bool = False
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic: ``(id, community)`` after
+    ``n_iter`` rounds over the undirected simple projection (or
+    directed out-edges when ``directed``).
+
+    Each round every node adopts the most frequent label among its
+    neighbors AND itself (the self-vote damps the two-coloring
+    oscillation synchronous LPA is known for) — ties break to the
+    SMALLEST label, and isolated nodes keep their own — so the result
+    is a pure function of the graph (no RNG, no visit order), and a
+    fixed-``n_iter`` unrolled SQL twin is exact.
+
+    Scale design: one keyed join (labels onto edges) + two hash
+    aggregates per round — count per (node, neighbor-label), then a
+    deterministic argmax via ``max_by`` on the (count, -label) pair.
+    All shuffles key on the node id; lineage is cut per round.
+    """
+    pairs = _edge_pairs(frame, directed).filter(
+        F.col("source") != F.col("target")
+    ).repartition("target").cache()
+    labels = frame.nodes.select(
+        "id", F.col("id").alias("community")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        votes = (
+            pairs.join(
+                labels.select(
+                    F.col("id").alias("source"),
+                    F.col("community").alias("nb_label"),
+                ),
+                on="source",
+            )
+            .select(F.col("target").alias("id"), "nb_label")
+            .unionByName(
+                labels.select("id", F.col("community").alias("nb_label"))
+            )
+            .groupBy("id", "nb_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent neighbor label, ties -> smallest label
+        winner = votes.groupBy("id").agg(
+            F.expr("max_by(nb_label, struct(n, -nb_label))").alias("__new")
+        )
+        labels = (
+            labels.join(winner, on="id", how="left")
+            .select(
+                "id",
+                F.coalesce("__new", "community").alias("community"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        labels.count()  # materialize; cuts lineage for the next round
+    pairs.unpersist()
+    return labels

@@ -721,6 +721,36 @@ class NetworkFrame:
 
         return k_core(self, k, max_iter=max_iter)
 
+    def shortest_paths(
+        self,
+        node_id,
+        weight_col: str = "weight",
+        directed: bool = True,
+        max_rounds: int = 30,
+    ) -> DataFrame:
+        """Single-source weighted shortest-path distances ``(id,
+        dist)`` (synchronous Bellman-Ford); see
+        :func:`networkframe_spark.algorithms.shortest_paths`."""
+        from .algorithms import shortest_paths
+
+        return shortest_paths(
+            self,
+            node_id,
+            weight_col=weight_col,
+            directed=directed,
+            max_rounds=max_rounds,
+        )
+
+    def label_propagation(
+        self, n_iter: int = 3, directed: bool = False
+    ) -> DataFrame:
+        """Deterministic synchronous label-propagation communities
+        ``(id, community)``; see
+        :func:`networkframe_spark.algorithms.label_propagation`."""
+        from .algorithms import label_propagation
+
+        return label_propagation(self, n_iter=n_iter, directed=directed)
+
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None
     ) -> DataFrame:

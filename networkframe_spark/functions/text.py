@@ -197,3 +197,55 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, token_fmt.format(name=name.upper()))
     return out.withColumn(out_col, red)
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-relative fluency score (KenLM-lite): per document, the
+    mean natural-log unigram probability of its tokens under the
+    corpus's own empirical distribution — ``(id_col, n_tokens,
+    logprob)``, rounded to 6 dp.  Empty documents score NULL.
+
+    Low scores flag documents made of corpus-rare tokens (gibberish,
+    encoding noise, foreign-to-the-corpus text); the standard cheap
+    proxy for LM-perplexity filtering when no external model is
+    available.
+
+    Scale design: one explode + hash aggregate builds the unigram
+    table (vocabulary-sized, uniform token key), the corpus total is
+    a 1-row broadcast, and scoring is one equi-join of the exploded
+    tokens against the frequency table + one per-doc aggregate.  Two
+    shuffles on uniform keys (token, doc id); no UDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+    total = freq.agg(F.sum("__n").alias("__total"))
+    scored = (
+        toks.join(freq, on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("__n")) - F.log(F.col("__total"))).alias("__lp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.round(F.avg("__lp"), 6).alias("logprob"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "logprob",
+        )
+    )

@@ -447,3 +447,116 @@ def test_local_clustering(spark):
     assert got[2] == (1, round(1 / 3, 6))
     assert got[3] == (0, 0.0)
     assert got[4] == (0, 0.0)
+
+
+def test_shortest_paths_weighted(spark):
+    """Weighted SSSP must prefer a cheap 2-hop route over an expensive
+    direct edge, honor directionality, and bound rounds."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 10.0),  # direct but expensive
+            (0, 2, 1.0),
+            (2, 1, 2.0),   # 0->2->1 = 3.0 beats 10.0
+            (1, 3, 1.0),
+            (3, 0, 1.0),   # back edge
+        ],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {r["id"]: r["dist"] for r in nf.shortest_paths(0).collect()}
+    assert got == {0: 0.0, 2: 1.0, 1: 3.0, 3: 4.0}  # 4 unreachable
+    # undirected: the back edge opens 0-3 directly
+    got_u = {
+        r["id"]: r["dist"]
+        for r in nf.shortest_paths(0, directed=False).collect()
+    }
+    assert got_u[3] == 1.0 and got_u[1] == 2.0  # 0-3-1 via reversed edges
+    # round bound: one relaxation can't see the 2-hop shortcut
+    got_1 = {
+        r["id"]: r["dist"] for r in nf.shortest_paths(0, max_rounds=1).collect()
+    }
+    assert got_1[1] == 10.0 and got_1[2] == 1.0
+
+
+def test_shortest_paths_parallel_edges_take_min(spark):
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 1, 2.0)], "source long, target long, weight double"
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in NetworkFrame(nodes, edges).shortest_paths(0).collect()
+    }
+    assert got == {0: 0.0, 1: 2.0}
+
+
+def test_label_propagation_cliques_and_isolated(spark):
+    """Two disjoint triangles collapse to their min id; an isolated
+    node keeps its own label; a bridge node follows the majority."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (0, 2),        # triangle A
+            (3, 4), (4, 5), (3, 5),        # triangle B
+            (5, 6), (4, 6),                # 6 hangs off B (majority B)
+        ],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["id"]: r["community"] for r in nf.label_propagation(n_iter=4).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == got[6] == 3
+    assert got[7] == 7  # isolated
+
+
+def test_label_propagation_deterministic(spark):
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    a = sorted(
+        (r["id"], r["community"]) for r in nf.label_propagation(n_iter=3).collect()
+    )
+    b = sorted(
+        (r["id"], r["community"]) for r in nf.label_propagation(n_iter=3).collect()
+    )
+    assert a == b
+
+
+def test_shortest_paths_distributed_matches_local(spark, monkeypatch):
+    from networkframe_spark import NetworkFrame, algorithms
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 4.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 7.0),
+            (2, 3, 8.0), (3, 4, 1.0), (4, 5, 1.0), (0, 5, 100.0),
+        ],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    for directed in (True, False):
+        local = sorted(
+            (r["id"], r["dist"])
+            for r in nf.shortest_paths(0, directed=directed).collect()
+        )
+        monkeypatch.setattr(algorithms, "_BFS_LOCAL_MAX_EDGES", 0)
+        dist = sorted(
+            (r["id"], r["dist"])
+            for r in nf.shortest_paths(0, directed=directed).collect()
+        )
+        monkeypatch.undo()
+        assert dist == local, directed

@@ -490,3 +490,26 @@ def test_funnel_counts(spark):
     assert r["n_step1_users"] == 3
     assert r["n_converted"] == 1
     assert r["conversion_rate"] == round(1 / 3, 6)
+
+
+def test_unigram_logprob_score(spark):
+    """Docs of corpus-common tokens must outscore docs of rare ones;
+    empty docs report NULL with zero tokens."""
+    from networkframe_spark.functions.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),       # 'the' dominates the corpus
+            (2, "the the zyx"),           # one rare token drags it down
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 3
+    assert got[1]["logprob"] > got[2]["logprob"]
+    assert got[3]["n_tokens"] == 0 and got[3]["logprob"] is None
+    # hand check: p(the) = 6/7, p(zyx) = 1/7
+    import math
+
+    assert got[1]["logprob"] == pytest.approx(math.log(6 / 7), abs=1e-5)
