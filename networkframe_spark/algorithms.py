@@ -1573,9 +1573,11 @@ def label_propagation(
     deterministic argmax via ``max_by`` on the (count, -label) pair.
     All shuffles key on the node id; lineage is cut per round.
     """
+    # cached pre-partitioned on the per-round join key: each round
+    # then shuffles only the node-sized label table into the join
     pairs = _edge_pairs(frame, directed).filter(
         F.col("source") != F.col("target")
-    ).repartition("target").cache()
+    ).repartition("source").cache()
     labels = frame.nodes.select(
         "id", F.col("id").alias("community")
     ).localCheckpoint(eager=True)

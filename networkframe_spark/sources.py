@@ -205,6 +205,7 @@ def save_graph(
     path: str,
     mode: str = "error",
     edge_buckets: int | None = None,
+    partition_edges_by: str | None = None,
 ) -> None:
     """Distributed graph sink: nodes/ and edges/ parquet plus a
     _graph.json manifest (directed flag, schema fingerprint).
@@ -215,7 +216,9 @@ def save_graph(
     files, so a reload followed by source-keyed joins reads
     hash-clustered files (full co-location needs ``bucketBy`` +
     ``saveAsTable`` in a warehouse deployment — same layout, managed
-    metadata).
+    metadata).  ``partition_edges_by`` hive-partitions the edge table
+    on a column (a layer/date key) so reads with a filter on it prune
+    whole directories.
     """
     import json as _json
 
@@ -223,12 +226,16 @@ def save_graph(
     if edge_buckets:
         edges = edges.repartition(edge_buckets, "source")
     nf.nodes.write.mode(mode).parquet(os.path.join(path, "nodes"))
-    edges.write.mode(mode).parquet(os.path.join(path, "edges"))
+    ew = edges.write.mode(mode)
+    if partition_edges_by:
+        ew = ew.partitionBy(partition_edges_by)
+    ew.parquet(os.path.join(path, "edges"))
     manifest = {
         "directed": nf.directed,
         "node_columns": nf.nodes.columns,
         "edge_columns": nf.edges.columns,
         "edge_buckets": edge_buckets,
+        "partition_edges_by": partition_edges_by,
     }
     spark = nf.spark
     (
@@ -299,47 +306,3 @@ def load_graph_table(
     )
 
 
-def write_graph(
-    frame: NetworkFrame,
-    path: str,
-    mode: str = "error",
-    partition_edges_by: str | None = None,
-    buckets: int | None = None,
-) -> None:
-    """Persist a graph as two parquet tables (``<path>/nodes``,
-    ``<path>/edges``) — the scale-native sink (the reference's only
-    serialization is driver-side ``to_dict``/``to_json``,
-    networkframe.py:1588-1647; a 100 TB graph round-trips through
-    distributed parquet or not at all).
-
-    ``partition_edges_by`` hive-partitions the edge table (e.g. a
-    layer/date column — enables partition pruning on read).
-    ``buckets`` writes edges bucketed by ``source`` via
-    ``bucketBy`` + ``saveAsTable`` semantics only when a metastore
-    table name is wanted; for plain paths we instead pre-repartition
-    on ``source`` so each file holds a contiguous hash range — the
-    poor-man's co-location that still lets AQE skip shuffles for
-    source-keyed reads at matching parallelism.
-    """
-    ew = frame.edges
-    if buckets:
-        ew = ew.repartition(buckets, "source")
-    writer = ew.write.mode(mode)
-    if partition_edges_by:
-        writer = writer.partitionBy(partition_edges_by)
-    writer.parquet(os.path.join(path, "edges"))
-    frame.nodes.write.mode(mode).parquet(os.path.join(path, "nodes"))
-
-
-def read_graph(
-    spark: SparkSession,
-    path: str,
-    directed: bool = True,
-    validate: bool = False,
-) -> NetworkFrame:
-    """Load a graph written by :func:`write_graph`.  Filters and
-    column selections on the returned frame push down into the
-    parquet scans like any other source."""
-    nodes = spark.read.parquet(os.path.join(path, "nodes"))
-    edges = spark.read.parquet(os.path.join(path, "edges"))
-    return NetworkFrame(nodes, edges, directed=directed, validate=validate)

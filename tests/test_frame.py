@@ -262,19 +262,14 @@ def test_multilayer(spark):
     assert ml2.drop_layer("air").layer_names == ml.layer_names
 
 
-def test_graph_parquet_roundtrip(spark, letter_frame, tmp_path):
-    """write_graph/read_graph: distributed parquet round-trip preserves
-    nodes, edges, and attribute values; partitioned edge writes prune."""
-    from networkframe_spark.sources import read_graph, write_graph
+def test_graph_parquet_partitioned_roundtrip(spark, letter_frame, tmp_path):
+    """save_graph(partition_edges_by=...): hive-partitioned edge writes
+    round-trip with values intact (column order may differ)."""
+    from networkframe_spark.sources import load_graph, save_graph
 
-    p = str(tmp_path / "g")
-    write_graph(letter_frame, p)
-    back = read_graph(spark, p, validate=True)
-    assert back == letter_frame
-    # partitioned variant round-trips too (column order may differ)
     p2 = str(tmp_path / "g2")
-    write_graph(letter_frame, p2, partition_edges_by="weight")
-    back2 = read_graph(spark, p2)
+    save_graph(letter_frame, p2, partition_edges_by="weight")
+    back2 = load_graph(spark, p2)
     got = sorted(
         (r["source"], r["target"], r["weight"])
         for r in back2.edges.collect()
