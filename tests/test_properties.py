@@ -318,3 +318,69 @@ def test_link_prediction_matches_python(spark, edge_list):
         assert gnc == nc
         assert abs(gjac - jac) < 1e-9
         assert abs(gaa - aa) < 1e-9
+
+
+_wedges = st.lists(
+    st.tuples(
+        st.integers(0, N_MAX - 1),
+        st.integers(0, N_MAX - 1),
+        st.integers(1, 9),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(edge_list=_wedges)
+@_settings
+def test_shortest_paths_matches_python_dijkstra(spark, edge_list):
+    """Bellman-Ford on DataFrames == a tiny Python Dijkstra, on random
+    weighted digraphs with parallel edges and self-loops."""
+    import heapq
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(N_MAX)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(s, t, float(w)) for s, t, w in edge_list] or [],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {r["id"]: r["dist"] for r in nf.shortest_paths(0).collect()}
+
+    adj = {}
+    for s, t, w in edge_list:
+        adj.setdefault(s, []).append((t, float(w)))
+    dist = {0: 0.0}
+    heap = [(0.0, 0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    assert got == dist
+
+
+@given(edge_list=_edges)
+@_settings
+def test_label_propagation_is_component_refinement(spark, edge_list):
+    """LPA communities never straddle weak components, and node ids in
+    a community always contain the community label itself."""
+    nf = _frame(spark, edge_list)
+    comm = {r["id"]: r["community"] for r in nf.label_propagation(n_iter=4).collect()}
+    comp = {
+        r["id"]: r["component"]
+        for r in nf.label_nodes_by_component(connection="weak")
+        .nodes.select("id", "component")
+        .collect()
+    }
+    by_label = {}
+    for nid, lab in comm.items():
+        by_label.setdefault(lab, []).append(nid)
+    for lab, members in by_label.items():
+        assert lab in members  # label is one of its own members
+        assert len({comp[m] for m in members}) == 1  # within one component
