@@ -521,3 +521,129 @@ def principal_component_scores(
         lambda acc, t: acc + t,
     )
     return dd.select(id_col, F.round(proj, 6).alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build offline, probe with partition pruning
+# ---------------------------------------------------------------------------
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "error",
+) -> list[list[float]]:
+    """Build and persist an IVF index: the corpus is written to
+    ``<path>/cells`` as parquet PARTITIONED BY ``list_id`` (one
+    directory per cell, precomputed norms included) and the k-means
+    centroids to ``<path>/centroids``.  Returns the centroids.
+
+    This is how ANN actually deploys at 100 TB: the index is built
+    once offline, and every online probe of ``n_probe`` cells becomes
+    a partition-pruned scan — Spark reads ``n_probe`` directories and
+    never touches the rest of the corpus.  (The in-memory
+    :func:`ivf_top_k` re-partitions per call; this amortizes the
+    k-means + assignment across every future query batch.)
+    """
+    import json as _json
+    import os as _os
+
+    centroids = ivf_fit_centroids(
+        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+    )
+    cells = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("c_emb"),
+            norm_expr(F.col(emb_col)).alias("c_norm"),
+        ),
+        centroids,
+        emb_col="c_emb",
+    )
+    cells.write.mode(mode).partitionBy("list_id").parquet(
+        _os.path.join(path, "cells")
+    )
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame(
+            [(_json.dumps(centroids),)], "centroids string"
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .json(_os.path.join(path, "centroids"))
+    )
+    return centroids
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`):
+    each query scores only its ``n_probe`` nearest cells.
+
+    The cell filter is an ``IN (<list_ids>)`` predicate on the
+    PARTITION column, so it prunes at the file-listing level —
+    ``.explain`` shows a ``PartitionFilters`` entry and the scan reads
+    ``n_probe``/``n_lists`` of the data.  Query cell choice happens
+    driver-side against the (tiny) centroid table; the probe itself is
+    one broadcast join of the query batch against the pruned cells.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    ).toPandas()
+    probe_rows = []
+    wanted: set[int] = set()
+    for _, row in qpdf.iterrows():
+        x = np.asarray(row["q_emb"], dtype=np.float64)
+        d2 = c2 - 2.0 * (C @ x)
+        order = np.argsort(d2, kind="stable")[:n_probe]
+        qn = float(np.linalg.norm(x))
+        for li in order:
+            wanted.add(int(li))
+            probe_rows.append(
+                (row["query_id"], list(map(float, x)), qn, int(li))
+            )
+    q = spark.createDataFrame(
+        probe_rows,
+        "query_id long, q_emb array<double>, q_norm double, list_id int",
+    )
+    cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
+        F.col("list_id").isin(sorted(wanted))
+    )
+    scored = cells.join(F.broadcast(q), on="list_id").withColumn(
+        "cosine",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -513,3 +513,37 @@ def test_unigram_logprob_score(spark):
     import math
 
     assert got[1]["logprob"] == pytest.approx(math.log(6 / 7), abs=1e-5)
+
+
+def test_ivf_index_persisted_search(spark, tmp_path):
+    """build_ivf_index + ivf_index_search: exhaustive probe equals
+    brute force; the probe scan is PARTITION-PRUNED (the plan's
+    partition filters reference list_id, and fewer cell directories
+    are read than exist)."""
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        build_ivf_index,
+        ivf_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, path, n_lists=8, n_iter=2)
+    assert len(cents) == 8
+    qs = emb.filter("vec_id < 5")
+    # exhaustive probe == brute force
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_index_search(spark, path, qs, k=3, n_probe=8).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_force_top_k(emb, qs, k=3).collect()
+    )
+    assert got == want
+    # partial probe: plan prunes partitions
+    partial = ivf_index_search(spark, path, qs, k=3, n_probe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert partial.count() > 0
