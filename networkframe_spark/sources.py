@@ -57,13 +57,44 @@ def _tune(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture parquet table.
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read one fixture table (parquet by default; csv/json for
+    interchange dumps — csv reads with header + schema inference,
+    which costs an extra pass; pass an explicit schema via
+    :func:`read_table_at` for production csv).
+
+    NOTE: pins AQE on in the caller's session as a side effect (see
+    :func:`_tune`)."""
+    return read_table_at(spark, os.path.join(sf_dir, f"{name}.{fmt}"), fmt)
+
+
+def read_table_at(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Format-dispatching scan: parquet (native, pushdown + pruning),
+    csv (header; schema inferred unless given — inference is a full
+    extra read at scale), or json (lines).  Filters and projections on
+    the result push into the scan for all three.
 
     NOTE: pins AQE on in the caller's session as a side effect (see
     :func:`_tune`)."""
     _tune(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        r = spark.read.option("header", "true")
+        r = r.schema(schema) if schema is not None else r.option(
+            "inferSchema", "true"
+        )
+        return r.csv(path)
+    if fmt == "json":
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
+    raise ValueError(f"unsupported format: {fmt!r}")
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
