@@ -2587,18 +2587,23 @@ WHERE round(list_dot_product(a.emb, b.emb)
         "WITH " + ", ".join(_lp) + " SELECT id, community FROM l2"
     )
 
+    # weighted tf form mirrors the Spark plan exactly (sum(c*lp)/sum(c))
     o["unigram_logprob"] = f"""
 WITH {TOKS_CTE.strip().rstrip()},
 tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-tt AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
-freq AS (SELECT tok, count(*) AS n FROM tt GROUP BY tok),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+freq AS (SELECT tok, sum(c) AS n FROM tf GROUP BY tok),
 total AS (SELECT sum(n) AS total FROM freq),
 lp AS (
-  SELECT tt.doc_id, ln(freq.n) - ln(total.total) AS lp
-  FROM tt JOIN freq USING (tok), total
+  SELECT tf.doc_id, tf.c, ln(freq.n) - ln(total.total) AS lp
+  FROM tf JOIN freq USING (tok), total
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob
+  SELECT doc_id, sum(c) AS n_tokens,
+         round(sum(c * lp) / sum(c), 6) AS logprob
   FROM lp GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob

@@ -1599,7 +1599,10 @@ def label_propagation(
         )
         # most frequent neighbor label, ties -> smallest label
         winner = votes.groupBy("id").agg(
-            F.expr("max_by(nb_label, struct(n, -nb_label))").alias("__new")
+            # min_by on (-n, label): largest count, then SMALLEST label.
+            # Negating the count (always numeric) instead of the label
+            # keeps the tie-break legal for string node ids
+            F.expr("min_by(nb_label, struct(-n, nb_label))").alias("__new")
         )
         labels = (
             labels.join(winner, on="id", how="left")

@@ -703,6 +703,8 @@ def semantic_dedup(
 
     if init not in ("first_ids", "kmeans"):
         raise ValueError("init must be 'first_ids' or 'kmeans'")
+    if score not in ("arrow", "expr"):
+        raise ValueError("score must be 'arrow' or 'expr'")
     if init == "first_ids":
         seeds = (
             df.orderBy(F.col(id_col).asc())
@@ -763,6 +765,9 @@ def semantic_dedup(
         )
         biggest = row["__m"] or 0
         if biggest > exact_max_cluster_rows:
+            # drop the cache before failing — the refusing path must
+            # not leave a corpus-sized table pinned in storage
+            assigned.unpersist()
             raise ValueError(
                 f"semantic_dedup refused: largest cluster has {biggest} "
                 f"rows (> {exact_max_cluster_rows}); its within-cell "

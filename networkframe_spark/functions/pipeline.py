@@ -577,9 +577,14 @@ def dedup_lines(
     """
     from .text import normalized_text_col
 
+    # \Q...\E quotes the separator: F.split takes a Java REGEX, and a
+    # literal delimiter like "|" or "." would otherwise split on
+    # every character boundary
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn("norm", normalized_text_col(F.col("line")))
     boiler = (
         lines.filter(F.col("norm") != "")
@@ -690,6 +695,18 @@ def mix_domains(
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
     rates = counts.join(wdf, on=domain_col)
+    # a weighted domain with ZERO rows makes the target mixture
+    # infeasible (true C* = 0); silently proceeding over the present
+    # domains would also hide typos in the weights dict — fail loudly.
+    # The check is one job over a #domains-sized aggregate.
+    present = {r[domain_col] for r in rates.select(domain_col).collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(
+            f"mix_domains: weighted domains absent from the data: "
+            f"{missing} — the target mixture is unsatisfiable "
+            "(remove them from weights or fix the domain names)"
+        )
     cstar = rates.agg(
         F.min(F.col("__n") / F.col("__w")).alias("__cstar")
     )

@@ -624,10 +624,20 @@ def ivf_index_search(
             probe_rows.append(
                 (row["query_id"], list(map(float, x)), qn, int(li))
             )
-    q = spark.createDataFrame(
-        probe_rows,
-        "query_id long, q_emb array<double>, q_norm double, list_id int",
+    from pyspark.sql import types as T
+
+    # query-id type follows the caller's column (string/int ids alike)
+    q_schema = T.StructType(
+        [
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+            T.StructField("q_norm", T.DoubleType()),
+            T.StructField("list_id", T.IntegerType()),
+        ]
     )
+    q = spark.createDataFrame(probe_rows, q_schema)
     cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
         F.col("list_id").isin(sorted(wanted))
     )

@@ -18,16 +18,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources import normalize_event_time
+
 
 def _ts(col) -> "F.Column":
-    """Coerce either timestamp flavor to session-tz ``TimestampType``.
+    """Safety-net coercion to ``TimestampType``.
 
-    Parquet fixtures have shipped ``ts`` both tz-aware (TimestampType)
-    and tz-naive (TIMESTAMP_NTZ, on which ``cast(bigint)`` /
-    ``unix_micros`` are illegal).  ``cast("timestamp")`` is a no-op on
-    the former and a lossless UTC reinterpretation on the latter
-    (``sources.read_events`` pins the session tz), so every epoch
-    extraction below goes through it."""
+    The public ops normalize their inputs with
+    :func:`~networkframe_spark.sources.normalize_event_time` (NTZ →
+    instants via session-tz-independent wall-clock-as-UTC arithmetic),
+    so by the time these expressions run the column is already
+    TimestampType and this cast is a no-op.  It stays as a guard for
+    expression-level callers that bypass the DataFrame entry points —
+    note that for those, a raw NTZ column would be interpreted in the
+    SESSION timezone."""
     c = col if not isinstance(col, str) else F.col(col)
     return c.cast("timestamp")
 
@@ -52,6 +56,8 @@ def asof_join(
     right column and ``{ts_col}{suffix}`` (the matched right event
     time, null when nothing precedes / outside ``tolerance_seconds``).
     """
+    left = normalize_event_time(left, ts_col)
+    right = normalize_event_time(right, ts_col)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
     lcols = [c for c in left.columns if c not in (on, ts_col)]
@@ -116,6 +122,8 @@ def range_join(
     """Pairs (left, right) sharing ``on`` with
     ``0 <= right.ts - left.ts <= window_seconds`` — "right happened
     within the window after left"."""
+    left = normalize_event_time(left, ts_col)
+    right = normalize_event_time(right, ts_col)
     r = right.select(
         F.col(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != on],
@@ -144,6 +152,7 @@ def inter_event_stats(
     """
     from pyspark.sql import Window
 
+    events = normalize_event_time(events, ts_col)
     us = F.unix_micros(_ts(ts_col))
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
@@ -178,6 +187,7 @@ def funnel_counts(
     :func:`range_join` — AQE splits skewed users), then two distinct
     counts.  Rate rounds to 6 dp.
     """
+    events = normalize_event_time(events, ts_col)
     a = events.filter(F.col(type_col) == step1).select(
         F.col(user_col).alias("u"), F.unix_micros(_ts(ts_col)).alias("ta")
     )

@@ -214,22 +214,30 @@ def unigram_logprob_score(
     proxy for LM-perplexity filtering when no external model is
     available.
 
-    Scale design: one explode + hash aggregate builds the unigram
-    table (vocabulary-sized, uniform token key), the corpus total is
-    a 1-row broadcast, and scoring is one equi-join of the exploded
-    tokens against the frequency table + one per-doc aggregate.  Two
-    shuffles on uniform keys (token, doc id); no UDF.
+    Scale design: the raw explode is consumed ONCE, into the per-doc
+    term-frequency table ``(doc, tok, cnt)`` (far smaller than the
+    token stream); the corpus unigram table and the per-doc weighted
+    average both derive from it — the tf exchange appears identically
+    in both branches, so Catalyst's ReusedExchange serves the second
+    read from the first shuffle's output.  Corpus total is a 1-row
+    broadcast.  All shuffles key on uniform values; no UDF.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).filter(F.col("tok") != "")
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("__c").alias("__n"))
     total = freq.agg(F.sum("__n").alias("__total"))
     scored = (
-        toks.join(freq, on="tok")
+        tf.join(freq, on="tok")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
+            F.col("__c"),
             (F.log(F.col("__n")) - F.log(F.col("__total"))).alias("__lp"),
         )
     )
@@ -237,8 +245,10 @@ def unigram_logprob_score(
         df.select(id_col)
         .join(
             scored.groupBy(id_col).agg(
-                F.count(F.lit(1)).alias("n_tokens"),
-                F.round(F.avg("__lp"), 6).alias("logprob"),
+                F.sum("__c").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("__c") * F.col("__lp")) / F.sum("__c"), 6
+                ).alias("logprob"),
             ),
             on=id_col,
             how="left",

@@ -147,8 +147,21 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     elif dtype == "timestamp_ntz":
-        # lossless under the pinned UTC session tz: same wall-clock
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        # wall-clock-as-UTC via pure NTZ arithmetic (timestampdiff has
+        # no timezone input), NOT cast("timestamp"): the cast reads the
+        # SESSION timezone, and in a non-UTC session its DST
+        # transitions would silently distort gaps/durations computed
+        # downstream.  This form gives the same instants in every
+        # session timezone.
+        df = df.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+                )
+            ),
+        )
     return df
 
 

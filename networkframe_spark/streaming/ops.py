@@ -11,15 +11,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources import normalize_event_time
+
 
 def _epoch_s(col) -> Column:
-    """Epoch seconds from either timestamp flavor.
+    """Epoch seconds; safety net for either timestamp flavor.
 
-    ``cast(bigint)`` is illegal on TIMESTAMP_NTZ (the type the current
-    parquet fixtures decode to); routing through ``cast("timestamp")``
-    first is a no-op on TimestampType and a lossless session-tz (UTC,
-    pinned by ``sources.read_events``) reinterpretation on NTZ, so the
-    same plan covers both without a schema probe."""
+    The public ops normalize inputs via
+    :func:`~networkframe_spark.sources.normalize_event_time`
+    (session-tz-independent), so this is normally a no-op double cast
+    on TimestampType.  For expression-level callers bypassing the
+    entry points, a raw NTZ column would fall back to session-tz
+    interpretation here."""
     c = col if isinstance(col, Column) else F.col(col)
     return c.cast("timestamp").cast("long")
 
@@ -37,6 +40,7 @@ def windowed_event_counts(
     bucketing for whole-unit durations.
     Output: (event_type, window_start, n_events, sum_value).
     """
+    events = normalize_event_time(events, ts_col)
     return (
         events.groupBy(
             F.col(type_col).alias("event_type"),
@@ -64,6 +68,7 @@ def sessionize(
     plans a single sort).  Output: events + ``session_id`` (1-based
     per user).
     """
+    events = normalize_event_time(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     gap = _epoch_s(ts_col) - F.lag(_epoch_s(ts_col)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
@@ -89,6 +94,7 @@ def session_window_stats(
     event time of the session.
     Output: (user_id, session_start, n_events, sum_value).
     """
+    events = normalize_event_time(events, ts_col)
     return (
         events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
         .agg(

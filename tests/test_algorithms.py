@@ -560,3 +560,20 @@ def test_shortest_paths_distributed_matches_local(spark, monkeypatch):
         )
         monkeypatch.undo()
         assert dist == local, directed
+
+
+def test_label_propagation_string_ids(spark):
+    """String node ids must work (the tie-break negates the COUNT, not
+    the label): a 3-clique of letters collapses to its min letter."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([("A",), ("B",), ("C",), ("Z",)], "id string")
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C")], "source string, target string"
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in NetworkFrame(nodes, edges).label_propagation(n_iter=3).collect()
+    }
+    assert got["A"] == got["B"] == got["C"] == "A"
+    assert got["Z"] == "Z"

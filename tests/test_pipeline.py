@@ -444,3 +444,33 @@ def test_semantic_dedup_arrow_matches_expr(spark):
     assert expr.keys() == arrow.keys() and len(expr) > 0
     for k in expr:
         assert abs(expr[k] - arrow[k]) < 2e-6, k
+
+
+def test_dedup_lines_literal_separator(spark):
+    """sep is a literal delimiter, not a regex: '|' and '.' must not
+    split on every character."""
+    from networkframe_spark.functions.pipeline import dedup_lines
+
+    rows = [(1, "keep me|common"), (2, "also kept|common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2, sep="|").collect()}
+    assert out[1]["text"] == "keep me" and out[2]["text"] == "also kept"
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+
+
+def test_mix_domains_missing_weighted_domain_raises(spark):
+    from networkframe_spark.functions.pipeline import mix_domains
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="absent"):
+        mix_domains(df, {"a": 1.0, "typo_domain": 1.0}, domain_col="source")
+
+
+def test_semantic_dedup_rejects_bad_score(spark):
+    from networkframe_spark.functions.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="score"):
+        semantic_dedup(df, score="arow")
