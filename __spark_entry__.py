@@ -58,6 +58,7 @@ from networkframe_spark.functions.pipeline import (
 from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
+    embedding_clusters,
     embedding_gram,
     ivf_top_k,
     label_centroids,
@@ -1046,6 +1047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob_score(docs)
 
     q["unigram_logprob"] = q_unigram_logprob
+
+    def q_embedding_clusters(spark, sf):
+        # first_ids seeds = SQL-expressible oracle mode; kmeans init is
+        # the production default (unit-tested)
+        emb = read_embeddings(spark, sf)
+        return embedding_clusters(emb, n_clusters=8, init="first_ids")
+
+    q["embedding_clusters"] = q_embedding_clusters
 
     return q
 
@@ -2608,6 +2617,25 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    o["embedding_clusters"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT vec_id AS sid, emb AS semb FROM e ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, s.sid,
+         round(list_dot_product(e.emb, s.semb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(s.semb, s.semb))), 6) AS sim
+  FROM e, seeds s
+)
+SELECT vec_id, sid AS cluster, sim AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, sid ASC) AS rn
+  FROM scored
+) WHERE rn = 1
 """
 
     return o

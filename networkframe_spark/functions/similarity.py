@@ -657,3 +657,86 @@ def ivf_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def embedding_clusters(
+    df: DataFrame,
+    n_clusters: int = 8,
+    init: str = "kmeans",
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """First-class cluster assignments over an embedding column:
+    ``(id_col, cluster, cosine)`` where ``cluster`` is the seed id /
+    centroid index and ``cosine`` the similarity to it (6 dp) — the
+    primitive SemDeDup, IVF, topic bucketing, and cluster-balanced
+    data mixing all share.
+
+    ``init="kmeans"`` (production): deterministic Lloyd centroids via
+    :func:`ivf_fit_centroids`, Arrow argmax assignment.
+    ``init="first_ids"``: seeds = the ``n_clusters`` smallest-id
+    vectors — fully SQL-expressible, the oracle-checkable mode (same
+    trick as :func:`~networkframe_spark.functions.dedup.semantic_dedup`).
+
+    Scale: the seed matrix broadcasts in the task closure; assignment
+    is one map-side Arrow matmul — no shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if init not in ("first_ids", "kmeans"):
+        raise ValueError("init must be 'first_ids' or 'kmeans'")
+    if init == "first_ids":
+        seed_rows = sorted(
+            (
+                (r[id_col], list(map(float, r[emb_col])))
+                for r in df.orderBy(F.col(id_col).asc())
+                .limit(n_clusters)
+                .collect()
+            ),
+            key=lambda t: t[0],
+        )
+    else:
+        cents = ivf_fit_centroids(
+            df, n_lists=n_clusters, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+        )
+        seed_rows = [(i, list(map(float, c))) for i, c in enumerate(cents)]
+    sid = np.asarray([t[0] for t in seed_rows])
+    S = np.asarray([t[1] for t in seed_rows], dtype=np.float64)
+    snorm = np.linalg.norm(S, axis=1)
+    snorm[snorm == 0] = 1.0
+    Sn = S / snorm[:, None]
+
+    in_schema = df.select(id_col).schema
+    cluster_type = (
+        in_schema[id_col].dataType if init == "first_ids" else T.LongType()
+    )
+    out_schema = T.StructType(
+        [
+            in_schema[id_col],
+            T.StructField("cluster", cluster_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((X / norms[:, None]) @ Sn.T, 6)
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": sid[best],
+                    "cosine": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(fn, out_schema)

@@ -289,3 +289,36 @@ def stream_unique_users(
             F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         )
     )
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+    query_name: str = "to_parquet",
+):
+    """Durable streaming sink: append the streaming DataFrame to a
+    parquet table with exactly-once file commits (checkpointed WAL +
+    idempotent file manifest — Spark's parquet sink contract).
+
+    This is the batch-layer handoff of a production pipeline: windowed
+    aggregates / sessionized events land as parquet partitions that the
+    batch ops in this package read back with the ordinary scan path.
+    ``trigger_seconds=None`` processes as fast as micro-batches arrive;
+    set it to trade latency for fewer, larger output files.  At scale,
+    pair with a downstream compaction job — streaming sinks produce a
+    file per partition per micro-batch.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    w = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

@@ -547,3 +547,29 @@ def test_ivf_index_persisted_search(spark, tmp_path):
     plan = partial._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
     assert partial.count() > 0
+
+
+def test_embedding_clusters_modes(spark):
+    """first_ids mode assigns each vector to its most-similar seed
+    (ties to lowest seed id); kmeans mode groups identical vectors."""
+    from networkframe_spark.functions.similarity import embedding_clusters
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # -> seed 0
+        (3, [0.1, 0.9]),   # -> seed 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in embedding_clusters(df, n_clusters=2, init="first_ids").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+    km = embedding_clusters(df, n_clusters=2, init="kmeans")
+    by = {r["vec_id"]: r["cluster"] for r in km.collect()}
+    assert by[0] == by[2] and by[1] == by[3] and by[0] != by[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_clusters(df, init="kmeanz")

@@ -414,3 +414,48 @@ def test_stream_unique_users_bounds(spark, tmp_path):
     assert set(got) == set(exact)
     for w, n in exact.items():
         assert abs(got[w] - n) <= max(3, 0.15 * n), (w, got[w], n)
+
+
+def test_stream_to_parquet_durable_sink(spark, tmp_path):
+    """readStream -> dedup -> parquet sink: rows land in the table,
+    reread through the normal batch scan, and a RESTARTED query does
+    not duplicate them (checkpointed exactly-once file commits)."""
+    from networkframe_spark.sources import read_events
+    from networkframe_spark.streaming.stream import (
+        stream_deduplicate,
+        stream_to_parquet,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001").limit(400)
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        deduped = stream_deduplicate(
+            stream, keys=["event_id"], watermark="3650 days",
+            within_watermark=False,
+        )
+        return stream_to_parquet(deduped, out, ckpt, query_name="t_sink")
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == ev.select("event_id").distinct().count()
+    # restart against the same checkpoint: no new data, no duplicates
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == n1
