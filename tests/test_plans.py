@@ -169,3 +169,75 @@ def test_link_prediction_plan_no_scan_reexecution(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Scan parquet" not in plan  # all inputs via checkpoint
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    """chunk_documents is map-side only: tokenize/sequence/explode/
+    slice with ZERO exchanges — the property that makes it free at
+    any scale."""
+    from networkframe_spark.functions.pipeline import chunk_documents
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(chunk_documents(docs, chunk_size=32, stride=24))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_mix_domains_plan_broadcasts_thresholds(spark):
+    """The per-domain threshold table joins as a broadcast; the fact
+    table is never shuffled."""
+    from networkframe_spark.functions.pipeline import mix_domains
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    weights = {f"src{i}": 1.0 for i in range(20)}
+    plan = _plan(mix_domains(docs, weights, domain_col="source"))
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges belong to the tiny per-domain count agg,
+    # never to the fact-table side (which is filter + broadcast probe)
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_shuffle_plan_is_range_partition_sort(spark):
+    """orderBy must plan as a sampled range-partition sort (the
+    TB-scale distributed sort), not a single-partition sort."""
+    from networkframe_spark.functions.pipeline import global_shuffle
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(global_shuffle(docs))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_semantic_dedup_arrow_plan_no_cartesian(spark):
+    """The Arrow path: assignment is mapInPandas (no join at all) and
+    within-cell pairing shuffles on the cluster key — no cartesian or
+    nested-loop join anywhere."""
+    from networkframe_spark.functions.dedup import semantic_dedup
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, SF_DIR)
+    plan = _plan(
+        semantic_dedup(
+            emb, n_clusters=4, threshold=0.9, exact_max_cluster_rows=None
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_dedup_lines_plan_shape(spark):
+    """Line dedup: the boilerplate set joins back onto the exploded
+    lines (broadcast at fixture size), and reassembly is one grouped
+    aggregate on the doc key."""
+    from networkframe_spark.functions.pipeline import dedup_lines
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup_lines(docs, min_docs=400, sep=" "))
+    assert "CartesianProduct" not in plan
+    assert "ObjectHashAggregate" in plan  # collect_list reassembly
+    assert "Generate posexplode" in plan
