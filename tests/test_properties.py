@@ -384,3 +384,54 @@ def test_label_propagation_is_component_refinement(spark, edge_list):
     for lab, members in by_label.items():
         assert lab in members  # label is one of its own members
         assert len({comp[m] for m in members}) == 1  # within one component
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab \n"), min_size=0, max_size=30
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_texts)
+@_settings
+def test_chunk_documents_covers_every_token(spark, texts):
+    """Every whitespace token of every document appears in at least
+    one chunk, and no chunk exceeds chunk_size tokens."""
+    from networkframe_spark.functions.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=3, stride=2).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        assert r["n_tokens"] <= 3
+        per_doc.setdefault(r["doc_id"], []).extend(r["chunk_text"].split())
+    import re
+
+    for i, t in enumerate(texts):
+        want = [w for w in re.split(r"\s+", t) if w] or []
+        got = [w for w in per_doc.get(i, []) if w]
+        # multiset cover: overlapping chunks may repeat tokens
+        assert set(want) <= set(got) if want else True
+
+
+@given(texts=_texts)
+@_settings
+def test_dedup_lines_identity_when_threshold_unreachable(spark, texts):
+    """min_docs above the corpus size can never classify any line as
+    boilerplate: reassembled text round-trips exactly."""
+    from networkframe_spark.functions.pipeline import dedup_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, min_docs=len(texts) + 1, sep="\n").collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i]["text"] == t and out[i]["n_removed"] == 0
