@@ -281,6 +281,9 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
         "filter_pctl_approx",
         lambda: filter_by_percentile(scored, "len", 0.75, exact=False),
     )
+    from networkframe_spark.functions.text import unigram_logprob_score
+
+    run("unigram_logprob", lambda: unigram_logprob_score(base))
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
     spark.stop()
