@@ -58,8 +58,10 @@ from networkframe_spark.functions.pipeline import (
 from networkframe_spark.functions.search import bm25_top_docs
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
+    build_ivf_index,
     embedding_clusters,
     embedding_gram,
+    ivf_index_search,
     ivf_top_k,
     label_centroids,
     lsh_top_k,
@@ -81,10 +83,12 @@ from networkframe_spark.functions.text import (
     word_tokens_col,
 )
 from networkframe_spark.sources import (
+    load_graph,
     nation_region_graph,
     read_embeddings,
     read_events,
     read_table,
+    save_graph,
     tpch_graph,
 )
 from networkframe_spark.streaming.ops import (
@@ -473,6 +477,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["serde_roundtrip"] = q_serde_roundtrip
 
+    # -- distributed graph sink/source round-trip (sources.py:273/:320) ----
+    # Writes the full TPC-H graph (nodes/edges parquet, source-bucketed
+    # edge files, _graph manifest), reloads it, and reruns a node-filter
+    # closure query on the reloaded frame — proving the manifest/bucket
+    # path end-to-end under the value-hash oracle, not just plan tests.
+    def q_graph_save_load(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        nf = _graph(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_graph_rt_{_os.path.basename(sf.rstrip('/'))}",
+        )
+        save_graph(nf, path, mode="overwrite", edge_buckets=8)
+        back = load_graph(spark, path)
+        return back.query_nodes("acctbal > 3000").edges
+
+    q["graph_save_load"] = q_graph_save_load
+
     # -- A12 spectral ordering -----------------------------------------
     # Hash-checkable: tol=0 + fixed iterations converge the power
     # iteration to machine precision, abs() kills the eigenvector sign
@@ -665,6 +689,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_top_k(emb, qs, k=3, n_lists=8, n_probe=8, n_iter=2)
 
     q["cosine_topk_ivf"] = q_topk_ivf
+
+    # Persisted-IVF path (similarity.py:542/:593) under driver-grade
+    # evidence: build the on-disk index (cells parquet PARTITIONED BY
+    # list_id + centroid manifest), then probe it with
+    # n_probe == n_lists — exhaustive, so the partition-pruned scan
+    # path is oracle-identical to brute force (same trick as
+    # cosine_topk_ivf).  Real deployments probe a fraction of cells;
+    # the pruning plan shape is guarded in test_plans.py.
+    def q_ivf_index_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivf_index_{_os.path.basename(sf.rstrip('/'))}",
+        )
+        build_ivf_index(emb, path, n_lists=8, n_iter=2, mode="overwrite")
+        qs = emb.filter("vec_id < 10")
+        return ivf_index_search(spark, path, qs, k=3, n_probe=8)
+
+    q["ivf_index_search"] = q_ivf_index_search
 
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
@@ -1401,6 +1447,16 @@ UNION ALL
 SELECT -r_regionkey::BIGINT - 1 AS id, r_name AS name, 'region' AS kind FROM region
 """
 
+    # parquet round-trip is value-preserving, so the oracle is simply
+    # the closure query at the round-trip's filter threshold
+    o["graph_save_load"] = f"""
+WITH {GRAPH_CTE},
+kept AS (SELECT id FROM nodes WHERE acctbal > 3000)
+SELECT e.source, e.target, e.weight
+FROM edges e
+WHERE e.source IN (SELECT id FROM kept) AND e.target IN (SELECT id FROM kept)
+"""
+
     # Closed-form power-iteration limit for R disjoint equal stars with
     # unit weights (the nation→region graph): from a uniform start the
     # per-star amplitudes stay equal (equal leading eigenvalues), so
@@ -1774,6 +1830,9 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
     o["cosine_topk_ivf"] = o["cosine_topk"]
     # single-bucket (n_planes=0) LSH == brute force: same oracle
     o["cosine_topk_lsh"] = o["cosine_topk"]
+    # exhaustive probe (n_probe == n_lists) of the persisted index ==
+    # brute force: same oracle again
+    o["ivf_index_search"] = o["cosine_topk"]
 
     o["events_window_agg"] = """
 SELECT event_type,

@@ -18,6 +18,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from networkframe_spark.session import get_spark
 
+# r2-era common set: the 18 queries benched every round since r3.  Reported
+# as its own subtotal so round-over-round comparison survives headline growth.
+COMMON18 = [
+    "query_nodes_closure",
+    "apply_node_features",
+    "condense_sum",
+    "groupby_size",
+    "khop_aggregation",
+    "weak_components",
+    "exact_dedup",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "events_window_agg",
+    "sessionize",
+    "filter_quality",
+    "tfidf_top_terms",
+    "pagerank",
+    "bm25_search",
+    "link_prediction",
+    "dedup_chunks",
+]
+
 HEADLINE = [
     "query_nodes_closure",   # filter + induced closure (2 semi-joins)
     "apply_node_features",   # edge decoration joins
@@ -61,9 +84,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        # best-of-2: the fixture host shows multi-second interference
-        # spikes; min-of-N is standard micro-benchmark methodology
-        for _ in range(2):
+        # best-of-3: the fixture host shows multi-second interference
+        # spikes that can span two consecutive attempts (r5's condense_sum
+        # read 3.66s in-suite but 1.7s solo); min-of-N is standard
+        # micro-benchmark methodology and 3 samples shed 2-sample spikes
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -73,6 +98,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    common18 = round(sum(timings[n] for n in COMMON18 if n in timings), 3)
     print(
         json.dumps(
             {
@@ -80,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common18_total": common18,
                 "sf": sf,
             }
         )

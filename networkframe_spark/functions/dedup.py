@@ -754,9 +754,13 @@ def semantic_dedup(
             )
         )
     if exact_max_cluster_rows is not None:
-        # persist: the guard job materializes the assignment once and
-        # both sides of the pair join below reuse it
-        assigned = assigned.persist()
+        # localCheckpoint (not persist): the guard job materializes the
+        # assignment once and both sides of the pair join below reuse
+        # it, but the blocks are RDD-scoped — the ContextCleaner frees
+        # them when the returned DataFrame becomes unreachable, whereas
+        # a CacheManager persist would pin a corpus-sized table for the
+        # whole session unless the caller remembered to unpersist
+        assigned = assigned.localCheckpoint(eager=True)
         row = (
             assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -765,9 +769,6 @@ def semantic_dedup(
         )
         biggest = row["__m"] or 0
         if biggest > exact_max_cluster_rows:
-            # drop the cache before failing — the refusing path must
-            # not leave a corpus-sized table pinned in storage
-            assigned.unpersist()
             raise ValueError(
                 f"semantic_dedup refused: largest cluster has {biggest} "
                 f"rows (> {exact_max_cluster_rows}); its within-cell "
@@ -813,6 +814,8 @@ def _assign_cells_arrow(
 
     from pyspark.sql import types as T
 
+    from .similarity import round_half_up
+
     seed_rows = sorted(
         ((r["__seed_id"], r["__seed_emb"]) for r in seeds.collect()),
         key=lambda t: t[0],
@@ -839,7 +842,7 @@ def _assign_cells_arrow(
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(X, axis=1)
             norms[norms == 0] = 1.0
-            sims = np.round((X / norms[:, None]) @ Sn.T, 6)
+            sims = round_half_up((X / norms[:, None]) @ Sn.T, 6)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -865,6 +868,8 @@ def _cell_pairs_arrow(
     import pandas as pd
 
     from pyspark.sql import types as T
+
+    from .similarity import round_half_up
 
     id_type = assigned.schema[id_col].dataType
     schema = T.StructType(
@@ -892,7 +897,7 @@ def _cell_pairs_arrow(
         out_a, out_b, out_c = [], [], []
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            S = np.round(Xn[lo:hi] @ Xn.T, 6)
+            S = round_half_up(Xn[lo:hi] @ Xn.T, 6)
             rr, cc = np.nonzero(S >= threshold)
             keep = cc > rr + lo  # upper triangle in GLOBAL row index
             if keep.any():

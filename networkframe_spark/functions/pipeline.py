@@ -579,11 +579,14 @@ def dedup_lines(
 
     # \Q...\E quotes the separator: F.split takes a Java REGEX, and a
     # literal delimiter like "|" or "." would otherwise split on
-    # every character boundary
+    # every character boundary.  An embedded \E would terminate the
+    # quote early, so split around it exactly as Java Pattern.quote
+    # does (\E -> \E\\E\Q)
+    quoted_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+            F.split(F.col(text_col), quoted_sep)
         ).alias("pos", "line"),
     ).withColumn("norm", normalized_text_col(F.col("line")))
     boiler = (
@@ -765,9 +768,16 @@ def filter_by_percentile(
     """
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
+    pct = float(pct)
+    if not 0.0 <= pct <= 1.0:
+        raise ValueError(f"pct must be in [0, 1], got {pct}")
     fn = "percentile" if exact else "approx_percentile"
+    # backtick-quote the identifier: column names with spaces/dots/
+    # hyphens must not be parsed as expression syntax, and caller
+    # strings must never be spliced into SQL unescaped
+    quoted = "`" + score_col.replace("`", "``") + "`"
     thr = df.agg(
-        F.expr(f"{fn}({score_col}, {pct})").alias("__thr")
+        F.expr(f"{fn}({quoted}, {pct!r})").alias("__thr")
     )
     cond = (
         F.col(score_col) >= F.col("__thr")

@@ -17,6 +17,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def round_half_up(x, decimals: int = 6):
+    """Numpy twin of ``F.round`` / DuckDB ``round`` (HALF_UP — ties away
+    from zero).  ``np.round`` is half-even (banker's), which diverges on
+    exact decimal midpoints; numpy scoring paths that are oracle-compared
+    against the SQL twin must round identically or a sim landing on a
+    6-dp midpoint flips the value hash (or the argmax cluster).
+    """
+    import numpy as np
+
+    m = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -729,7 +742,7 @@ def embedding_clusters(
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(X, axis=1)
             norms[norms == 0] = 1.0
-            sims = np.round((X / norms[:, None]) @ Sn.T, 6)
+            sims = round_half_up((X / norms[:, None]) @ Sn.T, 6)
             best = np.argmax(sims, axis=1)
             yield pd.DataFrame(
                 {

@@ -143,8 +143,34 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(ts_col)
     if dtype == "bigint":  # epoch nanos via nanosAsLong
+        # The bigint branch exists for the nanosAsLong fixture encoding
+        # ONLY.  A caller-supplied epoch-seconds (~1e9) or epoch-millis
+        # (~1e12) column would be silently collapsed to ~1970 by the
+        # div-1000 nanos interpretation, so gate on plausibility: any
+        # nonzero value under 1e15 (|ns| < 1e15 is before 1970-01-12 —
+        # no real event stream) raises instead of converting.  Callers
+        # with second/milli epochs must convert explicitly
+        # (timestamp_seconds / timestamp_millis) before this call.
+        ns = F.col(ts_col)
+        plausible = ns.isNull() | (ns == 0) | (F.abs(ns) >= F.lit(10**15))
         df = df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+            ts_col,
+            F.when(
+                F.assert_true(
+                    plausible,
+                    F.concat(
+                        F.lit(
+                            f"normalize_event_time: bigint `{ts_col}` value "
+                        ),
+                        ns.cast("string"),
+                        F.lit(
+                            " is not plausible epoch-nanoseconds; convert "
+                            "seconds/millis explicitly before calling"
+                        ),
+                    ),
+                ).isNull(),
+                F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")),
+            ),
         )
     elif dtype == "timestamp_ntz":
         # wall-clock-as-UTC via pure NTZ arithmetic (timestampdiff has

@@ -474,3 +474,34 @@ def test_semantic_dedup_rejects_bad_score(spark):
     )
     with pytest.raises(ValueError, match="score"):
         semantic_dedup(df, score="arow")
+
+
+def test_filter_by_percentile_quoted_identifier_and_pct_validation(spark):
+    from networkframe_spark.functions.pipeline import filter_by_percentile
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, `my score` double"
+    )
+    kept = filter_by_percentile(df, "my score", pct=0.5, keep="above")
+    assert kept.count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_by_percentile(df, "my score", pct=1.5)
+    with _pytest.raises(ValueError):
+        filter_by_percentile(df, "my score", pct=-0.1)
+
+
+def test_dedup_lines_sep_containing_regex_quote_terminator(spark):
+    from networkframe_spark.functions.pipeline import dedup_lines
+
+    sep = "\\E|"  # raw backslash-E then pipe: breaks naive \Q...\E quoting
+    docs = [
+        (1, sep.join(["boiler", "alpha"])),
+        (2, sep.join(["boiler", "beta"])),
+        (3, sep.join(["boiler", "gamma"])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=3, sep=sep).collect()}
+    assert out[1]["text"] == "alpha" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "beta" and out[2]["n_lines"] == 2

@@ -184,3 +184,18 @@ def test_read_table_at_csv_json_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_table_at(spark, csv_p, "xml")
+
+
+def test_normalize_event_time_rejects_implausible_bigint(spark):
+    import pytest as _pytest
+
+    # epoch-SECONDS magnitude (~1.7e9): nanos interpretation would
+    # silently collapse to ~1970 — must raise instead
+    df = spark.createDataFrame([(1, 1700000000)], "id long, ts long")
+    out = normalize_event_time(df, "ts")
+    with _pytest.raises(Exception, match="not plausible epoch-nanoseconds"):
+        out.collect()
+    # genuine nanos (~1.6e18) still convert
+    ok = spark.createDataFrame([(1, 1600000000000000000)], "id long, ts long")
+    row = normalize_event_time(ok, "ts").first()
+    assert row["ts"].year == 2020
