@@ -27,6 +27,7 @@ from networkframe_spark.functions.dedup import (
     duplicate_clusters,
     embedding_duplicates,
     exact_duplicates,
+    fuzzy_decontaminate,
     minhash_lsh_duplicates,
     minhash_params,
     minhash_signatures,
@@ -541,6 +542,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_score"] = q_quality
 
+    # Gopher rule filter: min_words=20 sits inside the fixture's 10..99
+    # token range so both outcomes occur on every rule-relevant column
+    def q_gopher(spark, sf):
+        from networkframe_spark.functions.text import gopher_rules
+
+        docs = read_table(spark, sf, "documents")
+        return gopher_rules(docs, min_words=20).select(
+            "doc_id",
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_alpha_ratio",
+            "rule_stopwords",
+            "gopher_pass",
+        )
+
+    q["gopher_rules"] = q_gopher
+
+    def q_clean_text(spark, sf):
+        from networkframe_spark.functions.text import clean_text
+
+        docs = read_table(spark, sf, "documents")
+        return clean_text(docs).select("doc_id", "text", "n_chars_removed")
+
+    q["clean_text"] = q_clean_text
+
     def q_fingerprint(spark, sf):
         docs = read_table(spark, sf, "documents")
         return add_fingerprint(docs).select("doc_id", "fingerprint")
@@ -659,6 +686,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["minhash_lsh_dedup"] = q_lsh_dedup
+
+    # Cross-corpus fuzzy decontamination in the exhaustive bands=0
+    # mode (every shared-shingle pair verified — exact for
+    # threshold > 0, hence SQL-oracle-checkable; the banded scale path
+    # is gated by a recall unit test, same split as cosine_topk_lsh).
+    # Eval set = every 20th doc, so contamination provably exists.
+    def q_fuzzy_decontaminate(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        ev = docs.filter("doc_id % 20 = 0")
+        return fuzzy_decontaminate(docs, ev, bands=0, threshold=0.5)
+
+    q["fuzzy_decontaminate"] = q_fuzzy_decontaminate
 
     # -- similarity search -------------------------------------------------
     def q_topk(spark, sf):
@@ -1057,6 +1096,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["semantic_dedup"] = q_semantic_dedup
+
+    # The production Arrow matmul path under the SAME value-hash
+    # oracle: since the numpy scorer rounds half-up exactly like
+    # F.round/DuckDB (similarity.round_half_up), the two paths are
+    # bit-identical on the fixture — no more "pair-set-equal away from
+    # the boundary" hedge.
+    def q_semantic_dedup_arrow(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return semantic_dedup(
+            emb, n_clusters=8, threshold=0.35, init="first_ids", score="arrow"
+        )
+
+    q["semantic_dedup_arrow"] = q_semantic_dedup_arrow
 
     def q_shortest_paths(spark, sf):
         # same heavy subgraph + deterministic seed as hop_distances;
@@ -1514,6 +1566,73 @@ SELECT doc_id, round(
 FROM feats
 """
 
+    # gopher rules mirror functions/text.py::gopher_rules (min_words=20);
+    # bullet/ellipsis line rules are computed for gopher_pass but not
+    # projected (single-line fixture docs rarely discriminate on them)
+    o["gopher_rules"] = f"""
+WITH {TOKS_CTE},
+feats AS (
+  SELECT d.doc_id,
+         len(t.t) AS n_words,
+         greatest(len(t.t), 1) AS n_words1,
+         list_sum(list_transform(t.t, x -> length(x))) AS sum_wl,
+         (length(d.text) - length(replace(d.text, '#', ''))) AS n_hash,
+         ((length(d.text) - length(replace(d.text, '...', ''))) / 3)::INT AS n_ellipsis,
+         string_split(d.text, chr(10)) AS lines,
+         len(list_filter(t.t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(t.t),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+rules AS (
+  SELECT doc_id,
+         n_words BETWEEN 20 AND 100000 AS rule_word_count,
+         (sum_wl::DOUBLE / n_words1) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+         ((n_hash + n_ellipsis)::DOUBLE / n_words1) <= 0.1 AS rule_symbol_ratio,
+         (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+            / greatest(len(lines), 1)) <= 0.9 AS rule_bullet_ratio,
+         (len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))::DOUBLE
+            / greatest(len(lines), 1)) <= 0.3 AS rule_ellipsis_ratio,
+         (n_alpha::DOUBLE / n_words1) >= 0.8 AS rule_alpha_ratio,
+         stop_hits >= 2 AS rule_stopwords
+  FROM feats
+)
+SELECT doc_id, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+       rule_alpha_ratio, rule_stopwords,
+       (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND
+        rule_bullet_ratio AND rule_ellipsis_ratio AND rule_alpha_ratio AND
+        rule_stopwords) AS gopher_pass
+FROM rules
+"""
+
+    # clean_text mirrors functions/text.py::clean_text (same regex chain;
+    # DuckDB needs the explicit 'g' flag Spark applies by default)
+    o["clean_text"] = """
+WITH cleaned AS (
+  SELECT doc_id, text AS orig,
+         trim(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(text,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                '[‘’]', '''', 'g'),
+               '[“”]', '"', 'g'),
+              '[–—]', '-', 'g'),
+             '[ \\t]+', ' ', 'g'),
+            ' ?\\n ?', chr(10), 'g'),
+           '\\n{3,}', chr(10) || chr(10), 'g')
+         ) AS ctext
+  FROM documents
+)
+SELECT doc_id, ctext AS text,
+       (length(orig) - length(ctext))::INT AS n_chars_removed
+FROM cleaned
+"""
+
     # language id mirrors functions/text.py::add_language_id (fold order =
     # dict order en,de,fr,es,it; strictly-greater replacement = sort by
     # (-score, index) and take first)
@@ -1734,6 +1853,24 @@ FROM shared s
 JOIN sizes sa ON s.id_a = sa.id
 JOIN sizes sb ON s.id_b = sb.id
 WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+"""
+
+    # fuzzy_decontaminate (bands=0 exhaustive): cross-corpus Jaccard
+    # between all docs and the eval subset (every 20th doc)
+    o["fuzzy_decontaminate"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS train_id, b.id AS eval_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND b.id % 20 = 0
+  GROUP BY 1, 2
+)
+SELECT s.train_id, s.eval_id,
+       round(s.shared::DOUBLE / (st.n_sh + se.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes st ON s.train_id = st.id
+JOIN sizes se ON s.eval_id = se.id
+WHERE round(s.shared::DOUBLE / (st.n_sh + se.n_sh - s.shared), 6) >= 0.5
 """
 
     votes = ", ".join(
@@ -2596,6 +2733,9 @@ WHERE round(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb))
                * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35
 """
+
+    # Arrow scorer rounds half-up like the SQL: same oracle verbatim
+    o["semantic_dedup_arrow"] = o["semantic_dedup"]
 
     # unrolled synchronous Bellman-Ford: 8 rounds matched to the
     # entry's max_rounds (rounds past convergence are no-ops)

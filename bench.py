@@ -66,6 +66,7 @@ HEADLINE = [
     "graph_metrics",         # fused single-pass graph summary (r5)
     "dedup_lines",           # line explode + freq agg + reassembly (r5)
     "semantic_dedup",        # cluster-then-pair embedding dedup (r5)
+    "semantic_dedup_arrow",  # same op, production Arrow matmul path (r6)
     "shortest_paths",        # sync Bellman-Ford relaxation rounds (r5)
     "label_propagation",     # deterministic sync LPA communities (r5)
     "unigram_logprob",       # corpus-relative LM score (r5)

@@ -918,3 +918,99 @@ def _cell_pairs_arrow(
         )
 
     return assigned.groupBy("cluster").applyInPandas(fn, schema)
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate contamination: training documents
+    whose shingle-set Jaccard with any eval document reaches
+    ``threshold``.  The fuzzy complement of the exact 13-gram
+    ``ngram_decontaminate`` (GPT-3 style) — catches paraphrased or
+    lightly-edited eval leakage that exact n-gram matching misses.
+    Returns ``(train_id, eval_id, jaccard)``; drop matched train ids
+    with a left-anti join on the result.
+
+    ``bands >= 1`` is the scale path: MinHash band buckets computed on
+    BOTH corpora, candidates = cross-side bucket collisions only, exact
+    Jaccard verified for candidates alone (same S-curve as
+    :func:`minhash_lsh_duplicates`).  ``bands=0`` is the exhaustive
+    mode — every cross pair sharing >= 1 shingle is verified, which for
+    ``threshold > 0`` is exact and therefore SQL-oracle-checkable (the
+    same degenerate-mode trick as single-bucket LSH / full-probe IVF).
+
+    Scale design: shingle and band tables are keyed on uniform hashes
+    (``max_df`` caps boilerplate-shingle skew); the eval side is
+    typically tiny — AQE broadcasts both its band table and its
+    shingle table, so the train corpus is never shuffled, only
+    scanned.
+    """
+    sh_t = _shingle_table(train, text_col, id_col, shingle_n, max_df=max_df)
+    sh_e = _shingle_table(eval_df, text_col, id_col, shingle_n, max_df=max_df)
+    shared = (
+        sh_t.select(F.col("id").alias("train_id"), "sh")
+        .join(sh_e.select(F.col("id").alias("eval_id"), "sh"), on="sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if bands:
+        rows_per_band = n_perm // bands
+
+        def banded(df: DataFrame, out: str) -> DataFrame:
+            sigs = minhash_signatures(
+                df, text_col, id_col, n_perm, shingle_n, max_df=max_df
+            )
+            return sigs.select(
+                F.col(id_col).alias(out),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.concat_ws(
+                                    "_",
+                                    *[
+                                        F.element_at(
+                                            "sig", b * rows_per_band + r + 1
+                                        ).cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ).alias("key"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select(out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+        cand = (
+            banded(train, "train_id")
+            .join(banded(eval_df, "eval_id"), on=["band", "key"])
+            .select("train_id", "eval_id")
+            .distinct()
+        )
+        shared = shared.join(cand, on=["train_id", "eval_id"], how="left_semi")
+    sizes_t = sh_t.groupBy("id").agg(F.count(F.lit(1)).alias("n_t"))
+    sizes_e = sh_e.groupBy("id").agg(F.count(F.lit(1)).alias("n_e"))
+    return (
+        shared.join(sizes_t.withColumnRenamed("id", "train_id"), on="train_id")
+        .join(sizes_e.withColumnRenamed("id", "eval_id"), on="eval_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_t") + F.col("n_e") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
+    )

@@ -259,3 +259,139 @@ def unigram_logprob_score(
             "logprob",
         )
     )
+
+
+# Gopher rule-filter stopwords (Rae et al. 2021, appendix A1.1): a doc
+# must contain at least `min_stop_hits` of these to pass rule 6.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021,
+    appendix A1.1) as one boolean column per rule plus the conjunction
+    ``gopher_pass`` — the standard pre-training corpus gate, kept
+    per-rule so pipelines can audit WHICH rule rejected a document
+    instead of losing that to a single opaque boolean.
+
+    Rules: word count in ``[min_words, max_words]``; mean word length
+    in ``[min_mean_word_len, max_mean_word_len]``; symbol-to-word
+    ratio (``#`` and ``...``) at most ``max_symbol_ratio``; at most
+    ``max_bullet_ratio`` of lines starting with a bullet and
+    ``max_ellipsis_ratio`` ending with an ellipsis; at least
+    ``min_alpha_ratio`` of words containing a letter; at least
+    ``min_stop_hits`` distinct Gopher stopwords present.
+
+    Scale design: pure per-row column expressions — tokens and lines
+    are materialized once each, every rule is a codegen'd array
+    aggregate over them; NO shuffle, NO UDF, map-side only (same
+    shape as :func:`add_quality_score`; complements it by being the
+    published-ruleset variant with auditably separate outcomes).
+    """
+    toks = F.col("__g_toks")
+    lines = F.col("__g_lines")
+    c = F.col(text_col)
+    n_words = F.size(toks)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_words1
+    )
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast(
+        "int"
+    )
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    symbol_ratio = (n_hash + n_ellipsis) / n_words1
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+        / n_lines1
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+        / n_lines1
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words1
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+    out = (
+        df.withColumn("__g_toks", tokens_col(text_col))
+        .withColumn("__g_lines", F.split(c, "\n"))
+        .withColumn(
+            "rule_word_count",
+            (n_words >= min_words) & (n_words <= max_words),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        )
+        .withColumn("rule_symbol_ratio", symbol_ratio <= max_symbol_ratio)
+        .withColumn("rule_bullet_ratio", bullet_ratio <= max_bullet_ratio)
+        .withColumn("rule_ellipsis_ratio", ellipsis_ratio <= max_ellipsis_ratio)
+        .withColumn("rule_alpha_ratio", alpha_ratio >= min_alpha_ratio)
+        .withColumn("rule_stopwords", stop_hits >= min_stop_hits)
+    )
+    rule_cols = [
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_ratio",
+        "rule_ellipsis_ratio",
+        "rule_alpha_ratio",
+        "rule_stopwords",
+    ]
+    passed = F.lit(True)
+    for rc in rule_cols:
+        passed = passed & F.col(rc)
+    return out.withColumn("gopher_pass", passed).drop("__g_toks", "__g_lines")
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4/Dolma-style text normalization: strip C0/C1 control
+    characters, map curly quotes and en/em dashes to their ASCII
+    forms, collapse runs of spaces/tabs to one space, cap blank-line
+    runs at one empty line (paragraph structure survives, whitespace
+    noise does not), and trim each line plus the ends.  Adds
+    ``n_chars_removed`` so pipelines can audit how much cleanup did.
+
+    Scale design: one chain of ``regexp_replace`` column expressions —
+    map-side only, NO shuffle, NO UDF; the whole pass rides the scan.
+    """
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    cleaned = F.regexp_replace(cleaned, "[‘’]", "'")
+    cleaned = F.regexp_replace(cleaned, "[“”]", '"')
+    cleaned = F.regexp_replace(cleaned, "[–—]", "-")
+    cleaned = F.regexp_replace(cleaned, "[ \\t]+", " ")
+    # per-line trim, then cap consecutive newlines at 2 (one blank line)
+    cleaned = F.regexp_replace(cleaned, " ?\\n ?", "\n")
+    cleaned = F.regexp_replace(cleaned, "\\n{3,}", "\n\n")
+    cleaned = F.trim(cleaned)
+    return df.withColumn(
+        "n_chars_removed",
+        (F.length(c) - F.length(cleaned)).cast("int"),
+    ).withColumn(out_col, cleaned)

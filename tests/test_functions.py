@@ -627,3 +627,64 @@ def test_lsh_top_k_recall_nondegenerate_config(spark):
     total = sum(len(v) for v in exact.values())
     assert total == 300
     assert hits / total >= 0.9
+
+
+def test_gopher_rules_per_rule_outcomes(spark):
+    from networkframe_spark.functions.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog have been to town with all of that " * 5),
+            (2, "### #### ## # ###"),
+            (3, "- one\n- two\n- three\n- four"),
+            (4, "ok " * 30),
+            (5, "supercalifragilisticexpialidocious " * 25),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, min_words=10, max_words=100).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["rule_symbol_ratio"]
+    assert not out[2]["rule_alpha_ratio"]
+    assert not out[3]["rule_bullet_ratio"]  # 100% bullet lines
+    assert not out[4]["rule_stopwords"]  # no gopher stopwords
+    assert out[4]["rule_word_count"]
+    assert not out[5]["rule_mean_word_len"]  # 34-char words
+    assert not out[5]["gopher_pass"]
+
+
+def test_fuzzy_decontaminate_banded_recall_and_exhaustive(spark):
+    from networkframe_spark.functions.dedup import fuzzy_decontaminate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "while the cat watches from the old wooden fence nearby"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # near-dup of eval doc
+            (3, "completely different text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    # exhaustive mode finds the exact pair set
+    exact = {
+        (r["train_id"], r["eval_id"]): r["jaccard"]
+        for r in fuzzy_decontaminate(train, ev, bands=0, threshold=0.3).collect()
+    }
+    assert (1, 100) in exact and exact[(1, 100)] == 1.0
+    assert (2, 100) in exact and exact[(2, 100)] < 1.0
+    assert (3, 100) not in exact
+    # banded scale path: near-identical docs must still be caught
+    banded = {
+        (r["train_id"], r["eval_id"])
+        for r in fuzzy_decontaminate(
+            train, ev, bands=8, n_perm=32, threshold=0.3
+        ).collect()
+    }
+    assert (1, 100) in banded

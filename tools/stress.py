@@ -312,16 +312,26 @@ def embedding_stress(n_vecs: int = 100_000, dim: int = 16, k: int = 64) -> None:
         ).alias("embedding"),
     ).persist()
     base.count()
-    t0 = time.time()
-    pairs = semantic_dedup(
-        base,
-        n_clusters=k,
-        threshold=0.999,
-        init="kmeans",
-        exact_max_cluster_rows=None,
-    )
-    n_pairs = pairs.count()
-    wall = round(time.time() - t0, 2)
+    # A/B both scoring paths (VERDICT r5 item 7): score="arrow" is the
+    # production path (per-batch normalized matmul), score="expr" the
+    # SQL twin the oracle checks.  Same clusters, same threshold —
+    # the wall ratio is the measured vector-math advantage.
+    results = {}
+    for score in ("arrow", "expr"):
+        t0 = time.time()
+        pairs = semantic_dedup(
+            base,
+            n_clusters=k,
+            threshold=0.999,
+            init="kmeans",
+            score=score,
+            exact_max_cluster_rows=None,
+        )
+        n_pairs = pairs.count()
+        results[score] = {
+            "wall_s": round(time.time() - t0, 2),
+            "n_dup_pairs": n_pairs,
+        }
     print(
         json.dumps(
             {
@@ -329,8 +339,13 @@ def embedding_stress(n_vecs: int = 100_000, dim: int = 16, k: int = 64) -> None:
                 "n_vecs": n_vecs,
                 "dim": dim,
                 "n_clusters": k,
-                "wall_s": wall,
-                "n_dup_pairs": n_pairs,
+                "arrow": results["arrow"],
+                "expr": results["expr"],
+                "expr_over_arrow": round(
+                    results["expr"]["wall_s"]
+                    / max(results["arrow"]["wall_s"], 1e-9),
+                    2,
+                ),
             }
         )
     )
