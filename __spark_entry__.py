@@ -751,6 +751,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_index_search"] = q_ivf_index_search
 
+    # int8 storage quantization: codes joined to one string so the
+    # engines compare a scalar column, not array-repr formatting
+    def q_quantize_embeddings(spark, sf):
+        from networkframe_spark.functions.similarity import quantize_embeddings
+
+        emb = read_embeddings(spark, sf)
+        qz = quantize_embeddings(emb)
+        return qz.select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.concat_ws(
+                ",", F.transform(F.col("qembedding"), lambda v: v.cast("string"))
+            ).alias("codes"),
+        )
+
+    q["quantize_embeddings"] = q_quantize_embeddings
+
+    # kNN graph bridge: embeddings -> NetworkFrame edge table (exact
+    # brute method = the oracle path; lsh/ivf are the scale methods).
+    # Subset to 200 vectors: the all-pairs oracle is O(n^2) in DuckDB.
+    def q_knn_graph(spark, sf):
+        from networkframe_spark.functions.similarity import knn_graph
+
+        emb = read_embeddings(spark, sf).filter("vec_id < 200")
+        g = knn_graph(emb, k=3)
+        return g.edges.select("source", "target", "weight", "rank")
+
+    q["knn_graph"] = q_knn_graph
+
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -1145,6 +1174,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob_score(docs)
 
     q["unigram_logprob"] = q_unigram_logprob
+
+    def q_bigram_logprob(spark, sf):
+        from networkframe_spark.functions.text import bigram_logprob_score
+
+        docs = read_table(spark, sf, "documents")
+        return bigram_logprob_score(docs)
+
+    q["bigram_logprob"] = q_bigram_logprob
 
     def q_embedding_clusters(spark, sf):
         # first_ids seeds = SQL-expressible oracle mode; kmeans init is
@@ -1970,6 +2007,44 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
     # exhaustive probe (n_probe == n_lists) of the persisted index ==
     # brute force: same oracle again
     o["ivf_index_search"] = o["cosine_topk"]
+
+    o["quantize_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CASE WHEN scale = 0
+            THEN array_to_string(list_transform(emb, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(emb, x -> round(x / scale)::INT), ',')
+       END AS codes
+FROM e
+"""
+
+    o["knn_graph"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE vec_id < 200
+),
+scored AS (
+  SELECT q.vec_id AS source, c.vec_id AS target,
+         round(list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(c.emb, c.emb))), 6) AS weight
+  FROM e q, e c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT source, target, weight,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY weight DESC, target ASC) AS rank
+  FROM scored
+)
+SELECT source, target, weight, rank FROM ranked WHERE rank <= 3
+"""
 
     o["events_window_agg"] = """
 SELECT event_type,
@@ -2816,6 +2891,53 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    # bigram mirror of the unigram oracle: per-doc bigram tf, corpus
+    # bigram/context/unigram marginals, Jelinek-Mercer interpolation
+    # (0.75/0.25), first token scored by unigram alone — expression
+    # trees match functions/text.py::bigram_logprob_score term-for-term
+    o["bigram_logprob"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+bs AS (
+  SELECT doc_id, t[i] AS v, t[i + 1] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+btf AS (SELECT doc_id, v, w, count(*) AS c FROM bs GROUP BY 1, 2, 3),
+big AS (SELECT v, w, sum(c) AS cvw FROM btf GROUP BY 1, 2),
+ctx AS (SELECT v, sum(cvw) AS cv FROM big GROUP BY 1),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+utf AS (
+  SELECT doc_id, tok, count(*) AS uc FROM tok WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+uni AS (SELECT tok, sum(uc) AS cw FROM utf GROUP BY tok),
+total AS (SELECT sum(cw) AS total FROM uni),
+bterms AS (
+  SELECT btf.doc_id,
+         btf.c * ln(0.75 * big.cvw / ctx.cv
+                    + 0.25 * uni.cw / total.total) AS term
+  FROM btf JOIN big USING (v, w) JOIN ctx USING (v)
+  JOIN uni ON uni.tok = btf.w, total
+),
+fterms AS (
+  SELECT toks.doc_id, ln(uni.cw) - ln(total.total) AS term
+  FROM toks JOIN uni ON uni.tok = t[1], total
+  WHERE len(t) >= 1 AND t[1] <> ''
+),
+nt AS (SELECT doc_id, sum(uc) AS n_tokens FROM utf GROUP BY doc_id),
+sums AS (
+  SELECT doc_id, sum(term) AS lpsum
+  FROM (SELECT * FROM bterms UNION ALL SELECT * FROM fterms)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens,
+       round(sums.lpsum / nt.n_tokens, 6) AS logprob
+FROM documents d
+LEFT JOIN nt ON d.doc_id = nt.doc_id
+LEFT JOIN sums ON d.doc_id = sums.doc_id
 """
 
     o["embedding_clusters"] = """

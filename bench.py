@@ -70,6 +70,11 @@ HEADLINE = [
     "shortest_paths",        # sync Bellman-Ford relaxation rounds (r5)
     "label_propagation",     # deterministic sync LPA communities (r5)
     "unigram_logprob",       # corpus-relative LM score (r5)
+    "bigram_logprob",        # interpolated bigram LM score (r6)
+    "gopher_rules",          # per-rule quality audit booleans (r6)
+    "clean_text",            # C4-style normalization chain (r6)
+    "quantize_embeddings",   # int8 scalar quantization (r6)
+    "fuzzy_decontaminate",   # cross-corpus shingle Jaccard (r6)
 ]
 
 

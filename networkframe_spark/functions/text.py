@@ -395,3 +395,99 @@ def clean_text(
         "n_chars_removed",
         (F.length(c) - F.length(cleaned)).cast("int"),
     ).withColumn(out_col, cleaned)
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Corpus-relative bigram fluency score (KenLM-lite v2): per
+    document, the mean natural-log probability of its tokens under a
+    Jelinek-Mercer-interpolated bigram model of the corpus itself —
+    ``lam * P(w|v) + (1-lam) * P(w)`` for positions 2..N, plain
+    unigram ``P(w_1)`` for the first token.  Returns ``(id_col,
+    n_tokens, logprob)`` rounded to 6 dp; empty documents score NULL.
+
+    Catches word-salad documents whose individual tokens are common
+    but whose SEQUENCES are corpus-improbable — the failure mode
+    :func:`unigram_logprob_score` is blind to; interpolation keeps
+    unseen-in-context bigrams finite without a held-out backoff fit.
+
+    Scale design: mirrors the unigram op — the raw bigram stream is
+    consumed once into a per-doc bigram tf table ``(doc, v, w, cnt)``
+    (built from per-row ``slice``/``arrays_zip``, no self-join); the
+    corpus bigram table, its context marginal, and the per-doc average
+    all derive from it, so ReusedExchange serves every branch from one
+    shuffle.  All keys are uniform token hashes; no UDF anywhere.
+    """
+    toks = F.col("__b_toks")
+    with_toks = df.withColumn("__b_toks", tokens_col(text_col))
+    pairs = with_toks.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("v"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w"),
+            )
+        ).alias("vw"),
+    ).select(
+        id_col, F.col("vw.v").alias("v"), F.col("vw.w").alias("w")
+    ).filter((F.col("v") != "") & (F.col("w") != ""))
+    btf = pairs.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("__c"))
+    big = btf.groupBy("v", "w").agg(F.sum("__c").alias("__cvw"))
+    ctx = big.groupBy("v").agg(F.sum("__cvw").alias("__cv"))
+    # unigram marginal over ALL tokens (not just bigram contexts)
+    utf = (
+        with_toks.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__uc"))
+    )
+    uni = utf.groupBy("tok").agg(F.sum("__uc").alias("__cw"))
+    total = uni.agg(F.sum("__cw").alias("__total"))
+    big_terms = (
+        btf.join(big, on=["v", "w"])
+        .join(ctx, on="v")
+        .join(uni.withColumnRenamed("tok", "w"), on="w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                F.col("__c")
+                * F.log(
+                    F.lit(lam) * F.col("__cvw") / F.col("__cv")
+                    + F.lit(1.0 - lam) * F.col("__cw") / F.col("__total")
+                )
+            ).alias("__term"),
+        )
+    )
+    first_terms = (
+        with_toks.select(
+            F.col(id_col), F.element_at(toks, 1).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .join(uni, on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("__cw")) - F.log(F.col("__total"))).alias("__term"),
+        )
+    )
+    n_toks = utf.groupBy(id_col).agg(F.sum("__uc").alias("n_tokens"))
+    sums = (
+        big_terms.unionByName(first_terms)
+        .groupBy(id_col)
+        .agg(F.sum("__term").alias("__lpsum"))
+    )
+    return (
+        df.select(id_col)
+        .join(n_toks, on=id_col, how="left")
+        .join(sums, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.col("__lpsum") / F.col("n_tokens"), 6).alias("logprob"),
+        )
+    )

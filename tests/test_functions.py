@@ -688,3 +688,70 @@ def test_fuzzy_decontaminate_banded_recall_and_exhaustive(spark):
         ).collect()
     }
     assert (1, 100) in banded
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    from networkframe_spark.functions.text import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),  # same unigrams, scrambled
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+    assert out[1]["logprob"] == out[2]["logprob"]
+    # bigram model must penalize the scrambled doc; unigram can't
+    assert out[3]["logprob"] < out[1]["logprob"]
+    assert out[4]["n_tokens"] == 0 and out[4]["logprob"] is None
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from networkframe_spark.functions.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [0.003, -0.001, 0.002])],
+        "vec_id long, embedding array<double>",
+    )
+    qz = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in qz.collect()}
+    assert rows[1]["qembedding"] == [127, -64, 32]
+    assert rows[2]["qembedding"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    # dequantized values within half a quantization step of the input
+    back = qz.join(df, on="vec_id").select(
+        "vec_id",
+        "scale",
+        F.zip_with(
+            dequantize_expr(F.col("qembedding"), F.col("scale")),
+            F.col("embedding"),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+    )
+    for r in back.collect():
+        assert all(e <= r["scale"] / 2 + 1e-12 for e in r["err"])
+
+
+def test_knn_graph_feeds_graph_ops(spark):
+    from networkframe_spark.functions.similarity import knn_graph
+
+    # two well-separated clusters: kNN edges stay within clusters, so
+    # weak components of the graph recover them
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + 0.01 * i, 0.0]))
+        rows.append((10 + i, [0.0, 1.0 + 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(df, k=2)
+    assert g.edges.count() == 12 * 2
+    labels = g.label_nodes_by_component(directed=False).nodes
+    comps = {r["id"]: r["component"] for r in labels.collect()}
+    assert len(set(comps.values())) == 2
+    assert comps[0] == comps[5] and comps[10] == comps[15]
+    assert comps[0] != comps[10]

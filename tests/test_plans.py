@@ -241,3 +241,39 @@ def test_dedup_lines_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "ObjectHashAggregate" in plan  # collect_list reassembly
     assert "Generate posexplode" in plan
+
+
+def test_gopher_and_clean_text_plans_are_map_only(spark):
+    """Quality rules and text normalization must ride the scan: pure
+    per-row expressions, zero shuffle, zero Python runner."""
+    from networkframe_spark.functions.text import clean_text, gopher_rules
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for df in (gopher_rules(docs), clean_text(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no UDF/ArrowEval in the path
+
+
+def test_quantize_embeddings_plan_is_map_only(spark):
+    from networkframe_spark.functions.similarity import quantize_embeddings
+    from networkframe_spark.sources import read_embeddings
+
+    plan = _plan(quantize_embeddings(read_embeddings(spark, SF_DIR)))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_fuzzy_decontaminate_banded_plan_no_cartesian(spark):
+    """The banded scale path must meet on (band, key) bucket collisions
+    and verify candidates via equi-joins only — a cartesian/BNL join
+    would be the n^2 blowup the banding exists to avoid."""
+    from networkframe_spark.functions.dedup import fuzzy_decontaminate
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    ev = docs.filter("doc_id % 20 = 0")
+    plan = _plan(fuzzy_decontaminate(docs, ev, bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

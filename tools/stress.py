@@ -281,9 +281,18 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
         "filter_pctl_approx",
         lambda: filter_by_percentile(scored, "len", 0.75, exact=False),
     )
-    from networkframe_spark.functions.text import unigram_logprob_score
+    from networkframe_spark.functions.text import (
+        bigram_logprob_score,
+        clean_text,
+        gopher_rules,
+        unigram_logprob_score,
+    )
 
     run("unigram_logprob", lambda: unigram_logprob_score(base))
+    # round-6 ops
+    run("bigram_logprob", lambda: bigram_logprob_score(base))
+    run("gopher_rules", lambda: gopher_rules(base, min_words=10))
+    run("clean_text", lambda: clean_text(base))
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
     spark.stop()
