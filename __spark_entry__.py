@@ -581,6 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hash_sample"] = q_hash_sample
 
+    # per-row Bernoulli keep-probability = the doc's own quality score
+    def q_weighted_sample(spark, sf):
+        from networkframe_spark.functions.pipeline import weighted_sample
+
+        docs = add_quality_score(read_table(spark, sf, "documents"))
+        return weighted_sample(docs, "quality_score", seed=7).select(
+            "doc_id", "quality_score"
+        )
+
+    q["weighted_sample"] = q_weighted_sample
+
     def q_train_test_split(spark, sf):
         docs = read_table(spark, sf, "documents")
         return train_test_split(docs, test_fraction=0.2, seed=7).select(
@@ -974,6 +985,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nf.hop_distances(seed, directed=False)
 
     q["hop_distances"] = q_hop_distances
+
+    # double-sweep diameter bound on the same heavy subgraph (nodes
+    # pruned to edge-incident ones so the min-id seed is in-component)
+    def q_approx_diameter(spark, sf):
+        nf = (
+            _graph(spark, sf)
+            .query_edges("weight > 103000")
+            .remove_unused_nodes()
+            .persist()
+        )
+        return nf.approx_diameter(directed=False)
+
+    q["approx_diameter"] = q_approx_diameter
+
+    def q_embedding_drift(spark, sf):
+        from networkframe_spark.functions.similarity import embedding_drift
+
+        emb = read_embeddings(spark, sf)
+        return embedding_drift(
+            emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+        )
+
+    q["embedding_drift"] = q_embedding_drift
 
     def q_k_core(spark, sf):
         nf = _graph(spark, sf).query_edges("weight > 103000")
@@ -1720,6 +1754,14 @@ FROM documents
 SELECT doc_id, lang FROM documents WHERE {BUCKET} < 250000
 """
 
+    # weighted Bernoulli: same md5 coin, per-row threshold from the
+    # quality score (CTE wraps the full quality_score oracle statement)
+    o["weighted_sample"] = f"""
+WITH qs AS ({o["quality_score"]})
+SELECT doc_id, quality_score FROM qs
+WHERE {BUCKET} < CAST(round(quality_score * 1000000) AS BIGINT)
+"""
+
     o["train_test_split"] = f"""
 SELECT doc_id,
        CASE WHEN {BUCKET} < 200000 THEN 'test' ELSE 'train' END AS split
@@ -2385,6 +2427,80 @@ walk AS (
   WHERE walk.dist < 30
 )
 SELECT id, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY id
+"""
+
+    # double-sweep BFS: two recursive walks, the second seeded by the
+    # (max dist, min id) argmax of the first
+    o["approx_diameter"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+heavy AS (SELECT source, target FROM edges WHERE weight > 103000),
+hn AS (
+  SELECT DISTINCT id FROM (
+    SELECT source AS id FROM heavy UNION ALL SELECT target FROM heavy
+  )
+),
+seed AS (SELECT min(id) AS id FROM hn),
+sym AS (
+  SELECT source AS a, target AS b FROM heavy
+  UNION
+  SELECT target AS a, source AS b FROM heavy
+),
+w1 AS (
+  SELECT id, 0 AS dist FROM seed
+  UNION
+  SELECT s.b AS id, w1.dist + 1 AS dist
+  FROM w1 JOIN sym s ON s.a = w1.id
+  WHERE w1.dist < 30
+),
+d1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+far AS (SELECT id FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+w2 AS (
+  SELECT id, 0 AS dist FROM far
+  UNION
+  SELECT s.b AS id, w2.dist + 1 AS dist
+  FROM w2 JOIN sym s ON s.a = w2.id
+  WHERE w2.dist < 30
+),
+d2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
+SELECT (SELECT id FROM seed) AS start_id,
+       (SELECT id FROM far) AS peripheral_id,
+       (SELECT CAST(max(dist) AS INTEGER) FROM d2) AS diameter_lower_bound
+"""
+
+    o["embedding_drift"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+da AS (
+  SELECT CAST(unnest(range(0, len(emb))) AS INTEGER) AS pos,
+         unnest(emb) AS val FROM a
+),
+db AS (
+  SELECT CAST(unnest(range(0, len(emb))) AS INTEGER) AS pos,
+         unnest(emb) AS val FROM b
+),
+ma AS (SELECT pos, avg(val) AS m_a FROM da GROUP BY pos),
+mb AS (SELECT pos, avg(val) AS m_b FROM db GROUP BY pos),
+dims AS (SELECT ma.pos, m_a, m_b FROM ma JOIN mb ON ma.pos = mb.pos),
+stats AS (
+  SELECT sqrt(sum((m_a - m_b) * (m_a - m_b))) AS centroid_l2,
+         sum(m_a * m_b)
+           / (sqrt(sum(m_a * m_a)) * sqrt(sum(m_b * m_b))) AS centroid_cosine
+  FROM dims
+),
+ca AS (
+  SELECT count(*) AS n_a,
+         avg(sqrt(list_dot_product(emb, emb))) AS norm_a FROM a
+),
+cb AS (
+  SELECT count(*) AS n_b,
+         avg(sqrt(list_dot_product(emb, emb))) AS norm_b FROM b
+)
+SELECT n_a, n_b,
+       round(centroid_l2, 6) AS centroid_l2,
+       round(centroid_cosine, 6) AS centroid_cosine,
+       round(norm_a / norm_b, 6) AS norm_ratio
+FROM stats, ca, cb
 """
 
     # unrolled fixed-iteration peel: fixpoint measured at 3 rounds on

@@ -714,6 +714,15 @@ class NetworkFrame:
 
         return hop_distances(self, node_id, directed=directed, max_hops=max_hops)
 
+    def approx_diameter(
+        self, directed: bool = False, max_hops: Optional[int] = None
+    ) -> DataFrame:
+        """Double-sweep BFS diameter lower bound (one row); see
+        :func:`networkframe_spark.algorithms.approx_diameter`."""
+        from .algorithms import approx_diameter
+
+        return approx_diameter(self, directed=directed, max_hops=max_hops)
+
     def k_core(self, k: int, max_iter: int = 50) -> DataFrame:
         """k-core ``(id, core_degree)`` of the undirected simple
         projection; see :func:`networkframe_spark.algorithms.k_core`."""

@@ -785,3 +785,29 @@ def filter_by_percentile(
         else F.col(score_col) <= F.col("__thr")
     )
     return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sample: keep each row with its
+    OWN probability from ``prob_col`` (clamped to [0, 1]) — the
+    importance-resampling primitive behind quality-weighted corpus
+    construction (keep high-quality docs with p≈1, downsample the
+    mediocre tail instead of hard-thresholding it).
+
+    Like :func:`hash_sample` the coin is a pure function of
+    ``(key, seed)`` — stable across runs, engines, partitionings, and
+    composable with every other md5-bucket filter here; unlike it the
+    threshold varies per row.  No shuffle: one comparison riding the
+    scan.
+    """
+    p = F.least(
+        F.greatest(F.col(prob_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    thr = F.round(p * _HASH_MOD).cast("long")
+    return df.filter(_bucket_col(F.col(key_col), seed, method) < thr)

@@ -833,3 +833,67 @@ def knn_graph(
         "rank",
     )
     return NetworkFrame(nodes, edges, directed=True, validate=False)
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One-row drift report between two embedding corpora (snapshots,
+    train-vs-serving, pre/post-reprocess): row counts, the L2 distance
+    between per-dimension centroids, their cosine, and the ratio of
+    mean vector norms — the cheap monitors that catch encoder version
+    skew or upstream content shift before an ANN index silently
+    degrades.
+
+    Scale design: one ``posexplode`` + per-``(side, dim)`` hash
+    aggregate per corpus (dims-sized output), then the dims-row join
+    reduces to a single row — no vector ever crosses the driver; both
+    corpora stream through one pass each.  All outputs rounded 6 dp
+    for engine portability.
+    """
+
+    def per_dim(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(F.col(emb_col).cast("array<double>")).alias(
+                    "pos", "val"
+                )
+            )
+            .groupBy("pos")
+            .agg(F.avg("val").alias(f"m_{tag}"))
+        )
+
+    counts_a = a.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.avg(norm_expr(F.col(emb_col).cast("array<double>"))).alias("norm_a"),
+    )
+    counts_b = b.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.avg(norm_expr(F.col(emb_col).cast("array<double>"))).alias("norm_b"),
+    )
+    dims = per_dim(a, "a").join(per_dim(b, "b"), on="pos")
+    stats = dims.agg(
+        F.sqrt(
+            F.sum((F.col("m_a") - F.col("m_b")) * (F.col("m_a") - F.col("m_b")))
+        ).alias("centroid_l2"),
+        (
+            F.sum(F.col("m_a") * F.col("m_b"))
+            / (
+                F.sqrt(F.sum(F.col("m_a") * F.col("m_a")))
+                * F.sqrt(F.sum(F.col("m_b") * F.col("m_b")))
+            )
+        ).alias("centroid_cosine"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(counts_a))
+        .crossJoin(F.broadcast(counts_b))
+        .select(
+            "n_a",
+            "n_b",
+            F.round("centroid_l2", 6).alias("centroid_l2"),
+            F.round("centroid_cosine", 6).alias("centroid_cosine"),
+            F.round(F.col("norm_a") / F.col("norm_b"), 6).alias("norm_ratio"),
+        )
+    )

@@ -755,3 +755,65 @@ def test_knn_graph_feeds_graph_ops(spark):
     assert len(set(comps.values())) == 2
     assert comps[0] == comps[5] and comps[10] == comps[15]
     assert comps[0] != comps[10]
+
+
+def test_weighted_sample_determinism_and_extremes(spark):
+    from networkframe_spark.functions.pipeline import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 50 else (0.0 if i < 100 else 0.5)) for i in range(1000)],
+        "doc_id long, p double",
+    )
+    kept = weighted_sample(df, "p", seed=3)
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in weighted_sample(df, "p", seed=3).collect()}
+    assert ids1 == ids2  # deterministic
+    assert all(i in ids1 for i in range(50))  # p=1 always kept
+    assert all(i not in ids1 for i in range(50, 100))  # p=0 never kept
+    mid = sum(1 for i in ids1 if i >= 100)
+    assert 350 < mid < 550  # p=0.5 keeps ~half of 900
+    # out-of-range probabilities clamp instead of exploding
+    clamped = weighted_sample(
+        df.withColumn("p", F.col("p") * 3 - 1), "p", seed=3
+    )
+    assert clamped.count() > 0
+
+
+def test_approx_diameter_path_graph_exact(spark):
+    from networkframe_spark import NetworkFrame
+    from pyspark.sql import functions as F
+
+    # path 0-1-2-3-4-5: double sweep from min id (0) finds 5, second
+    # sweep back gives the exact diameter 5
+    nodes = spark.range(6).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(5)], "source long, target long, weight double"
+    )
+    nf = NetworkFrame(nodes, edges)
+    row = nf.approx_diameter(directed=False).first()
+    assert row["start_id"] == 0
+    assert row["peripheral_id"] == 5
+    assert row["diameter_lower_bound"] == 5
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from networkframe_spark.functions.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    same = embedding_drift(a, a).first()
+    assert same["centroid_l2"] == 0.0
+    assert same["centroid_cosine"] == 1.0
+    assert same["norm_ratio"] == 1.0
+    b = spark.createDataFrame(
+        [(i, [2.0, 4.0, 6.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    moved = embedding_drift(a, b).first()
+    assert moved["n_a"] == 10 and moved["n_b"] == 20
+    assert moved["centroid_cosine"] == 1.0  # same direction
+    assert moved["norm_ratio"] == 0.5
+    assert moved["centroid_l2"] > 3.0
