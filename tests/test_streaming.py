@@ -459,3 +459,51 @@ def test_stream_to_parquet_durable_sink(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == n1
+
+
+def test_text_pipeline_ops_are_stream_composable(spark, tmp_path):
+    """The round-6 map-side text operators (gopher_rules, clean_text,
+    weighted_sample) must compose with readStream unchanged — they are
+    pure per-row expressions, so the same call works on a streaming
+    DataFrame and produces identical rows (append mode, memory sink)."""
+    from networkframe_spark.functions.pipeline import weighted_sample
+    from networkframe_spark.functions.text import clean_text, gopher_rules
+
+    curly = "\u201csymbols\u201d"
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog have been to town with all of that " * 3),
+            (2, "###  broken " + curly + " ##"),
+            (3, "plain short text"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def pipe(df):
+        # probability column doc_id clamps to 1: every row kept, which
+        # proves the filter composes; real use passes a score in [0,1]
+        return weighted_sample(
+            clean_text(gopher_rules(df, min_words=5)), "doc_id", seed=3
+        )
+
+    q = (
+        pipe(stream)
+        .writeStream.format("memory")
+        .queryName("t_text_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.table("t_text_stream").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r for r in pipe(docs).collect()}
+    assert set(got) == set(want) == {1, 2, 3}
+    for k in want:
+        assert got[k]["gopher_pass"] == want[k]["gopher_pass"]
+        assert got[k]["text"] == want[k]["text"]
+        assert got[k]["n_chars_removed"] == want[k]["n_chars_removed"]
