@@ -40,6 +40,7 @@ from networkframe_spark.functions.pipeline import (
     add_repetition_score,
     cap_per_group,
     chunk_documents,
+    curriculum_order,
     dedup_chunks,
     dedup_lines,
     filter_by_percentile,
@@ -70,6 +71,8 @@ from networkframe_spark.functions.similarity import (
 from networkframe_spark.functions.stats import group_percentiles
 from networkframe_spark.functions.temporal import (
     asof_join,
+    retention_cohorts,
+    rolling_stats,
     funnel_counts,
     inter_event_stats,
     range_join,
@@ -78,6 +81,7 @@ from networkframe_spark.functions.text import (
     add_fingerprint,
     add_language_id,
     add_quality_score,
+    char_entropy_score,
     add_token_count,
     redact_pii,
     unigram_logprob_score,
@@ -1224,6 +1228,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_clusters(emb, n_clusters=8, init="first_ids")
 
     q["embedding_clusters"] = q_embedding_clusters
+
+    # -- round 6 session 2: centrality / walk / cohort / curriculum ----
+    def q_hits(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.hits(n_iter=3, directed=True)
+
+    q["hits_scores"] = q_hits
+
+    def q_harmonic(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.harmonic_centrality([1, 2, 3], directed=False)
+
+    q["harmonic_centrality"] = q_harmonic
+
+    def q_random_walks(spark, sf):
+        # undirected so walks bounce across the bipartite graph
+        # instead of dying at supplier sinks after one hop
+        nf = _graph(spark, sf)
+        return nf.random_walks(walk_length=4, walks_per_node=2, directed=False)
+
+    q["random_walks"] = q_random_walks
+
+    def q_retention(spark, sf):
+        events = read_events(spark, sf)
+        return retention_cohorts(events, period_days=7)
+
+    q["retention_cohorts"] = q_retention
+
+    def q_rolling_stats(spark, sf):
+        events = read_events(spark, sf)
+        return rolling_stats(events, n_rows=5)
+
+    q["rolling_stats"] = q_rolling_stats
+
+    def q_char_entropy(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return char_entropy_score(docs)
+
+    q["char_entropy"] = q_char_entropy
+
+    def q_curriculum(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        scored = add_quality_score(docs)
+        return curriculum_order(
+            scored, "quality_score", n_stages=4, seed=42
+        ).select("doc_id", "quality_score", "stage", "shuffle_key")
+
+    q["curriculum_order"] = q_curriculum
 
     return q
 
@@ -3073,6 +3125,181 @@ SELECT vec_id, sid AS cluster, sim AS cosine FROM (
     PARTITION BY vec_id ORDER BY sim DESC, sid ASC) AS rn
   FROM scored
 ) WHERE rn = 1
+"""
+
+    # fixed-iteration HITS, unrolled like o["pagerank"]: one
+    # (auth-raw, auth, hub-raw, hub) CTE quartet per round; the
+    # DECIMAL(38,12) contribution sums + per-round 12-dp rounding and
+    # the L1 normalizer as a scalar subquery mirror algorithms.hits
+    # exactly
+    hits_half = """
+{out}r AS (
+  SELECT e.{to_col} AS id, SUM(CAST(round(p.s, 12) AS DECIMAL(38,12))) AS raw
+  FROM he e JOIN {src} p ON e.{from_col} = p.id GROUP BY e.{to_col}
+),
+{out} AS (
+  SELECT n.id,
+         CASE WHEN coalesce(r.raw, 0) = 0 THEN 0.0
+              ELSE round(CAST(r.raw AS DOUBLE)
+                         / CAST((SELECT SUM(raw) FROM {out}r) AS DOUBLE), 12)
+         END AS s
+  FROM nodes n LEFT JOIN {out}r r ON n.id = r.id
+)"""
+    hits_rounds, prev_h = "", "h0"
+    for i in range(1, 4):
+        hits_rounds += "," + hits_half.format(
+            out=f"a{i}", src=prev_h, from_col="source", to_col="target"
+        )
+        hits_rounds += "," + hits_half.format(
+            out=f"h{i}", src=f"a{i}", from_col="target", to_col="source"
+        )
+        prev_h = f"h{i}"
+    o["hits_scores"] = f"""
+WITH {GRAPH_CTE},
+he AS (SELECT DISTINCT source, target FROM edges WHERE source <> target),
+h0 AS (SELECT id, round(1.0 / (SELECT count(*) FROM nodes), 12) AS s
+       FROM nodes)
+{hits_rounds}
+SELECT h3.id, round(h3.s, 6) AS hub, round(a3.s, 6) AS authority
+FROM h3 JOIN a3 ON h3.id = a3.id
+"""
+
+    # sampled harmonic centrality: one recursive BFS keyed by seed,
+    # 1/d terms as INTEGER quotients of 1e12 (order-independent sum)
+    o["harmonic_centrality"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+e AS (SELECT DISTINCT source, target FROM edges),
+sym AS (
+  SELECT source AS a, target AS b FROM e
+  UNION
+  SELECT target AS a, source AS b FROM e
+),
+walk(seed, id, dist) AS (
+  SELECT id, id, 0 FROM nodes WHERE id IN (1, 2, 3)
+  UNION
+  SELECT walk.seed, s.b, walk.dist + 1
+  FROM walk JOIN sym s ON s.a = walk.id
+  WHERE walk.dist < 30
+),
+d AS (SELECT seed, id, min(dist) AS dist FROM walk GROUP BY seed, id),
+hsum AS (
+  SELECT id, CAST(SUM(1000000000000 // dist) AS BIGINT) AS s
+  FROM d WHERE dist > 0 GROUP BY id
+)
+SELECT n.id, round(coalesce(hsum.s, 0) / 1e12, 6) AS harmonic
+FROM nodes n LEFT JOIN hsum ON n.id = hsum.id
+"""
+
+    # deterministic uniform walks: 4 unrolled steps; the neighbor pick
+    # is row_number-ranked adjacency joined on the counter-hash mod
+    # degree (pure bigint arithmetic — see algorithms.random_walks)
+    rw_hash = (
+        "(((((w{prev}.start_id % 1000003) + 1000003) % 1000003)"
+        " * 1315423911 + w{prev}.rep * 2654435761 + {t} * 97)"
+        " % 1000003)"
+    )
+    rw_steps, rw_union = "", "SELECT start_id, rep, 0 AS step, id FROM w0"
+    for t in range(1, 5):
+        h = rw_hash.format(prev=t - 1, t=t)
+        rw_steps += f""",
+w{t} AS (
+  SELECT w{t - 1}.start_id, w{t - 1}.rep, a.target AS id
+  FROM w{t - 1}
+  JOIN deg d ON w{t - 1}.id = d.source
+  JOIN adj a ON a.source = w{t - 1}.id AND a.rank = {h} % d.deg
+)"""
+        rw_union += (
+            f"\nUNION ALL SELECT start_id, rep, {t} AS step, id FROM w{t}"
+        )
+    o["random_walks"] = f"""
+WITH {GRAPH_CTE},
+e AS (SELECT DISTINCT source, target FROM edges),
+sym AS (
+  SELECT source AS s, target AS t FROM e
+  UNION
+  SELECT target AS s, source AS t FROM e
+),
+simple AS (SELECT s, t FROM sym WHERE s <> t),
+adj AS (
+  SELECT s AS source, t AS target,
+         row_number() OVER (PARTITION BY s ORDER BY t ASC) - 1 AS rank
+  FROM simple
+),
+deg AS (SELECT source, count(*) AS deg FROM adj GROUP BY source),
+w0 AS (
+  SELECT n.id AS start_id, r.rep, n.id AS id
+  FROM nodes n CROSS JOIN (SELECT unnest([0, 1]) AS rep) r
+)
+{rw_steps}
+{rw_union}
+"""
+
+    # cohort retention triangle: integer period index (days since
+    # epoch div 7) — no date_trunc week-start convention in play
+    o["retention_cohorts"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(datediff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) / 7.0) AS BIGINT) AS period
+  FROM events
+),
+coh AS (SELECT u, min(period) AS cohort_period FROM act GROUP BY u),
+cells AS (
+  SELECT coh.cohort_period,
+         act.period - coh.cohort_period AS period_offset,
+         count(DISTINCT act.u) AS n_users
+  FROM act JOIN coh ON act.u = coh.u
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_period, n_users AS b FROM cells WHERE period_offset = 0
+)
+SELECT c.cohort_period, c.period_offset, c.n_users,
+       round(c.n_users / base.b, 6) AS retention
+FROM cells c JOIN base ON c.cohort_period = base.cohort_period
+"""
+
+    # trailing ROWS frame over the (ts, event_id) total order; the
+    # windowed sum runs on DECIMAL(18,6) in both engines
+    o["rolling_stats"] = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_window,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / (count(*) OVER w), 6) AS mean_v,
+       CAST(min(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS min_v,
+       CAST(max(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS max_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+    # per-doc character histogram -> H = (ln n - sum(c ln c)/n)/ln 2
+    o["char_entropy"] = """
+WITH cf AS (
+  SELECT doc_id, ch, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+    FROM documents
+  ) GROUP BY doc_id, ch
+),
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(c * ln(c)) AS clogc
+  FROM cf GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n, 0) AS n_chars_counted,
+       round((ln(per.n) - per.clogc / per.n) / ln(2), 6) AS char_entropy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+    # exact ntile over the (score, id) total order + md5 stage shuffle;
+    # composes the quality_score oracle verbatim
+    o["curriculum_order"] = f"""
+WITH qs AS ({o["quality_score"]})
+SELECT doc_id, quality_score,
+       CAST(ntile(4) OVER (ORDER BY quality_score ASC, doc_id ASC)
+            AS INTEGER) AS stage,
+       md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+FROM qs
 """
 
     return o

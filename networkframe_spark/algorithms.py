@@ -1651,3 +1651,292 @@ def approx_diameter(
         F.lit(far["id"]).alias("peripheral_id"),
         F.max("dist").alias("diameter_lower_bound"),
     )
+
+
+def hits(frame, n_iter: int = 3, directed: bool = True) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999), fixed-iteration with
+    L1 normalization: each round ``a'(v) = sum(h(u) for u -> v)`` then
+    ``a = a' / sum(a')``, and symmetrically ``h'(u) = sum(a(v) for
+    u -> v)``.  Returns ``(id, hub, authority)`` rounded to 6 dp;
+    isolated nodes score 0 on the side with no incident edges.
+
+    Reference scope: networkframe's centrality surface is
+    pagerank-shaped (networkframe.py:721-730 exposes the adjacency the
+    scipy callers consume); HITS is the companion bibliometric
+    centrality for the same directed graph, included for parity with
+    what users compute from `to_sparse_adjacency`.
+
+    Scale design: each half-round is one keyed join (edges x scores on
+    one endpoint) + one partial+final hash aggregate on the other
+    endpoint — the same uniform-shuffle shape as :func:`pagerank`.  The
+    normalizer is a 1-row aggregate broadcast back with a cross join,
+    never a driver collect.
+
+    Determinism: per-edge contributions are summed as DECIMAL(38,12)
+    of the 12-dp-rounded scores — exact and order-independent with no
+    overflow for any in-degree (unlike a scaled-long sum, which a
+    ~1e7-degree hub would overflow); the per-round L1 totals are
+    likewise exact decimal sums.  Each round's scores round to 12 dp,
+    so results are bit-reproducible across engines and parallelism.
+    HITS is not on the bench hot path, so the decimal aggregate's cost
+    vs scaled longs is irrelevant here.
+    """
+    nodes = frame.nodes.select("id")
+    n = len(frame)
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    e = (
+        _edge_pairs(frame, directed)
+        .filter(F.col("source") != F.col("target"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,12)"
+
+    def _half(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        """One half-round: push `scores` (id, s) across edges
+        from_col -> to_col, L1-normalize, 12-dp round."""
+        raw = (
+            e.join(scores.withColumnRenamed("id", from_col), on=from_col)
+            .groupBy(F.col(to_col).alias("id"))
+            .agg(F.sum(F.round(F.col("s"), 12).cast(dec)).alias("__raw"))
+        )
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        return (
+            nodes.join(raw, on="id", how="left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.when(
+                    F.coalesce(F.col("__raw"), F.lit(0).cast(dec)) == 0, 0.0
+                )
+                .otherwise(
+                    F.round(
+                        F.col("__raw").cast("double")
+                        / F.col("__tot").cast("double"),
+                        12,
+                    )
+                )
+                .alias("s"),
+            )
+        )
+
+    # F.round (HALF_UP) not Python round (half-even) — keeps the init
+    # bit-identical to the SQL twin's round(1.0/n, 12)
+    h = nodes.select("id", F.round(F.lit(1.0 / n), 12).alias("s"))
+    a = None
+    for _ in range(n_iter):
+        a = _half(h, "source", "target").localCheckpoint(eager=False)
+        h = _half(a, "target", "source").localCheckpoint(eager=False)
+    return (
+        h.withColumnRenamed("s", "hub")
+        .join(a.withColumnRenamed("s", "authority"), on="id")
+        .select(
+            "id", F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
+def multi_source_hop_distances(
+    frame,
+    sources: list,
+    directed: bool = False,
+    max_hops: int | None = None,
+) -> DataFrame:
+    """BFS hop distances from EVERY node in ``sources`` at once:
+    ``(seed, id, dist)`` — k BFS trees in one frontier loop, the
+    frontier keyed by ``(seed, id)`` so one round advances all trees a
+    hop together (k x fewer Spark jobs than k sequential
+    :func:`hop_distances` calls; the per-round shuffles carry all
+    seeds' frontiers in the same exchange).
+
+    The undirected two-wave anti-join invariant from
+    :func:`hop_distances` holds per seed — neighbors of wave d-1 sit
+    at d-2, d-1, or d within that seed's own tree — so per-round state
+    is two frontier-sized tables, not the full visited set.
+    """
+    if not sources:
+        raise ValueError("multi_source_hop_distances: empty source list")
+    edges = _edge_pairs(frame, directed).repartition("source").cache()
+    seed = (
+        frame.nodes.select("id")
+        .filter(F.col("id").isin(list(sources)))
+        .select(F.col("id").alias("seed"), "id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    waves = [seed]
+    frontier = seed.select("seed", "id")
+    prev, prev2 = frontier, None
+    visited = frontier
+    limit = _MAX_ITER if max_hops is None else max_hops
+    for d in range(1, limit + 1):
+        cand = (
+            edges.join(
+                frontier.withColumnRenamed("id", "source"), on="source"
+            )
+            .select("seed", F.col("target").alias("id"))
+            .distinct()
+        )
+        if directed:
+            seen = visited
+        else:
+            seen = prev if prev2 is None else prev.union(prev2)
+        nxt = (
+            cand.join(seen, on=["seed", "id"], how="left_anti")
+            .select("seed", "id", F.lit(d).alias("dist"))
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
+            break
+        waves.append(nxt)
+        prev2, prev = prev, nxt.select("seed", "id")
+        frontier = nxt.select("seed", "id")
+        if directed:
+            visited = visited.union(frontier).localCheckpoint(eager=False)
+    edges.unpersist()
+    out = waves[0]
+    for w in waves[1:]:
+        out = out.union(w)
+    return out
+
+
+def harmonic_centrality(
+    frame,
+    sources: list,
+    directed: bool = False,
+    max_hops: int | None = None,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014): for each node
+    ``v``, ``sum(1 / d(s, v))`` over the sampled seed set (seeds at
+    distance 0 contribute nothing; unreachable seeds contribute 0 by
+    the harmonic convention — exactly why this centrality is preferred
+    over closeness on disconnected graphs).  Returns
+    ``(id, harmonic)`` at 6 dp, 0 for nodes no seed reaches.
+
+    Exact all-sources harmonic centrality is n BFS runs — O(nm), not a
+    100 TB operation; the standard estimator runs k sampled sources
+    (Eppstein-Wang style) and scales by design: one
+    :func:`multi_source_hop_distances` loop, then a single hash
+    aggregate.
+
+    Determinism: each 1/d term is the INTEGER quotient
+    ``1e12 div d`` summed as a long — exact, order-independent, and
+    identical in any engine (k seeds x 1e12 stays far below 2^63 for
+    any practical sample size).
+    """
+    d = multi_source_hop_distances(
+        frame, sources, directed=directed, max_hops=max_hops
+    )
+    scores = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.expr("div(1000000000000, dist)")
+            ).alias("__s")
+        )
+    )
+    return (
+        frame.nodes.select("id")
+        .join(scores, on="id", how="left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("__s"), F.lit(0)) / F.lit(1e12), 6
+            ).alias("harmonic"),
+        )
+    )
+
+
+def random_walks(
+    frame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic uniform random walks (DeepWalk / node2vec p=q=1
+    corpus generation): ``walks_per_node`` walks start from every
+    node; at step ``t`` a walk at ``u`` moves to the neighbor whose
+    rank (0-based, neighbors sorted by id) equals ``hash(start, rep,
+    t) mod degree(u)``.  Walks stop early at sinks.  Returns the walk
+    corpus in long format ``(start_id, rep, step, id)``.
+
+    The "randomness" is a splittable counter-based hash — the
+    portable-determinism trick used across this repo (cf. md5 bucket
+    sampling, pipeline.py): ``((start mod P) * 1315423911 + rep *
+    2654435761 + t * 97) mod P`` with P = 1000003 (prime).  Pure
+    bigint arithmetic, bit-identical in any engine, no RNG state, and
+    walks are reproducible row-independently — exactly what a
+    distributed embedding-training corpus needs (re-runs and
+    stragglers regenerate identical walks).
+
+    Scale design: the adjacency is ranked once (one row_number window
+    per source — the only window, over neighbor lists) and cached
+    hash-partitioned with the degree table; each step is two keyed
+    joins (walk x degree on the current node, then x adjacency on
+    (node, rank)) — state is n x walks_per_node rows per step, edges
+    never rematerialize.  Lineage is checkpoint-truncated per step.
+    """
+    from pyspark.sql import Window as w
+
+    P = 1000003
+    adj = _edge_pairs(frame, directed).filter(
+        F.col("source") != F.col("target")
+    )
+    ranked = (
+        adj.select(
+            "source",
+            "target",
+            (
+                F.row_number().over(
+                    w.partitionBy("source").orderBy(F.col("target").asc())
+                )
+                - 1
+            ).alias("rank"),
+        )
+        .repartition("source")
+        .cache()
+    )
+    deg = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("deg")).cache()
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+    ).alias("rep")
+    cur = frame.nodes.select(
+        F.col("id").alias("start_id"), reps
+    ).select("start_id", "rep", F.col("start_id").alias("id"))
+    out = cur.select("start_id", "rep", F.lit(0).alias("step"), "id")
+    # the counter hash needs a numeric surrogate of the start id:
+    # numeric ids use `start mod P` directly (pure SQL — what the
+    # DuckDB oracle replays); other id types hash the string form with
+    # xxhash64 (still deterministic/splittable, just engine-specific)
+    id_type = dict(frame.nodes.dtypes)["id"]
+    numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    for t in range(1, walk_length + 1):
+        base = (
+            F.pmod(F.col("start_id"), F.lit(P))
+            if numeric
+            else F.pmod(F.xxhash64(F.col("start_id").cast("string")), F.lit(P))
+        )
+        h = F.pmod(
+            base * F.lit(1315423911)
+            + F.col("rep") * F.lit(2654435761)
+            + F.lit(t * 97),
+            F.lit(P),
+        )
+        cur = (
+            cur.join(deg.withColumnRenamed("source", "id"), on="id")
+            .select(
+                "start_id",
+                "rep",
+                F.col("id").alias("source"),
+                F.pmod(h, F.col("deg")).alias("rank"),
+            )
+            .join(ranked, on=["source", "rank"])
+            .select("start_id", "rep", F.col("target").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.union(
+            cur.select("start_id", "rep", F.lit(t).alias("step"), "id")
+        )
+    return out

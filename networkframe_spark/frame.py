@@ -780,6 +780,46 @@ class NetworkFrame:
 
         return local_clustering(self)
 
+    def hits(self, n_iter: int = 3, directed: bool = True) -> DataFrame:
+        """Fixed-iteration HITS hub/authority scores ``(id, hub,
+        authority)``; see :func:`networkframe_spark.algorithms.hits`."""
+        from .algorithms import hits
+
+        return hits(self, n_iter=n_iter, directed=directed)
+
+    def harmonic_centrality(
+        self,
+        sources: list,
+        directed: bool = False,
+        max_hops: Optional[int] = None,
+    ) -> DataFrame:
+        """Sampled harmonic centrality ``(id, harmonic)`` from a seed
+        sample; see
+        :func:`networkframe_spark.algorithms.harmonic_centrality`."""
+        from .algorithms import harmonic_centrality
+
+        return harmonic_centrality(
+            self, sources, directed=directed, max_hops=max_hops
+        )
+
+    def random_walks(
+        self,
+        walk_length: int = 4,
+        walks_per_node: int = 2,
+        directed: bool = True,
+    ) -> DataFrame:
+        """Deterministic uniform random-walk corpus ``(start_id, rep,
+        step, id)``; see
+        :func:`networkframe_spark.algorithms.random_walks`."""
+        from .algorithms import random_walks
+
+        return random_walks(
+            self,
+            walk_length=walk_length,
+            walks_per_node=walks_per_node,
+            directed=directed,
+        )
+
     def metrics(self) -> DataFrame:
         """One-row graph-science summary ``(density, reciprocity,
         assortativity, avg_degree)`` over the simple projection; see

@@ -811,3 +811,66 @@ def weighted_sample(
     )
     thr = F.round(p * _HASH_MOD).cast("long")
     return df.filter(_bucket_col(F.col(key_col), seed, method) < thr)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum-learning order: rows are binned into ``n_stages``
+    equal-frequency difficulty stages by ``score_col`` (exact SQL
+    ``ntile`` semantics over a total order — score then ``key_col``
+    as tie-break), and WITHIN each stage the order is a deterministic
+    md5 shuffle (same trick as :func:`global_shuffle`).  Returns the
+    frame plus ``(stage, shuffle_key)`` sorted ``(stage, shuffle_key,
+    key)`` — easy first, shuffled within stage, as curriculum
+    schedules prescribe (Bengio et al. 2009).  ``ascending=False``
+    flips to anti-curriculum (hardest first).
+
+    Determinism: the stage split follows ntile's exact convention
+    (first ``n mod k`` tiles one row larger), pinned by the unique
+    tie-break; md5 needs no RNG state, so every epoch/retry
+    regenerates the identical order on any engine.
+
+    Scale design: a naive ``ntile() OVER (ORDER BY ...)`` is a
+    single-partition window — a driver-killer at corpus scale — so
+    the global rank comes from the two-phase range-sort scheme
+    (:func:`~networkframe_spark.algorithms._dense_rank_distributed`:
+    range-repartition, local row_number, per-partition offsets) and
+    the tile index is computed arithmetically from (rank, n, k).
+    The final orderBy is a sampled range-partition sort.  No global
+    window anywhere.
+    """
+    from ..algorithms import _dense_rank_distributed
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    n = df.count()
+    direction = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    ranked = _dense_rank_distributed(
+        df, [direction, F.col(key_col).asc()], out_col="__r0"
+    )
+    q, rem = divmod(n, n_stages)
+    r = F.col("__r0") + 1  # 1-based rank
+    boundary = rem * (q + 1)
+    if q == 0:
+        stage = r
+    else:
+        stage = F.when(
+            r <= boundary, F.floor((r - 1) / (q + 1)) + 1
+        ).otherwise(rem + F.floor((r - boundary - 1) / q) + 1)
+    return (
+        ranked.withColumn("stage", stage.cast("int"))
+        .withColumn(
+            "shuffle_key",
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+        )
+        .drop("__r0")
+        .orderBy("stage", "shuffle_key", key_col)
+    )

@@ -215,3 +215,106 @@ def funnel_counts(
         else F.lit(0.0)
     )
     return base.select("*", rate.alias("conversion_rate"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event, and each ``(cohort_period, period_offset)``
+    cell counts how many of that cohort were active ``offset`` periods
+    later — the classic growth-analytics triangle.  Returns
+    ``(cohort_period, period_offset, n_users, retention)`` where
+    ``cohort_period`` is an integer period index (days since epoch
+    div ``period_days``) and ``retention`` = cell users / cohort size
+    at offset 0, rounded to 6 dp.
+
+    Engine-portable periods: the period index is pure integer
+    arithmetic on days-since-epoch (``datediff`` from 1970-01-01 then
+    integer division) — no reliance on any engine's ``date_trunc``
+    week-start convention.
+
+    Scale design: one hash aggregate per stage — (user, period)
+    distinct activity, a per-user min for the cohort, and the cell
+    count — every shuffle keyed on the uniform user id or the small
+    (cohort, offset) composite.  The cohort-size join is on the tiny
+    cells table (broadcast), not on users.
+    """
+    events = normalize_event_time(events, ts_col)
+    period = F.floor(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+        / period_days
+    ).alias("period")
+    active = (
+        events.select(F.col(user_col).alias("u"), period)
+        .distinct()
+    )
+    cohort = active.groupBy("u").agg(F.min("period").alias("cohort_period"))
+    cells = (
+        active.join(cohort, on="u")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+    base = cells.filter(F.col("period_offset") == 0).select(
+        "cohort_period", F.col("n_users").alias("__base")
+    )
+    return (
+        cells.join(F.broadcast(base), on="cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__base"), 6).alias("retention"),
+        )
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_rows: int = 5,
+) -> DataFrame:
+    """Per-entity trailing-window features: for each event, the count
+    / mean / min / max of ``value_col`` over the last ``n_rows`` rows
+    of the same ``user_col`` (current row inclusive), ordered by
+    ``(ts, id_col)`` — the standard rolling-feature primitive for
+    sessionized training data (pandas analog:
+    ``groupby().rolling(n)``).  Returns ``(user, event_id, n_window,
+    mean_v, min_v, max_v)`` with the mean at 6 dp.
+
+    Determinism: the frame is ROWS-based over a total order (ts plus
+    the unique event id as tie-break), and the windowed sum runs on
+    DECIMAL(18,6) — exact within the frame regardless of evaluation
+    order; only the final mean division is floating.
+
+    Scale design: ONE shuffle (hash-partition by user) + one in-
+    partition sort serves all four features — Catalyst evaluates the
+    sliding frame incrementally per partition.  Skewed users are
+    bounded by the frame (state is O(n_rows)), not by user size.
+    """
+    events = normalize_event_time(events, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    v = F.col(value_col).cast("decimal(18,6)")
+    return events.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(
+            F.sum(v).over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("mean_v"),
+        F.min(v).over(w).cast("double").alias("min_v"),
+        F.max(v).over(w).cast("double").alias("max_v"),
+    )

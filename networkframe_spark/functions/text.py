@@ -491,3 +491,69 @@ def bigram_logprob_score(
             F.round(F.col("__lpsum") / F.col("n_tokens"), 6).alias("logprob"),
         )
     )
+
+
+def char_entropy_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy in bits: ``H = -sum_c
+    p_c * log2(p_c)`` over the document's own character distribution
+    — ``(id_col, n_chars_counted, char_entropy)`` rounded to 6 dp.
+
+    Low entropy flags degenerate text (repeated characters, padding,
+    base64-free binary junk renders HIGH — both tails are filter
+    signals); the cheap companion to
+    :func:`unigram_logprob_score`'s corpus-relative fluency.
+
+    Characters are code points via ``regexp_extract_all(text, '.')``
+    — identical semantics in Java regex and RE2 for text without
+    newlines (neither matches ``\\n``; newline-bearing corpora should
+    pre-normalize with :func:`clean_text`).
+
+    Scale design: same shape as the unigram tf table — one explode
+    folded immediately into the per-(doc, char) count aggregate
+    (alphabet-bounded: at most |alphabet| rows per doc survive the
+    map-side partial agg), then a per-doc sum.  No UDF; the log/sum
+    arithmetic follows this repo's oracle convention (double terms,
+    6 dp final round).
+    """
+    cf = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '.', 0)")
+            ).alias("__ch"),
+        )
+        .groupBy(id_col, "__ch")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_doc = (
+        cf.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_chars_counted"),
+            F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clogc"),
+        )
+        .select(
+            id_col,
+            "n_chars_counted",
+            F.round(
+                (
+                    F.log(F.col("n_chars_counted"))
+                    - F.col("__clogc") / F.col("n_chars_counted")
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_chars_counted", F.lit(0)).alias("n_chars_counted"),
+            "char_entropy",
+        )
+    )

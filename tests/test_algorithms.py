@@ -577,3 +577,77 @@ def test_label_propagation_string_ids(spark):
     }
     assert got["A"] == got["B"] == got["C"] == "A"
     assert got["Z"] == "Z"
+
+
+def test_hits_letter_graph(spark, letter_frame):
+    """A->B, A->C, B->C, C->D: A is the strongest hub (points at the
+    strongest authority C twice-removed), C the strongest authority;
+    A has no in-edges (authority 0), D no out-edges (hub 0); each
+    score vector is L1-normalized."""
+    got = {r["id"]: (r["hub"], r["authority"]) for r in letter_frame.hits(n_iter=3).collect()}
+    assert got["A"][1] == 0.0 and got["D"][0] == 0.0
+    hubs = {k: v[0] for k, v in got.items()}
+    auths = {k: v[1] for k, v in got.items()}
+    assert max(hubs, key=hubs.get) == "A"
+    assert max(auths, key=auths.get) == "C"
+    assert abs(sum(hubs.values()) - 1.0) < 1e-5
+    assert abs(sum(auths.values()) - 1.0) < 1e-5
+
+
+def test_harmonic_centrality_letter_graph(spark, letter_frame):
+    """Undirected from seed A: d(B)=d(C)=1, d(D)=2 -> harmonic 1, 1,
+    0.5; the seed itself (dist 0) collects nothing."""
+    got = {
+        r["id"]: r["harmonic"]
+        for r in letter_frame.harmonic_centrality(["A"], directed=False).collect()
+    }
+    assert got == {"A": 0.0, "B": 1.0, "C": 1.0, "D": 0.5}
+
+
+def test_harmonic_centrality_two_seeds(spark, letter_frame):
+    """Seeds A and D: B collects 1/1 + 1/2, C collects 1/1 + 1/1."""
+    got = {
+        r["id"]: r["harmonic"]
+        for r in letter_frame.harmonic_centrality(["A", "D"], directed=False).collect()
+    }
+    assert got["B"] == 1.5 and got["C"] == 2.0
+    # each seed sees only the OTHER seed: d(A,D)=2 both ways
+    assert got["A"] == 0.5 and got["D"] == 0.5
+
+
+def test_random_walks_structure_and_determinism(spark, letter_frame):
+    """Every consecutive (step t-1 -> t) hop is a real undirected
+    edge; step-0 covers every (node, rep); two runs are identical."""
+    rw = letter_frame.random_walks(walk_length=3, walks_per_node=2, directed=False)
+    rows = sorted(
+        (r["start_id"], r["rep"], r["step"], r["id"]) for r in rw.collect()
+    )
+    starts = {(s, rep) for s, rep, t, _ in rows if t == 0}
+    assert starts == {(v, r) for v in "ABCD" for r in (0, 1)}
+    und = {("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")}
+    und |= {(b, a) for a, b in und}
+    pos = {(s, rep, t): v for s, rep, t, v in rows}
+    for (s, rep, t), v in pos.items():
+        if t > 0:
+            prev = pos[(s, rep, t - 1)]
+            assert (prev, v) in und, (s, rep, t)
+    rows2 = sorted(
+        (r["start_id"], r["rep"], r["step"], r["id"])
+        for r in letter_frame.random_walks(
+            walk_length=3, walks_per_node=2, directed=False
+        ).collect()
+    )
+    assert rows == rows2
+
+
+def test_random_walks_stop_at_sinks(spark, letter_frame):
+    """Directed walks die at D (no out-edges): no walk starting at D
+    advances past step 0, and every directed hop is a forward edge."""
+    rw = letter_frame.random_walks(walk_length=3, walks_per_node=1, directed=True)
+    rows = [(r["start_id"], r["step"], r["id"]) for r in rw.collect()]
+    assert [(s, t) for s, t, _ in rows if s == "D"] == [("D", 0)]
+    fwd = {("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")}
+    pos = {(s, t): v for s, t, v in rows}
+    for (s, t), v in pos.items():
+        if t > 0:
+            assert (pos[(s, t - 1)], v) in fwd

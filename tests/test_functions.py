@@ -817,3 +817,77 @@ def test_embedding_drift_identical_and_shifted(spark):
     assert moved["centroid_cosine"] == 1.0  # same direction
     assert moved["norm_ratio"] == 0.5
     assert moved["centroid_l2"] > 3.0
+
+
+def test_retention_cohorts_known_matrix(spark):
+    """Two cohorts: users 1,2 start week 0 (u1 returns weeks 1,2; u2
+    week 1 only); user 3 starts week 1 and never returns."""
+    from networkframe_spark.functions.temporal import retention_cohorts
+
+    def t(day):
+        return f"2024-01-{day:02d} 12:00:00"
+
+    # 2024-01-01 is a Monday; period_days=7 buckets by absolute weeks
+    ev = spark.createDataFrame(
+        [
+            (1, t(1)), (1, t(8)), (1, t(15)),
+            (2, t(2)), (2, t(9)),
+            (3, t(10)),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (r["cohort_period"] - 2817, r["period_offset"]): (
+            r["n_users"], r["retention"]
+        )
+        for r in retention_cohorts(ev).collect()
+    }
+    # 2024-01-01 = day 19723 since epoch -> week 2817
+    assert got[(0, 0)] == (2, 1.0)
+    assert got[(0, 1)] == (2, 1.0)
+    assert got[(0, 2)] == (1, 0.5)
+    assert got[(1, 0)] == (1, 1.0)
+    assert len(got) == 4
+
+
+def test_rolling_stats_trailing_frame(spark):
+    """Values 10,20,30,40 for one user with n_rows=3: trailing means
+    10, 15, 20, 30; min/max track the frame."""
+    from networkframe_spark.functions.temporal import rolling_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (1, 2, "2024-01-01 00:01:00", 20.0),
+            (1, 3, "2024-01-01 00:02:00", 30.0),
+            (1, 4, "2024-01-01 00:03:00", 40.0),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        r["event_id"]: (r["n_window"], r["mean_v"], r["min_v"], r["max_v"])
+        for r in rolling_stats(ev, n_rows=3).collect()
+    }
+    assert got[1] == (1, 10.0, 10.0, 10.0)
+    assert got[2] == (2, 15.0, 10.0, 20.0)
+    assert got[3] == (3, 20.0, 10.0, 30.0)
+    assert got[4] == (3, 30.0, 20.0, 40.0)
+
+
+def test_char_entropy_known_values(spark):
+    """aaaa -> 0 bits; aabb -> 1 bit; abcd -> 2 bits; empty -> NULL
+    with a 0 char count."""
+    from networkframe_spark.functions.text import char_entropy_score
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aabb"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["char_entropy"])
+        for r in char_entropy_score(docs).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (0, None)

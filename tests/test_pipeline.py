@@ -505,3 +505,36 @@ def test_dedup_lines_sep_containing_regex_quote_terminator(spark):
     out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=3, sep=sep).collect()}
     assert out[1]["text"] == "alpha" and out[1]["n_removed"] == 1
     assert out[2]["text"] == "beta" and out[2]["n_lines"] == 2
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    """ntile semantics (larger stages first: 10 rows / 3 stages ->
+    4,3,3), easy-first ordering by score, md5-shuffled within stage,
+    and bit-identical across runs."""
+    from networkframe_spark.functions.pipeline import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, score double"
+    )
+    out = curriculum_order(docs, "score", n_stages=3, key_col="doc_id")
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert sizes == {1: 4, 2: 3, 3: 3}
+    # stage 1 holds the 4 lowest scores (curriculum: easy first)
+    assert {r["doc_id"] for r in rows if r["stage"] == 1} == {0, 1, 2, 3}
+    # returned order: stage-major, md5 shuffle key within stage
+    seq = [(r["stage"], r["shuffle_key"]) for r in rows]
+    assert seq == sorted(seq)
+    again = curriculum_order(docs, "score", n_stages=3, key_col="doc_id")
+    assert [r["doc_id"] for r in again.collect()] == [
+        r["doc_id"] for r in rows
+    ]
+    # anti-curriculum flips stage 1 to the hardest docs
+    hard = curriculum_order(
+        docs, "score", n_stages=3, key_col="doc_id", ascending=False
+    )
+    assert {r["doc_id"] for r in hard.collect() if r["stage"] == 1} == {
+        6, 7, 8, 9,
+    }

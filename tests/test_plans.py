@@ -277,3 +277,42 @@ def test_fuzzy_decontaminate_banded_plan_no_cartesian(spark):
     plan = _plan(fuzzy_decontaminate(docs, ev, bands=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_stats_plan_one_shuffle_one_window(spark):
+    """The four trailing features share ONE hash exchange on user_id
+    and one Window operator — no extra shuffles, no Python UDF."""
+    from networkframe_spark.sources import read_events
+    from networkframe_spark.functions.temporal import rolling_stats
+
+    plan = _plan(rolling_stats(read_events(spark, SF_DIR)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curriculum_order_plan_no_single_partition_window(spark):
+    """The global ntile must come from the two-phase range-sort rank,
+    never a single-partition window (the naive `ntile() OVER (ORDER
+    BY ...)` plan): every exchange is range/hash-partitioned and the
+    one Window operator is keyed by the partition id."""
+    from networkframe_spark.sources import read_table
+    from networkframe_spark.functions.pipeline import curriculum_order
+    from networkframe_spark.functions.text import add_quality_score
+
+    docs = add_quality_score(read_table(spark, SF_DIR, "documents"))
+    plan = _plan(curriculum_order(docs, "quality_score", n_stages=4))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "partitionBy=[_pid]" in plan or "_pid" in plan
+
+
+def test_char_entropy_plan_is_codegen_aggregate(spark):
+    """Histogram + entropy run as built-in hash aggregates — no
+    Python evaluation anywhere in the plan."""
+    from networkframe_spark.sources import read_table
+    from networkframe_spark.functions.text import char_entropy_score
+
+    plan = _plan(char_entropy_score(read_table(spark, SF_DIR, "documents")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
