@@ -1277,6 +1277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curriculum_order"] = q_curriculum
 
+    def q_betweenness(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.betweenness_approx([1, 2, 3], directed=False, max_hops=3)
+
+    q["betweenness_approx"] = q_betweenness
+
     return q
 
 
@@ -3289,6 +3295,71 @@ per AS (
 SELECT d.doc_id, coalesce(per.n, 0) AS n_chars_counted,
        round((ln(per.n) - per.clogc / per.n) / ln(2), 6) AS char_entropy
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+    # sampled Brandes betweenness, unrolled: the recursive BFS dist
+    # table gates per-level sigma (exact integer path counts), then
+    # the backward dependency levels replay algorithms.
+    # betweenness_approx's 12-dp-term DECIMAL sums verbatim
+    bt_hops = 3
+    bt_fwd = ""
+    for lvl in range(1, bt_hops + 1):
+        bt_fwd += f""",
+s{lvl} AS (
+  SELECT p.seed, s.b AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM s{lvl - 1} p
+  JOIN bsym s ON s.a = p.id
+  JOIN bd ON bd.seed = p.seed AND bd.id = s.b AND bd.dist = {lvl}
+  GROUP BY p.seed, s.b
+)"""
+    bt_bwd = f",\ndel{bt_hops} AS (SELECT seed, id, 0.0 AS delta FROM s{bt_hops})"
+    for lvl in range(bt_hops - 1, -1, -1):
+        bt_bwd += f""",
+t{lvl} AS (
+  SELECT v.seed, v.id,
+         CAST(round(v.sigma / w.sigma * (1 + dw.delta), 12)
+              AS DECIMAL(38,12)) AS term
+  FROM s{lvl} v
+  JOIN bsym s ON s.a = v.id
+  JOIN s{lvl + 1} w ON w.seed = v.seed AND w.id = s.b
+  JOIN del{lvl + 1} dw ON dw.seed = w.seed AND dw.id = w.id
+),
+del{lvl} AS (
+  SELECT v.seed, v.id, round(CAST(coalesce(ts.s, 0) AS DOUBLE), 12) AS delta
+  FROM s{lvl} v
+  LEFT JOIN (SELECT seed, id, SUM(term) AS s FROM t{lvl} GROUP BY seed, id) ts
+    ON ts.seed = v.seed AND ts.id = v.id
+)"""
+    bt_union = " UNION ALL ".join(
+        f"SELECT * FROM del{lvl}" for lvl in range(bt_hops, -1, -1)
+    )
+    o["betweenness_approx"] = f"""
+WITH RECURSIVE {GRAPH_CTE},
+be AS (SELECT DISTINCT source, target FROM edges),
+bsym0 AS (
+  SELECT source AS a, target AS b FROM be
+  UNION
+  SELECT target AS a, source AS b FROM be
+),
+bsym AS (SELECT a, b FROM bsym0 WHERE a <> b),
+walk(seed, id, dist) AS (
+  SELECT id, id, 0 FROM nodes WHERE id IN (1, 2, 3)
+  UNION
+  SELECT walk.seed, s.b, walk.dist + 1
+  FROM walk JOIN bsym s ON s.a = walk.id
+  WHERE walk.dist < {bt_hops}
+),
+bd AS (SELECT seed, id, min(dist) AS dist FROM walk GROUP BY seed, id),
+s0 AS (SELECT seed, id, CAST(1 AS BIGINT) AS sigma FROM bd WHERE dist = 0)
+{bt_fwd}
+{bt_bwd},
+alld AS ({bt_union}),
+sc AS (
+  SELECT id, SUM(CAST(round(delta, 12) AS DECIMAL(38,12))) AS b
+  FROM alld WHERE id <> seed GROUP BY id
+)
+SELECT n.id, round(CAST(coalesce(sc.b, 0) AS DOUBLE), 6) AS betweenness
+FROM nodes n LEFT JOIN sc ON n.id = sc.id
 """
 
     # exact ntile over the (score, id) total order + md5 stage shuffle;

@@ -1940,3 +1940,134 @@ def random_walks(
             cur.select("start_id", "rep", F.lit(t).alias("step"), "id")
         )
     return out
+
+
+def betweenness_approx(
+    frame,
+    sources: list,
+    directed: bool = False,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001 accumulation from
+    a seed sample — the standard estimator; exact betweenness is n
+    full SSSPs, not a 100 TB operation).  For each seed the forward
+    phase counts shortest paths level by level (``sigma``), the
+    backward phase accumulates pair dependencies
+    ``delta(v) = sum_w sigma(v)/sigma(w) * (1 + delta(w))`` down the
+    BFS DAG; a node's score is its dependency summed over seeds
+    (raw accumulation, no normalization — callers can rescale).
+    Returns ``(id, betweenness)`` at 6 dp; seeds and unreached nodes
+    score 0.  ``max_hops`` bounds BOTH phases, making the round count
+    a fixed constant — the property that lets a SQL twin unroll the
+    exact same computation.
+
+    Scale design: state is (seed, node)-keyed — k x node-sized, never
+    edge-sized; each level is one keyed join against the cached
+    adjacency + one hash aggregate (forward: sum of path counts;
+    backward: sum of dependency terms).  2 x max_hops rounds total.
+
+    Determinism: sigma is exact integer path counting; each backward
+    term rounds to 12 dp and sums as DECIMAL(38,12) (order-independent,
+    overflow-free), as does the final cross-seed sum.
+    """
+    if not sources:
+        raise ValueError("betweenness_approx: empty source list")
+    e = (
+        _edge_pairs(frame, directed)
+        .filter(F.col("source") != F.col("target"))
+        .localCheckpoint(eager=False)
+    )
+    d = multi_source_hop_distances(
+        frame, sources, directed=directed, max_hops=max_hops
+    ).localCheckpoint(eager=True)
+    dec = "decimal(38,12)"
+    # forward: per-level shortest-path counts
+    levels = [
+        d.filter(F.col("dist") == 0).select(
+            "seed", "id", F.lit(1).cast("long").alias("sigma")
+        )
+    ]
+    for lvl in range(1, max_hops + 1):
+        nxt_ids = d.filter(F.col("dist") == lvl).select("seed", "id")
+        levels.append(
+            levels[-1]
+            .join(e.withColumnRenamed("source", "id"), on="id")
+            .select("seed", F.col("target").alias("id"), "sigma")
+            .join(nxt_ids, on=["seed", "id"], how="left_semi")
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=False)
+        )
+    # backward: dependency accumulation down the BFS DAG
+    delta = levels[max_hops].select(
+        "seed", "id", F.lit(0.0).alias("delta")
+    )
+    acc = [delta]
+    for lvl in range(max_hops - 1, -1, -1):
+        sig_w = (
+            levels[lvl + 1]
+            .join(acc[-1], on=["seed", "id"])
+            .select(
+                "seed",
+                F.col("id").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        terms = (
+            levels[lvl]
+            .join(e.withColumnRenamed("source", "id"), on="id")
+            .select("seed", "id", "sigma", F.col("target").alias("w"))
+            .join(sig_w, on=["seed", "w"])
+            .select(
+                "seed",
+                "id",
+                F.round(
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta_w")),
+                    12,
+                ).alias("term"),
+            )
+        )
+        delta = (
+            levels[lvl]
+            .join(
+                terms.groupBy("seed", "id").agg(
+                    F.sum(F.col("term").cast(dec)).alias("__s")
+                ),
+                on=["seed", "id"],
+                how="left",
+            )
+            .select(
+                "seed",
+                "id",
+                F.round(
+                    F.coalesce(F.col("__s"), F.lit(0).cast(dec)).cast(
+                        "double"
+                    ),
+                    12,
+                ).alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        acc.append(delta)
+    alldep = acc[0]
+    for a in acc[1:]:
+        alldep = alldep.union(a)
+    scores = (
+        alldep.filter(F.col("id") != F.col("seed"))
+        .groupBy("id")
+        .agg(F.sum(F.round(F.col("delta"), 12).cast(dec)).alias("__b"))
+    )
+    return (
+        frame.nodes.select("id")
+        .join(scores, on="id", how="left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("__b"), F.lit(0).cast(dec)).cast("double"),
+                6,
+            ).alias("betweenness"),
+        )
+    )

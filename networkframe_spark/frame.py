@@ -802,6 +802,21 @@ class NetworkFrame:
             self, sources, directed=directed, max_hops=max_hops
         )
 
+    def betweenness_approx(
+        self,
+        sources: list,
+        directed: bool = False,
+        max_hops: int = 3,
+    ) -> DataFrame:
+        """Sampled Brandes betweenness ``(id, betweenness)`` from a
+        seed sample with bounded BFS depth; see
+        :func:`networkframe_spark.algorithms.betweenness_approx`."""
+        from .algorithms import betweenness_approx
+
+        return betweenness_approx(
+            self, sources, directed=directed, max_hops=max_hops
+        )
+
     def random_walks(
         self,
         walk_length: int = 4,

@@ -651,3 +651,33 @@ def test_random_walks_stop_at_sinks(spark, letter_frame):
     for (s, t), v in pos.items():
         if t > 0:
             assert (pos[(s, t - 1)], v) in fwd
+
+
+def test_betweenness_single_seed_hand_computed(spark, letter_frame):
+    """Undirected seed A on A-B, A-C, B-C, C-D: the BFS DAG from A has
+    C as the sole gateway to D -> delta(C) = 1, everything else 0."""
+    got = {
+        r["id"]: r["betweenness"]
+        for r in letter_frame.betweenness_approx(["A"], directed=False).collect()
+    }
+    assert got == {"A": 0.0, "B": 0.0, "C": 1.0, "D": 0.0}
+
+
+def test_betweenness_path_graph_all_seeds(spark):
+    """Path 1-2-3-4-5, all nodes as seeds: raw Brandes accumulation
+    (both directions counted) gives interior scores 2*(k)(n-1-k):
+    node 2 -> 6, node 3 -> 8."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in nf.betweenness_approx(
+            [1, 2, 3, 4, 5], directed=False, max_hops=4
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 6.0, 3: 8.0, 4: 6.0, 5: 0.0}
