@@ -40,6 +40,7 @@ from networkframe_spark.functions.pipeline import (
     add_repetition_score,
     cap_per_group,
     chunk_documents,
+    corpus_describe,
     curriculum_order,
     dedup_chunks,
     dedup_lines,
@@ -57,7 +58,7 @@ from networkframe_spark.functions.pipeline import (
     token_histogram,
     train_test_split,
 )
-from networkframe_spark.functions.search import bm25_top_docs
+from networkframe_spark.functions.search import bm25_top_docs, rrf_fuse
 from networkframe_spark.functions.similarity import (
     brute_force_top_k,
     build_ivf_index,
@@ -1282,6 +1283,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nf.betweenness_approx([1, 2, 3], directed=False, max_hops=3)
 
     q["betweenness_approx"] = q_betweenness
+
+    def q_community_quality(spark, sf):
+        # doc-clique graph with DELIBERATELY misaligned labels
+        # (doc_id % 3 over mod-7 cliques) so cuts/conductance are
+        # non-trivial; isolated docs are singleton communities
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        labels = ids.select(
+            "id",
+            F.when(F.col("id") < 450, F.col("id") % 3)
+            .otherwise(F.col("id"))
+            .alias("community"),
+        )
+        return NetworkFrame(ids, pairs).community_quality(labels)
+
+    q["community_quality"] = q_community_quality
+
+    def q_corpus_describe(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        return corpus_describe(docs)
+
+    q["corpus_describe"] = q_corpus_describe
+
+    def q_rrf_fuse(spark, sf):
+        from pyspark.sql import Window
+
+        docs = read_table(spark, sf, "documents")
+        w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        a = (
+            docs.select("doc_id", F.row_number().over(w1).alias("rank"))
+            .filter("rank <= 100")
+        )
+        scored = add_quality_score(docs)
+        w2 = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        b = (
+            scored.select("doc_id", F.row_number().over(w2).alias("rank"))
+            .filter("rank <= 100")
+        )
+        return rrf_fuse([a, b], k=60)
+
+    q["rrf_fuse"] = q_rrf_fuse
 
     return q
 
@@ -3360,6 +3408,107 @@ sc AS (
 )
 SELECT n.id, round(CAST(coalesce(sc.b, 0) AS DOUBLE), 6) AS betweenness
 FROM nodes n LEFT JOIN sc ON n.id = sc.id
+"""
+
+    # community-quality report over the misaligned doc-clique labels;
+    # volumes via endpoint union, conductance/modularity as explicit
+    # double ratios of exact integer counts (no pow — IEEE multiply)
+    o["community_quality"] = """
+WITH pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 450 AND b.doc_id < 450
+),
+labels AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id < 450 THEN doc_id % 3 ELSE doc_id END AS community
+  FROM documents
+),
+tagged AS (
+  SELECT p.u, p.v, la.community AS ca, lb.community AS cb
+  FROM pairs p
+  LEFT JOIN labels la ON p.u = la.id
+  LEFT JOIN labels lb ON p.v = lb.id
+),
+m AS (SELECT count(*) AS m FROM tagged),
+internal AS (
+  SELECT ca AS community, count(*) AS internal_edges
+  FROM tagged WHERE ca = cb GROUP BY ca
+),
+vol AS (
+  SELECT community, count(*) AS volume FROM (
+    SELECT ca AS community FROM tagged
+    UNION ALL SELECT cb FROM tagged
+  ) WHERE community IS NOT NULL GROUP BY community
+),
+sizes AS (SELECT community, count(*) AS n_nodes FROM labels GROUP BY community),
+agg AS (
+  SELECT s.community, s.n_nodes,
+         coalesce(vol.volume, 0) AS volume,
+         coalesce(internal.internal_edges, 0) AS internal_edges,
+         coalesce(vol.volume, 0) - 2 * coalesce(internal.internal_edges, 0)
+           AS cut_edges,
+         (SELECT m FROM m) AS m
+  FROM sizes s
+  LEFT JOIN vol ON s.community = vol.community
+  LEFT JOIN internal ON s.community = internal.community
+)
+SELECT community, n_nodes, volume, internal_edges, cut_edges,
+       CASE WHEN least(volume, 2 * m - volume) <= 0 THEN 0.0
+            ELSE round(cut_edges / least(volume, 2 * m - volume), 6)
+       END AS conductance,
+       round(internal_edges / m
+             - (volume / (2.0 * m)) * (volume / (2.0 * m)), 6)
+         AS modularity_part
+FROM agg
+"""
+
+    # single-pass corpus profile; token count is the per-row filtered
+    # whitespace split (no explode), dup rate from the md5 key
+    o["corpus_describe"] = """
+SELECT count(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(SUM(len(list_filter(
+         regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')))
+            AS BIGINT) AS total_tokens,
+       round(SUM(len(list_filter(
+         regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')))
+             / count(*), 6) AS avg_tokens,
+       round(SUM(length(text)) / count(*), 6) AS avg_chars,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       round(1.0 - count(DISTINCT md5(text)) / count(*), 6)
+         AS exact_dup_rate
+FROM documents
+"""
+
+    # reciprocal-rank fusion of two deterministic top-100 rankings
+    # (longest docs; highest quality) — 12-dp reciprocal terms summed
+    # as DECIMAL like functions/search.py rrf_fuse
+    o["rrf_fuse"] = f"""
+WITH qs AS ({o["quality_score"]}),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents QUALIFY rank <= 100
+),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY quality_score DESC, doc_id ASC) AS rank
+  FROM qs QUALIFY rank <= 100
+),
+u AS (
+  SELECT doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12)) AS term
+  FROM ra
+  UNION ALL
+  SELECT doc_id, CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12))
+  FROM rb
+)
+SELECT doc_id, count(*) AS n_lists,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
+FROM u GROUP BY doc_id
 """
 
     # exact ntile over the (score, id) total order + md5 stage shuffle;

@@ -75,6 +75,14 @@ HEADLINE = [
     "clean_text",            # C4-style normalization chain (r6)
     "quantize_embeddings",   # int8 scalar quantization (r6)
     "fuzzy_decontaminate",   # cross-corpus shingle Jaccard (r6)
+    "hits_scores",           # decimal-sum HITS rounds (r6s2)
+    "harmonic_centrality",   # multi-seed BFS + integer-quotient agg (r6s2)
+    "random_walks",          # counter-hash walk corpus (r6s2)
+    "betweenness_approx",    # k-source Brandes accumulation (r6s2)
+    "retention_cohorts",     # cohort triangle hash aggs (r6s2)
+    "rolling_stats",         # one-window trailing features (r6s2)
+    "char_entropy",          # alphabet-bounded histogram agg (r6s2)
+    "curriculum_order",      # two-phase ntile + md5 order (r6s2)
 ]
 
 

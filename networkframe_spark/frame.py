@@ -802,6 +802,16 @@ class NetworkFrame:
             self, sources, directed=directed, max_hops=max_hops
         )
 
+    def community_quality(
+        self, labels: DataFrame, label_col: str = "community"
+    ) -> DataFrame:
+        """Per-community cut/volume/conductance + modularity terms for
+        a label assignment; see
+        :func:`networkframe_spark.algorithms.community_quality`."""
+        from .algorithms import community_quality
+
+        return community_quality(self, labels, label_col=label_col)
+
     def betweenness_approx(
         self,
         sources: list,

@@ -874,3 +874,40 @@ def curriculum_order(
         .drop("__r0")
         .orderBy("stage", "shuffle_key", key_col)
     )
+
+
+def corpus_describe(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus profile — the first thing to run on an
+    unfamiliar document table: ``(n_docs, n_empty, total_tokens,
+    avg_tokens, avg_chars, n_distinct_texts, exact_dup_rate)``.
+    The dup rate is 1 - distinct-fingerprint/docs (md5 of the raw
+    text — the same key :func:`~networkframe_spark.functions.dedup.
+    exact_duplicates` groups on).
+
+    Scale design: a single aggregate pass; the token count is a
+    per-row ``size(split(...))`` expression (no explode — the scan
+    never widens), and the distinct count is one hash agg on the
+    uniform md5 key.  Ratios round to 6 dp.
+    """
+    from .text import tokens_col
+
+    toks = F.size(F.filter(tokens_col(text_col), lambda x: x != F.lit("")))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.length(F.trim(F.col(text_col))) == 0).cast("long")
+        ).alias("n_empty"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.sum(toks) / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(
+            F.sum(F.length(F.col(text_col))) / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5(F.col(text_col))) / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )

@@ -101,3 +101,44 @@ def bm25_top_docs(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists: ``rrf = sum_i 1 / (k + rank_i)`` over the lists
+    an id appears in — the standard zero-tuning way to combine
+    lexical (BM25) and vector (cosine top-k) rankings.  Returns
+    ``(id_col, n_lists, rrf_score)``, score at 6 dp, ordered by
+    nothing (callers sort).
+
+    Determinism: each reciprocal term is rounded to 12 dp and summed
+    as DECIMAL(38,12) — order-independent regardless of how the
+    union's partitions merge.
+
+    Scale design: a union + ONE hash aggregate on the id; list count
+    N is a small constant, so the union is linear in total ranked
+    rows.  No windows, no joins.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: no ranked lists given")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 12
+            ).cast("decimal(38,12)").alias("__term"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.round(F.sum("__term").cast("double"), 6).alias("rrf_score"),
+    )

@@ -681,3 +681,46 @@ def test_betweenness_path_graph_all_seeds(spark):
         ).collect()
     }
     assert got == {1: 0.0, 2: 6.0, 3: 8.0, 4: 6.0, 5: 0.0}
+
+
+def test_community_quality_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge: each community has 3
+    internal edges, volume 7, cut 1; modularity matches Newman's
+    closed form sum_c (e_c/m - (vol_c/2m)^2) = 2*(3/7 - (7/14)^2)."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "source long, target long",
+    )
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, community long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["community"]: r
+        for r in nf.community_quality(labels).collect()
+    }
+    for c in (0, 1):
+        assert got[c]["n_nodes"] == 3
+        assert got[c]["internal_edges"] == 3
+        assert got[c]["volume"] == 7
+        assert got[c]["cut_edges"] == 1
+        assert got[c]["conductance"] == round(1 / 7, 6)
+    q = sum(r["modularity_part"] for r in got.values())
+    assert abs(q - 2 * (3 / 7 - 0.25)) < 1e-5
+
+
+def test_community_quality_single_community(spark, letter_frame):
+    """All nodes in one community: no cuts, conductance 0, and the
+    modularity of the trivial partition is 1/m - 1 + ... = 1 - 1 = 0
+    by construction (internal = m, volume = 2m)."""
+    labels = letter_frame.nodes.select(
+        "id", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0).alias("community")
+    )
+    rows = letter_frame.community_quality(labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cut_edges"] == 0 and r["conductance"] == 0.0
+    assert abs(r["modularity_part"] - 0.0) < 1e-9

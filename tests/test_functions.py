@@ -891,3 +891,18 @@ def test_char_entropy_known_values(spark):
     assert got[2] == (4, 1.0)
     assert got[3] == (4, 2.0)
     assert got[4] == (0, None)
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """Doc 10 ranks 1st and 2nd across the two lists -> top fused
+    score 1/61 + 1/62; doc 30 appears once."""
+    from networkframe_spark.functions.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (10, 2), (30, 3)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+    assert got[10]["n_lists"] == 2
+    assert got[10]["rrf_score"] == round(round(1 / 61, 12) + round(1 / 62, 12), 6)
+    assert got[20]["rrf_score"] == got[10]["rrf_score"]  # symmetric ranks
+    assert got[30]["n_lists"] == 1
+    assert got[30]["rrf_score"] == round(round(1 / 63, 12), 6)

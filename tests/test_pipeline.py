@@ -538,3 +538,20 @@ def test_curriculum_order_stages_and_determinism(spark):
     assert {r["doc_id"] for r in hard.collect() if r["stage"] == 1} == {
         6, 7, 8, 9,
     }
+
+
+def test_corpus_describe_profile(spark):
+    """Four docs: one empty, two identical -> dup rate 0.25 (4 docs, 3
+    distinct texts); token/char averages straightforward."""
+    from networkframe_spark.functions.pipeline import corpus_describe
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "")],
+        "doc_id long, text string",
+    )
+    r = corpus_describe(docs).collect()[0]
+    assert r["n_docs"] == 4 and r["n_empty"] == 1
+    assert r["total_tokens"] == 8
+    assert r["avg_tokens"] == 2.0
+    assert r["n_distinct_texts"] == 3
+    assert r["exact_dup_rate"] == 0.25
