@@ -83,6 +83,9 @@ HEADLINE = [
     "rolling_stats",         # one-window trailing features (r6s2)
     "char_entropy",          # alphabet-bounded histogram agg (r6s2)
     "curriculum_order",      # two-phase ntile + md5 order (r6s2)
+    "community_quality",     # partition cut/modularity aggs (r6s2)
+    "corpus_describe",       # one-pass dataset card (r6s2)
+    "rrf_fuse",              # union + hash-agg rank fusion (r6s2)
 ]
 
 

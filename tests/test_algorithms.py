@@ -724,3 +724,21 @@ def test_community_quality_single_community(spark, letter_frame):
     r = rows[0]
     assert r["cut_edges"] == 0 and r["conductance"] == 0.0
     assert abs(r["modularity_part"] - 0.0) < 1e-9
+
+
+def test_betweenness_directed_path(spark):
+    """Directed path 1->2->3->4, all seeds: node 2 carries pairs
+    (1,3),(1,4) and node 3 carries (1,4),(2,4) -> both score 2."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "source long, target long"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in NetworkFrame(nodes, edges)
+        .betweenness_approx([1, 2, 3, 4], directed=True, max_hops=3)
+        .collect()
+    }
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
