@@ -169,6 +169,19 @@ def main() -> None:
         lambda: nf.link_prediction(min_common=2, max_hub_degree=30),
     )
     run("hop_distances", lambda: nf.hop_distances(0, directed=False))
+    run("hits3", lambda: nf.hits(n_iter=3))
+    run(
+        "harmonic_3seed",
+        lambda: nf.harmonic_centrality([0, 1, 2], directed=False),
+    )
+    run(
+        "random_walks_L4",
+        lambda: nf.random_walks(walk_length=4, walks_per_node=1, directed=False),
+    )
+    run(
+        "betweenness_2seed_h2",
+        lambda: nf.betweenness_approx([0, 1], directed=False, max_hops=2),
+    )
     best = None
     for _ in range(2):
         t0 = time.time()
