@@ -1331,6 +1331,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rrf_fuse"] = q_rrf_fuse
 
+    def q_resample(spark, sf):
+        from networkframe_spark.functions.temporal import resample_events
+
+        events = read_events(spark, sf)
+        return resample_events(events, minutes=60)
+
+    q["resample_events"] = q_resample
+
+    def q_topk_group(spark, sf):
+        from networkframe_spark.functions.stats import top_k_per_group
+
+        docs = read_table(spark, sf, "documents")
+        return top_k_per_group(
+            docs, "lang", "n_chars", 5, tie_col="doc_id"
+        ).select("lang", "doc_id", "n_chars", "rank")
+
+    q["top_k_per_group"] = q_topk_group
+
     return q
 
 
@@ -3509,6 +3527,33 @@ u AS (
 SELECT doc_id, count(*) AS n_lists,
        round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
 FROM u GROUP BY doc_id
+"""
+
+    # per-entity OHLC downsample: integer epoch bucketing + struct
+    # min/max as the deterministic arg-min (lexicographic struct
+    # ordering matches Spark's)
+    o["resample_events"] = """
+SELECT user_id,
+       CAST(to_timestamp(
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+       ) AS TIMESTAMP) AS bucket_start,
+       count(*) AS n_events,
+       (min(struct_pack(t := ts, i := event_id, v := value))).v AS open_v,
+       (max(struct_pack(t := ts, i := event_id, v := value))).v AS close_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
+FROM events
+GROUP BY 1, 2
+"""
+
+    o["top_k_per_group"] = """
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+       ) AS INTEGER) AS rank
+FROM documents
+QUALIFY rank <= 5
 """
 
     # exact ntile over the (score, id) total order + md5 stage shuffle;

@@ -86,6 +86,8 @@ HEADLINE = [
     "community_quality",     # partition cut/modularity aggs (r6s2)
     "corpus_describe",       # one-pass dataset card (r6s2)
     "rrf_fuse",              # union + hash-agg rank fusion (r6s2)
+    "resample_events",       # OHLC struct-min downsample (r6s2)
+    "top_k_per_group",       # generic group-wise rank gate (r6s2)
 ]
 
 

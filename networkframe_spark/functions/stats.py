@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,4 +52,42 @@ def group_percentiles(
     ]
     return df.groupBy(*keys).agg(
         *aggs, F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Group-wise top-k: the ``k`` rows with the largest (or smallest)
+    ``order_col`` per ``group_col``, with a ``rank`` column (1-based).
+    Ties are pinned by ``tie_col`` (ascending) so results are
+    deterministic — required; pass the table's unique id.
+
+    The generic primitive behind "top products per nation", "best
+    chunks per document", "nearest centroids per vector" — expressed
+    once so every caller gets the same single-shuffle plan.
+
+    Scale design: ONE hash exchange on the group key + an in-partition
+    sort for the rank window; k does not affect the shuffle (the
+    filter prunes post-window).  Skewed groups are AQE-splittable on
+    the exchange, and state per group is the sort buffer, not k.
+    """
+    if tie_col is None:
+        raise ValueError(
+            "top_k_per_group: tie_col is required for deterministic ranks"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(tie_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -318,3 +318,62 @@ def rolling_stats(
         F.min(v).over(w).cast("double").alias("min_v"),
         F.max(v).over(w).cast("double").alias("max_v"),
     )
+
+
+def resample_events(
+    events: DataFrame,
+    minutes: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity time-bucket downsampling (OHLC resample — the
+    pandas ``groupby().resample().agg()`` staple): events are bucketed
+    into ``minutes``-wide windows per ``key_col`` and each bucket
+    reports ``(n_events, open_v, close_v, min_v, max_v, sum_v)``,
+    where open/close are the chronologically first/last values (ties
+    broken by the unique ``id_col``).  Returns one row per
+    ``(key_col, bucket_start)``; ``sum_v`` runs on DECIMAL(18,6) and
+    is cast back to double (exact, order-independent), 6 dp.
+
+    Bucketing is integer epoch arithmetic (``epoch div (60*minutes)``)
+    — engine-portable, no window-function frames needed.
+
+    Scale design: ONE shuffle total — open/close come from min/max of
+    a ``(ts, id, value)`` STRUCT (lexicographic struct ordering is the
+    deterministic arg-min trick, and min/max are partial-aggregable,
+    so the map side combines before the exchange; a row_number window
+    would shuffle the same data but cannot combine map-side).
+    """
+    events = normalize_event_time(events, ts_col)
+    bucket = (F.floor(_epoch_s(ts_col) / (60 * minutes)) * (60 * minutes)).alias(
+        "__bs"
+    )
+    first_s = F.min(F.struct(ts_col, id_col, value_col))
+    last_s = F.max(F.struct(ts_col, id_col, value_col))
+    v = F.col(value_col).cast("decimal(18,6)")
+    return (
+        events.select(
+            F.col(key_col), bucket, F.col(ts_col), F.col(id_col), F.col(value_col)
+        )
+        .groupBy(key_col, "__bs")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            first_s.getField(value_col).alias("open_v"),
+            last_s.getField(value_col).alias("close_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.round(F.sum(v).cast("double"), 6).alias("sum_v"),
+        )
+        .select(
+            key_col,
+            F.to_timestamp(F.col("__bs")).alias("bucket_start"),
+            "n_events",
+            "open_v",
+            "close_v",
+            "min_v",
+            "max_v",
+            "sum_v",
+        )
+    )

@@ -906,3 +906,55 @@ def test_rrf_fuse_combines_rankings(spark):
     assert got[20]["rrf_score"] == got[10]["rrf_score"]  # symmetric ranks
     assert got[30]["n_lists"] == 1
     assert got[30]["rrf_score"] == round(round(1 / 63, 12), 6)
+
+
+def test_resample_events_ohlc(spark):
+    """One user, two hourly buckets: open/close follow (ts, id) order
+    including the same-timestamp tie broken by event_id."""
+    from networkframe_spark.functions.temporal import resample_events
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:05:00", 10.0),
+            (1, 2, "2024-01-01 00:40:00", 30.0),
+            (1, 3, "2024-01-01 00:40:00", 20.0),  # tie: id 2 < 3
+            (1, 4, "2024-01-01 01:10:00", 5.0),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        str(r["bucket_start"]): r
+        for r in resample_events(ev, minutes=60).collect()
+    }
+    b0 = got["2024-01-01 00:00:00"]
+    assert b0["n_events"] == 3
+    assert b0["open_v"] == 10.0 and b0["close_v"] == 20.0  # id 3 wins the tie as LAST
+    assert b0["min_v"] == 10.0 and b0["max_v"] == 30.0 and b0["sum_v"] == 60.0
+    b1 = got["2024-01-01 01:00:00"]
+    assert b1["n_events"] == 1 and b1["open_v"] == b1["close_v"] == 5.0
+
+
+def test_top_k_per_group(spark):
+    """k=2 largest per group with deterministic tie-break; requires a
+    tie column."""
+    import pytest
+    from networkframe_spark.functions.stats import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 9.0), ("b", 4, 1.0)],
+        "g string, id long, v double",
+    )
+    got = sorted(
+        (r["g"], r["rank"], r["id"])
+        for r in top_k_per_group(df, "g", "v", 2, tie_col="id").collect()
+    )
+    assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 4)]
+    low = sorted(
+        (r["g"], r["rank"], r["id"])
+        for r in top_k_per_group(
+            df, "g", "v", 1, descending=False, tie_col="id"
+        ).collect()
+    )
+    assert low == [("a", 1, 1), ("b", 1, 4)]
+    with pytest.raises(ValueError):
+        top_k_per_group(df, "g", "v", 2)
