@@ -507,3 +507,37 @@ def test_text_pipeline_ops_are_stream_composable(spark, tmp_path):
         assert got[k]["gopher_pass"] == want[k]["gopher_pass"]
         assert got[k]["text"] == want[k]["text"]
         assert got[k]["n_chars_removed"] == want[k]["n_chars_removed"]
+
+
+def test_stream_resample_matches_batch(spark, tmp_path):
+    """resample_events is a plain groupBy aggregate (struct min/max +
+    decimal sum), so the SAME call runs as a stateful streaming
+    aggregation — complete-mode memory sink equals the batch result."""
+    from networkframe_spark.functions.temporal import resample_events
+
+    rows = [
+        (1, i, f"2024-01-01 0{i % 3}:{10 + i:02d}:00", float(i * 7 % 13))
+        for i in range(1, 9)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        resample_events(stream, minutes=60)
+        .writeStream.format("memory")
+        .queryName("t_resample_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.table("t_resample_stream").collect())
+        )
+    finally:
+        q.stop()
+    want = sorted(map(tuple, resample_events(ev, minutes=60).collect()))
+    assert got == want and len(want) >= 3
