@@ -435,3 +435,87 @@ def test_dedup_lines_identity_when_threshold_unreachable(spark, texts):
     }
     for i, t in enumerate(texts):
         assert out[i]["text"] == t and out[i]["n_removed"] == 0
+
+
+def _py_bfs_levels(edge_list, seed, max_hops, n=N_MAX):
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@given(_edges, st.lists(st.integers(0, N_MAX - 1), min_size=1, max_size=3, unique=True))
+@_settings
+def test_harmonic_matches_python_bfs(spark, edge_list, seeds):
+    nf = _frame(spark, edge_list)
+    got = {
+        r["id"]: r["harmonic"]
+        for r in nf.harmonic_centrality(seeds, directed=False).collect()
+    }
+    want = {i: 0 for i in range(N_MAX)}
+    for s in seeds:
+        for v, d in _py_bfs_levels(edge_list, s, 30).items():
+            if d > 0:
+                want[v] += 10**12 // d
+    assert got == {i: round(want[i] / 1e12, 6) for i in range(N_MAX)}
+
+
+def _py_brandes(edge_list, seeds, max_hops, n=N_MAX):
+    """Pure-python bounded-depth Brandes mirroring the engine's
+    rounding contract (12-dp terms, per-level sums)."""
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    bt = {i: 0.0 for i in range(n)}
+    for s in seeds:
+        dist = _py_bfs_levels(edge_list, s, max_hops)
+        levels = {}
+        for v, d in dist.items():
+            levels.setdefault(d, []).append(v)
+        sigma = {s: 1}
+        for d in range(1, max_hops + 1):
+            for v in levels.get(d, []):
+                sigma[v] = sum(
+                    sigma[u] for u in adj[v] if dist.get(u) == d - 1
+                )
+        delta = {v: 0.0 for v in levels.get(max_hops, [])}
+        for d in range(max_hops - 1, -1, -1):
+            for v in levels.get(d, []):
+                terms = [
+                    round(sigma[v] / sigma[w] * (1 + delta[w]), 12)
+                    for w in adj[v]
+                    if dist.get(w) == d + 1
+                ]
+                delta[v] = round(sum(terms), 12)
+        for v, dl in delta.items():
+            if v != s:
+                bt[v] += dl
+    return {v: round(x, 6) for v, x in bt.items()}
+
+
+@given(_edges, st.lists(st.integers(0, N_MAX - 1), min_size=1, max_size=2, unique=True))
+@_settings
+def test_betweenness_matches_python_brandes(spark, edge_list, seeds):
+    nf = _frame(spark, edge_list)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in nf.betweenness_approx(seeds, directed=False, max_hops=3).collect()
+    }
+    want = _py_brandes(edge_list, seeds, 3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
