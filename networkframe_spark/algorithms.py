@@ -1931,9 +1931,17 @@ def random_walks(
             ).alias("rank"),
         )
         .repartition("source")
-        .cache()
+        # localCheckpoint, not cache(): blocks are RDD-scoped (freed by
+        # the ContextCleaner when the walk result is dropped) instead
+        # of pinning an edge-sized table in the CacheManager for the
+        # whole session; partitioning is preserved for the step joins
+        .localCheckpoint(eager=True)
     )
-    deg = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("deg")).cache()
+    deg = (
+        ranked.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))
     ).alias("rep")
