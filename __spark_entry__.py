@@ -1349,6 +1349,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_k_per_group"] = q_topk_group
 
+    def q_neighbor_sample(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.neighbor_sample(
+            [1, 2, 3], fanouts=[3, 2], directed=False, seed=42
+        )
+
+    q["neighbor_sample"] = q_neighbor_sample
+
+    def q_degree_distribution(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.degree_distribution("und")
+
+    q["degree_distribution"] = q_degree_distribution
+
+    def q_build_vocab(spark, sf):
+        from networkframe_spark.functions.text import build_vocab
+
+        docs = read_table(spark, sf, "documents")
+        return build_vocab(docs, size=50)
+
+    q["build_vocab"] = q_build_vocab
+
+    def q_pmi_bigrams(spark, sf):
+        from networkframe_spark.functions.text import pmi_bigrams
+
+        docs = read_table(spark, sf, "documents")
+        return pmi_bigrams(docs, min_count=5)
+
+    q["pmi_bigrams"] = q_pmi_bigrams
+
     return q
 
 
@@ -3527,6 +3557,114 @@ u AS (
 SELECT doc_id, count(*) AS n_lists,
        round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
 FROM u GROUP BY doc_id
+"""
+
+    # GraphSAGE fanout sampling, two unrolled hops: per-source
+    # md5-coin rank windows over the symmetrized adjacency
+    o["neighbor_sample"] = f"""
+WITH {GRAPH_CTE},
+e0 AS (
+  SELECT DISTINCT least(source, target) AS u, greatest(source, target) AS v
+  FROM edges
+),
+adj AS (
+  SELECT u AS a, v AS b FROM e0 WHERE u <> v
+  UNION ALL
+  SELECT v, u FROM e0 WHERE u <> v
+),
+hop1 AS (
+  SELECT a AS source, b AS target FROM (
+    SELECT a, b, row_number() OVER (
+      PARTITION BY a
+      ORDER BY md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':42')
+               ASC, b ASC
+    ) AS r
+    FROM adj WHERE a IN (1, 2, 3)
+  ) WHERE r <= 3
+),
+f2 AS (SELECT DISTINCT target AS id FROM hop1),
+hop2 AS (
+  SELECT a AS source, b AS target FROM (
+    SELECT a, b, row_number() OVER (
+      PARTITION BY a
+      ORDER BY md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':42')
+               ASC, b ASC
+    ) AS r
+    FROM adj WHERE a IN (SELECT id FROM f2)
+  ) WHERE r <= 2
+)
+SELECT 1 AS hop, source, target FROM hop1
+UNION ALL
+SELECT 2 AS hop, source, target FROM hop2
+"""
+
+    o["degree_distribution"] = f"""
+WITH {GRAPH_CTE},
+e0 AS (
+  SELECT DISTINCT least(source, target) AS u, greatest(source, target) AS v
+  FROM edges
+),
+sym AS (
+  SELECT u AS a, v AS b FROM e0 WHERE u <> v
+  UNION ALL
+  SELECT v, u FROM e0 WHERE u <> v
+),
+deg AS (SELECT a AS id, count(*) AS degree FROM sym GROUP BY a),
+alldeg AS (
+  SELECT degree FROM deg
+  UNION ALL
+  SELECT CAST(0 AS BIGINT) FROM nodes n
+  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.id = n.id)
+)
+SELECT degree, count(*) AS n_nodes FROM alldeg GROUP BY degree
+"""
+
+    o["build_vocab"] = f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok <> '' GROUP BY tok
+),
+total AS (SELECT SUM(n_occurrences) AS total FROM tf),
+top AS (
+  SELECT * FROM tf ORDER BY n_occurrences DESC, tok ASC LIMIT 50
+)
+SELECT CAST(row_number() OVER
+         (ORDER BY n_occurrences DESC, tok ASC) AS INTEGER) AS rank,
+       tok AS token, n_occurrences, n_docs,
+       round(SUM(n_occurrences) OVER (
+               ORDER BY n_occurrences DESC, tok ASC
+               ROWS UNBOUNDED PRECEDING)
+             / (SELECT total FROM total), 6) AS coverage
+FROM top
+"""
+
+    o["pmi_bigrams"] = f"""
+WITH {TOKS_CTE},
+t2 AS (SELECT list_filter(t, x -> x <> '') AS t FROM toks),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM t2) GROUP BY w
+),
+nu AS (SELECT SUM(c) AS n FROM uni),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM t2 WHERE len(t) >= 2
+  )
+),
+bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+nb AS (SELECT SUM(n_pair) AS nb FROM bc),
+f AS (SELECT * FROM bc WHERE n_pair >= 5)
+SELECT f.w1, f.w2, f.n_pair,
+       round(ln(f.n_pair / (SELECT nb FROM nb))
+             - ln(u1.c / (SELECT n FROM nu))
+             - ln(u2.c / (SELECT n FROM nu)), 6) AS pmi
+FROM f
+JOIN uni u1 ON f.w1 = u1.w
+JOIN uni u2 ON f.w2 = u2.w
 """
 
     # per-entity OHLC downsample: integer epoch bucketing + struct

@@ -88,6 +88,10 @@ HEADLINE = [
     "rrf_fuse",              # union + hash-agg rank fusion (r6s2)
     "resample_events",       # OHLC struct-min downsample (r6s2)
     "top_k_per_group",       # generic group-wise rank gate (r6s2)
+    "neighbor_sample",       # GraphSAGE fanout blocks (r6s2)
+    "degree_distribution",   # chained degree histogram aggs (r6s2)
+    "build_vocab",           # bounded top-N vocab + coverage (r6s2)
+    "pmi_bigrams",           # slice/zip collocation mining (r6s2)
 ]
 
 

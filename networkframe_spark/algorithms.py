@@ -2238,3 +2238,117 @@ def community_quality(
             6,
         ).alias("modularity_part"),
     )
+
+
+def neighbor_sample(
+    frame,
+    seeds: list,
+    fanouts: list | None = None,
+    directed: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """GraphSAGE-style k-hop neighbor sampling (Hamilton et al. 2017):
+    starting from ``seeds``, each hop keeps at most ``fanouts[h]``
+    neighbors per frontier node — the minibatch-subgraph primitive GNN
+    training loaders run billions of times.  Returns the sampled block
+    edges ``(hop, source, target)`` (hop is 1-based); the next hop's
+    frontier is the distinct sampled targets.
+
+    Determinism without RNG: a neighbor is kept when its
+    ``md5(source:target:seed)`` ranks within the fanout — the same
+    portable coin as ``hash_sample``, so loaders, retries, and
+    stragglers regenerate the identical sample, and a different
+    ``seed`` gives an independent draw.
+
+    Scale design: per hop, one semi-join restricts the cached
+    source-partitioned adjacency to the frontier and ONE per-source
+    rank window enforces the fanout — state is (frontier x fanout)-
+    sized, never edge-sized; hub nodes cost one sort of their
+    neighbor list, AQE-splittable on the exchange.
+    """
+    from pyspark.sql import Window
+
+    if fanouts is None:
+        fanouts = [5, 3]
+    if not seeds:
+        raise ValueError("neighbor_sample: empty seed list")
+    if any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be >= 1, got {fanouts}")
+    adj = (
+        _edge_pairs(frame, directed)
+        .filter(F.col("source") != F.col("target"))
+        .repartition("source")
+        .localCheckpoint(eager=True)
+    )
+    frontier = frame.nodes.select("id").filter(F.col("id").isin(list(seeds)))
+    blocks = []
+    coin = F.md5(
+        F.concat(
+            F.col("source").cast("string"),
+            F.lit(":"),
+            F.col("target").cast("string"),
+            F.lit(f":{seed}"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(coin.asc(), F.col("target").asc())
+    for h, fanout in enumerate(fanouts, start=1):
+        cand = adj.join(
+            frontier.withColumnRenamed("id", "source"),
+            on="source",
+            how="left_semi",
+        )
+        picked = (
+            cand.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= fanout)
+            .select(F.lit(h).alias("hop"), "source", "target")
+            .localCheckpoint(eager=False)
+        )
+        blocks.append(picked)
+        frontier = picked.select(F.col("target").alias("id")).distinct()
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.union(b)
+    return out
+
+
+def degree_distribution(
+    frame, mode: str = "out", simple: bool = False
+) -> DataFrame:
+    """Degree histogram ``(degree, n_nodes)`` — the first structural
+    plot of any graph (power-law check, hub audit).  ``mode``:
+    ``"out"`` / ``"in"`` (directed degrees over raw edges, parallel
+    edges counted) or ``"und"`` (undirected simple-projection degree).
+    ``simple=True`` collapses parallel edges for the directed modes
+    too.  Nodes with no incident edges appear as ``degree = 0``.
+
+    Scale design: two chained hash aggregates (per-node degree, then
+    per-degree count) — the second input is node-sized, the output
+    bounded by the distinct degree count.  The zero row comes from an
+    anti-join of the node table against degree holders.
+    """
+    if mode not in ("out", "in", "und"):
+        raise ValueError("mode must be 'out', 'in', or 'und'")
+    if mode == "und":
+        e = _edge_pairs(frame, directed=False).filter(
+            F.col("source") != F.col("target")
+        )
+        key = "source"
+    else:
+        e = frame.edges.select("source", "target")
+        if simple:
+            e = e.distinct()
+        key = "source" if mode == "out" else "target"
+    deg = e.groupBy(F.col(key).alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    zeros = (
+        frame.nodes.select("id")
+        .join(deg.select("id"), on="id", how="left_anti")
+        .select(F.lit(0).cast("long").alias("degree"))
+    )
+    return (
+        deg.select("degree")
+        .union(zeros)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

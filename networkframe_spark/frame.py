@@ -802,6 +802,31 @@ class NetworkFrame:
             self, sources, directed=directed, max_hops=max_hops
         )
 
+    def neighbor_sample(
+        self,
+        seeds: list,
+        fanouts: Optional[list] = None,
+        directed: bool = True,
+        seed: int = 42,
+    ) -> DataFrame:
+        """GraphSAGE-style deterministic k-hop neighbor sampling
+        ``(hop, source, target)``; see
+        :func:`networkframe_spark.algorithms.neighbor_sample`."""
+        from .algorithms import neighbor_sample
+
+        return neighbor_sample(
+            self, seeds, fanouts=fanouts, directed=directed, seed=seed
+        )
+
+    def degree_distribution(
+        self, mode: str = "out", simple: bool = False
+    ) -> DataFrame:
+        """Degree histogram ``(degree, n_nodes)``; see
+        :func:`networkframe_spark.algorithms.degree_distribution`."""
+        from .algorithms import degree_distribution
+
+        return degree_distribution(self, mode=mode, simple=simple)
+
     def community_quality(
         self, labels: DataFrame, label_col: str = "community"
     ) -> DataFrame:

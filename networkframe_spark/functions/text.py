@@ -557,3 +557,129 @@ def char_entropy_score(
             "char_entropy",
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: the ``size`` most frequent tokens
+    with their counts, document frequency, and CUMULATIVE corpus
+    coverage — ``(rank, token, n_occurrences, n_docs, coverage)``
+    where coverage is the running fraction of the token stream a
+    vocabulary truncated at this rank would retain (the curve that
+    picks a vocab size).  Ties rank alphabetically; coverage at 6 dp.
+
+    Scale design: one explode folded into the (token) hash agg (two
+    counts in one pass: occurrences + document frequency via
+    countDistinct), then ONE bounded top-``size`` sort and a running
+    window over only ``size`` rows — the unbounded token table never
+    sorts globally.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+    total = tf.agg(F.sum("n_occurrences").alias("__total"))
+    top = (
+        tf.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(size)
+    )
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), F.asc("tok")))
+            .alias("rank"),
+            F.col("tok").alias("token"),
+            "n_occurrences",
+            "n_docs",
+            F.round(
+                F.sum("n_occurrences").over(w) / F.col("__total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    token pairs with ``count >= min_count`` scored
+    ``pmi = ln(P(ab) / (P(a) P(b)))`` under the corpus's own unigram/
+    bigram distributions — ``(w1, w2, n_pair, pmi)`` at 6 dp, the
+    classic phrase-detection signal (word2vec phrases, Gensim).
+
+    Scale design: the bigram stream is a per-row slice/zip expression
+    (no self-join); one hash agg each for bigram and unigram tables;
+    the unigram marginals join back on uniform token keys.  The
+    ``min_count`` gate prunes the long tail BEFORE the joins.
+    """
+    toks = df.select(
+        F.filter(tokens_col(text_col), lambda x: x != F.lit("")).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_uni = uni.agg(F.sum("__c").alias("__n"))
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # the marginal P(ab) denominator covers ALL bigrams; the min_count
+    # gate then prunes the long tail before the unigram joins
+    n_big = big.agg(F.sum("n_pair").alias("__nb"))
+    big = big.filter(F.col("n_pair") >= min_count)
+    return (
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("__c").alias("__c1")),
+            on="w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("__c").alias("__c2")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(F.col("n_pair") / F.col("__nb"))
+                - F.log(F.col("__c1") / F.col("__n"))
+                - F.log(F.col("__c2") / F.col("__n")),
+                6,
+            ).alias("pmi"),
+        )
+    )

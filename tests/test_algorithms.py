@@ -742,3 +742,48 @@ def test_betweenness_directed_path(spark):
         .collect()
     }
     assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+
+
+def test_neighbor_sample_fanout_and_determinism(spark, letter_frame):
+    """fanout=1 keeps exactly one out-edge per frontier node per hop;
+    two runs identical; different seed may differ but stays valid."""
+    s1 = letter_frame.neighbor_sample(["A"], fanouts=[1, 1], directed=True)
+    rows = sorted((r["hop"], r["source"], r["target"]) for r in s1.collect())
+    # hop 1: exactly one of A->B / A->C
+    hop1 = [r for r in rows if r[0] == 1]
+    assert len(hop1) == 1 and hop1[0][1] == "A"
+    fwd = {("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")}
+    assert all((s, t) in fwd for _, s, t in rows)
+    again = sorted(
+        (r["hop"], r["source"], r["target"])
+        for r in letter_frame.neighbor_sample(
+            ["A"], fanouts=[1, 1], directed=True
+        ).collect()
+    )
+    assert rows == again
+    # generous fanout keeps the full frontier expansion
+    full = sorted(
+        (r["hop"], r["source"], r["target"])
+        for r in letter_frame.neighbor_sample(
+            ["A"], fanouts=[10, 10], directed=True
+        ).collect()
+    )
+    assert [(h, s, t) for h, s, t in full if h == 1] == [
+        (1, "A", "B"), (1, "A", "C"),
+    ]
+    assert {(s, t) for h, s, t in full if h == 2} == {("B", "C"), ("C", "D")}
+
+
+def test_degree_distribution_modes(spark, letter_frame):
+    """A->B, A->C, B->C, C->D: out degrees {A:2,B:1,C:1,D:0}; und
+    degrees {A:2,B:2,C:3,D:1}."""
+    out = {
+        r["degree"]: r["n_nodes"]
+        for r in letter_frame.degree_distribution("out").collect()
+    }
+    assert out == {0: 1, 1: 2, 2: 1}
+    und = {
+        r["degree"]: r["n_nodes"]
+        for r in letter_frame.degree_distribution("und").collect()
+    }
+    assert und == {1: 1, 2: 2, 3: 1}

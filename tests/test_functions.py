@@ -958,3 +958,44 @@ def test_top_k_per_group(spark):
     assert low == [("a", 1, 1), ("b", 1, 4)]
     with pytest.raises(ValueError):
         top_k_per_group(df, "g", "v", 2)
+
+
+def test_build_vocab_ranks_and_coverage(spark):
+    """Token stream a a a b b c: ranks a, b, c with cumulative
+    coverage 0.5, 5/6, 1.0; doc frequency counts distinct docs."""
+    from networkframe_spark.functions.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["token"], r["n_occurrences"], r["n_docs"], r["coverage"])
+        for r in build_vocab(docs, size=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, "a", 3, 2, 0.5), (2, "b", 2, 2, round(5 / 6, 6))]
+    full = build_vocab(docs, size=10).orderBy("rank").collect()
+    assert [r["token"] for r in full] == ["a", "b", "c"]
+    assert full[-1]["coverage"] == 1.0
+
+
+def test_pmi_bigrams_collocation(spark):
+    """'new york' always adjacent scores positive PMI; a pair of
+    independent fillers scores lower."""
+    import math
+    from networkframe_spark.functions.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + ("x y " if i % 2 else "y x ").strip()) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    }
+    n_pair, pmi = got[("new", "york")]
+    assert n_pair == 6
+    # bigram stream: 6 docs x 3 bigrams = 18; unigrams: 24 total, 6 each
+    want = round(math.log((6 / 18) / ((6 / 24) * (6 / 24))), 6)
+    assert abs(pmi - want) < 1e-6
+    # 'york x' (3 occurrences) is a cross-boundary pair with lower PMI
+    assert got[("york", "x")][1] < pmi
