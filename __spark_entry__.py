@@ -1379,6 +1379,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pmi_bigrams"] = q_pmi_bigrams
 
+    def q_kfold(spark, sf):
+        from networkframe_spark.functions.pipeline import kfold_split
+
+        docs = read_table(spark, sf, "documents")
+        return kfold_split(docs, k=5, seed=7).select("doc_id", "fold")
+
+    q["kfold_split"] = q_kfold
+
     return q
 
 
@@ -3557,6 +3565,12 @@ u AS (
 SELECT doc_id, count(*) AS n_lists,
        round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
 FROM u GROUP BY doc_id
+"""
+
+    o["kfold_split"] = f"""
+SELECT doc_id,
+       CAST(({BUCKET}) % 5 AS INTEGER) AS fold
+FROM documents
 """
 
     # GraphSAGE fanout sampling, two unrolled hops: per-source

@@ -911,3 +911,27 @@ def corpus_describe(
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+def kfold_split(
+    df: DataFrame,
+    k: int = 5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5-bucket(key) mod
+    k`` (0-based) — every key lands in exactly one fold, the same fold
+    on every engine/run/append, so cross-validation rounds are
+    reproducible and new data joins folds without resampling history
+    (the k-way generalization of :func:`train_test_split`; key on a
+    content fingerprint or near-dup cluster rep for leakage safety).
+
+    Pure map-side column — no shuffle, no RNG state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        out_col,
+        F.pmod(_bucket_col(F.col(key_col), seed, "md5"), F.lit(k)).cast("int"),
+    )

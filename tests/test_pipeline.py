@@ -555,3 +555,26 @@ def test_corpus_describe_profile(spark):
     assert r["avg_tokens"] == 2.0
     assert r["n_distinct_texts"] == 3
     assert r["exact_dup_rate"] == 0.25
+
+
+def test_kfold_split_partition_and_balance(spark):
+    """Every row gets exactly one fold in [0, k); assignment is
+    deterministic and append-stable (a subset keeps its folds)."""
+    import pytest
+    from networkframe_spark.functions.pipeline import kfold_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = kfold_split(docs, k=4).collect()
+    folds = {r["doc_id"]: r["fold"] for r in out}
+    assert set(folds.values()) <= {0, 1, 2, 3}
+    # roughly balanced (md5 uniformity): each fold within [20, 80]
+    from collections import Counter
+
+    counts = Counter(folds.values())
+    assert all(20 <= counts[f] <= 80 for f in range(4))
+    sub = kfold_split(docs.filter("doc_id < 50"), k=4).collect()
+    assert all(folds[r["doc_id"]] == r["fold"] for r in sub)
+    with pytest.raises(ValueError):
+        kfold_split(docs, k=1)

@@ -519,3 +519,46 @@ def test_betweenness_matches_python_brandes(spark, edge_list, seeds):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def _py_hits(edge_list, n_iter, n=N_MAX):
+    """Python twin of algorithms.hits: L1-normalized rounds with the
+    same 12-dp rounding contract (decimal sums are exact in python's
+    arbitrary-precision fractions of rounded floats here because the
+    summands are tiny sets)."""
+    e = {(s, t) for s, t in edge_list if s != t}
+    h = {i: round(1.0 / n, 12) for i in range(n)}
+    a = {}
+
+    def half(scores, flip):
+        raw = {i: 0.0 for i in range(n)}
+        for s, t in e:
+            u, v = (t, s) if flip else (s, t)
+            raw[v] += round(scores[u], 12)
+        tot = sum(raw.values())
+        return {
+            i: (0.0 if raw[i] == 0 else round(raw[i] / tot, 12))
+            for i in range(n)
+        }
+
+    for _ in range(n_iter):
+        a = half(h, flip=False)
+        h = half(a, flip=True)
+    return (
+        {i: round(h[i], 6) for i in range(n)},
+        {i: round(a[i], 6) for i in range(n)},
+    )
+
+
+@given(_edges)
+@_settings
+def test_hits_matches_python_power_iteration(spark, edge_list):
+    nf = _frame(spark, edge_list)
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in nf.hits(n_iter=2).collect()
+    }
+    hubs, auths = _py_hits(edge_list, 2)
+    for i in range(N_MAX):
+        assert abs(got[i][0] - hubs[i]) < 1e-6, (i, got[i][0], hubs[i])
+        assert abs(got[i][1] - auths[i]) < 1e-6, (i, got[i][1], auths[i])
