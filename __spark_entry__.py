@@ -1387,6 +1387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kfold_split"] = q_kfold
 
+    def q_bipartite_project(spark, sf):
+        # suppliers linked via shared customers; hub-cap keeps the
+        # wedge count sum(deg^2)-bounded on the capped side
+        nf = _graph(spark, sf)
+        return nf.bipartite_project(side="target", max_hub_degree=60)
+
+    q["bipartite_project"] = q_bipartite_project
+
     return q
 
 
@@ -3571,6 +3579,18 @@ FROM u GROUP BY doc_id
 SELECT doc_id,
        CAST(({BUCKET}) % 5 AS INTEGER) AS fold
 FROM documents
+"""
+
+    o["bipartite_project"] = f"""
+WITH {GRAPH_CTE},
+e AS (SELECT DISTINCT source, target FROM edges),
+keep AS (
+  SELECT source FROM e GROUP BY source HAVING count(*) <= 60
+),
+ek AS (SELECT e.source, e.target FROM e JOIN keep ON e.source = keep.source)
+SELECT a.target AS a, b.target AS b, count(*) AS n_shared
+FROM ek a JOIN ek b ON a.source = b.source AND a.target < b.target
+GROUP BY a.target, b.target
 """
 
     # GraphSAGE fanout sampling, two unrolled hops: per-source

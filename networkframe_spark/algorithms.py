@@ -2352,3 +2352,50 @@ def degree_distribution(
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def bipartite_project(
+    frame,
+    side: str = "target",
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Bipartite projection: connect two ``side`` nodes when they
+    share at least one counterpart — ``(a, b, n_shared)`` with
+    ``a < b`` and the co-occurrence count as the projected weight
+    (``side="target"``: targets linked via shared sources, e.g.
+    suppliers via shared customers; ``"source"`` the converse).  The
+    standard move from a bipartite interaction graph to a unipartite
+    similarity graph (co-purchasing, co-authorship).
+
+    Scale design: one wedge self-join keyed on the shared node + one
+    pair hash aggregate — the same shape as
+    :func:`link_prediction`.  The wedge count is sum(deg^2) over
+    shared nodes, so ``max_hub_degree`` caps the quadratic hubs
+    (drop-a-hub is the standard projection practice: a shared hub
+    connects everything to everything and carries no signal).  Both
+    the join and the agg shuffle on uniform keys; AQE splits residual
+    skew.
+    """
+    if side not in ("source", "target"):
+        raise ValueError("side must be 'source' or 'target'")
+    shared, proj = (
+        ("source", "target") if side == "target" else ("target", "source")
+    )
+    e = frame.edges.select(shared, proj).distinct()
+    if max_hub_degree is not None:
+        deg = (
+            e.groupBy(shared)
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_hub_degree)
+            .select(shared)
+        )
+        e = e.join(deg, on=shared, how="left_semi")
+    e = e.localCheckpoint(eager=False)
+    a = e.select(F.col(shared).alias("__k"), F.col(proj).alias("a"))
+    b = e.select(F.col(shared).alias("__k"), F.col(proj).alias("b"))
+    return (
+        a.join(b, on="__k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

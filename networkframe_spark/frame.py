@@ -802,6 +802,15 @@ class NetworkFrame:
             self, sources, directed=directed, max_hops=max_hops
         )
 
+    def bipartite_project(
+        self, side: str = "target", max_hub_degree: Optional[int] = None
+    ) -> DataFrame:
+        """Bipartite co-occurrence projection ``(a, b, n_shared)``;
+        see :func:`networkframe_spark.algorithms.bipartite_project`."""
+        from .algorithms import bipartite_project
+
+        return bipartite_project(self, side=side, max_hub_degree=max_hub_degree)
+
     def neighbor_sample(
         self,
         seeds: list,

@@ -787,3 +787,37 @@ def test_degree_distribution_modes(spark, letter_frame):
         for r in letter_frame.degree_distribution("und").collect()
     }
     assert und == {1: 1, 2: 2, 3: 1}
+
+
+def test_bipartite_project_shared_counts(spark):
+    """Bipartite u1,u2,u3 -> items: u1:{x,y}, u2:{x,y}, u3:{y}.
+    Source projection: (u1,u2) share 2, (u1,u3) and (u2,u3) share 1
+    via y; target projection: (x,y) share 2 (u1 and u2)."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("x",), ("y",)], "id string"
+    )
+    edges = spark.createDataFrame(
+        [("u1", "x"), ("u1", "y"), ("u2", "x"), ("u2", "y"), ("u3", "y")],
+        "source string, target string",
+    )
+    nf = NetworkFrame(nodes, edges)
+    src_proj = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in nf.bipartite_project(side="source").collect()
+    }
+    assert src_proj == {("u1", "u2"): 2, ("u1", "u3"): 1, ("u2", "u3"): 1}
+    tgt_proj = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in nf.bipartite_project(side="target").collect()
+    }
+    assert tgt_proj == {("x", "y"): 2}
+    # capping at degree 1 drops both shared users for (x,y)... x has
+    # deg 2, y deg 3 as SHARED side in source projection: cap 2 keeps
+    # only x -> (u1,u2) survives via x alone
+    capped = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in nf.bipartite_project(side="source", max_hub_degree=2).collect()
+    }
+    assert capped == {("u1", "u2"): 1}
