@@ -1315,18 +1315,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rrf_fuse(spark, sf):
         from pyspark.sql import Window
 
+        # TakeOrdered top-k (distributed partial sort via limit), THEN
+        # a rank window over only the k surviving rows — never a
+        # single-partition window over the full table
         docs = read_table(spark, sf, "documents")
+        top_a = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(100)
         w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        a = (
-            docs.select("doc_id", F.row_number().over(w1).alias("rank"))
-            .filter("rank <= 100")
-        )
+        a = top_a.select("doc_id", F.row_number().over(w1).alias("rank"))
         scored = add_quality_score(docs)
+        top_b = scored.orderBy(
+            F.desc("quality_score"), F.asc("doc_id")
+        ).limit(100)
         w2 = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-        b = (
-            scored.select("doc_id", F.row_number().over(w2).alias("rank"))
-            .filter("rank <= 100")
-        )
+        b = top_b.select("doc_id", F.row_number().over(w2).alias("rank"))
         return rrf_fuse([a, b], k=60)
 
     q["rrf_fuse"] = q_rrf_fuse

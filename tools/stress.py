@@ -306,6 +306,27 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
     run("bigram_logprob", lambda: bigram_logprob_score(base))
     run("gopher_rules", lambda: gopher_rules(base, min_words=10))
     run("clean_text", lambda: clean_text(base))
+    # round-6 session-2 ops
+    from networkframe_spark.functions.text import (
+        build_vocab,
+        char_entropy_score,
+        pmi_bigrams,
+    )
+    from networkframe_spark.functions.pipeline import (
+        corpus_describe,
+        curriculum_order,
+        kfold_split,
+    )
+
+    run("char_entropy", lambda: char_entropy_score(base))
+    run("build_vocab", lambda: build_vocab(base, size=1000))
+    run("pmi_bigrams", lambda: pmi_bigrams(base, min_count=100))
+    run("corpus_describe", lambda: corpus_describe(base))
+    run("kfold_split", lambda: kfold_split(base, k=5))
+    run(
+        "curriculum_order",
+        lambda: curriculum_order(scored, "len", n_stages=4),
+    )
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
     spark.stop()
