@@ -1396,6 +1396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bipartite_project"] = q_bipartite_project
 
+    def q_funnel_steps(spark, sf):
+        from networkframe_spark.functions.temporal import funnel_steps
+
+        events = read_events(spark, sf)
+        return funnel_steps(
+            events, ["view", "click", "purchase"], within_minutes=120
+        )
+
+    q["funnel_steps"] = q_funnel_steps
+
     return q
 
 
@@ -3592,6 +3602,48 @@ ek AS (SELECT e.source, e.target FROM e JOIN keep ON e.source = keep.source)
 SELECT a.target AS a, b.target AS b, count(*) AS n_shared
 FROM ek a JOIN ek b ON a.source = b.source AND a.target < b.target
 GROUP BY a.target, b.target
+"""
+
+    # greedy earliest-completion k-step funnel, unrolled: each step
+    # pins min(ts) of qualifying events after the previous completion
+    o["funnel_steps"] = """
+WITH typed AS (
+  SELECT event_type AS t, user_id AS u,
+         epoch_us(ts) AS ts
+  FROM events
+),
+s1 AS (SELECT u, min(ts) AS ts FROM typed WHERE t = 'view' GROUP BY u),
+s2 AS (
+  SELECT c.u, min(c.ts) AS ts
+  FROM typed c JOIN s1 ON c.u = s1.u
+  WHERE c.t = 'click' AND c.ts > s1.ts AND c.ts - s1.ts <= 7200000000
+  GROUP BY c.u
+),
+s3 AS (
+  SELECT c.u, min(c.ts) AS ts
+  FROM typed c JOIN s2 ON c.u = s2.u
+  WHERE c.t = 'purchase' AND c.ts > s2.ts AND c.ts - s2.ts <= 7200000000
+  GROUP BY c.u
+),
+summary AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step, event_type, n_users,
+       CASE WHEN first_value(n_users) OVER (ORDER BY step
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) = 0
+            THEN 0.0
+            ELSE round(n_users / first_value(n_users) OVER (ORDER BY step
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+       END AS conversion_overall,
+       CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL THEN 1.0
+            WHEN lag(n_users) OVER (ORDER BY step) = 0 THEN 0.0
+            ELSE round(n_users / lag(n_users) OVER (ORDER BY step), 6)
+       END AS conversion_from_prev
+FROM summary
 """
 
     # GraphSAGE fanout sampling, two unrolled hops: per-source

@@ -377,3 +377,93 @@ def resample_events(
             "sum_v",
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list,
+    within_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """K-step ordered funnel (generalizes :func:`funnel_counts`):
+    a user reaches step ``i`` when an event of type ``steps[i]``
+    occurs strictly after their step ``i-1`` completion and within
+    ``within_minutes`` of it — greedy earliest-completion semantics
+    (each step pins its EARLIEST qualifying event; deterministic and
+    exactly SQL-expressible, the convention most funnel engines
+    implement).  Returns one row per step: ``(step, event_type,
+    n_users, conversion_overall, conversion_from_prev)`` with rates
+    at 6 dp.
+
+    Scale design: one filtered equi-join + min-aggregate per step —
+    the per-step state is one (user, ts) row per reached user,
+    monotonically shrinking; type filters push to the scan.  The
+    final rate decoration is a window over the K-row summary only.
+    """
+    from pyspark.sql import Window
+
+    if len(steps) < 2:
+        raise ValueError("funnel_steps: need at least 2 steps")
+    events = normalize_event_time(events, ts_col)
+    lim = within_minutes * 60 * 1_000_000
+    typed = events.select(
+        F.col(type_col).alias("__t"),
+        F.col(user_col).alias("u"),
+        F.unix_micros(_ts(ts_col)).alias("ts"),
+    )
+    reached = (
+        typed.filter(F.col("__t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("ts"))
+        .localCheckpoint(eager=False)
+    )
+    counts = [
+        reached.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        cand = typed.filter(F.col("__t") == s).withColumnRenamed("ts", "tb")
+        reached = (
+            reached.join(cand.select("u", "tb"), on="u")
+            .filter(
+                (F.col("tb") > F.col("ts"))
+                & (F.col("tb") - F.col("ts") <= F.lit(lim))
+            )
+            .groupBy("u")
+            .agg(F.min("tb").alias("ts"))
+            .localCheckpoint(eager=False)
+        )
+        counts.append(
+            reached.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    # rate decoration over the K-row summary — bounded window
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wp = Window.orderBy("step")
+    first_n = F.first("n_users").over(w)
+    prev_n = F.lag("n_users").over(wp)
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.when(first_n == 0, 0.0)
+        .otherwise(F.round(F.col("n_users") / first_n, 6))
+        .alias("conversion_overall"),
+        F.when(prev_n.isNull(), 1.0)
+        .when(prev_n == 0, 0.0)
+        .otherwise(F.round(F.col("n_users") / prev_n, 6))
+        .alias("conversion_from_prev"),
+    )

@@ -999,3 +999,33 @@ def test_pmi_bigrams_collocation(spark):
     assert abs(pmi - want) < 1e-6
     # 'york x' (3 occurrences) is a cross-boundary pair with lower PMI
     assert got[("york", "x")][1] < pmi
+
+
+def test_funnel_steps_three_step(spark):
+    """u1 completes a->b->c in-window; u2 stalls after a (b too late);
+    u3 does b before a (no credit)."""
+    from networkframe_spark.functions.temporal import funnel_steps
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-01 00:10:00"),
+        (1, "c", "2024-01-01 00:20:00"),
+        (2, "a", "2024-01-01 00:00:00"),
+        (2, "b", "2024-01-01 02:00:00"),
+        (3, "b", "2024-01-01 00:00:00"),
+        (3, "a", "2024-01-01 00:05:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows],
+        "user_id long, event_type string, ts string",
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        r["step"]: (
+            r["event_type"], r["n_users"],
+            r["conversion_overall"], r["conversion_from_prev"],
+        )
+        for r in funnel_steps(ev, ["a", "b", "c"], within_minutes=30).collect()
+    }
+    assert got[1] == ("a", 3, 1.0, 1.0)
+    assert got[2] == ("b", 1, round(1 / 3, 6), round(1 / 3, 6))
+    assert got[3] == ("c", 1, round(1 / 3, 6), 1.0)
