@@ -562,3 +562,38 @@ def test_hits_matches_python_power_iteration(spark, edge_list):
     for i in range(N_MAX):
         assert abs(got[i][0] - hubs[i]) < 1e-6, (i, got[i][0], hubs[i])
         assert abs(got[i][1] - auths[i]) < 1e-6, (i, got[i][1], auths[i])
+
+
+def _py_neighbor_sample(edge_list, seeds, fanouts, seed=42, n=N_MAX):
+    import hashlib
+
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+
+    def coin(a, b):
+        return hashlib.md5(f"{a}:{b}:{seed}".encode()).hexdigest()
+
+    out = []
+    frontier = set(seeds)
+    for h, fanout in enumerate(fanouts, start=1):
+        picked = []
+        for a in frontier:
+            ranked = sorted(adj[a], key=lambda b: (coin(a, b), b))
+            picked += [(h, a, b) for b in ranked[:fanout]]
+        out += picked
+        frontier = {b for _, _, b in picked}
+    return sorted(out)
+
+
+@given(_edges, st.lists(st.integers(0, N_MAX - 1), min_size=1, max_size=2, unique=True))
+@_settings
+def test_neighbor_sample_matches_python_md5(spark, edge_list, seeds):
+    nf = _frame(spark, edge_list)
+    got = sorted(
+        (r["hop"], r["source"], r["target"])
+        for r in nf.neighbor_sample(seeds, fanouts=[2, 2], directed=False).collect()
+    )
+    assert got == _py_neighbor_sample(edge_list, seeds, [2, 2])
