@@ -92,6 +92,9 @@ HEADLINE = [
     "degree_distribution",   # chained degree histogram aggs (r6s2)
     "build_vocab",           # bounded top-N vocab + coverage (r6s2)
     "pmi_bigrams",           # slice/zip collocation mining (r6s2)
+    "bipartite_project",     # hub-capped wedge projection (r6s2)
+    "funnel_steps",          # k-step shrinking-state funnel (r6s2)
+    "kfold_split",           # map-side md5 fold assignment (r6s2)
 ]
 
 
