@@ -1406,6 +1406,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_steps"] = q_funnel_steps
 
+    def q_trend_slope(spark, sf):
+        from networkframe_spark.functions.temporal import trend_slope
+
+        events = read_events(spark, sf)
+        return trend_slope(events)
+
+    q["trend_slope"] = q_trend_slope
+
     return q
 
 
@@ -3644,6 +3652,45 @@ SELECT step, event_type, n_users,
             ELSE round(n_users / lag(n_users) OVER (ORDER BY step), 6)
        END AS conversion_from_prev
 FROM summary
+"""
+
+    # per-entity OLS trend on CENTERED time (exact decimal moments)
+    o["trend_slope"] = """
+WITH t0 AS (
+  SELECT user_id, min(floor(epoch(ts))::BIGINT) AS t0 FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(e.ts))::BIGINT - t0.t0 AS DECIMAL(20,0)) AS t,
+         CAST(e.value AS DECIMAL(18,6)) AS v
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+),
+m AS (
+  SELECT user_id, count(*) AS n_events,
+         SUM(t) AS st, SUM(v) AS sv, SUM(t * v) AS stv, SUM(t * t) AS stt
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <= 0 THEN NULL
+            ELSE round(
+              (CAST(n_events AS DOUBLE) * CAST(stv AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+              / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * 3600, 6)
+       END AS slope_per_hour,
+       CASE WHEN CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <= 0 THEN NULL
+            ELSE round(
+              (CAST(sv AS DOUBLE)
+               - (CAST(n_events AS DOUBLE) * CAST(stv AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                 * CAST(st AS DOUBLE))
+              / CAST(n_events AS DOUBLE), 6)
+       END AS intercept
+FROM m
 """
 
     # GraphSAGE fanout sampling, two unrolled hops: per-source

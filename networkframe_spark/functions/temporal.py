@@ -467,3 +467,60 @@ def funnel_steps(
         .otherwise(F.round(F.col("n_users") / prev_n, 6))
         .alias("conversion_from_prev"),
     )
+
+
+def trend_slope(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity least-squares trend: slope of ``value`` against
+    event time — ``(user, n_events, slope_per_hour, intercept)`` with
+    slope in value-units per HOUR (6 dp; NULL when fewer than 2
+    distinct timestamps).  The standard "is this metric drifting"
+    feature for monitoring and per-user behavioral drift.
+
+    Numerics at scale: time is CENTERED per entity (t - min t) before
+    the moment sums — raw epoch-seconds moments lose the slope to
+    catastrophic cancellation (n*stt and st^2 agree to ~12 digits),
+    and their squares overflow 64-bit longs anyway.  The centered
+    moments accumulate as DECIMALs — exact and order-independent —
+    and only the final slope/intercept division is floating.  Two
+    hash aggregates + one keyed join on the entity.
+    """
+    events = normalize_event_time(events, ts_col)
+    te = _epoch_s(ts_col)
+    tmin = events.groupBy(F.col(user_col)).agg(
+        F.min(te).alias("__t0")
+    )
+    centered = events.join(tmin, on=user_col)
+    t = (te - F.col("__t0")).cast("decimal(20,0)")
+    v = F.col(value_col).cast("decimal(18,6)")
+    m = (
+        centered.groupBy(F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(t).alias("__st"),
+            F.sum(v).alias("__sv"),
+            F.sum(t * v).alias("__stv"),
+            F.sum(t * t).alias("__stt"),
+        )
+    )
+    n = F.col("n_events").cast("double")
+    st = F.col("__st").cast("double")
+    sv = F.col("__sv").cast("double")
+    stv = F.col("__stv").cast("double")
+    stt = F.col("__stt").cast("double")
+    den = n * stt - st * st
+    slope = (n * stv - st * sv) / den
+    return m.select(
+        user_col,
+        "n_events",
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope * 3600, 6))
+        .alias("slope_per_hour"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round((sv - slope * st) / n, 6))
+        .alias("intercept"),  # intercept at the entity's first event
+    )

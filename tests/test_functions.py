@@ -1029,3 +1029,23 @@ def test_funnel_steps_three_step(spark):
     assert got[1] == ("a", 3, 1.0, 1.0)
     assert got[2] == ("b", 1, round(1 / 3, 6), round(1 / 3, 6))
     assert got[3] == ("c", 1, round(1 / 3, 6), 1.0)
+
+
+def test_trend_slope_linear_series(spark):
+    """Perfectly linear value = 2/hour from 10: slope 2.0; a single-
+    event user gets NULLs."""
+    from networkframe_spark.functions.temporal import trend_slope
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (1, 2, "2024-01-01 01:00:00", 12.0),
+            (1, 3, "2024-01-01 02:00:00", 14.0),
+            (2, 4, "2024-01-01 00:00:00", 5.0),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {r["user_id"]: r for r in trend_slope(ev).collect()}
+    assert got[1]["slope_per_hour"] == 2.0
+    assert got[2]["slope_per_hour"] is None and got[2]["intercept"] is None
+    assert got[1]["n_events"] == 3
