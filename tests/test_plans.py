@@ -316,3 +316,39 @@ def test_char_entropy_plan_is_codegen_aggregate(spark):
     plan = _plan(char_entropy_score(read_table(spark, SF_DIR, "documents")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_resample_plan_single_exchange_no_window(spark):
+    """OHLC resample must be ONE partial+final hash aggregate — no
+    window operator (struct min/max combine map-side; a row_number
+    formulation could not)."""
+    from networkframe_spark.sources import read_events
+    from networkframe_spark.functions.temporal import resample_events
+
+    plan = _plan(resample_events(read_events(spark, SF_DIR), minutes=60))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    # struct min/max plan as SortAggregate (struct types aren't
+    # hash-aggregable) but still partial+final around one exchange
+    assert plan.count("SortAggregate") == 2
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_bipartite_project_plan_no_cartesian(spark):
+    """The wedge join must be an equi-join on the shared key, never a
+    cartesian/broadcast-nested-loop product."""
+    nf = tpch_graph(spark, SF_DIR)
+    plan = _plan(nf.bipartite_project(side="target", max_hub_degree=60))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trend_slope_plan_decimal_moments(spark):
+    """All four OLS moments come out of one final aggregate over the
+    centered join; sums stay DECIMAL until the final projection."""
+    from networkframe_spark.sources import read_events
+    from networkframe_spark.functions.temporal import trend_slope
+
+    plan = _plan(trend_slope(read_events(spark, SF_DIR)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "sum" in plan and "decimal" in plan.lower()
