@@ -182,6 +182,16 @@ def main() -> None:
         "betweenness_2seed_h2",
         lambda: nf.betweenness_approx([0, 1], directed=False, max_hops=2),
     )
+    run(
+        "neighbor_sample_2hop",
+        lambda: nf.neighbor_sample(
+            [0, 1, 2, 3], fanouts=[10, 5], directed=False
+        ),
+    )
+    run(
+        "bipartite_project_cap20",
+        lambda: nf.bipartite_project(side="target", max_hub_degree=20),
+    )
     best = None
     for _ in range(2):
         t0 = time.time()
