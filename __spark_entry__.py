@@ -1414,6 +1414,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trend_slope"] = q_trend_slope
 
+    def q_attribute_mixing(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.attribute_mixing("nationkey", directed=True)
+
+    q["attribute_mixing"] = q_attribute_mixing
+
+    def q_attribute_assortativity(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.attribute_assortativity("nationkey", directed=True)
+
+    q["attribute_assortativity"] = q_attribute_assortativity
+
+    def q_dedup_corpus(spark, sf):
+        from networkframe_spark.functions.dedup import dedup_corpus
+
+        # ngram_jaccard mode: its pair finder + cluster fold both have
+        # exact SQL twins (o["dedup_clusters"]) — the composed keep
+        # filter is oracle-checkable end-to-end
+        docs = read_table(spark, sf, "documents")
+        return dedup_corpus(docs, method="ngram_jaccard", threshold=0.5).select(
+            "doc_id", "cluster_id"
+        )
+
+    q["dedup_corpus"] = q_dedup_corpus
+
     return q
 
 
@@ -3691,6 +3716,58 @@ SELECT user_id, n_events,
               / CAST(n_events AS DOUBLE), 6)
        END AS intercept
 FROM m
+"""
+
+    o["attribute_mixing"] = f"""
+WITH {GRAPH_CTE},
+t AS (
+  SELECT na.nationkey AS attr_a, nb.nationkey AS attr_b,
+         count(*) AS n_edges
+  FROM edges e
+  JOIN nodes na ON e.source = na.id
+  JOIN nodes nb ON e.target = nb.id
+  GROUP BY 1, 2
+)
+SELECT attr_a, attr_b, n_edges,
+       round(n_edges / (SELECT SUM(n_edges) FROM t), 6) AS fraction
+FROM t
+"""
+
+    o["attribute_assortativity"] = f"""
+WITH {GRAPH_CTE},
+t AS (
+  SELECT na.nationkey AS attr_a, nb.nationkey AS attr_b, count(*) AS c
+  FROM edges e
+  JOIN nodes na ON e.source = na.id
+  JOIN nodes nb ON e.target = nb.id
+  GROUP BY 1, 2
+),
+r AS (SELECT attr_a, SUM(c) AS ra FROM t GROUP BY attr_a),
+cl AS (SELECT attr_b, SUM(c) AS cb FROM t GROUP BY attr_b),
+s AS (
+  SELECT SUM(CAST(r.ra AS DECIMAL(38,0)) * CAST(cl.cb AS DECIMAL(38,0)))
+           AS S
+  FROM r JOIN cl ON r.attr_a = cl.attr_b
+),
+b AS (
+  SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS m,
+         CAST(SUM(CASE WHEN attr_a = attr_b THEN c ELSE 0 END)
+              AS DECIMAL(38,0)) AS T
+  FROM t
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CASE WHEN CAST(m * m - S AS DOUBLE) = 0 THEN NULL
+            ELSE round(CAST(m * T - S AS DOUBLE)
+                       / CAST(m * m - S AS DOUBLE), 6)
+       END AS assortativity
+FROM b, s
+"""
+
+    o["dedup_corpus"] = f"""
+WITH qc AS ({o["dedup_clusters"]})
+SELECT d.doc_id, qc.cluster_id
+FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+WHERE qc.doc_id = qc.cluster_id
 """
 
     # GraphSAGE fanout sampling, two unrolled hops: per-source

@@ -2399,3 +2399,101 @@ def bipartite_project(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def attribute_mixing(
+    frame, attr_col: str, directed: bool = True
+) -> DataFrame:
+    """Categorical mixing matrix (Newman 2003): for each ordered pair
+    of node-attribute values, the count and fraction of edges running
+    between them — ``(attr_a, attr_b, n_edges, fraction)`` at 6 dp.
+    The contact-matrix view of homophily (who links to whom).
+
+    Scale design: two node-attribute joins decorate the edge list
+    (broadcastable node side when the attribute table fits; hash join
+    otherwise) + one hash aggregate on the (value, value) pair;
+    matrix size is bounded by distinct-value^2, not edges.
+    """
+    e = frame.edges.select("source", "target")
+    if not directed:
+        e = frame.symmetrized_edges()
+    la = frame.nodes.select(
+        F.col("id").alias("source"), F.col(attr_col).alias("attr_a")
+    )
+    lb = frame.nodes.select(
+        F.col("id").alias("target"), F.col(attr_col).alias("attr_b")
+    )
+    counts = (
+        e.join(la, on="source")
+        .join(lb, on="target")
+        .groupBy("attr_a", "attr_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    tot = counts.agg(F.sum("n_edges").alias("__m"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "attr_a",
+        "attr_b",
+        "n_edges",
+        F.round(F.col("n_edges") / F.col("__m"), 6).alias("fraction"),
+    )
+
+
+def attribute_assortativity(
+    frame, attr_col: str, directed: bool = True
+) -> DataFrame:
+    """Categorical assortativity coefficient (Newman 2003, eq. 2):
+    ``r = (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i)`` over
+    the mixing matrix — 1 for perfect homophily, 0 for random mixing,
+    negative for disassortative graphs.  One row
+    ``(n_edges, assortativity)`` at 6 dp; NULL when the denominator
+    is 0 (all edges in one category).
+
+    Computed from exact integer edge counts (``r = (m*T - S) /
+    (m^2 - S)`` with T = same-value edges, S = sum of row-marginal x
+    col-marginal products, accumulated as DECIMAL(38,0)); only the
+    final ratio is floating.
+    """
+    e = frame.edges.select("source", "target")
+    if not directed:
+        e = frame.symmetrized_edges()
+    la = frame.nodes.select(
+        F.col("id").alias("source"), F.col(attr_col).alias("attr_a")
+    )
+    lb = frame.nodes.select(
+        F.col("id").alias("target"), F.col(attr_col).alias("attr_b")
+    )
+    tagged = (
+        e.join(la, on="source")
+        .join(lb, on="target")
+        .groupBy("attr_a", "attr_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    rows = tagged.groupBy("attr_a").agg(F.sum("c").alias("ra"))
+    cols = tagged.groupBy("attr_b").agg(F.sum("c").alias("cb"))
+    s = (
+        rows.join(cols, rows["attr_a"] == cols["attr_b"])
+        .agg(
+            F.sum(
+                F.col("ra").cast(dec) * F.col("cb").cast(dec)
+            ).alias("S")
+        )
+    )
+    base = tagged.agg(
+        F.sum("c").cast(dec).alias("m"),
+        F.sum(
+            F.when(F.col("attr_a") == F.col("attr_b"), F.col("c")).otherwise(
+                0
+            )
+        ).cast(dec).alias("T"),
+    )
+    m_, T_, S_ = F.col("m"), F.col("T"), F.col("S")
+    num = (m_ * T_ - S_).cast("double")
+    den = (m_ * m_ - S_).cast("double")
+    return base.crossJoin(F.broadcast(s)).select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6))
+        .alias("assortativity"),
+    )

@@ -802,6 +802,26 @@ class NetworkFrame:
             self, sources, directed=directed, max_hops=max_hops
         )
 
+    def attribute_mixing(
+        self, attr_col: str, directed: bool = True
+    ) -> DataFrame:
+        """Categorical mixing matrix ``(attr_a, attr_b, n_edges,
+        fraction)``; see
+        :func:`networkframe_spark.algorithms.attribute_mixing`."""
+        from .algorithms import attribute_mixing
+
+        return attribute_mixing(self, attr_col, directed=directed)
+
+    def attribute_assortativity(
+        self, attr_col: str, directed: bool = True
+    ) -> DataFrame:
+        """Categorical assortativity coefficient ``(n_edges,
+        assortativity)``; see
+        :func:`networkframe_spark.algorithms.attribute_assortativity`."""
+        from .algorithms import attribute_assortativity
+
+        return attribute_assortativity(self, attr_col, directed=directed)
+
     def bipartite_project(
         self, side: str = "target", max_hub_degree: Optional[int] = None
     ) -> DataFrame:

@@ -1014,3 +1014,50 @@ def fuzzy_decontaminate(
         .filter(F.col("jaccard") >= threshold)
         .select("train_id", "eval_id", "jaccard")
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    method: str = "minhash_lsh",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus deduplication — the one-call convenience a
+    pipeline actually invokes: find near-duplicate pairs with
+    ``method`` (``"exact"`` | ``"minhash_lsh"`` | ``"ngram_jaccard"``),
+    fold them into clusters (:func:`duplicate_clusters`), and KEEP one
+    representative per cluster (the minimum id).  Returns the
+    surviving rows of ``df`` unchanged, plus ``cluster_id`` so lineage
+    survives the drop.
+
+    Scale shape is whatever the chosen pair finder has (banded LSH by
+    default — no all-pairs path); the fold is the union-find CC over
+    pairs only, and the final keep is one semi-filter on
+    ``id = cluster_id``.
+    """
+    if method == "exact":
+        labeled = exact_duplicates(df, id_col=id_col, text_col=text_col)
+        keep = labeled.filter(~F.col("is_duplicate")).select(
+            id_col, F.col("canonical_id").alias("cluster_id")
+        )
+        return df.join(keep, on=id_col)
+    if method == "minhash_lsh":
+        pairs = minhash_lsh_duplicates(
+            df, threshold=threshold, id_col=id_col, text_col=text_col
+        ).select(F.col("id_a"), F.col("id_b"))
+    elif method == "ngram_jaccard":
+        pairs = ngram_jaccard_duplicates(
+            df, threshold=threshold, id_col=id_col, text_col=text_col
+        ).select(F.col("id_a"), F.col("id_b"))
+    else:
+        raise ValueError(
+            "method must be 'exact', 'minhash_lsh', or 'ngram_jaccard'"
+        )
+    clusters = duplicate_clusters(df, pairs, id_col=id_col)
+    return df.join(
+        clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
+            id_col, "cluster_id"
+        ),
+        on=id_col,
+    )

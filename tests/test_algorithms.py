@@ -821,3 +821,56 @@ def test_bipartite_project_shared_counts(spark):
         for r in nf.bipartite_project(side="source", max_hub_degree=2).collect()
     }
     assert capped == {("u1", "u2"): 1}
+
+
+def test_attribute_mixing_and_assortativity(spark, letter_frame):
+    """letter_frame colors: A,D red; B,C blue.  Directed edges A->B,
+    A->C, B->C, C->D give mixing counts red->blue 2, blue->blue 1,
+    blue->red 1; Newman r = (m*T - S)/(m^2 - S) with T=1,
+    S = rowsums x colsums matched on value."""
+    mix = {
+        (r["attr_a"], r["attr_b"]): (r["n_edges"], r["fraction"])
+        for r in letter_frame.attribute_mixing("color").collect()
+    }
+    assert mix == {
+        ("red", "blue"): (2, 0.5),
+        ("blue", "blue"): (1, 0.25),
+        ("blue", "red"): (1, 0.25),
+    }
+    # rowsums: red 2, blue 2; colsums: blue 3, red 1 -> S = 2*1 + 2*3 = 8
+    # r = (4*1 - 8) / (16 - 8) = -0.5
+    got = letter_frame.attribute_assortativity("color").collect()[0]
+    assert got["n_edges"] == 4 and got["assortativity"] == -0.5
+
+
+def test_attribute_assortativity_perfect_homophily(spark):
+    """Two same-attribute cliques, no cross edges: r = 1."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame(
+        [(i, "g" + str(i // 2)) for i in range(4)], "id long, grp string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3)], "source long, target long"
+    )
+    got = NetworkFrame(nodes, edges).attribute_assortativity("grp").collect()[0]
+    assert got["assortativity"] == 1.0
+
+
+def test_dedup_corpus_exact_and_fuzzy(spark):
+    """Three identical docs + one unique: exact mode keeps 2 rows;
+    lsh mode folds the identical run the same way."""
+    from networkframe_spark.functions.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "same text body here with several words " * 3) for i in range(3)]
+        + [(9, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    exact = dedup_corpus(docs, method="exact")
+    kept = sorted(r["doc_id"] for r in exact.collect())
+    assert kept == [0, 9]
+    fuzzy = dedup_corpus(docs, method="minhash_lsh", threshold=0.5)
+    keptf = sorted(r["doc_id"] for r in fuzzy.collect())
+    assert keptf == [0, 9]
+    assert {r["doc_id"]: r["cluster_id"] for r in fuzzy.collect()}[0] == 0
