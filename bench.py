@@ -95,6 +95,9 @@ HEADLINE = [
     "bipartite_project",     # hub-capped wedge projection (r6s2)
     "funnel_steps",          # k-step shrinking-state funnel (r6s2)
     "kfold_split",           # map-side md5 fold assignment (r6s2)
+    "attribute_mixing",      # homophily contact matrix (r6s2)
+    "trend_slope",           # centered decimal OLS moments (r6s2)
+    "dedup_corpus",          # composed find-fold-keep dedup (r6s2)
 ]
 
 
