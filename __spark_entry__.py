@@ -1340,6 +1340,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resample_events"] = q_resample
 
+    def q_fill_gaps(spark, sf):
+        from networkframe_spark.functions.temporal import fill_gaps
+
+        events = read_events(spark, sf)
+        return fill_gaps(events, minutes=60)
+
+    q["fill_gaps"] = q_fill_gaps
+
+    def q_ewma(spark, sf):
+        from networkframe_spark.functions.temporal import ewma
+
+        events = read_events(spark, sf)
+        return ewma(events, n_rows=8)
+
+    q["ewma"] = q_ewma
+
     def q_topk_group(spark, sf):
         from networkframe_spark.functions.stats import top_k_per_group
 
@@ -3894,6 +3910,64 @@ SELECT user_id,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
 FROM events
 GROUP BY 1, 2
+"""
+
+    # per-entity time grid via generate_series (distributed sequence()
+    # in Spark), bucket-last via struct max, forward fill via
+    # last_value IGNORE NULLS over the same ROWS frame
+    o["fill_gaps"] = """
+WITH pb AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+         (max(struct_pack(t := ts, i := event_id, v := value))).v AS v_last
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pb GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS b FROM span
+)
+SELECT g.user_id,
+       CAST(to_timestamp(g.b) AS TIMESTAMP) AS bucket_start,
+       last_value(pb.v_last IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.b ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       pb.v_last IS NULL AS is_gap
+FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b
+"""
+
+    # trailing halving EWMA over 8 rows: exact integer numerator /
+    # denominator (value honored to 6 dp, weights 1*2^(7-j)), one
+    # floating division at the end — mirrors temporal.ewma verbatim
+    _ew_lags = ",\n         ".join(
+        f"lag(xi, {j}) OVER w AS x{j}" for j in range(8)
+    )
+    _ew_wts = [2 ** (7 - j) for j in range(8)]
+    _ew_num = " + ".join(
+        f"coalesce(x{j}, 0) * {w}" for j, w in enumerate(_ew_wts)
+    )
+    _ew_den = " + ".join(
+        f"(CASE WHEN x{j} IS NOT NULL THEN {w} ELSE 0 END)"
+        for j, w in enumerate(_ew_wts)
+    )
+    _ew_nw = " + ".join(
+        f"(CASE WHEN x{j} IS NOT NULL THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    o["ewma"] = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1000000) AS BIGINT) AS xi
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id,
+         {_ew_lags}
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id,
+       {_ew_nw} AS n_window,
+       round(CAST({_ew_num} AS DOUBLE) / ({_ew_den}) / 1e6, 6) AS ewma_v
+FROM l
 """
 
     o["top_k_per_group"] = """

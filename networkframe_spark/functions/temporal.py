@@ -469,6 +469,149 @@ def funnel_steps(
     )
 
 
+def fill_gaps(
+    events: DataFrame,
+    minutes: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Per-entity regular time grid with forward fill (the pandas
+    ``resample().ffill()`` / gap-filling staple): each entity gets one
+    row per ``minutes``-wide bucket between its first and last event,
+    carrying the last observed value forward through empty buckets.
+    Returns ``(key, bucket_start, v_filled, is_gap)`` where ``is_gap``
+    marks buckets with no events.  ``v_filled`` is the
+    chronologically-last value of the latest non-empty bucket at or
+    before this one (ties broken by ``id_col``) — never NULL, since
+    every grid starts at a non-empty bucket.
+
+    Scale design: the grid is generated DISTRIBUTED — a per-key
+    min/max hash aggregate, then ``sequence()`` + ``explode`` on the
+    workers (no driver-side date range, no cross join with a global
+    calendar table).  The bucket aggregate, the grid join, and the
+    forward-fill window all key on the entity (the join on the
+    composite (key, bucket)), so AQE coalesces them into uniform
+    keyed shuffles.  A pathological entity spanning more than
+    ``max_buckets`` grid points fails loudly (``raise_error``) on the
+    workers instead of exploding rows silently.
+    """
+    events = normalize_event_time(events, ts_col)
+    step = 60 * minutes
+    bucket = (F.floor(_epoch_s(ts_col) / step) * step).alias("__b")
+    # chronologically-last value per non-empty bucket: max of a
+    # (ts, id, value) STRUCT — lexicographic struct ordering is the
+    # deterministic arg-max, and min/max combine map-side
+    per_bucket = (
+        events.select(F.col(key_col), bucket, F.col(ts_col), F.col(id_col), F.col(value_col))
+        .groupBy(key_col, "__b")
+        .agg(F.max(F.struct(ts_col, id_col, value_col)).getField(value_col).alias("__v_last"))
+    )
+    span = per_bucket.groupBy(key_col).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    n_buckets = (F.col("__b1") - F.col("__b0")) / step + 1
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.when(
+                n_buckets <= max_buckets,
+                F.sequence(F.col("__b0"), F.col("__b1"), F.lit(step)),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("fill_gaps: entity "),
+                        F.col(key_col).cast("string"),
+                        F.lit(f" spans more than max_buckets={max_buckets} grid "
+                              "points; raise max_buckets or coarsen `minutes`"),
+                    )
+                )
+            )
+        ).alias("__b"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("__b").asc())
+    return (
+        grid.join(per_bucket, on=[key_col, "__b"], how="left")
+        .select(
+            F.col(key_col),
+            F.to_timestamp(F.col("__b")).alias("bucket_start"),
+            F.last("__v_last", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("__v_last").isNull().alias("is_gap"),
+        )
+    )
+
+
+def ewma(
+    events: DataFrame,
+    n_rows: int = 8,
+    decay_num: int = 1,
+    decay_den: int = 2,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity trailing exponentially-weighted moving average over
+    the last ``n_rows`` events (current inclusive), ordered by
+    ``(ts, id_col)``: ``ewma_i = Σ_j w^j·x_{i-j} / Σ_j w^j`` with
+    ``w = decay_num/decay_den`` (default 1/2 — a halving EWMA).
+    Returns ``(key, event_id, n_window, ewma_v)`` with the EWMA at
+    6 dp — the standard recency-weighted rolling feature
+    (pandas ``ewm(...).mean()`` restricted to a bounded window).
+
+    Numerics: the decay is a RATIONAL, so both numerator and
+    denominator are computed as exact 64-bit integers — every term is
+    ``round(x·1e6) · num^j · den^(k-1-j)`` (``value`` is honored to
+    6 dp) — and only the single final division is floating.  Exact,
+    order-independent, engine-portable; no pow() drift.
+
+    Scale design: ONE shuffle + one in-partition sort; the window
+    evaluates ``n_rows`` ``lag()`` expressions per row inside
+    whole-stage codegen — no arrays, no collect_list state, skewed
+    entities bounded by the frame.  Bounds: |x|·1e6 ≤ ~1e12 and
+    weights ≤ den^(k-1), so ``n_rows``·``decay_den`` combinations
+    with ``den^(k-1) ≤ ~1e5`` stay clear of int64 overflow; the
+    default (8, 1/2) peaks at ~1e15.
+    """
+    if n_rows < 1 or n_rows > 16:
+        raise ValueError("ewma: n_rows must be in [1, 16]")
+    if decay_num <= 0 or decay_den <= 0 or decay_num >= decay_den:
+        raise ValueError("ewma: decay must be a rational in (0, 1)")
+    if decay_den ** (n_rows - 1) > 10**5:
+        raise ValueError("ewma: decay_den**(n_rows-1) too large for exact int64 arithmetic")
+    events = normalize_event_time(events, ts_col)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    # x_j scaled to exact integer micro-units; weight for lag j is
+    # num^j * den^(k-1-j)  (all terms share the implicit den^(k-1))
+    xi = F.round(F.col(value_col) * 1_000_000).cast("long")
+    lags = [F.lag(xi, j).over(w) for j in range(n_rows)]
+    wts = [
+        decay_num**j * decay_den ** (n_rows - 1 - j) for j in range(n_rows)
+    ]
+    num = sum(
+        (F.coalesce(lg, F.lit(0)) * F.lit(wt) for lg, wt in zip(lags, wts)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0)) for lg, wt in zip(lags, wts)),
+        F.lit(0),
+    )
+    n_window = sum(
+        (F.when(lg.isNotNull(), F.lit(1)).otherwise(F.lit(0)) for lg in lags),
+        F.lit(0),
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(id_col),
+        n_window.alias("n_window"),
+        F.round(num / den / F.lit(1e6), 6).alias("ewma_v"),
+    )
+
+
 def trend_slope(
     events: DataFrame,
     user_col: str = "user_id",

@@ -874,6 +874,92 @@ def test_rolling_stats_trailing_frame(spark):
     assert got[4] == (3, 30.0, 20.0, 40.0)
 
 
+def test_fill_gaps_forward_fill(spark):
+    """User with events at hours 0 and 3 gets a 4-bucket grid; hours
+    1-2 are gaps carrying hour 0's last value forward (same-bucket
+    ties broken by (ts, id): the later event wins)."""
+    from networkframe_spark.functions.temporal import fill_gaps
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:05:00", 10.0),
+            (1, 2, "2024-01-01 00:40:00", 30.0),  # last of bucket 0
+            (1, 3, "2024-01-01 03:10:00", 5.0),
+            (2, 4, "2024-01-01 02:00:00", 7.0),  # single-bucket entity
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = fill_gaps(ev, minutes=60).collect()
+    u1 = sorted(
+        [r for r in rows if r["user_id"] == 1], key=lambda r: r["bucket_start"]
+    )
+    assert [str(r["bucket_start"])[11:13] for r in u1] == ["00", "01", "02", "03"]
+    assert [r["v_filled"] for r in u1] == [30.0, 30.0, 30.0, 5.0]
+    assert [r["is_gap"] for r in u1] == [False, True, True, False]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["v_filled"] == 7.0 and not u2[0]["is_gap"]
+
+
+def test_fill_gaps_max_buckets_guard(spark):
+    """An entity spanning more grid points than max_buckets fails
+    loudly instead of exploding rows."""
+    import pytest as _pytest
+
+    from networkframe_spark.functions.temporal import fill_gaps
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 1.0),
+            (1, 2, "2024-03-01 00:00:00", 2.0),  # ~1440 hourly buckets
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    with _pytest.raises(Exception, match="max_buckets"):
+        fill_gaps(ev, minutes=60, max_buckets=100).collect()
+
+
+def test_ewma_halving_weights(spark):
+    """Halving EWMA over values 10, 20, 40: ewma_2 =
+    (2*20+1*10)/3 = 50/3, ewma_3 = (4*40+2*20+1*10)/7 = 30;
+    singleton rows equal their own value."""
+    from networkframe_spark.functions.temporal import ewma
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (1, 2, "2024-01-01 00:01:00", 20.0),
+            (1, 3, "2024-01-01 00:02:00", 40.0),
+            (2, 4, "2024-01-01 00:00:00", 3.5),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        r["event_id"]: (r["n_window"], r["ewma_v"])
+        for r in ewma(ev, n_rows=3).collect()
+    }
+    assert got[1] == (1, 10.0)
+    assert got[2] == (2, round(50 / 3, 6))
+    assert got[3] == (3, 30.0)
+    assert got[4] == (1, 3.5)
+
+
+def test_ewma_rejects_bad_decay(spark):
+    import pytest as _pytest
+
+    from networkframe_spark.functions.temporal import ewma
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 1.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    with _pytest.raises(ValueError):
+        ewma(ev, decay_num=2, decay_den=2)
+    with _pytest.raises(ValueError):
+        ewma(ev, n_rows=0)
+    with _pytest.raises(ValueError):
+        ewma(ev, n_rows=16, decay_num=1, decay_den=7)
+
+
 def test_char_entropy_known_values(spark):
     """aaaa -> 0 bits; aabb -> 1 bit; abcd -> 2 bits; empty -> NULL
     with a 0 char count."""
