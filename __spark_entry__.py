@@ -1306,6 +1306,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["community_quality"] = q_community_quality
 
+    def q_k_truss(spark, sf):
+        # the TPC-H bipartite graph has no triangles, so build the
+        # doc-clique graph (mod-7 cliques over doc_id < 450) plus a
+        # doc-id chain: chain edges have support 0 and peel in round
+        # 1; clique edges survive.  max_rounds pinned so the DuckDB
+        # twin can unroll the exact same peel.
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id")).filter("id < 450")
+        clique = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        chain = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("b.id = a.id + 1"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return NetworkFrame(nodes, clique.unionAll(chain)).k_truss(
+            k=5, max_rounds=3
+        )
+
+    q["k_truss"] = q_k_truss
+
     def q_corpus_describe(spark, sf):
         docs = read_table(spark, sf, "documents")
         return corpus_describe(docs)
@@ -3911,6 +3936,58 @@ SELECT user_id,
 FROM events
 GROUP BY 1, 2
 """
+
+    # bounded k-truss peel, unrolled: per round, per-edge triangle
+    # support = common-neighbor count through the symmetric closure
+    # (the oracle may be naive; Spark uses the oriented O(m^1.5)
+    # enumeration — same semantics), then edges below k-2 drop.
+    # Round count and k mirror the registered query exactly.
+    _kt_k, _kt_rounds = 5, 3
+    _kt = [
+        "ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 450)",
+        """e0 AS (SELECT DISTINCT u, v FROM (
+  SELECT a.id AS u, b.id AS v FROM ids a
+  JOIN ids b ON a.id % 7 = b.id % 7 AND a.id < b.id
+  UNION ALL
+  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1))""",
+    ]
+    for _i in range(_kt_rounds):
+        _kt.append(
+            f"und{_i} AS (SELECT u AS a, v AS b FROM e{_i} "
+            f"UNION ALL SELECT v, u FROM e{_i})"
+        )
+        _kt.append(
+            f"""sup{_i} AS (
+  SELECT e.u, e.v, count(*) AS c FROM e{_i} e
+  JOIN und{_i} x ON x.a = e.u
+  JOIN und{_i} y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v)"""
+        )
+        _kt.append(
+            f"""e{_i + 1} AS (
+  SELECT e.u, e.v FROM e{_i} e
+  LEFT JOIN sup{_i} s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.c, 0) >= {_kt_k - 2})"""
+        )
+    _kt.append(
+        f"undF AS (SELECT u AS a, v AS b FROM e{_kt_rounds} "
+        f"UNION ALL SELECT v, u FROM e{_kt_rounds})"
+    )
+    _kt.append(
+        f"""supF AS (
+  SELECT e.u, e.v, count(*) AS c FROM e{_kt_rounds} e
+  JOIN undF x ON x.a = e.u
+  JOIN undF y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v)"""
+    )
+    o["k_truss"] = (
+        "WITH "
+        + ",\n".join(_kt)
+        + f"""
+SELECT e.u AS source, e.v AS target, coalesce(s.c, 0) AS support
+FROM e{_kt_rounds} e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
+"""
+    )
 
     # per-entity time grid via generate_series (distributed sequence()
     # in Spark), bucket-last via struct max, forward fill via

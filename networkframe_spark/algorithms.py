@@ -2497,3 +2497,125 @@ def attribute_assortativity(
         .otherwise(F.round(num / den, 6))
         .alias("assortativity"),
     )
+
+
+def k_truss(frame, k: int = 3, max_rounds: int | None = None) -> DataFrame:
+    """The k-truss of the undirected simple projection: iteratively
+    remove edges whose triangle support (number of triangles the edge
+    participates in) is below ``k - 2`` until fixpoint; returns the
+    surviving edges ``(source, target, support)`` with ``source <
+    target`` and the support recomputed on the surviving subgraph.
+
+    Scale-extension operator (no reference counterpart; SURVEY §2.11;
+    Cohen 2008, "Trusses: cohesive subgraphs for social network
+    analysis").  Like the k-core, the k-truss is the unique maximal
+    subgraph with edge support >= k-2, so the fixpoint is
+    peeling-schedule independent — which is what makes the result
+    oracle-checkable by an unrolled fixed-round SQL twin.
+    ``max_rounds`` bounds the peel (None = run to convergence); a
+    bounded peel is itself deterministic and is what the registered
+    driver query pins so the DuckDB oracle can unroll the same number
+    of rounds.
+
+    Scale design: per-round support comes from the degree-ordered
+    oriented triangle enumeration (the same O(m^1.5) wedge shape as
+    :func:`triangle_counts` — NOT the naive common-neighbor join,
+    which pays O(Σ deg²) on power-law hubs): each triangle is found
+    once at its lowest-degree corner, exploded into its three
+    undirected edges, and hash-aggregated per edge.  Every join is a
+    keyed equi-join; the edge set shrinks monotonically and is lazily
+    checkpointed per round so lineage stays O(1); the only action per
+    round is one count used both for convergence and checkpoint
+    materialization.
+    """
+    if k < 2:
+        raise ValueError("k_truss: k must be >= 2")
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = (
+        e.select(
+            F.least("source", "target").alias("u"),
+            F.greatest("source", "target").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _support(edges: DataFrame) -> DataFrame:
+        """Per-edge triangle support on ``edges`` (u < v): oriented
+        wedge enumeration, then each triangle votes for its 3 edges."""
+        deg = (
+            edges.select(F.col("u").alias("id"))
+            .unionAll(edges.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        w = edges.join(
+            deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), on="u"
+        ).join(
+            deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), on="v"
+        )
+        lt = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = w.select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        e1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
+        e2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("db2"))
+        wedges = e1.join(e2, on="a").filter(
+            (F.col("db1") < F.col("db2"))
+            | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+        )
+        closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+        tri = wedges.join(closing, on=["b1", "b2"]).select("a", "b1", "b2")
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b1").alias("u"),
+                        F.greatest("a", "b1").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("a", "b2").alias("u"),
+                        F.greatest("a", "b2").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("b1", "b2").alias("u"),
+                        F.greatest("b1", "b2").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        return tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+
+    n_rows = und.count()
+    r = 0
+    while True:
+        if max_rounds is not None and r >= max_rounds:
+            break
+        sup = _support(und)
+        und2 = (
+            und.join(sup, on=["u", "v"], how="left")
+            .filter(F.coalesce(F.col("c"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n2 = und2.count()
+        und = und2
+        r += 1
+        if n2 == n_rows:
+            break
+        n_rows = n2
+    sup = _support(und)
+    return (
+        und.join(sup, on=["u", "v"], how="left")
+        .select(
+            F.col("u").alias("source"),
+            F.col("v").alias("target"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("support"),
+        )
+    )

@@ -730,6 +730,14 @@ class NetworkFrame:
 
         return k_core(self, k, max_iter=max_iter)
 
+    def k_truss(self, k: int = 3, max_rounds: Optional[int] = None) -> DataFrame:
+        """k-truss edges ``(source, target, support)`` of the
+        undirected simple projection; see
+        :func:`networkframe_spark.algorithms.k_truss`."""
+        from .algorithms import k_truss
+
+        return k_truss(self, k, max_rounds=max_rounds)
+
     def shortest_paths(
         self,
         node_id,

@@ -597,3 +597,35 @@ def test_neighbor_sample_matches_python_md5(spark, edge_list, seeds):
         for r in nf.neighbor_sample(seeds, fanouts=[2, 2], directed=False).collect()
     )
     assert got == _py_neighbor_sample(edge_list, seeds, [2, 2])
+
+
+@given(edge_list=_edges, k=st.integers(3, 5))
+@_settings
+def test_k_truss_matches_python_peel(spark, edge_list, k):
+    """Converged k-truss == a tiny Python peel-to-fixpoint, on random
+    graphs with self-loops / parallel edges (collapsed first)."""
+    nf = _frame(spark, edge_list)
+    got = {
+        (r["source"], r["target"]): r["support"]
+        for r in nf.k_truss(k).collect()
+    }
+
+    und = {(min(s, t), max(s, t)) for s, t in edge_list if s != t}
+
+    def support(edges):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(adj.get(u, set()) & adj.get(v, set()))
+            for u, v in edges
+        }
+
+    while True:
+        sup = support(und)
+        nxt = {e for e in und if sup[e] >= k - 2}
+        if nxt == und:
+            break
+        und = nxt
+    assert got == support(und)
