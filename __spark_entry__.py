@@ -796,6 +796,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_graph"] = q_knn_graph
 
+    # Matryoshka truncation: posexploded to (vec_id, pos, x) scalars
+    # so the engines compare doubles, not array-repr formatting
+    def q_truncate_embeddings(spark, sf):
+        from networkframe_spark.functions.similarity import truncate_embeddings
+
+        emb = read_embeddings(spark, sf)
+        t = truncate_embeddings(emb, dim=16)
+        return t.select(
+            "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+        )
+
+    q["truncate_embeddings"] = q_truncate_embeddings
+
+    # product quantization, oracle-checkable first_ids codebook (the
+    # kmeans init is the production path; same assignment machinery)
+    def q_pq_encode(spark, sf):
+        from networkframe_spark.functions.similarity import pq_codebook, pq_encode
+
+        emb = read_embeddings(spark, sf)
+        cb = pq_codebook(emb, m=4, k=16, init="first_ids")
+        return pq_encode(emb, cb).select(
+            "vec_id",
+            F.concat_ws(
+                ",", F.transform(F.col("codes"), lambda v: v.cast("string"))
+            ).alias("codes"),
+        )
+
+    q["pq_encode"] = q_pq_encode
+
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -3935,6 +3964,54 @@ SELECT user_id,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
 FROM events
 GROUP BY 1, 2
+"""
+
+    # MRL truncation: first 16 dims re-normalized to unit L2; engines
+    # compare posexploded scalars
+    o["truncate_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS t FROM embeddings
+),
+n AS (
+  SELECT vec_id, t, sqrt(list_dot_product(t, t)) AS nrm FROM e
+),
+idx AS (
+  SELECT n.*, unnest(generate_series(1, 16)) AS i FROM n
+)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+       CASE WHEN nrm = 0 THEN t[i] ELSE round(t[i] / nrm, 6) END AS x
+FROM idx
+"""
+
+    # product quantization with the first_ids codebook: per (vector,
+    # subspace), nearest of 16 centroid subvectors by squared L2
+    # (dot-product identity, 6-dp round before the argmin, ties to
+    # the lowest code) — mirrors pq_encode's Arrow path
+    o["pq_encode"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS code,
+         emb
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 16)
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT vec_id, j, emb[j*16+1 : j*16+16] AS sv FROM e, js),
+cb AS (SELECT code, j, emb[j*16+1 : j*16+16] AS cv FROM seeds, js),
+d AS (
+  SELECT s.vec_id, s.j, c.code,
+         round(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT vec_id, array_to_string(list(code ORDER BY j ASC), ',') AS codes
+FROM best GROUP BY vec_id
 """
 
     # bounded k-truss peel, unrolled: per round, per-edge triangle

@@ -897,3 +897,148 @@ def embedding_drift(
             F.round(F.col("norm_a") / F.col("norm_b"), 6).alias("norm_ratio"),
         )
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    renormalize: bool = True,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dim`` dimensions
+    of each embedding and (by default) re-normalize to unit L2 —
+    the standard cheap-retrieval trick for MRL-trained embedding
+    models (Kusupati et al. 2022), and the front half of any
+    shortlist-then-rerank pipeline.  Returns ``(id_col, embedding)``
+    with elements rounded to 6 dp; all-zero prefixes stay zero.
+
+    Scale design: pure per-row ``slice``/``transform`` column
+    expressions inside whole-stage codegen — zero shuffle, zero
+    Python; the scan reads only the two referenced columns.
+    """
+    if dim < 1:
+        raise ValueError("truncate_embeddings: dim must be >= 1")
+    t = F.slice(F.col(emb_col).cast("array<double>"), 1, dim)
+    if not renormalize:
+        return df.select(
+            F.col(id_col),
+            F.transform(t, lambda x: F.round(x, 6)).alias(emb_col),
+        )
+    nrm = F.sqrt(dot_expr(t, t))
+    return df.select(
+        F.col(id_col),
+        F.when(nrm == 0, t)
+        .otherwise(F.transform(t, lambda x: F.round(x / nrm, 6)))
+        .alias(emb_col),
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    init: str = "kmeans",
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook: ``codebook[j][c]`` is centroid
+    ``c`` of subspace ``j`` (dim/m consecutive dimensions each) —
+    Jégou et al. 2011, "Product quantization for nearest neighbor
+    search".
+
+    ``init="kmeans"`` (production): per-subspace deterministic Lloyd
+    via :func:`ivf_fit_centroids` on the sliced column — m small
+    offline fits.  ``init="first_ids"``: centroids = the ``k``
+    smallest-id vectors' subvectors, fully SQL-expressible (the
+    oracle-checkable mode, same trick as :func:`embedding_clusters`).
+    The k × dim codebook is driver-sized by construction.
+    """
+    if init not in ("first_ids", "kmeans"):
+        raise ValueError("init must be 'first_ids' or 'kmeans'")
+    first = df.select(emb_col).first()
+    if first is None:
+        raise ValueError("pq_codebook: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebook: m={m} must divide dim={dim}")
+    sub = dim // m
+    if init == "first_ids":
+        seed_rows = [
+            list(map(float, r[emb_col]))
+            for r in df.orderBy(F.col(id_col).asc()).limit(k).collect()
+        ]
+        return [
+            [e[j * sub : (j + 1) * sub] for e in seed_rows] for j in range(m)
+        ]
+    return [
+        ivf_fit_centroids(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(emb_col).cast("array<double>"), j * sub + 1, sub).alias(
+                    emb_col
+                ),
+            ),
+            n_lists=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            emb_col=emb_col,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode each embedding as ``m`` one-byte-ish codes — per
+    subspace, the index of the nearest codebook centroid (squared L2,
+    rounded to 6 dp before the argmin; ties to the lowest code, so
+    the result is engine-portable).  Returns ``(id_col, codes
+    array<int>)`` — a 64-dim float vector compresses to m ints, the
+    memory step that makes billion-scale ANN fit in RAM.
+
+    Scale design: one Arrow-batched ``mapInPandas`` — the m × k × sub
+    codebook rides in the task closure (broadcast by serialization),
+    assignment is m tiny matmuls per batch, no shuffle at all; the
+    6-dp HALF_UP rounding matches the SQL twin exactly
+    (:func:`round_half_up`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    m = len(codebook)
+    Cs = [np.asarray(cj, dtype=np.float64) for cj in codebook]
+    sub = Cs[0].shape[1]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+
+    in_schema = df.select(id_col).schema
+    out_schema = T.StructType(
+        [in_schema[id_col], T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (Xj * Xj).sum(axis=1)[:, None]
+                    - 2.0 * (Xj @ Cs[j].T)
+                    + c2s[j][None, :]
+                )
+                codes[:, j] = np.argmin(round_half_up(d2, 6), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(fn, out_schema)

@@ -1135,3 +1135,77 @@ def test_trend_slope_linear_series(spark):
     assert got[1]["slope_per_hour"] == 2.0
     assert got[2]["slope_per_hour"] is None and got[2]["intercept"] is None
     assert got[1]["n_events"] == 3
+
+
+def test_truncate_embeddings_unit_norm(spark):
+    """Truncated vectors are re-normalized to unit L2; zero prefixes
+    stay zero; renormalize=False keeps raw (rounded) values."""
+    from networkframe_spark.functions.similarity import truncate_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0, 9.0, 9.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_embeddings(emb, dim=2).collect()
+    }
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero prefix survives, no div-by-zero
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_embeddings(emb, dim=2, renormalize=False).collect()
+    }
+    assert raw[1] == [3.0, 4.0]
+
+
+def test_pq_encode_picks_nearest_subspace_centroid(spark):
+    """2-dim subspaces with a first_ids codebook of 2 centroids: each
+    half of the query vector maps to its nearest seed half."""
+    from networkframe_spark.functions.similarity import pq_codebook, pq_encode
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),  # seed -> code 0
+            (1, [5.0, 5.0, 0.0, 0.0]),    # seed -> code 1
+            (2, [4.9, 4.9, 9.0, 9.0]),    # near seed1 left, seed0 right
+            (3, [0.1, 0.1, 0.5, 0.0]),    # near seed0 left, seed1 right
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebook(emb, m=2, k=2, init="first_ids")
+    assert len(cb) == 2 and len(cb[0]) == 2 and len(cb[0][0]) == 2
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    assert got[0] == [0, 0]
+    assert got[1] == [1, 1]
+    assert got[2] == [1, 0]
+    assert got[3] == [0, 1]
+
+
+def test_pq_codebook_kmeans_shrinks_distortion(spark):
+    """Lloyd rounds never increase total quantization error vs the
+    raw hash-seeded codebook on a small random-ish corpus."""
+    import numpy as np
+
+    from networkframe_spark.functions.similarity import pq_codebook, pq_encode
+
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(4)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def distortion(cb):
+        codes = {
+            r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()
+        }
+        X = {i: np.array(v) for i, v in rows}
+        err = 0.0
+        for i, cs in codes.items():
+            rec = np.concatenate([np.array(cb[j][c]) for j, c in enumerate(cs)])
+            err += float(((X[i] - rec) ** 2).sum())
+        return err
+
+    cb0 = pq_codebook(emb, m=2, k=4, init="kmeans", n_iter=0)
+    cb3 = pq_codebook(emb, m=2, k=4, init="kmeans", n_iter=3)
+    assert distortion(cb3) <= distortion(cb0) + 1e-9
