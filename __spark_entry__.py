@@ -503,6 +503,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_save_load"] = q_graph_save_load
 
+    # small-files compaction round-trip: fragment documents into 32
+    # shards, compact to ~1 file, prove the data survives bit-exact
+    def q_compact_roundtrip(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.sources import compact_parquet
+
+        base = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_compact_{_os.path.basename(sf.rstrip('/'))}",
+        )
+        docs = read_table(spark, sf, "documents")
+        docs.repartition(32).write.mode("overwrite").parquet(base + "_src")
+        back = compact_parquet(
+            spark,
+            base + "_src",
+            base + "_dst",
+            target_records_per_file=1_000_000,
+            sort_by=["doc_id"],
+        )
+        return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+    q["compact_roundtrip"] = q_compact_roundtrip
+
     # -- A12 spectral ordering -----------------------------------------
     # Hash-checkable: tol=0 + fixed iterations converge the power
     # iteration to machine precision, abs() kills the eigenvector sign
@@ -1243,6 +1268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logprob"] = q_unigram_logprob
 
+    def q_perplexity_buckets(spark, sf):
+        from networkframe_spark.functions.pipeline import perplexity_buckets
+
+        docs = read_table(spark, sf, "documents")
+        return perplexity_buckets(docs)
+
+    q["perplexity_buckets"] = q_perplexity_buckets
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -1862,6 +1895,11 @@ kept AS (SELECT id FROM nodes WHERE acctbal > 3000)
 SELECT e.source, e.target, e.weight
 FROM edges e
 WHERE e.source IN (SELECT id FROM kept) AND e.target IN (SELECT id FROM kept)
+"""
+
+    # compaction must be a pure physical rewrite: content identical
+    o["compact_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
     # Closed-form power-iteration limit for R disjoint equal stars with
@@ -3291,6 +3329,24 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    # CCNet bucketing: exact interpolated thirds over the non-null
+    # unigram scores (quantile_cont == Spark percentile); half-open
+    # boundaries so threshold ties fall to the worse bucket
+    o["perplexity_buckets"] = f"""
+WITH u AS ({o["unigram_logprob"]}),
+th AS (
+  SELECT quantile_cont(logprob, {1 / 3!r}) AS t1,
+         quantile_cont(logprob, {2 / 3!r}) AS t2
+  FROM u WHERE logprob IS NOT NULL
+)
+SELECT u.doc_id, u.n_tokens, u.logprob,
+       CASE WHEN u.logprob IS NULL THEN NULL
+            WHEN u.logprob > th.t2 THEN 'head'
+            WHEN u.logprob > th.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM u, th
 """
 
     # bigram mirror of the unigram oracle: per-doc bigram tf, corpus

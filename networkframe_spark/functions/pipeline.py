@@ -935,3 +935,53 @@ def kfold_split(
         out_col,
         F.pmod(_bucket_col(F.col(key_col), seed, "md5"), F.lit(k)).cast("int"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    pcts: tuple = (1 / 3, 2 / 3),
+    approx: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document by its corpus-relative unigram log-probability
+    (:func:`~networkframe_spark.functions.text.unigram_logprob_score`
+    — the KenLM stand-in) and split the corpus into ``head`` /
+    ``middle`` / ``tail`` thirds by score percentiles — head = most
+    fluent.  Returns ``(id_col, n_tokens, logprob, bucket)``;
+    empty documents get a NULL bucket.
+
+    ``approx=False`` (oracle mode) uses the exact interpolated
+    ``percentile``; ``approx=True`` is the 100 TB path — a
+    ``percentile_approx`` sketch (mergeable, bounded memory) whose
+    thresholds differ only within sketch tolerance.
+
+    Scale design: the scoring pass is the single-explode tf pipeline
+    of ``unigram_logprob_score`` (ReusedExchange serves both
+    branches); the threshold aggregate collapses to ONE row that
+    broadcast-joins back — no sort, no second pass over the corpus.
+    Bucket boundaries are half-open (``> t``), so ties at a threshold
+    fall toward the worse bucket deterministically.
+    """
+    from .text import unigram_logprob_score
+
+    p1, p2 = pcts
+    if not (0.0 < p1 < p2 < 1.0):
+        raise ValueError("perplexity_buckets: need 0 < pcts[0] < pcts[1] < 1")
+    scored = unigram_logprob_score(df, id_col=id_col, text_col=text_col)
+    pf = F.percentile_approx if approx else F.percentile
+    th = scored.filter(F.col("logprob").isNotNull()).agg(
+        pf(F.col("logprob"), F.lit(p1)).alias("__t1"),
+        pf(F.col("logprob"), F.lit(p2)).alias("__t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("logprob"),
+        F.when(F.col("logprob").isNull(), F.lit(None).cast("string"))
+        .when(F.col("logprob") > F.col("__t2"), F.lit("head"))
+        .when(F.col("logprob") > F.col("__t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

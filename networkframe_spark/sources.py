@@ -376,3 +376,43 @@ def load_graph_table(
     )
 
 
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src,
+    dest: str,
+    target_records_per_file: int = 1_000_000,
+    sort_by: list | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Small-files compaction: rewrite a parquet dataset (path or
+    DataFrame) into ``ceil(n / target_records_per_file)`` evenly
+    sized files and return the compacted dataset.  The background
+    maintenance job every long-lived 100 TB table needs — streaming
+    sinks and fine-grained partitioned writes accumulate thousands of
+    KB-scale files whose per-file open/footer cost dominates scans.
+
+    Scale design: one count (bounded scalar driver value), then a
+    single shuffle — ``repartitionByRange`` on ``sort_by`` when given
+    (keeps the output range-clustered so min/max footer pruning works
+    on the sort key), plain round-robin ``repartition`` otherwise —
+    and ``maxRecordsPerFile`` as the hard cap so no task ever writes
+    an oversized file.  Nothing touches the driver but the row count.
+    """
+    import math
+
+    df = spark.read.parquet(src) if isinstance(src, str) else src
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    out = (
+        df.repartitionByRange(n_files, *sort_by)
+        if sort_by
+        else df.repartition(n_files)
+    )
+    (
+        out.write.option("maxRecordsPerFile", target_records_per_file)
+        .mode(mode)
+        .parquet(dest)
+    )
+    return spark.read.parquet(dest)

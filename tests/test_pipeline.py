@@ -578,3 +578,29 @@ def test_kfold_split_partition_and_balance(spark):
     assert all(folds[r["doc_id"]] == r["fold"] for r in sub)
     with pytest.raises(ValueError):
         kfold_split(docs, k=1)
+
+
+def test_perplexity_buckets_thirds(spark):
+    """Non-empty docs split into head/middle/tail by fluency; the
+    common-token doc outranks the rare-token doc; empty doc gets a
+    NULL bucket; approx mode agrees on this tiny corpus."""
+    from networkframe_spark.functions.pipeline import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the the"),        # most corpus-common tokens
+            (1, "the the alpha beta"),          # mixed
+            (2, "zeta qoph xylem vug"),         # corpus-rare tokens
+            (3, ""),                            # empty -> NULL bucket
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs).collect()}
+    assert got[0] == "head"
+    assert got[2] == "tail"
+    assert got[3] is None
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(docs, approx=True).collect()
+    }
+    assert approx[0] == "head" and approx[2] == "tail" and approx[3] is None

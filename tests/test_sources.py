@@ -199,3 +199,29 @@ def test_normalize_event_time_rejects_implausible_bigint(spark):
     ok = spark.createDataFrame([(1, 1600000000000000000)], "id long, ts long")
     row = normalize_event_time(ok, "ts").first()
     assert row["ts"].year == 2020
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """32 fragment files compact to 1; content survives exactly; the
+    per-file record cap splits output when the target is small."""
+    import glob
+
+    from networkframe_spark.sources import compact_parquet
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS grp")
+    src = str(tmp_path / "src")
+    df.repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 32
+
+    dst = str(tmp_path / "dst")
+    back = compact_parquet(spark, src, dst, target_records_per_file=10_000)
+    assert len(glob.glob(dst + "/part-*")) == 1
+    assert back.count() == 1000
+    assert {r["id"] for r in back.collect()} == set(range(1000))
+
+    dst2 = str(tmp_path / "dst2")
+    back2 = compact_parquet(
+        spark, src, dst2, target_records_per_file=300, sort_by=["id"]
+    )
+    assert len(glob.glob(dst2 + "/part-*")) >= 4  # ceil(1000/300)
+    assert back2.count() == 1000
