@@ -352,3 +352,73 @@ def test_trend_slope_plan_decimal_moments(spark):
     plan = _plan(trend_slope(read_events(spark, SF_DIR)))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "sum" in plan and "decimal" in plan.lower()
+
+
+def test_ewma_plan_one_shuffle_one_window(spark):
+    """All n_rows lag() terms evaluate inside ONE window over one hash
+    exchange — no arrays, no Python."""
+    from networkframe_spark.functions.temporal import ewma
+    from networkframe_spark.sources import read_events
+
+    plan = _plan(ewma(read_events(spark, SF_DIR), n_rows=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fill_gaps_plan_distributed_grid(spark):
+    """The time grid comes from a worker-side generator (explode of
+    sequence), never a driver collect; the forward-fill window is
+    keyed (no single-partition window); no cartesian product."""
+    from networkframe_spark.functions.temporal import fill_gaps
+    from networkframe_spark.sources import read_events
+
+    plan = _plan(fill_gaps(read_events(spark, SF_DIR), minutes=60))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_truncate_embeddings_plan_is_map_only(spark):
+    """Pure projection: no exchange, no Python eval, scan prunes to
+    the two referenced columns."""
+    from networkframe_spark.functions.similarity import truncate_embeddings
+    from networkframe_spark.sources import read_embeddings
+
+    plan = _plan(truncate_embeddings(read_embeddings(spark, SF_DIR), dim=16))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "label" not in plan  # unreferenced column pruned
+
+
+def test_pq_encode_plan_is_single_arrow_pass(spark):
+    """Encoding is one Arrow-batched python stage and no shuffle —
+    the codebook rides in the task closure."""
+    from networkframe_spark.functions.similarity import pq_codebook, pq_encode
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, SF_DIR)
+    cb = pq_codebook(emb, m=4, k=8, init="first_ids")
+    plan = _plan(pq_encode(emb, cb))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_perplexity_buckets_plan_broadcasts_thresholds(spark):
+    """The 1-row threshold aggregate joins back via broadcast; the
+    corpus-side tf exchange is reused across the score branches
+    rather than recomputed."""
+    from networkframe_spark.functions.pipeline import perplexity_buckets
+    from networkframe_spark.sources import read_table
+
+    df = perplexity_buckets(read_table(spark, SF_DIR, "documents"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the tf-exchange reuse only materializes in the AQE final plan;
+    # collect() drives THIS DataFrame's queryExecution to finality
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
