@@ -1276,6 +1276,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["perplexity_buckets"] = q_perplexity_buckets
 
+    def q_zipf_fit(spark, sf):
+        from networkframe_spark.functions.text import zipf_fit
+
+        docs = read_table(spark, sf, "documents")
+        return zipf_fit(docs, top_n=1000)
+
+    q["zipf_fit"] = q_zipf_fit
+
+    def q_hashed_tfidf(spark, sf):
+        from networkframe_spark.functions.pipeline import hashed_tfidf_vectors
+
+        docs = read_table(spark, sf, "documents")
+        return hashed_tfidf_vectors(docs, n_features=256)
+
+    q["hashed_tfidf"] = q_hashed_tfidf
+
+    def q_top_event_paths(spark, sf):
+        from networkframe_spark.functions.temporal import top_event_paths
+
+        events = read_events(spark, sf)
+        return top_event_paths(events, path_len=3, top_n=20)
+
+    q["top_event_paths"] = q_top_event_paths
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3347,6 +3371,81 @@ SELECT u.doc_id, u.n_tokens, u.logprob,
             WHEN u.logprob > th.t1 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM u, th
+"""
+
+    # Zipf head fit: 6-dp-rounded log coordinates accumulated as
+    # DECIMALs (exact moment sums), one floating division at the end —
+    # mirrors text.zipf_fit term-for-term
+    o["zipf_fit"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+tok AS (SELECT unnest(t) AS tok FROM toks),
+freq AS (SELECT tok, count(*) AS n FROM tok WHERE tok <> '' GROUP BY tok),
+nd AS (SELECT count(*) AS n_distinct_tokens FROM freq),
+top AS (SELECT tok, n FROM freq ORDER BY n DESC, tok ASC LIMIT 1000),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS rank,
+         n
+  FROM top
+),
+m AS (
+  SELECT count(*) AS n_fit,
+         SUM(CAST(round(ln(rank), 6) AS DECIMAL(14,6))) AS sx,
+         SUM(CAST(round(ln(n), 6) AS DECIMAL(14,6))) AS sy,
+         SUM(CAST(round(ln(rank), 6) AS DECIMAL(14,6))
+             * CAST(round(ln(n), 6) AS DECIMAL(14,6))) AS sxy,
+         SUM(CAST(round(ln(rank), 6) AS DECIMAL(14,6))
+             * CAST(round(ln(rank), 6) AS DECIMAL(14,6))) AS sxx
+  FROM ranked
+),
+d AS (
+  SELECT n_fit, CAST(n_fit AS DOUBLE) AS k, CAST(sx AS DOUBLE) AS sx,
+         CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx
+  FROM m
+)
+SELECT nd.n_distinct_tokens, d.n_fit,
+       CASE WHEN (k * sxx - sx * sx) <= 0 THEN NULL
+            ELSE round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS zipf_slope,
+       CASE WHEN (k * sxx - sx * sx) <= 0 THEN NULL
+            ELSE round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                       / k, 6)
+       END AS zipf_intercept
+FROM nd, d
+"""
+
+    # feature hashing: the portable md5 bucket (same convention as
+    # hash_sample), smooth-free idf = ln(N/df), 6 dp
+    o["hashed_tfidf"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok || ':42'), 1, 15))::BIGINT % 256
+              AS INTEGER) AS feature,
+         count(*) AS tfc
+  FROM tok WHERE tok <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT feature, count(*) AS dfc FROM tf GROUP BY feature),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.feature,
+       round(tfc * ln(CAST(nd.n AS DOUBLE) / dfc), 6) AS weight
+FROM tf JOIN dfreq USING (feature), nd
+"""
+
+    # top event-type trigram paths over the (ts, event_id) total order;
+    # deterministic cutoff ties via path ascending
+    o["top_event_paths"] = """
+WITH p AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, count(*) AS n_paths
+FROM p WHERE s2 IS NOT NULL
+GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
 """
 
     # bigram mirror of the unigram oracle: per-doc bigram tf, corpus

@@ -98,6 +98,11 @@ HEADLINE = [
     "attribute_mixing",      # homophily contact matrix (r6s2)
     "trend_slope",           # centered decimal OLS moments (r6s2)
     "dedup_corpus",          # composed find-fold-keep dedup (r6s2)
+    "fill_gaps",             # distributed grid + forward fill (r6s3)
+    "ewma",                  # exact-rational trailing EWMA (r6s3)
+    "perplexity_buckets",    # CCNet head/middle/tail gate (r6s3)
+    "pq_encode",             # product-quantization codes (r6s3)
+    "k_truss",               # bounded triangle-support peel (r6s3)
 ]
 
 

@@ -985,3 +985,66 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    n_features: int = 256,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed TF-IDF (the hashing trick, Weinberger et al.
+    2009): tokens hash into a fixed ``n_features``-dimensional space
+    — no vocabulary to build, broadcast, or keep consistent across
+    batches, which is what makes text vectorization tractable on a
+    100 TB corpus.  Returns sparse rows ``(id_col, feature, weight)``
+    with ``weight = tf · ln(N / df)`` at 6 dp (features whose hashed
+    document frequency equals N get weight 0 and are kept, so the
+    output is reproducible row-for-row).
+
+    The hash is the portable md5 bucket (DuckDB:
+    ``('0x'||substr(md5(tok||':'||seed),1,15))::BIGINT % n``) — same
+    convention as :func:`hash_sample`; pass nothing and the twin SQL
+    reproduces it term-for-term.
+
+    Scale design: ONE explode feeding a (doc, feature) hash aggregate;
+    the per-feature document frequency derives from that same
+    aggregate (Catalyst reuses the exchange), and the corpus size is
+    a 1-row broadcast.  Everything is codegen'd column expressions —
+    no UDF, no vocabulary state.
+    """
+    if n_features < 1:
+        raise ValueError("hashed_tfidf_vectors: n_features must be >= 1")
+    feat = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_features),
+    ).cast("int")
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.col(id_col), feat.alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(dfreq, on="feature")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("feature"),
+            F.round(
+                F.col("__tf") * F.log(F.col("__n") / F.col("__df")), 6
+            ).alias("weight"),
+        )
+    )

@@ -667,3 +667,49 @@ def trend_slope(
         .otherwise(F.round((sv - slope * st) / n, 6))
         .alias("intercept"),  # intercept at the entity's first event
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    path_len: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common event-type sequences: per entity, every run of
+    ``path_len`` consecutive events (ordered by ``(ts, id_col)``)
+    becomes a path string ``a > b > c``; paths are counted across the
+    corpus and the ``top_n`` returned as ``(path, n_paths)`` — the
+    funnel-DISCOVERY primitive (what sequences actually happen),
+    complementing :func:`funnel_steps` (how a chosen sequence
+    converts).  Ties at the cutoff break by path ascending, so the
+    result is deterministic.
+
+    Scale design: one window (hash-partition by entity + in-partition
+    sort) evaluates all ``path_len - 1`` ``lead()`` terms; the path
+    count is a partial+final hash aggregate on the path string; the
+    final top-N is a distributed TakeOrdered (``orderBy().limit()``),
+    never a global sort.  Skewed entities cost O(rows), not O(rows²)
+    — no self-joins.
+    """
+    if path_len < 2:
+        raise ValueError("top_event_paths: path_len must be >= 2")
+    events = normalize_event_time(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, j).over(w) for j in range(1, path_len)
+    ]
+    complete = steps[-1].isNotNull()
+    path = F.concat_ws(" > ", *steps)
+    return (
+        events.select(F.when(complete, path).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top_n)
+    )

@@ -683,3 +683,74 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: rank
+    tokens by frequency (ties broken by token) and OLS-fit
+    ``ln(freq)`` against ``ln(rank)`` over the ``top_n`` head tokens.
+    Returns ONE row ``(n_distinct_tokens, n_fit, zipf_slope,
+    zipf_intercept)`` at 6 dp — natural language sits near slope -1;
+    a much flatter or steeper head flags boilerplate floods or
+    truncated vocabularies (the classic corpus-health diagnostic).
+
+    Numerics: both log coordinates are rounded to 6 dp FIRST (after
+    which the engines agree bit-exactly — a 1-ulp libm difference
+    survives 6-dp rounding with probability ~1e-9) and accumulated as
+    DECIMALs, so the moment sums are exact and order-independent;
+    only the final slope/intercept division is floating.
+
+    Scale design: one explode feeding one token hash aggregate; the
+    head selection is a distributed TakeOrdered (``orderBy().limit()``
+    — never a global sort materialization), the rank window runs over
+    only the ``top_n`` surviving rows, and the vocabulary size rides
+    along as a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_distinct = freq.agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), F.col("n")
+    )
+    dec = "decimal(14,6)"
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast(dec)
+    y = F.round(F.log(F.col("n").cast("double")), 6).cast(dec)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    k = F.col("n_fit").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    den = k * sxx - sx * sx
+    slope = (k * sxy - sx * sy) / den
+    return (
+        n_distinct.crossJoin(F.broadcast(m))
+        .select(
+            "n_distinct_tokens",
+            "n_fit",
+            F.when(den <= 0, F.lit(None).cast("double"))
+            .otherwise(F.round(slope, 6))
+            .alias("zipf_slope"),
+            F.when(den <= 0, F.lit(None).cast("double"))
+            .otherwise(F.round((sy - slope * sx) / k, 6))
+            .alias("zipf_intercept"),
+        )
+    )

@@ -1209,3 +1209,64 @@ def test_pq_codebook_kmeans_shrinks_distortion(spark):
     cb0 = pq_codebook(emb, m=2, k=4, init="kmeans", n_iter=0)
     cb3 = pq_codebook(emb, m=2, k=4, init="kmeans", n_iter=3)
     assert distortion(cb3) <= distortion(cb0) + 1e-9
+
+
+def test_zipf_fit_known_distribution(spark):
+    """A corpus whose token frequencies follow an exact power law
+    n(rank) = 64 / rank fits slope -1 within rounding of the 6-dp
+    quantized log coordinates."""
+    from networkframe_spark.functions.text import zipf_fit
+
+    # token t{i} appears 64//i times, i = 1..8 -> ln n = ln 64 - ln i
+    words = []
+    for i in range(1, 9):
+        words += [f"t{i}"] * (64 // i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs, top_n=8).collect()[0]
+    assert row["n_distinct_tokens"] == 8
+    assert row["n_fit"] == 8
+    # 64//i is not exactly 64/i (integer floor), so allow a small gap
+    assert abs(row["zipf_slope"] - (-1.0)) < 0.05
+
+
+def test_hashed_tfidf_idf_weighting(spark):
+    """A token present in every doc gets weight 0 (ln N/N); a token
+    unique to one doc gets tf * ln(N) on its hashed feature."""
+    import math
+
+    from networkframe_spark.functions.pipeline import hashed_tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "common rare rare"), (1, "common"), (2, "common")],
+        "doc_id long, text string",
+    )
+    rows = hashed_tfidf_vectors(docs, n_features=4096).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["weight"])
+    # every doc has the common feature at weight 0
+    assert all(0.0 in ws for ws in by_doc.values())
+    # doc 0 additionally carries the rare feature: tf=2, idf=ln 3
+    assert round(2 * math.log(3), 6) in by_doc[0]
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+
+
+def test_top_event_paths_counts_and_cutoff(spark):
+    """Sliding trigrams over per-user (ts, id) order; too-short
+    entities contribute nothing; counts aggregate across users."""
+    from networkframe_spark.functions.temporal import top_event_paths
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, t in enumerate(["view", "cart", "buy", "view"]):
+            rows.append((u, eid, f"2024-01-01 00:0{i}:00", t))
+            eid += 1
+    rows.append((3, eid, "2024-01-01 00:00:00", "view"))  # len-1 entity
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {r["path"]: r["n_paths"] for r in top_event_paths(ev).collect()}
+    assert got == {"view > cart > buy": 2, "cart > buy > view": 2}
