@@ -1284,6 +1284,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zipf_fit"] = q_zipf_fit
 
+    def q_bpe_train(spark, sf):
+        from networkframe_spark.functions.text import bpe_train
+
+        docs = read_table(spark, sf, "documents")
+        return bpe_train(docs, n_merges=8)
+
+    q["bpe_train"] = q_bpe_train
+
     def q_hashed_tfidf(spark, sf):
         from networkframe_spark.functions.pipeline import hashed_tfidf_vectors
 
@@ -3413,6 +3421,78 @@ SELECT nd.n_distinct_tokens, d.n_fit,
        END AS zipf_intercept
 FROM nd, d
 """
+
+    # BPE training, unrolled: per round, a weighted pair count, a
+    # 1-row argmax (ties pair-ascending), and the merge applied with
+    # the windowed-islands formulation of greedy leftmost
+    # non-overlapping matching — same selection the Spark fold makes.
+    _bpe_rounds = 8
+    _bpe = [
+        TOKS_CTE.strip().rstrip(),
+        "wraw AS (SELECT unnest(t) AS word FROM toks)",
+        """wf AS (
+  SELECT word, count(*) AS freq FROM wraw
+  WHERE word <> '' AND length(word) <= 64 GROUP BY word)""",
+        "sym1 AS MATERIALIZED (SELECT word, freq, regexp_extract_all(word, '.') AS s FROM wf)",
+    ]
+    for _r in range(1, _bpe_rounds + 1):
+        _bpe.append(
+            f"""pos{_r} AS (
+  SELECT word, freq, s, unnest(generate_series(1, len(s))) AS i
+  FROM sym{_r})"""
+        )
+        _bpe.append(
+            f"""pr{_r} AS MATERIALIZED (
+  SELECT word, freq, i, s[i] AS a,
+         CASE WHEN i < len(s) THEN s[i + 1] ELSE NULL END AS b
+  FROM pos{_r})"""
+        )
+        _bpe.append(
+            f"""pc{_r} AS (
+  SELECT a, b, sum(freq) AS c FROM pr{_r}
+  WHERE b IS NOT NULL GROUP BY a, b)"""
+        )
+        _bpe.append(
+            f"""best{_r} AS MATERIALIZED (
+  SELECT a AS l, b AS r, c FROM pc{_r}
+  ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        _bpe.append(
+            f"""mt{_r} AS (
+  SELECT p.word, p.i FROM pr{_r} p, best{_r} be
+  WHERE p.a = be.l AND p.b = be.r)"""
+        )
+        _bpe.append(
+            f"""isl{_r} AS (
+  SELECT word, i,
+         i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+  FROM mt{_r})"""
+        )
+        _bpe.append(
+            f"""sel{_r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i,
+           row_number() OVER (PARTITION BY word, g ORDER BY i) AS k
+    FROM isl{_r})
+  WHERE k % 2 = 1)"""
+        )
+        _bpe.append(
+            f"""sym{_r + 1} AS MATERIALIZED (
+  SELECT p.word, p.freq,
+         list(CASE WHEN sl.i IS NOT NULL THEN p.a || p.b ELSE p.a END
+              ORDER BY p.i) AS s
+  FROM pr{_r} p
+  LEFT JOIN sel{_r} sl ON sl.word = p.word AND sl.i = p.i
+  LEFT JOIN sel{_r} pv ON pv.word = p.word AND pv.i = p.i - 1
+  WHERE pv.i IS NULL
+  GROUP BY p.word, p.freq)"""
+        )
+    _bpe_union = "\nUNION ALL\n".join(
+        f'SELECT {_r} AS merge_rank, l AS "left", r AS "right", '
+        f"c AS pair_count FROM best{_r}"
+        for _r in range(1, _bpe_rounds + 1)
+    )
+    o["bpe_train"] = "WITH " + ",\n".join(_bpe) + "\n" + _bpe_union
 
     # feature hashing: the portable md5 bucket (same convention as
     # hash_sample), smooth-free idf = ln(N/df), 6 dp

@@ -754,3 +754,109 @@ def zipf_fit(
             .alias("zipf_intercept"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    max_word_len: int = 64,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Train byte-pair-encoding merges on the corpus (Sennrich et al.
+    2016): starting from characters, repeatedly merge the most
+    frequent adjacent symbol pair (ties by pair ascending — the
+    deterministic convention), applying each merge greedily
+    left-to-right non-overlapping within words.  Returns the learned
+    tokenizer: ``(merge_rank, left, right, pair_count)`` — one row
+    per merge, rank 1 first.
+
+    Everything happens on the WORD-FREQUENCY table, not the token
+    stream — after one corpus pass (explode + count), a 100 TB corpus
+    collapses to a vocabulary-sized working set, which is what makes
+    distributed BPE training tractable.  Words longer than
+    ``max_word_len`` characters are dropped (runaway
+    no-whitespace blobs would dominate the symbol table).
+
+    Scale design — NO driver collect anywhere: each round is (1) a
+    posexplode pair count (hash aggregate on the symbol pair), (2) a
+    1-row ``orderBy().limit(1)`` argmax that re-enters the plan as a
+    broadcast (crossJoin of one row), and (3) the merge application
+    as a codegen'd ``aggregate`` fold over each word's symbol array
+    (greedy leftmost semantics by construction: the fold replaces the
+    accumulator's tail exactly when it equals the winning pair).  The
+    word table is lazily checkpointed every ``checkpoint_every``
+    rounds so lineage stays bounded.  The DuckDB twin replays the
+    identical rounds with a windowed islands formulation (overlapping
+    matches resolved to the same leftmost-greedy selection), so
+    results are engine-portable.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("s"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges = None
+    for r in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.col("freq"),
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+                        F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_rank"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.col("c").alias("pair_count"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        # greedy leftmost fold: replace the accumulator tail when it
+        # equals (left, right); a just-merged tail can't re-merge
+        folded = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("__l"))
+                & (x == F.col("__r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("left").alias("__l"), F.col("right").alias("__r")
+                )
+            )
+        ).select(folded.alias("s"), "freq")
+        if r % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges

@@ -1270,3 +1270,49 @@ def test_top_event_paths_counts_and_cutoff(spark):
     ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
     got = {r["path"]: r["n_paths"] for r in top_event_paths(ev).collect()}
     assert got == {"view > cart > buy": 2, "cart > buy > view": 2}
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The Sennrich toy corpus: merges follow max-count with
+    pair-ascending tie-breaks, and later merges build on earlier
+    merged symbols."""
+    from networkframe_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (1, "w", "e", 6),
+        (2, "l", "o", 5),   # (l,o) ties (s,t) at 5 -> pair-ascending
+        (3, "s", "t", 5),
+        (4, "e", "we", 4),  # ties (n,e) and (we,st) -> 'e' sorts first
+        (5, "ewe", "st", 4),
+        (6, "n", "ewest", 4),
+    ]
+
+
+def test_bpe_train_overlapping_matches_greedy(spark):
+    """Runs of a repeated symbol merge leftmost non-overlapping:
+    'aaaa' under (a,a) contributes TWO pairs to the next round's
+    (aa,aa), and 'aaa' leaves a trailing singleton."""
+    from networkframe_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa b")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    # round 1: (a,a) count = 3 (aaaa) x2... per-word pair count is
+    # positional: aaaa has 3 adjacent (a,a), aaa has 2 -> 3+3+2 = 8
+    assert got[0] == (1, "a", "a", 8)
+    # after merge: aaaa -> [aa, aa]; aaa -> [aa, a]
+    assert got[1] == (2, "aa", "aa", 2)
+    # after round 2: aaaa -> [aaaa]; aaa stays [aa, a]
+    assert got[2] == (3, "aa", "a", 1)

@@ -629,3 +629,54 @@ def test_k_truss_matches_python_peel(spark, edge_list, k):
             break
         und = nxt
     assert got == support(und)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(1, 4),
+)
+@_settings
+def test_bpe_train_matches_python_reference(spark, words, n_merges):
+    """Distributed BPE == a tiny python reference: max-count pair with
+    pair-ascending ties, greedy leftmost non-overlapping application."""
+    from networkframe_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    from collections import Counter
+
+    freq = Counter(words)
+    syms = {w: [ch for ch in w] for w in freq}
+    expect = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, f in freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        expect.append((rank, l, r, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == expect

@@ -124,7 +124,79 @@ def scc_stress(n_nodes: int = 2_400_000, cycle_len: int = 1000) -> None:
     spark.stop()
 
 
+def events_stress(n_events: int = 10_000_000, n_users: int = 100_000) -> None:
+    """Temporal-operator shapes at ~100x the sf0.1 events fixture:
+    deterministic synthetic events over a 30-day span with a planted
+    hub (user 0 owns 10% of all events) so the per-entity windows and
+    the gap-fill grid see real skew."""
+    from networkframe_spark.functions.temporal import (
+        ewma,
+        fill_gaps,
+        inter_event_stats,
+        resample_events,
+        rolling_stats,
+        top_event_paths,
+    )
+
+    spark = get_spark("events_stress")
+    types = F.array(*[F.lit(t) for t in ("view", "cart", "buy", "ship", "ret")])
+    epoch0 = 1_700_000_000
+    base = (
+        spark.range(n_events)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.pmod("id", F.lit(10)) == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_users)))
+            .alias("user_id"),
+            F.to_timestamp(
+                F.lit(epoch0) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86400))
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100000)) / 100.0).alias(
+                "value"
+            ),
+            F.element_at(
+                types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")
+            ).alias("event_type"),
+        )
+        .persist()
+    )
+    base.count()
+    timings: dict[str, float] = {}
+
+    def run(name, mk):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.time() - t0)
+        timings[name] = round(best, 2)
+
+    run("resample_1h", lambda: resample_events(base, minutes=60))
+    run("rolling_5", lambda: rolling_stats(base, n_rows=5))
+    run("ewma_8", lambda: ewma(base, n_rows=8))
+    run("fill_gaps_1h", lambda: fill_gaps(base, minutes=60))
+    run("top_event_paths", lambda: top_event_paths(base, path_len=3))
+    run("inter_event_stats", lambda: inter_event_stats(base))
+    print(
+        json.dumps(
+            {
+                "n_events": n_events,
+                "n_users": n_users,
+                "timings": timings,
+                "total": round(sum(timings.values()), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--events":
+        events_stress(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 100_000,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--corpus":
         corpus_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
@@ -192,6 +264,7 @@ def main() -> None:
         "bipartite_project_cap20",
         lambda: nf.bipartite_project(side="target", max_hub_degree=20),
     )
+    run("k_truss4_r1", lambda: nf.k_truss(k=4, max_rounds=1))
     best = None
     for _ in range(2):
         t0 = time.time()
@@ -336,6 +409,19 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
     run(
         "curriculum_order",
         lambda: curriculum_order(scored, "len", n_stages=4),
+    )
+    # round-6 session-3 ops
+    from networkframe_spark.functions.pipeline import (
+        hashed_tfidf_vectors,
+        perplexity_buckets,
+    )
+    from networkframe_spark.functions.text import zipf_fit
+
+    run("zipf_fit", lambda: zipf_fit(base, top_n=1000))
+    run("hashed_tfidf", lambda: hashed_tfidf_vectors(base, n_features=256))
+    run(
+        "perplexity_buckets_approx",
+        lambda: perplexity_buckets(base, approx=True),
     )
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
