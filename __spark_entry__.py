@@ -1292,6 +1292,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train"] = q_bpe_train
 
+    def q_bpe_encode(spark, sf):
+        from networkframe_spark.functions.text import bpe_encode, bpe_train
+
+        docs = read_table(spark, sf, "documents")
+        merges = bpe_train(docs, n_merges=8)
+        return bpe_encode(docs, merges)
+
+    q["bpe_encode"] = q_bpe_encode
+
+    def q_robust_outliers(spark, sf):
+        from networkframe_spark.functions.stats import robust_outliers
+
+        events = read_events(spark, sf)
+        return robust_outliers(events, "value", group_col="event_type")
+
+    q["robust_outliers"] = q_robust_outliers
+
+    def q_similar_strings(spark, sf):
+        from networkframe_spark.functions.dedup import similar_strings
+
+        docs = read_table(spark, sf, "documents")
+        return similar_strings(docs, max_dist=2, prefix_len=40)
+
+    q["similar_strings"] = q_similar_strings
+
     def q_hashed_tfidf(spark, sf):
         from networkframe_spark.functions.pipeline import hashed_tfidf_vectors
 
@@ -3493,6 +3518,77 @@ FROM nd, d
         for _r in range(1, _bpe_rounds + 1)
     )
     o["bpe_train"] = "WITH " + ",\n".join(_bpe) + "\n" + _bpe_union
+
+    # encode = the same unrolled merge chain applied to the word
+    # table (sym{R+1} is each word's final symbolization), joined
+    # back per document with multiplicity
+    o["bpe_encode"] = (
+        "WITH "
+        + ",\n".join(_bpe)
+        + f""",
+dw AS (SELECT doc_id, unnest(t) AS word FROM toks),
+dwf AS (
+  SELECT doc_id, word, count(*) AS c FROM dw
+  WHERE word <> '' AND length(word) <= 64 GROUP BY doc_id, word),
+enc AS (
+  SELECT dwf.doc_id,
+         sum(dwf.c * length(dwf.word)) AS n_chars_in_words,
+         sum(dwf.c * len(s9.s)) AS n_bpe_tokens
+  FROM dwf JOIN sym{_bpe_rounds + 1} s9 ON s9.word = dwf.word
+  GROUP BY dwf.doc_id)
+SELECT d.doc_id,
+       coalesce(enc.n_chars_in_words, 0) AS n_chars_in_words,
+       coalesce(enc.n_bpe_tokens, 0) AS n_bpe_tokens,
+       CASE WHEN enc.n_bpe_tokens > 0
+            THEN round(CAST(enc.n_chars_in_words AS DOUBLE)
+                       / enc.n_bpe_tokens, 6) END AS compression
+FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+"""
+    )
+
+    # median/MAD fence per event type; medians rounded to 6 dp before
+    # the z computation so both engines gate on the identical fence
+    o["robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_v
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.median_v,
+         abs(e.value - m.median_v) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad_v
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.median_v, m.mad_v,
+       CASE WHEN m.mad_v > 0 THEN round(d.ad / m.mad_v, 6) END AS robust_z,
+       CASE WHEN m.mad_v > 0 THEN d.ad / m.mad_v > 3.5
+            ELSE d.ad > 0 END AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+    # q-gram candidate join + exact levenshtein verification on the
+    # 40-char prefixes; stopword-grams (df > 1000) dropped pre-join
+    o["similar_strings"] = """
+WITH s AS (SELECT doc_id AS id, substr(text, 1, 40) AS sv FROM documents),
+g AS (
+  SELECT id, sv, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(sv) - 2, 0)),
+           i -> substr(sv, i, 3)))) AS gr
+  FROM s
+),
+gf AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 1000),
+gg AS (SELECT g.* FROM g JOIN gf USING (gr)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sv AS sa, b.sv AS sb
+  FROM gg a JOIN gg b ON a.gr = b.gr AND a.id < b.id
+  WHERE abs(length(a.sv) - length(b.sv)) <= 2
+)
+SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(sa, sb) <= 2
+"""
 
     # feature hashing: the portable md5 bucket (same convention as
     # hash_sample), smooth-free idf = ln(N/df), 6 dp

@@ -1061,3 +1061,85 @@ def dedup_corpus(
         ),
         on=id_col,
     )
+
+
+def similar_strings(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    ngram: int = 3,
+    prefix_len: int | None = 40,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Edit-distance similarity join on short strings: candidate
+    pairs must share at least one character ``ngram``-gram and sit
+    within a ``max_dist`` length band, then survive an exact
+    ``levenshtein`` check.  Returns ``(id_a, id_b, dist)`` with
+    ``id_a < id_b`` — typo-level near-duplicate detection for titles,
+    URLs, product names (the q-gram filtering classic, Gravano et al.
+    2001).  ``prefix_len`` truncates long values first (None = whole
+    string); strings shorter than ``ngram`` generate no candidates —
+    this is a candidate FILTER join, not an exhaustive one, and the
+    recall contract is the shared-gram rule itself (mirrored verbatim
+    by the SQL twin).
+
+    Scale design: candidates come from an equi-join on the gram key —
+    never an all-pairs product; grams appearing in more than
+    ``max_df`` strings are dropped before the join (the stopword-gram
+    skew cap, same discipline as the shingle-based dedups), and the
+    length band prunes before the O(n·m) verification, which runs
+    JVM-side (``F.levenshtein``) on candidates only.
+    """
+    if ngram < 1 or max_dist < 0:
+        raise ValueError("similar_strings: ngram >= 1 and max_dist >= 0")
+    sv = F.col(col) if prefix_len is None else F.substring(F.col(col), 1, prefix_len)
+    base = df.select(F.col(id_col).alias("id"), sv.alias("sv"))
+    grams = base.select(
+        "id",
+        "sv",
+        F.explode(
+            # NB: Spark's sequence(1, 0) DESCENDS instead of being
+            # empty, so short strings need the explicit guard (the
+            # DuckDB twin's generate_series(1, 0) is empty natively)
+            F.when(
+                F.length("sv") >= ngram,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.length("sv") - (ngram - 1)
+                        ),
+                        lambda i: F.substring(F.col("sv"), i, ngram),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gr"),
+    )
+    rare = (
+        grams.groupBy("gr")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("gr")
+    )
+    gg = grams.join(rare, on="gr", how="left_semi")
+    a = gg.select(
+        F.col("gr"), F.col("id").alias("id_a"), F.col("sv").alias("sa")
+    )
+    b = gg.select(
+        F.col("gr"), F.col("id").alias("id_b"), F.col("sv").alias("sb")
+    )
+    cand = (
+        a.join(b, on="gr")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("sa") - F.length("sb")) <= max_dist
+            )
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    d = F.levenshtein("sa", "sb")
+    return cand.filter(d <= max_dist).select(
+        "id_a", "id_b", d.alias("dist")
+    )

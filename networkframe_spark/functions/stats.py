@@ -91,3 +91,76 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Median/MAD outlier flagging (the robust z-score): per group —
+    or globally when ``group_col`` is None — compute the median and
+    the median absolute deviation of ``value_col`` and flag rows with
+    ``|x - median| > k * MAD`` (Iglewicz & Hoaglin's rule at the
+    default k=3.5, up to the 0.6745 consistency constant callers can
+    fold into ``k``).  Returns ``(id_col[, group_col], value,
+    median_v, mad_v, robust_z, is_outlier)`` with ``robust_z`` at
+    6 dp (NULL when MAD is 0 — a constant-majority group — in which
+    case any deviation at all is flagged).
+
+    Unlike mean/stddev gating, the breakdown point is 50%: outliers
+    cannot drag the fence toward themselves — the right default for
+    heavy-tailed telemetry and corpus statistics.
+
+    Scale design: two percentile passes (value median, then deviation
+    median) — each a single aggregate whose result broadcast-joins
+    back; ``approx=True`` swaps the exact sort-based ``median`` for
+    the mergeable ``percentile_approx`` sketch (the 100 TB path,
+    bounded memory per group).  No window over the full table.
+    """
+    pf = (
+        (lambda c: F.percentile_approx(c, F.lit(0.5)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+    v = F.col(value_col)
+    gcols = [group_col] if group_col else []
+    # medians round to 6 dp BEFORE the z computation: the exact
+    # interpolated midpoint is engine-lerp-dependent in the last ulp,
+    # and both engines must gate on the identical fence
+    med = df.groupBy(*gcols).agg(F.round(pf(v), 6).alias("median_v"))
+    joined = (
+        df.join(F.broadcast(med), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = joined.select(
+        *([F.col(group_col)] if gcols else []),
+        F.col(id_col),
+        v.alias("__v"),
+        F.col("median_v"),
+        F.abs(v - F.col("median_v")).alias("__ad"),
+    )
+    mad = dev.groupBy(*gcols).agg(
+        F.round(pf(F.col("__ad")), 6).alias("mad_v")
+    )
+    full = (
+        dev.join(F.broadcast(mad), on=gcols)
+        if gcols
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    z = F.col("__ad") / F.col("mad_v")
+    return full.select(
+        *([F.col(group_col)] if gcols else []),
+        F.col(id_col),
+        F.col("__v").alias(value_col),
+        F.col("median_v"),
+        F.col("mad_v"),
+        F.when(F.col("mad_v") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("mad_v") > 0, z > k)
+        .otherwise(F.col("__ad") > 0)
+        .alias("is_outlier"),
+    )

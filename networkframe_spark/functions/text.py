@@ -860,3 +860,86 @@ def bpe_train(
         if r % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Apply trained BPE merges (:func:`bpe_train` output, or a list
+    of ``(left, right)`` pairs in rank order) and report per-document
+    BPE token counts: ``(id_col, n_chars_in_words, n_bpe_tokens,
+    compression)`` where ``compression = chars / tokens`` at 6 dp
+    (NULL for wordless documents) — the "how well does my tokenizer
+    compress this corpus" measurement that closes the train/apply
+    loop.  Words longer than ``max_word_len`` are skipped, mirroring
+    training.
+
+    Scale design: the merge table is vocabulary-sized by construction
+    (``n_merges`` rows), so collecting it to build the expression
+    chain is a bounded driver value — each merge becomes one
+    codegen'd greedy-leftmost fold over the word's symbol array, and
+    the whole encode is a single map-side expression pipeline feeding
+    one per-doc hash aggregate.  No shuffle beyond the final count.
+    """
+    if hasattr(merges, "collect"):
+        rows = sorted(
+            ((r["merge_rank"], r["left"], r["right"]) for r in merges.collect())
+        )
+        pairs = [(l, r) for _, l, r in rows]
+    else:
+        pairs = list(merges)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    def _merge_fold(l: str, r: str):
+        # closure factory: pyspark counts lambda parameters, so the
+        # captured pair can't ride as default arguments
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    syms = chars
+    for l, r in pairs:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), _merge_fold(l, r)
+        )
+    per_word = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= max_word_len))
+        .select(
+            F.col(id_col),
+            F.length("word").alias("__nc"),
+            F.size(syms).alias("__nt"),
+        )
+    )
+    agg = per_word.groupBy(id_col).agg(
+        F.sum("__nc").alias("n_chars_in_words"),
+        F.sum("__nt").alias("n_bpe_tokens"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chars_in_words", F.lit(0)).alias("n_chars_in_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(F.col("n_chars_in_words") / F.col("n_bpe_tokens"), 6),
+            ).alias("compression"),
+        )
+    )

@@ -1316,3 +1316,80 @@ def test_bpe_train_overlapping_matches_greedy(spark):
     assert got[1] == (2, "aa", "aa", 2)
     # after round 2: aaaa -> [aaaa]; aaa stays [aa, a]
     assert got[2] == (3, "aa", "a", 1)
+
+
+def test_bpe_encode_compression(spark):
+    """Encoding with an explicit merge list: 'newest' under
+    (w,e),(s,t),(e,we) becomes [n, ewe, st] -> 3 tokens / 6 chars;
+    wordless docs report zeros with NULL compression."""
+    from networkframe_spark.functions.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "newest newest"), (1, "")], "doc_id long, text string"
+    )
+    merges = [("w", "e"), ("s", "t"), ("e", "we")]
+    got = {
+        r["doc_id"]: (r["n_chars_in_words"], r["n_bpe_tokens"], r["compression"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got[0] == (12, 6, 2.0)
+    assert got[1] == (0, 0, None)
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """More merges never worsen compression on the training corpus."""
+    from networkframe_spark.functions.text import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    m2 = bpe_train(docs, n_merges=2)
+    m6 = bpe_train(docs, n_merges=6)
+    c2 = bpe_encode(docs, m2).collect()[0]["compression"]
+    c6 = bpe_encode(docs, m6).collect()[0]["compression"]
+    assert c6 >= c2 > 1.0
+
+
+def test_robust_outliers_median_mad(spark):
+    """A lone extreme value is flagged; the constant-majority group
+    (MAD 0) flags any deviation with NULL z."""
+    from networkframe_spark.functions.stats import robust_outliers
+
+    ev = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 500])]
+        + [(10, "b", 5.0), (11, "b", 5.0), (12, "b", 5.0), (13, "b", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r["event_id"]: r
+        for r in robust_outliers(ev, "value", group_col="event_type").collect()
+    }
+    assert got[5]["is_outlier"] and got[5]["robust_z"] > 100
+    assert not got[0]["is_outlier"] and not got[4]["is_outlier"]
+    # group b: median 5, deviations (0,0,0,4) -> MAD 0 -> flag any dev
+    assert got[13]["mad_v"] == 0.0 and got[13]["robust_z"] is None
+    assert got[13]["is_outlier"] and not got[10]["is_outlier"]
+
+
+def test_similar_strings_typo_pairs(spark):
+    """One-substitution and one-insertion neighbors are found through
+    shared trigrams; unrelated strings are not paired."""
+    from networkframe_spark.functions.dedup import similar_strings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streaming engine"),
+            (2, "spark streamin engine"),   # deletion, dist 1
+            (3, "spark streaming enginX"),  # substitution, dist 1
+            (4, "completely different"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in similar_strings(docs, max_dist=2).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1
+    assert got[(2, 3)] == 2
+    assert all(4 not in pair for pair in got)
