@@ -103,6 +103,12 @@ HEADLINE = [
     "perplexity_buckets",    # CCNet head/middle/tail gate (r6s3)
     "pq_encode",             # product-quantization codes (r6s3)
     "k_truss",               # bounded triangle-support peel (r6s3)
+    "zipf_fit",              # decimal-moment head fit (r6s3)
+    "hashed_tfidf",          # feature-hashing vectorizer (r6s3)
+    "top_event_paths",       # sliding path n-gram mining (r6s3)
+    "robust_outliers",       # median/MAD fence (r6s3)
+    "similar_strings",       # q-gram edit-distance join (r6s3)
+    "bpe_train",             # 8 merge rounds, no collect (r6s3)
 ]
 
 

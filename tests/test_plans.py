@@ -422,3 +422,46 @@ def test_perplexity_buckets_plan_broadcasts_thresholds(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_similar_strings_plan_no_cartesian(spark):
+    """Candidates come from the gram equi-join, never an all-pairs
+    product; verification stays JVM-side (no Python eval)."""
+    from networkframe_spark.functions.dedup import similar_strings
+    from networkframe_spark.sources import read_table
+
+    plan = _plan(similar_strings(read_table(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robust_outliers_plan_broadcast_fences(spark):
+    """Both fence tables (median, MAD) join back as broadcasts; no
+    full-table window, no Python."""
+    from networkframe_spark.functions.stats import robust_outliers
+    from networkframe_spark.sources import read_events
+
+    plan = _plan(
+        robust_outliers(read_events(spark, SF_DIR), "value", group_col="event_type")
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_train_plan_no_collect_no_python(spark):
+    """The merges result must be a union of 1-row checkpointed
+    argmaxes (lineage-bounded — each round's best pair materialized
+    once, never recomputed), with no Python stage and no cartesian
+    anywhere in the result plan."""
+    from networkframe_spark.functions.text import bpe_train
+    from networkframe_spark.sources import read_table
+
+    plan = _plan(bpe_train(read_table(spark, SF_DIR, "documents"), n_merges=2))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # each round's best row reads from its lazy checkpoint, not from a
+    # re-expanded pair-count subtree
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan

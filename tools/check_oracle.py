@@ -73,8 +73,15 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -93,25 +100,62 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {str(e).splitlines()[0][:160]}")
             failures += 1
+            results[name] = {
+                "status": "fail",
+                "err": f"spark: {str(e).splitlines()[0][:160]}",
+            }
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(spark_pdf),
+                "spark_sec": round(t_spark, 1),
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {str(e).splitlines()[0][:160]}")
             failures += 1
+            results[name] = {
+                "status": "fail",
+                "err": f"duckdb: {str(e).splitlines()[0][:160]}",
+            }
             continue
         problems = compare(spark_pdf, duck_pdf)
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} ({t_spark:.1f}s)")
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
         else:
             print(f"ok    {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
+            results[name] = {
+                "status": "ok",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(duck_pdf),
+                "spark_sec": round(t_spark, 1),
+            }
     spark.stop()
     print(f"\n{failures} failures")
+    if json_out:
+        import json as _json
+
+        ok = sum(1 for r in results.values() if r["status"] == "ok")
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_ok": ok,
+                    "n_fail": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
