@@ -94,6 +94,10 @@ def read_table_at(
         if schema is not None:
             r = r.schema(schema)
         return r.json(path)
+    if fmt == "orc":
+        # native columnar like parquet: pushdown, pruning, and
+        # vectorized reads all apply
+        return spark.read.orc(path)
     raise ValueError(f"unsupported format: {fmt!r}")
 
 

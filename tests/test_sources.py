@@ -225,3 +225,19 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     )
     assert len(glob.glob(dst2 + "/part-*")) >= 4  # ceil(1000/300)
     assert back2.count() == 1000
+
+
+def test_read_table_at_orc_roundtrip(spark, tmp_path):
+    """ORC round-trips through the format dispatcher with pushdown
+    reaching the scan like parquet."""
+    from networkframe_spark.sources import read_table_at
+
+    src = spark.range(100).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "t_orc")
+    src.write.orc(p)
+    back = read_table_at(spark, p, fmt="orc")
+    assert back.count() == 100
+    filtered = back.filter("id > 90")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower() and "PushedFilters" in plan
+    assert filtered.count() == 9
