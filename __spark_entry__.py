@@ -850,6 +850,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_encode"] = q_pq_encode
 
+    # ADC top-k on the codes; queries = the first 5 vectors
+    def q_pq_search(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            pq_codebook,
+            pq_encode,
+            pq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        cb = pq_codebook(emb, m=4, k=16, init="first_ids")
+        codes = pq_encode(emb, cb)
+        queries = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return pq_search(codes, cb, queries, k=5)
+
+    q["pq_search"] = q_pq_search
+
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -4343,6 +4361,54 @@ best AS (
 )
 SELECT vec_id, array_to_string(list(code ORDER BY j ASC), ',') AS codes
 FROM best GROUP BY vec_id
+"""
+
+    # ADC search over the first_ids codes: per-query lookup table of
+    # 6-dp-rounded subspace distances summed as exact DECIMALs
+    o["pq_search"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS code,
+         emb
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 16)
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT vec_id, j, emb[j*16+1 : j*16+16] AS sv FROM e, js),
+cb AS (SELECT code, j, emb[j*16+1 : j*16+16] AS cv FROM seeds, js),
+d AS (
+  SELECT s.vec_id, s.j, c.code,
+         round(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+qsub AS (SELECT query_id, j, emb[j*16+1 : j*16+16] AS qv FROM q, js),
+lut AS (
+  SELECT qs.query_id, qs.j, c.code,
+         CAST(round(list_dot_product(qs.qv, qs.qv)
+                    - 2 * list_dot_product(qs.qv, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6)
+              AS DECIMAL(18,6)) AS dd
+  FROM qsub qs JOIN cb c ON c.j = qs.j
+),
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(SUM(l.dd) AS DOUBLE) AS approx_d2
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC)
+       AS INTEGER) AS rank,
+       approx_d2
+FROM scored QUALIFY rank <= 5
 """
 
     # bounded k-truss peel, unrolled: per round, per-edge triangle

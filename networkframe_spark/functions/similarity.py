@@ -1042,3 +1042,85 @@ def pq_encode(
             )
 
     return df.select(id_col, emb_col).mapInPandas(fn, out_schema)
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC, Jégou et al. 2011): score
+    every encoded corpus vector against each query through a
+    per-query lookup table — ``approx_d2(q, x) = Σ_j ‖q_j −
+    codebook[j][code_j(x)]‖²`` — and return the top ``k`` per query
+    as ``(query_id, vec_id, rank, approx_d2)``.  Distances accumulate
+    as DECIMAL(18,6) from 6-dp-rounded per-subspace entries, so sums
+    are exact, order-independent, and engine-portable; ties break to
+    the lower corpus id.
+
+    Scale design: the lookup table is ``n_queries × m × k`` rows —
+    queries-sized, built by a broadcast join of the query subvectors
+    against the literal codebook table and broadcast again onto the
+    exploded corpus codes, so the corpus-side cost is one explode +
+    one keyed hash aggregate + one per-query top-k window; the corpus
+    embeddings themselves are never touched (that is the point of
+    PQ: search runs entirely on the m-byte codes).
+    """
+    spark = codes_df.sparkSession
+    m = len(codebook)
+    kcent = len(codebook[0])
+    sub = len(codebook[0][0])
+    cb_rows = [
+        (j, c, [float(x) for x in codebook[j][c]])
+        for j in range(m)
+        for c in range(kcent)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "j int, code int, cv array<double>"
+    )
+    qsub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col(emb_col).cast("array<double>"), j * sub + 1, sub
+                ),
+            )
+        ).alias("j", "qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = qsub.join(F.broadcast(cb), on="j").select(
+        F.col(query_id_col),
+        "j",
+        "code",
+        F.round(d2, 6).cast("decimal(18,6)").alias("__d"),
+    )
+    exploded = codes_df.select(
+        F.col(id_col), F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), on=["j", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").cast("double").alias("approx_d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            query_id_col,
+            id_col,
+            F.row_number().over(w).alias("rank"),
+            "approx_d2",
+        )
+        .filter(F.col("rank") <= k)
+    )

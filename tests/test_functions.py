@@ -1393,3 +1393,36 @@ def test_similar_strings_typo_pairs(spark):
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1
     assert got[(2, 3)] == 2
     assert all(4 not in pair for pair in got)
+
+
+def test_pq_search_exact_when_codes_are_identity(spark):
+    """With k = n corpus vectors as their own centroids (first_ids
+    covers the whole corpus), ADC distance equals the true squared
+    L2, so the ranking matches brute force exactly."""
+    from networkframe_spark.functions.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 2.0, 0.0, 0.0]),
+            (3, [3.0, 3.0, 3.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebook(emb, m=2, k=4, init="first_ids")
+    codes = pq_encode(emb, cb)
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["approx_d2"])
+        for r in pq_search(codes, cb, queries, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 0, 0.0), (2, 1, 1.0), (3, 2, 4.0), (4, 3, 36.0)]
