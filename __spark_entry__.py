@@ -1468,6 +1468,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_truss"] = q_k_truss
 
+    def q_core_numbers(spark, sf):
+        # same clique+chain graph as k_truss; 4 pinned h-index rounds
+        # so the DuckDB twin can unroll the identical iteration
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id")).filter("id < 450")
+        clique = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        chain = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("b.id = a.id + 1"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return NetworkFrame(nodes, clique.unionAll(chain)).core_numbers(
+            max_rounds=4
+        )
+
+    q["core_numbers"] = q_core_numbers
+
     def q_corpus_describe(spark, sf):
         docs = read_table(spark, sf, "documents")
         return corpus_describe(docs)
@@ -4460,6 +4482,40 @@ FROM scored QUALIFY rank <= 5
         + f"""
 SELECT e.u AS source, e.v AS target, coalesce(s.c, 0) AS support
 FROM e{_kt_rounds} e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
+"""
+    )
+
+    # bounded h-index core decomposition, unrolled: per round, join
+    # estimates onto the adjacency, windowed h-index per node
+    _cn_rounds = 4
+    _cn = [
+        "ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 450)",
+        """e0 AS (SELECT DISTINCT u, v FROM (
+  SELECT a.id AS u, b.id AS v FROM ids a
+  JOIN ids b ON a.id % 7 = b.id % 7 AND a.id < b.id
+  UNION ALL
+  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1))""",
+        "nbt AS (SELECT u AS id, v AS nb FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "est0 AS (SELECT id, count(*) AS est FROM nbt GROUP BY id)",
+    ]
+    for _i in range(1, _cn_rounds + 1):
+        _cn.append(
+            f"""rk{_i} AS (
+  SELECT n.id, e.est AS nb_est,
+         row_number() OVER (
+           PARTITION BY n.id ORDER BY e.est DESC, n.nb ASC) AS rk
+  FROM nbt n JOIN est{_i - 1} e ON e.id = n.nb)"""
+        )
+        _cn.append(
+            f"""est{_i} AS (
+  SELECT id, max(least(rk, nb_est)) AS est FROM rk{_i} GROUP BY id)"""
+        )
+    o["core_numbers"] = (
+        "WITH "
+        + ",\n".join(_cn)
+        + f"""
+SELECT d.doc_id AS id, coalesce(e.est, 0) AS core_number
+FROM documents d LEFT JOIN est{_cn_rounds} e ON e.id = d.doc_id
 """
     )
 

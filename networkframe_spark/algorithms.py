@@ -2619,3 +2619,94 @@ def k_truss(frame, k: int = 3, max_rounds: int | None = None) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).alias("support"),
         )
     )
+
+
+def core_numbers(
+    frame, max_rounds: int | None = None
+) -> DataFrame:
+    """Full k-core decomposition of the undirected simple projection:
+    every node's core number (the largest k such that the node
+    belongs to the k-core), via the distributed h-index iteration
+    (Montresor, De Pellegrini & Miorandi 2013): start from degrees
+    and repeatedly set each node's estimate to the h-index of its
+    neighbors' estimates — the largest ``h`` with at least ``h``
+    neighbors at estimate ≥ ``h``.  Estimates decrease monotonically
+    and converge to the exact core numbers.  Returns ``(id,
+    core_number)`` for every node (isolated nodes report 0).
+    ``max_rounds=None`` runs to fixpoint; a pinned round count is the
+    bounded deterministic variant the SQL twin unrolls.
+
+    Generalizes :func:`k_core` (which answers membership for ONE k)
+    to the whole hierarchy in one run.
+
+    Scale design: per round, ONE keyed join (estimates onto the
+    adjacency, partitioned on the neighbor id) and one windowed
+    h-index per node — the window is keyed by node (never global),
+    state is node-sized, and the adjacency is built once and lazily
+    checkpointed.  Convergence is a single xxhash64 fingerprint
+    aggregate per round (bounded scalar), not a collect.
+    """
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = e.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    nb = (
+        und.select(F.col("u").alias("id"), F.col("v").alias("nb"))
+        .unionAll(und.select(F.col("v").alias("id"), F.col("u").alias("nb")))
+        .localCheckpoint(eager=False)
+    )
+    est = nb.groupBy("id").agg(F.count(F.lit(1)).alias("est")).localCheckpoint(
+        eager=False
+    )
+
+    def _fingerprint(df: DataFrame) -> int:
+        # bit_xor of row hashes: exact, order-independent, and
+        # overflow-free under ANSI (a SUM of 64-bit hashes is not)
+        row = df.agg(
+            F.bit_xor(F.xxhash64(F.col("id"), F.col("est"))).alias("f")
+        ).collect()[0]
+        return row["f"] or 0
+
+    from pyspark.sql import Window
+
+    fp = _fingerprint(est)
+    r = 0
+    w = Window.partitionBy("id").orderBy(
+        F.col("nb_est").desc(), F.col("nb").asc()
+    )
+    while True:
+        if max_rounds is not None and r >= max_rounds:
+            break
+        ranked = (
+            nb.join(
+                est.select(F.col("id").alias("nb"), F.col("est").alias("nb_est")),
+                on="nb",
+            )
+            .select(
+                "id",
+                "nb",
+                "nb_est",
+                F.row_number().over(w).alias("rk"),
+            )
+        )
+        new_est = (
+            ranked.groupBy("id")
+            .agg(
+                F.max(F.least(F.col("rk"), F.col("nb_est"))).alias("est")
+            )
+            .localCheckpoint(eager=False)
+        )
+        fp2 = _fingerprint(new_est)
+        est = new_est
+        r += 1
+        if fp2 == fp:
+            break
+        fp = fp2
+    return (
+        frame.nodes.select("id")
+        .join(est, on="id", how="left")
+        .select("id", F.coalesce("est", F.lit(0)).alias("core_number"))
+    )

@@ -738,6 +738,14 @@ class NetworkFrame:
 
         return k_truss(self, k, max_rounds=max_rounds)
 
+    def core_numbers(self, max_rounds: Optional[int] = None) -> DataFrame:
+        """Full core decomposition ``(id, core_number)`` via the
+        distributed h-index iteration; see
+        :func:`networkframe_spark.algorithms.core_numbers`."""
+        from .algorithms import core_numbers
+
+        return core_numbers(self, max_rounds=max_rounds)
+
     def shortest_paths(
         self,
         node_id,

@@ -680,3 +680,31 @@ def test_bpe_train_matches_python_reference(spark, words, n_merges):
                     i += 1
             syms[w] = out
     assert got == expect
+
+
+@given(edge_list=_edges)
+@_settings
+def test_core_numbers_match_python_peel(spark, edge_list):
+    """Converged h-index iteration == the classic min-degree peel."""
+    nf = _frame(spark, edge_list)
+    got = {
+        r["id"]: r["core_number"] for r in nf.core_numbers().collect()
+    }
+
+    adj = {i: set() for i in range(N_MAX)}
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core, k = {}, 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for w in adj[v]:
+            if w in remaining:
+                deg[w] -= 1
+    assert got == core
