@@ -1351,6 +1351,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_event_paths"] = q_top_event_paths
 
+    def q_weighted_sample_k(spark, sf):
+        from networkframe_spark.functions.pipeline import weighted_sample_k
+
+        docs = read_table(spark, sf, "documents")
+        return weighted_sample_k(docs, "n_chars", k=50).select(
+            "doc_id", "n_chars"
+        )
+
+    q["weighted_sample_k"] = q_weighted_sample_k
+
+    def q_group_rare_categories(spark, sf):
+        from networkframe_spark.functions.pipeline import group_rare_categories
+
+        docs = read_table(spark, sf, "documents")
+        return group_rare_categories(docs, "source", min_count=30).select(
+            "doc_id", "source", "source_folded"
+        )
+
+    q["group_rare_categories"] = q_group_rare_categories
+
+    def q_target_encoding(spark, sf):
+        from networkframe_spark.functions.pipeline import target_encoding
+
+        docs = read_table(spark, sf, "documents")
+        return target_encoding(docs, "lang", "n_chars", smoothing=20.0)
+
+    q["target_encoding"] = q_target_encoding
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3647,6 +3675,49 @@ nd AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.feature,
        round(tfc * ln(CAST(nd.n AS DOUBLE) / dfc), 6) AS weight
 FROM tf JOIN dfreq USING (feature), nd
+"""
+
+    # A-ES weighted sampling without replacement: rank by ln(u)/w from
+    # the portable md5 coin (seed 42); ties impossible across keys
+    o["weighted_sample_k"] = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+             % 1000000 + 0.5) / 1000000.0) / n_chars AS es
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM w ORDER BY es DESC, doc_id ASC LIMIT 50
+"""
+
+    # fold sub-threshold categories into one bucket; membership map
+    # derived from a single category aggregate
+    o["group_rare_categories"] = """
+WITH keep AS (
+  SELECT source FROM documents GROUP BY source HAVING count(*) >= 30
+)
+SELECT d.doc_id, d.source,
+       CASE WHEN k.source IS NOT NULL THEN d.source
+            ELSE '__other__' END AS source_folded
+FROM documents d LEFT JOIN keep k ON d.source = k.source
+"""
+
+    # smoothed target encoding: decimal category/global sums, two
+    # floating divisions at the end
+    o["target_encoding"] = """
+WITH per AS (
+  SELECT lang, count(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(28,6))) AS sy
+  FROM documents GROUP BY lang
+),
+pr AS (
+  SELECT CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+         AS prior
+  FROM documents
+)
+SELECT per.lang, per.n,
+       round((CAST(per.sy AS DOUBLE) + 20.0 * pr.prior)
+             / (per.n + 20.0), 6) AS lang_te
+FROM per, pr
 """
 
     # top event-type trigram paths over the (ts, event_id) total order;

@@ -1048,3 +1048,119 @@ def hashed_tfidf_vectors(
             ).alias("weight"),
         )
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly
+    ``k`` rows (Efraimidis & Spirakis 2006, algorithm A-ES): each row
+    draws ``u`` from its md5 hash and ranks by ``u^(1/w)`` — computed
+    as the monotone-equivalent ``ln(u)/w`` — so inclusion probability
+    is proportional to weight, no RNG state exists, and reruns (or
+    retried tasks) pick the identical sample.  Rows with
+    non-positive weight are excluded.  Complements
+    :func:`weighted_sample` (per-row Bernoulli, random SIZE) with the
+    exact-size variant.
+
+    Scale design: the ranking key is a pure map-side expression; the
+    selection is a distributed TakeOrdered (``orderBy().limit(k)``),
+    so no global sort materializes.  Ties are impossible across
+    distinct keys (the hash differs) and broken by key for identical
+    (hash, weight) pairs.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_k: k must be >= 1")
+    u = (_bucket_col(F.col(key_col), seed, "md5") + 0.5) / float(_HASH_MOD)
+    es_key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", es_key)
+        .orderBy(F.desc("__es"), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es")
+    )
+
+
+def group_rare_categories(
+    df: DataFrame,
+    col: str,
+    min_count: int = 100,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fold long-tail categories into one bucket: values of ``col``
+    appearing fewer than ``min_count`` times become ``other_label``
+    (written to ``out_col``, default ``{col}_folded``) — the standard
+    cardinality-control step before one-hot/target encoding, and a
+    privacy-adjacent k-anonymity floor for categorical reporting.
+
+    Scale design: one hash aggregate over the category (tiny result),
+    broadcast back as a semi-join-shaped membership map — the fact
+    table is never shuffled, and the fold is a map-side ``when``.
+    """
+    out_col = out_col or f"{col}_folded"
+    keep = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select(F.col(col).alias("__keep"))
+    )
+    return (
+        df.join(
+            F.broadcast(keep), on=F.col(col).eqNullSafe(F.col("__keep")), how="left"
+        )
+        .withColumn(
+            out_col,
+            F.when(F.col("__keep").isNotNull(), F.col(col)).otherwise(
+                F.lit(other_label)
+            ),
+        )
+        .drop("__keep")
+    )
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Smoothed target encoding (the Micci-Barreca 2001 category
+    encoder): each category maps to ``(sum_y + smoothing * prior) /
+    (n + smoothing)`` where ``prior`` is the global target mean —
+    small categories shrink toward the prior instead of memorizing
+    noise.  Returns one row per category ``(cat, n, encoding)`` with
+    the encoding at 6 dp — join it back to features, or feed the
+    leakage-safe variants (fit on train only) directly.
+
+    Numerics: both the per-category and global sums accumulate as
+    DECIMAL(28,6) — exact and order-independent — and only the two
+    final divisions are floating, so the encoding is engine-portable.
+
+    Scale design: one partial+final hash aggregate on the category
+    plus a 1-row broadcast prior; nothing else touches the fact
+    table.
+    """
+    out_col = out_col or f"{cat_col}_te"
+    y = F.col(target_col).cast("decimal(28,6)")
+    per = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("__sy")
+    )
+    prior = df.agg(
+        (F.sum(y).cast("double") / F.count(F.lit(1))).alias("__prior")
+    )
+    return per.crossJoin(F.broadcast(prior)).select(
+        F.col(cat_col),
+        F.col("n"),
+        F.round(
+            (F.col("__sy").cast("double") + smoothing * F.col("__prior"))
+            / (F.col("n") + F.lit(smoothing)),
+            6,
+        ).alias(out_col),
+    )

@@ -604,3 +604,51 @@ def test_perplexity_buckets_thirds(spark):
         for r in perplexity_buckets(docs, approx=True).collect()
     }
     assert approx[0] == "head" and approx[2] == "tail" and approx[3] is None
+
+
+def test_weighted_sample_k_properties(spark):
+    """Exactly k rows, deterministic across calls, zero-weight rows
+    excluded, and heavier rows win on average (a weight-10^6 row is
+    effectively always picked over weight-1 rows)."""
+    from networkframe_spark.functions.pipeline import weighted_sample_k
+
+    rows = [(i, 1.0) for i in range(100)] + [(100, 1e6), (101, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = {r["doc_id"] for r in weighted_sample_k(df, "w", 10).collect()}
+    s2 = {r["doc_id"] for r in weighted_sample_k(df, "w", 10).collect()}
+    assert s1 == s2 and len(s1) == 10
+    assert 100 in s1  # the heavy row
+    assert 101 not in s1  # zero weight excluded
+
+
+def test_group_rare_categories_fold(spark):
+    from networkframe_spark.functions.pipeline import group_rare_categories
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(10)] + [(10, "tiny"), (11, None)],
+        "doc_id long, cat string",
+    )
+    got = {
+        r["doc_id"]: r["cat_folded"]
+        for r in group_rare_categories(df, "cat", min_count=5).collect()
+    }
+    assert got[0] == "big"
+    assert got[10] == "__other__"
+    assert got[11] == "__other__"  # null folds too
+
+
+def test_target_encoding_shrinks_to_prior(spark):
+    """A 1-row category lands near the prior; a large category stays
+    near its own mean; exact decimal arithmetic."""
+    from networkframe_spark.functions.pipeline import target_encoding
+
+    rows = [(i, "big", 10.0) for i in range(100)] + [(100, "small", 100.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    got = {
+        r["cat"]: r["cat_te"]
+        for r in target_encoding(df, "cat", "y", smoothing=20.0).collect()
+    }
+    prior = (100 * 10.0 + 100.0) / 101
+    assert got["big"] == round((100 * 10.0 + 20 * prior) / 120.0, 6)
+    assert got["small"] == round((100.0 + 20 * prior) / 21.0, 6)
+    assert abs(got["small"] - prior) < abs(100.0 - prior)  # shrunk
