@@ -1379,6 +1379,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["target_encoding"] = q_target_encoding
 
+    # salted join must be result-identical to the plain join (the
+    # oracle IS the plain join)
+    def q_salted_join(spark, sf):
+        from networkframe_spark.functions.pipeline import salted_join
+
+        docs = read_table(spark, sf, "documents")
+        rstats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+        return salted_join(docs, rstats, on="lang", n_salt=8).select(
+            "doc_id", "lang", "lang_n"
+        )
+
+    q["salted_join"] = q_salted_join
+
+    def q_script_profile(spark, sf):
+        from networkframe_spark.functions.text import script_profile
+
+        docs = read_table(spark, sf, "documents")
+        return script_profile(docs)
+
+    q["script_profile"] = q_script_profile
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3675,6 +3696,44 @@ nd AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.feature,
        round(tfc * ln(CAST(nd.n AS DOUBLE) / dfc), 6) AS weight
 FROM tf JOIN dfreq USING (feature), nd
+"""
+
+    # the salted join's contract: bit-identical to the plain join
+    o["salted_join"] = """
+WITH r AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, r.lang_n FROM documents d JOIN r USING (lang)
+"""
+
+    # script composition via explicit Unicode ranges; each count is
+    # length(s) - length(regexp_replace(s, class, '', 'g'))
+    _sp = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "space": "[ \t\n\r]",
+        "cjk": "[\\x{4E00}-\\x{9FFF}]",
+        "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    }
+    _sp_counts = {
+        k: f"(length(text) - length(regexp_replace(text, '{v}', '', 'g')))"
+        for k, v in _sp.items()
+    }
+    _sp_other = (
+        "(length(text) - ("
+        + " + ".join(_sp_counts.values())
+        + "))"
+    )
+    _sp_ratio = (
+        lambda c: f"CASE WHEN length(text) > 0 THEN round({c} / length(text), 6) END"
+    )
+    o["script_profile"] = f"""
+SELECT doc_id, length(text) AS n_chars,
+       {_sp_ratio(_sp_counts["latin"])} AS latin_ratio,
+       {_sp_ratio(_sp_counts["digit"])} AS digit_ratio,
+       {_sp_ratio(_sp_counts["space"])} AS space_ratio,
+       {_sp_ratio(_sp_counts["cjk"])} AS cjk_ratio,
+       {_sp_ratio(_sp_counts["cyrillic"])} AS cyrillic_ratio,
+       {_sp_ratio(_sp_other)} AS other_ratio
+FROM documents
 """
 
     # A-ES weighted sampling without replacement: rank by ln(u)/w from

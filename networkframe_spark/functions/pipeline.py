@@ -1164,3 +1164,47 @@ def target_encoding(
             6,
         ).alias(out_col),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the large (skewed) left side gets a
+    deterministic salt in ``[0, n_salt)`` hashed from the whole row,
+    the small right side is replicated ``n_salt`` times, and the join
+    runs on ``(key..., salt)`` — so one hot key spreads over
+    ``n_salt`` tasks instead of melting a single reducer.  Results
+    are IDENTICAL to the unsalted join (``inner`` and ``left`` only —
+    right/outer would duplicate unmatched right rows).
+
+    When to reach for this at 100 TB: AQE's skew-join splitting
+    already rescues sort-merge joins it can see statistics for, but
+    explicit salting is still the tool when the build side must
+    replicate anyway (medium-sized dimension too big to broadcast),
+    under static planning (stream-stream joins), or when one key
+    alone exceeds what a single task can hold.  Cost: right side
+    × ``n_salt`` rows — keep the replicated side the small one.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join: how must be 'inner' or 'left'")
+    if n_salt < 1:
+        raise ValueError("salted_join: n_salt must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)
+    ).cast("int")
+    lsalted = left.withColumn("__salt", salt)
+    rsalted = right.withColumn(
+        "__salt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                lambda i: i.cast("int"),
+            )
+        ),
+    )
+    return lsalted.join(rsalted, on=keys + ["__salt"], how=how).drop("__salt")

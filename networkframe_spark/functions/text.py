@@ -943,3 +943,49 @@ def bpe_encode(
             ).alias("compression"),
         )
     )
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document writing-script composition: the fraction of
+    characters that are basic Latin letters, digits, whitespace, CJK
+    ideographs, Cyrillic, or anything else — ``(id_col, n_chars,
+    latin_ratio, digit_ratio, space_ratio, cjk_ratio, cyrillic_ratio,
+    other_ratio)`` at 6 dp (empty documents report NULL ratios).
+    The cheap script-mix gate multilingual pipelines run before
+    language ID: mixed-script spam, mojibake, and wrong-corpus
+    documents all show up here first.
+
+    Scale design: each count is ``length(s) - length(regexp_replace
+    (s, class, ''))`` — pure codegen'd column expressions, zero
+    shuffle, zero UDF; explicit Unicode ranges so both engines (and
+    any future one) agree on class membership.
+    """
+    classes = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "space": r"[ \t\n\r]",
+        "cjk": "[\\x{4E00}-\\x{9FFF}]",
+        "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    }
+    s = F.col(text_col)
+    n = F.length(s)
+    counts = {
+        name: n - F.length(F.regexp_replace(s, pat, ""))
+        for name, pat in classes.items()
+    }
+    other = n - sum(counts.values(), F.lit(0))
+    ratio = lambda c: F.when(n > 0, F.round(c / n, 6))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        ratio(counts["latin"]).alias("latin_ratio"),
+        ratio(counts["digit"]).alias("digit_ratio"),
+        ratio(counts["space"]).alias("space_ratio"),
+        ratio(counts["cjk"]).alias("cjk_ratio"),
+        ratio(counts["cyrillic"]).alias("cyrillic_ratio"),
+        ratio(other).alias("other_ratio"),
+    )

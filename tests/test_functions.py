@@ -1426,3 +1426,18 @@ def test_pq_search_exact_when_codes_are_identity(spark):
         .collect()
     ]
     assert got == [(1, 0, 0.0), (2, 1, 1.0), (3, 2, 4.0), (4, 3, 36.0)]
+
+
+def test_script_profile_mixed_scripts(spark):
+    """Known mixes: pure ASCII letters, half digits, CJK+Cyrillic."""
+    from networkframe_spark.functions.text import script_profile
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab12"), (3, "漢字яя"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert got[1]["latin_ratio"] == 1.0 and got[1]["other_ratio"] == 0.0
+    assert got[2]["latin_ratio"] == 0.5 and got[2]["digit_ratio"] == 0.5
+    assert got[3]["cjk_ratio"] == 0.5 and got[3]["cyrillic_ratio"] == 0.5
+    assert got[4]["n_chars"] == 0 and got[4]["latin_ratio"] is None

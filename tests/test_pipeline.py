@@ -652,3 +652,27 @@ def test_target_encoding_shrinks_to_prior(spark):
     assert got["big"] == round((100 * 10.0 + 20 * prior) / 120.0, 6)
     assert got["small"] == round((100.0 + 20 * prior) / 21.0, 6)
     assert abs(got["small"] - prior) < abs(100.0 - prior)  # shrunk
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Inner and left salted joins are row-identical to the unsalted
+    joins, including unmatched-left rows and a hot key."""
+    from networkframe_spark.functions.pipeline import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i < 50 else f"k{i}") for i in range(60)],
+        "id long, k string",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k55", 2.0)], "k string, v double"
+    )
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.select("id", "k", "v").collect())
+
+    assert norm(salted_join(left, right, "k", n_salt=4)) == norm(
+        left.join(right, on="k")
+    )
+    assert norm(salted_join(left, right, "k", n_salt=4, how="left")) == norm(
+        left.join(right, on="k", how="left")
+    )
