@@ -1400,6 +1400,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_profile"] = q_script_profile
 
+    def q_extract_json(spark, sf):
+        from networkframe_spark.functions.pipeline import extract_json
+
+        events = read_events(spark, sf)
+        return extract_json(events, "props", {"k": "int"}).select(
+            "event_id", "k"
+        )
+
+    q["extract_json"] = q_extract_json
+
+    # A/B readout over a deterministic variant derived from the JSON
+    # payload (k parity) — composes extract_json
+    def q_ab_test_report(spark, sf):
+        from networkframe_spark.functions.pipeline import (
+            ab_test_report,
+            extract_json,
+        )
+
+        events = read_events(spark, sf)
+        ej = extract_json(events, "props", {"k": "int"})
+        ev = ej.withColumn(
+            "variant",
+            F.when(F.col("k") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+        )
+        return ab_test_report(ev, "variant", "value")
+
+    q["ab_test_report"] = q_ab_test_report
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3696,6 +3724,53 @@ nd AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.feature,
        round(tfc * ln(CAST(nd.n AS DOUBLE) / dfc), 6) AS weight
 FROM tf JOIN dfreq USING (feature), nd
+"""
+
+    # JSON scalar promotion: permissive extraction, NULL on miss
+    o["extract_json"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+    # Welch z over exact decimal moments of 6-dp-quantized values;
+    # arms from the k-parity variant
+    o["ab_test_report"] = """
+WITH x AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 1000000) AS DECIMAL(28,0)) AS v
+  FROM events
+),
+agg AS (
+  SELECT count(CASE WHEN variant = 'A' THEN 1 END) AS n_control,
+         count(CASE WHEN variant = 'B' THEN 1 END) AS n_treatment,
+         SUM(CASE WHEN variant = 'A' THEN v ELSE CAST(0 AS DECIMAL(28,0)) END) AS sc,
+         SUM(CASE WHEN variant = 'B' THEN v ELSE CAST(0 AS DECIMAL(28,0)) END) AS st,
+         SUM(CASE WHEN variant = 'A' THEN v * v ELSE CAST(0 AS DECIMAL(38,0)) END) AS sc2,
+         SUM(CASE WHEN variant = 'B' THEN v * v ELSE CAST(0 AS DECIMAL(38,0)) END) AS st2
+  FROM x
+),
+d AS (
+  SELECT n_control, n_treatment,
+         CAST(n_control AS DOUBLE) AS nc, CAST(n_treatment AS DOUBLE) AS nt,
+         CAST(sc AS DOUBLE) / 1e6 AS sc, CAST(st AS DOUBLE) / 1e6 AS st,
+         CAST(sc2 AS DOUBLE) / 1e12 AS sc2, CAST(st2 AS DOUBLE) / 1e12 AS st2
+  FROM agg
+)
+SELECT n_control, n_treatment,
+       CASE WHEN n_control > 0 THEN round(sc / nc, 6) END AS mean_control,
+       CASE WHEN n_treatment > 0 THEN round(st / nt, 6) END AS mean_treatment,
+       CASE WHEN n_control > 1 AND n_treatment > 1
+            THEN round(st / nt - sc / nc, 6) END AS diff,
+       CASE WHEN n_control > 1 AND n_treatment > 1
+                 AND ((st2 - st * st / nt) / (nt - 1) / nt
+                      + (sc2 - sc * sc / nc) / (nc - 1) / nc) > 0
+            THEN round((st / nt - sc / nc)
+                       / sqrt((st2 - st * st / nt) / (nt - 1) / nt
+                              + (sc2 - sc * sc / nc) / (nc - 1) / nc), 6)
+       END AS z_score
+FROM d
 """
 
     # the salted join's contract: bit-identical to the plain join

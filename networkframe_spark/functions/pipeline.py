@@ -1208,3 +1208,92 @@ def salted_join(
         ),
     )
     return lsalted.join(rsalted, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def extract_json(
+    df: DataFrame,
+    json_col: str,
+    fields: dict,
+) -> DataFrame:
+    """Promote semi-structured JSON payload fields to typed columns:
+    ``fields`` maps output column → ``(json_path, sql_type)`` (path
+    as ``$.a.b``; or just a type string, in which case the path is
+    ``$.<name>``).  Invalid JSON / missing paths yield NULL — never
+    an error — matching permissive ETL semantics.  The unavoidable
+    first step for every event pipeline whose producers ship JSON
+    ``props`` blobs.
+
+    Scale design: ``get_json_object`` + ``cast`` are codegen'd JVM
+    column expressions — one pass, zero shuffle, zero UDF; at 100 TB
+    this is scan-bound.  For DEEPLY nested or repeated extraction,
+    prefer one ``from_json`` with an explicit schema (one parse per
+    row) — this helper targets the common few-scalar-fields case
+    where per-path extraction fuses into the same codegen stage.
+    """
+    out = df
+    for name, spec in fields.items():
+        if isinstance(spec, str):
+            path, typ = f"$.{name}", spec
+        else:
+            path, typ = spec
+        out = out.withColumn(
+            name, F.get_json_object(F.col(json_col), path).cast(typ)
+        )
+    return out
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+) -> DataFrame:
+    """Two-sample experiment readout: one row ``(n_control,
+    n_treatment, mean_control, mean_treatment, diff, z_score)`` with
+    Welch's z = diff / sqrt(s²_t/n_t + s²_c/n_c) at 6 dp (NULL when
+    either arm is empty/degenerate) — the decision summary every
+    A/B pipeline ends in.
+
+    Numerics: per-arm sums and sums of squares accumulate as exact
+    DECIMALs over 6-dp-quantized values (order-independent,
+    engine-portable); means, variances (sample, n-1), and the z are
+    the only floating steps, performed identically in the SQL twin.
+
+    Scale design: ONE partial+final hash aggregate over the fact
+    table (conditional sums per arm — no per-arm scans, no shuffle
+    beyond the 1-row aggregate).
+    """
+    v = F.round(F.col(value_col) * 1_000_000).cast("decimal(28,0)")
+    is_c = F.col(variant_col) == control
+    is_t = F.col(variant_col) == treatment
+    agg = df.agg(
+        F.count(F.when(is_c, 1)).alias("n_control"),
+        F.count(F.when(is_t, 1)).alias("n_treatment"),
+        F.sum(F.when(is_c, v).otherwise(F.lit(0).cast("decimal(28,0)"))).alias("__sc"),
+        F.sum(F.when(is_t, v).otherwise(F.lit(0).cast("decimal(28,0)"))).alias("__st"),
+        F.sum(F.when(is_c, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sc2"),
+        F.sum(F.when(is_t, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__st2"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    sc = F.col("__sc").cast("double") / 1e6
+    st = F.col("__st").cast("double") / 1e6
+    sc2 = F.col("__sc2").cast("double") / 1e12
+    st2 = F.col("__st2").cast("double") / 1e12
+    mc = sc / nc
+    mt = st / nt
+    vc = (sc2 - sc * sc / nc) / (nc - 1)
+    vt = (st2 - st * st / nt) / (nt - 1)
+    se2 = vt / nt + vc / nc
+    ok = (F.col("n_control") > 1) & (F.col("n_treatment") > 1)
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        F.when(F.col("n_control") > 0, F.round(mc, 6)).alias("mean_control"),
+        F.when(F.col("n_treatment") > 0, F.round(mt, 6)).alias("mean_treatment"),
+        F.when(ok, F.round(mt - mc, 6)).alias("diff"),
+        F.when(ok & (se2 > 0), F.round((mt - mc) / F.sqrt(se2), 6)).alias(
+            "z_score"
+        ),
+    )

@@ -676,3 +676,52 @@ def test_salted_join_matches_plain_join(spark):
     assert norm(salted_join(left, right, "k", n_salt=4, how="left")) == norm(
         left.join(right, on="k", how="left")
     )
+
+
+def test_extract_json_typed_and_permissive(spark):
+    """Typed extraction with nested paths; malformed JSON and missing
+    keys yield NULL rather than errors."""
+    from networkframe_spark.functions.pipeline import extract_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "x", "nest": {"d": 1.5}}'),
+            (2, '{"s": "y"}'),
+            (3, "not json"),
+        ],
+        "id long, props string",
+    )
+    got = {
+        r["id"]: (r["k"], r["s"], r["d"])
+        for r in extract_json(
+            df, "props", {"k": "int", "s": "string", "d": ("$.nest.d", "double")}
+        ).collect()
+    }
+    assert got[1] == (7, "x", 1.5)
+    assert got[2] == (None, "y", None)
+    assert got[3] == (None, None, None)
+
+
+def test_ab_test_report_welch_z(spark):
+    """Hand-computed Welch z on two small arms; degenerate arm yields
+    NULL z."""
+    import math
+
+    from networkframe_spark.functions.pipeline import ab_test_report
+
+    rows = [(i, "A", 10.0 + i) for i in range(4)] + [
+        (10 + i, "B", 14.0 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, variant string, value double")
+    r = ab_test_report(df, "variant", "value").collect()[0]
+    assert r["n_control"] == 4 and r["n_treatment"] == 4
+    assert r["mean_control"] == 11.5 and r["mean_treatment"] == 15.5
+    # both arms var = 5/3; se = sqrt(2*(5/3)/4)
+    z = 4.0 / math.sqrt(2 * (5 / 3) / 4)
+    assert abs(r["z_score"] - round(z, 6)) < 1e-6
+
+    one = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0)], "id long, variant string, value double"
+    )
+    r1 = ab_test_report(one, "variant", "value").collect()[0]
+    assert r1["z_score"] is None and r1["mean_control"] == 1.0
