@@ -1330,7 +1330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_similar_strings(spark, sf):
         from networkframe_spark.functions.dedup import similar_strings
 
-        docs = read_table(spark, sf, "documents")
+        # capped input: the fixture's tiny vocabulary makes every
+        # trigram a stopword-gram, so the candidate join is
+        # Σ df² — quadratic in sf without the cap (same constant-
+        # input discipline as the k_truss doc-clique graph)
+        docs = read_table(spark, sf, "documents").filter("doc_id < 500")
         return similar_strings(docs, max_dist=2, prefix_len=40)
 
     q["similar_strings"] = q_similar_strings
@@ -3686,10 +3690,14 @@ SELECT d.event_type, d.event_id, d.value, d.median_v, m.mad_v,
 FROM dev d JOIN mad m USING (event_type)
 """
 
-    # q-gram candidate join + exact levenshtein verification on the
-    # 40-char prefixes; stopword-grams (df > 1000) dropped pre-join
+    # q-gram candidate join + count filter (shared >= min_len - 2 -
+    # 2*3) + exact levenshtein on the 40-char prefixes of the capped
+    # input; stopword-grams (df > 1000) dropped pre-join
     o["similar_strings"] = """
-WITH s AS (SELECT doc_id AS id, substr(text, 1, 40) AS sv FROM documents),
+WITH s AS (
+  SELECT doc_id AS id, substr(text, 1, 40) AS sv FROM documents
+  WHERE doc_id < 500
+),
 g AS (
   SELECT id, sv, unnest(list_distinct(list_transform(
            generate_series(1, greatest(length(sv) - 2, 0)),
@@ -3699,12 +3707,16 @@ g AS (
 gf AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 1000),
 gg AS (SELECT g.* FROM g JOIN gf USING (gr)),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sv AS sa, b.sv AS sb
+  SELECT a.id AS id_a, b.id AS id_b, a.sv AS sa, b.sv AS sb,
+         count(*) AS shared
   FROM gg a JOIN gg b ON a.gr = b.gr AND a.id < b.id
   WHERE abs(length(a.sv) - length(b.sv)) <= 2
+  GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
-FROM cand WHERE levenshtein(sa, sb) <= 2
+FROM cand
+WHERE shared >= greatest(1, least(length(sa), length(sb)) - 2 - 6)
+  AND levenshtein(sa, sb) <= 2
 """
 
     # feature hashing: the portable md5 bucket (same convention as
