@@ -1432,6 +1432,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ab_test_report"] = q_ab_test_report
 
+    # integer/string columns only: double->string rendering is the
+    # one piece the engines don't share bit-for-bit
+    def q_column_profile(spark, sf):
+        from networkframe_spark.functions.stats import column_profile
+
+        events = read_events(spark, sf)
+        return column_profile(events, ["event_id", "user_id", "event_type"])
+
+    q["column_profile"] = q_column_profile
+
+    def q_category_stats(spark, sf):
+        from networkframe_spark.functions.stats import category_stats
+
+        docs = read_table(spark, sf, "documents")
+        return category_stats(docs, "lang")
+
+    q["category_stats"] = q_category_stats
+
+    def q_join_skew_report(spark, sf):
+        from networkframe_spark.functions.stats import join_skew_report
+
+        orders = read_table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey")
+        )
+        cust = read_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey")
+        )
+        return join_skew_report(orders, cust, on="custkey", top_n=20)
+
+    q["join_skew_report"] = q_join_skew_report
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3736,6 +3767,42 @@ nd AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.feature,
        round(tfc * ln(CAST(nd.n AS DOUBLE) / dfc), 6) AS weight
 FROM tf JOIN dfreq USING (feature), nd
+"""
+
+    # one 1-row aggregate per profiled column, unioned
+    _cp_cols = ["event_id", "user_id", "event_type"]
+    o["column_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM events"""
+        for c in _cp_cols
+    )
+
+    # category counts -> entropy/gini/top-share summary
+    o["category_stats"] = """
+WITH c AS (SELECT lang AS v, count(*) AS c FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+SELECT t.n AS n_rows,
+       (SELECT count(*) FROM c) AS n_distinct,
+       round(-SUM((c.c / t.n) * log2(c.c / t.n)), 6) AS entropy_bits,
+       round(1.0 - SUM((c.c / t.n) * (c.c / t.n)), 6) AS gini_impurity,
+       round(MAX(c.c) / t.n, 6) AS top_share
+FROM c, t GROUP BY t.n
+"""
+
+    # two count tables full-outer-joined; fan-out = product
+    o["join_skew_report"] = """
+WITH lc AS (SELECT o_custkey AS key, count(*) AS n_left FROM orders GROUP BY 1),
+rc AS (SELECT c_custkey AS key, count(*) AS n_right FROM customer GROUP BY 1)
+SELECT coalesce(lc.key, rc.key) AS key,
+       coalesce(lc.n_left, 0) AS n_left,
+       coalesce(rc.n_right, 0) AS n_right,
+       coalesce(lc.n_left, 0) * coalesce(rc.n_right, 0) AS n_out
+FROM lc FULL OUTER JOIN rc ON lc.key = rc.key
+ORDER BY n_out DESC, n_left DESC, key ASC LIMIT 20
 """
 
     # JSON scalar promotion: permissive extraction, NULL on miss

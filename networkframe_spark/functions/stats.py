@@ -164,3 +164,112 @@ def robust_outliers(
         .otherwise(F.col("__ad") > 0)
         .alias("is_outlier"),
     )
+
+
+def column_profile(df: DataFrame, columns: list | None = None) -> DataFrame:
+    """Generic per-column data profile: one row per column with
+    ``(column, n_rows, n_null, n_distinct, min_str, max_str)`` —
+    min/max rendered as strings so heterogeneous column types share
+    one schema.  The table-health snapshot every ingestion step
+    should log (schema drift, null floods, and cardinality collapse
+    all show up here first).  ``n_distinct`` is EXACT (count
+    distinct); at 100 TB swap mentally to approx_count_distinct — the
+    exact form is what the cross-engine oracle can verify.
+
+    Scale design: one aggregate per column over a shared scan (the
+    per-column aggregates union after aggregation — each is a 1-row
+    result, so the union is free); no row explosion, no UDF.
+    """
+    cols = columns or df.columns
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(col.isNull(), 1)).alias("n_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def category_stats(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Distribution summary of one categorical column: ONE row
+    ``(n_rows, n_distinct, entropy_bits, gini_impurity, top_share)``
+    — Shannon entropy (bits), Gini impurity ``1 - Σ p²``, and the
+    modal category's share, all at 6 dp.  The class-balance health
+    check for labels, domains, and stratification keys (a collapsing
+    ``entropy_bits`` means the mixture is degenerating).  NULLs count
+    as their own category.
+
+    Scale design: one hash aggregate to category counts (tiny), then
+    a 1-row summary aggregate over it — the fact table is read once.
+    """
+    counts = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    p = F.col("__c") / F.col("__n")
+    return (
+        counts.crossJoin(
+            F.broadcast(counts.agg(n.alias("__n")))
+        )
+        .agg(
+            F.first("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                -F.sum(p * F.log2(p)), 6
+            ).alias("entropy_bits"),
+            F.round(F.lit(1.0) - F.sum(p * p), 6).alias("gini_impurity"),
+            F.round(F.max("__c") / F.first("__n"), 6).alias("top_share"),
+        )
+    )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-flight join diagnostics: for the ``top_n`` keys by output
+    fan-out, ``(key, n_left, n_right, n_out)`` where ``n_out =
+    n_left · n_right`` is exactly how many rows that key contributes
+    to the join — the planning step that decides broadcast vs salt
+    vs AQE BEFORE a hot key melts a reducer at 100 TB.  Keys missing
+    from one side report 0/0 output (full outer over the two count
+    tables, so one-sided keys are visible too).
+
+    Scale design: one hash aggregate per side (key counts), a keyed
+    join of the two SMALL count tables, and a distributed TakeOrdered
+    for the top-N — the fact tables are each read once and never
+    joined to each other.
+    """
+    lc = left.groupBy(F.col(on).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(on).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    both = (
+        lc.join(rc, on="key", how="full_outer")
+        .select(
+            "key",
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+        )
+        .withColumn("n_out", F.col("n_left") * F.col("n_right"))
+    )
+    return both.orderBy(
+        F.desc("n_out"), F.desc("n_left"), F.asc("key")
+    ).limit(top_n)

@@ -1441,3 +1441,49 @@ def test_script_profile_mixed_scripts(spark):
     assert got[2]["latin_ratio"] == 0.5 and got[2]["digit_ratio"] == 0.5
     assert got[3]["cjk_ratio"] == 0.5 and got[3]["cyrillic_ratio"] == 0.5
     assert got[4]["n_chars"] == 0 and got[4]["latin_ratio"] is None
+
+
+def test_column_profile_counts(spark):
+    from networkframe_spark.functions.stats import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    got = {r["column"]: r for r in column_profile(df).collect()}
+    assert got["id"]["n_rows"] == 3 and got["id"]["n_distinct"] == 2
+    assert got["s"]["n_null"] == 1 and got["s"]["min_str"] == "a"
+
+
+def test_category_stats_entropy(spark):
+    """Uniform 4 categories -> 2 bits, gini 0.75, top share 0.25;
+    a single category -> 0 bits."""
+    from networkframe_spark.functions.stats import category_stats
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 4}") for i in range(8)], "id long, cat string"
+    )
+    r = category_stats(df, "cat").collect()[0]
+    assert (r["n_rows"], r["n_distinct"]) == (8, 4)
+    assert r["entropy_bits"] == 2.0 and r["gini_impurity"] == 0.75
+    assert r["top_share"] == 0.25
+    one = spark.createDataFrame([(1, "x"), (2, "x")], "id long, cat string")
+    assert category_stats(one, "cat").collect()[0]["entropy_bits"] == -0.0
+
+
+def test_join_skew_report_fanout(spark):
+    """Hot key reports its exact output fan-out; one-sided keys show
+    zero output."""
+    from networkframe_spark.functions.stats import join_skew_report
+
+    left = spark.createDataFrame(
+        [(i, "hot") for i in range(10)] + [(10, "only_left")],
+        "id long, k string",
+    )
+    right = spark.createDataFrame(
+        [(i, "hot") for i in range(5)] + [(5, "only_right")],
+        "id long, k string",
+    )
+    got = {r["key"]: r for r in join_skew_report(left, right, "k").collect()}
+    assert got["hot"]["n_out"] == 50
+    assert got["only_left"]["n_right"] == 0 and got["only_left"]["n_out"] == 0
+    assert got["only_right"]["n_left"] == 0

@@ -541,3 +541,46 @@ def test_stream_resample_matches_batch(spark, tmp_path):
         q.stop()
     want = sorted(map(tuple, resample_events(ev, minutes=60).collect()))
     assert got == want and len(want) >= 3
+
+
+def test_stream_map_only_session3_ops(spark, tmp_path):
+    """extract_json and script_profile are pure map-side expressions,
+    so the SAME calls run unchanged on a readStream — append-mode
+    memory sink equals the batch result row-for-row."""
+    from networkframe_spark.functions.pipeline import extract_json
+    from networkframe_spark.functions.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", '{"k": 3}'),
+            (2, "пример 漢字", '{"k": 9}'),
+            (3, "", "broken"),
+        ],
+        "doc_id long, text string, props string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = script_profile(
+        extract_json(stream, "props", {"k": "int"}), text_col="text"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_map_only_s3")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("t_map_only_s3").collect()))
+    finally:
+        q.stop()
+    want = sorted(
+        map(
+            tuple,
+            script_profile(
+                extract_json(docs, "props", {"k": "int"}), text_col="text"
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) == 3
