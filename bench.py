@@ -109,6 +109,16 @@ HEADLINE = [
     "robust_outliers",       # median/MAD fence (r6s3)
     "similar_strings",       # q-gram edit-distance join (r6s3)
     "bpe_train",             # 8 merge rounds, no collect (r6s3)
+    "core_numbers",          # h-index core decomposition (r6s3)
+    "pq_search",             # ADC lookup-table top-k (r6s3)
+    "weighted_sample_k",     # A-ES exact-size sampling (r6s3)
+    "target_encoding",       # smoothed category encoder (r6s3)
+    "salted_join",           # skew-spread equi-join (r6s3)
+    "script_profile",        # unicode script ratios (r6s3)
+    "extract_json",          # JSON scalar promotion (r6s3)
+    "ab_test_report",        # Welch-z experiment readout (r6s3)
+    "category_stats",        # entropy/gini class balance (r6s3)
+    "join_skew_report",      # per-key fan-out preflight (r6s3)
 ]
 
 
