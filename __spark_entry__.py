@@ -1602,6 +1602,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["core_numbers"] = q_core_numbers
 
+    def q_edge_jaccard(spark, sf):
+        # clique+chain graph again: clique edges are heavily embedded
+        # (high jaccard), chain edges are bridges (jaccard 0)
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id")).filter("id < 450")
+        clique = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        chain = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("b.id = a.id + 1"))
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return NetworkFrame(nodes, clique.unionAll(chain)).edge_jaccard()
+
+    q["edge_jaccard"] = q_edge_jaccard
+
+    def q_lexical_diversity(spark, sf):
+        from networkframe_spark.functions.text import lexical_diversity
+
+        docs = read_table(spark, sf, "documents")
+        return lexical_diversity(docs)
+
+    q["lexical_diversity"] = q_lexical_diversity
+
+    def q_sentence_stats(spark, sf):
+        from networkframe_spark.functions.text import sentence_stats
+
+        docs = read_table(spark, sf, "documents")
+        return sentence_stats(docs)
+
+    q["sentence_stats"] = q_sentence_stats
+
+    def q_time_profile(spark, sf):
+        from networkframe_spark.functions.temporal import time_profile
+
+        events = read_events(spark, sf)
+        return time_profile(events)
+
+    q["time_profile"] = q_time_profile
+
     def q_corpus_describe(spark, sf):
         docs = read_table(spark, sf, "documents")
         return corpus_describe(docs)
@@ -4768,6 +4812,95 @@ SELECT e.u AS source, e.v AS target, coalesce(s.c, 0) AS support
 FROM e{_kt_rounds} e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
 """
     )
+
+    # edge jaccard: naive common-neighbor count twin (Spark uses the
+    # oriented enumeration; same semantics) + degree joins
+    o["edge_jaccard"] = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 450),
+e0 AS (SELECT DISTINCT u, v FROM (
+  SELECT a.id AS u, b.id AS v FROM ids a
+  JOIN ids b ON a.id % 7 = b.id % 7 AND a.id < b.id
+  UNION ALL
+  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1)),
+nbt AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+sup AS (
+  SELECT e.u, e.v, count(*) AS c
+  FROM e0 e JOIN nbt x ON x.a = e.u JOIN nbt y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v
+),
+deg AS (SELECT a AS id, count(*) AS deg FROM nbt GROUP BY a)
+SELECT e.u AS source, e.v AS target,
+       coalesce(s.c, 0) AS n_common,
+       round(coalesce(s.c, 0)
+             / (du.deg + dv.deg - coalesce(s.c, 0)), 6) AS jaccard
+FROM e0 e
+LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+JOIN deg du ON du.id = e.u
+JOIN deg dv ON dv.id = e.v
+"""
+
+    # per-doc tf -> type/token/hapax aggregate
+    o["lexical_diversity"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok
+  WHERE tok <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         count(CASE WHEN c = 1 THEN 1 END) AS hap
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.n_types, 0) AS n_types,
+       CASE WHEN agg.n_tokens > 0
+            THEN round(agg.n_types / agg.n_tokens, 6) END AS ttr,
+       CASE WHEN agg.n_types > 0
+            THEN round(hap / agg.n_types, 6) END AS hapax_frac
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    # sentence segmentation: split on [.!?]+ runs, trim, drop empties
+    o["sentence_stats"] = r"""
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+           s -> s <> '') AS ss
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, ss,
+         list_transform(ss, s -> len(regexp_split_to_array(s, '\s+'))) AS tk
+  FROM segs
+)
+SELECT doc_id, len(ss) AS n_sentences,
+       CASE WHEN len(ss) > 0
+            THEN round(list_sum(tk) / len(ss), 6) END AS mean_sentence_tokens,
+       CASE WHEN len(ss) > 0 THEN list_max(tk) END AS max_sentence_tokens
+FROM tc
+"""
+
+    # hour-of-day profile from integer epoch arithmetic (tz-free)
+    o["time_profile"] = """
+WITH cells AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INTEGER)
+           AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.hour, c.n_events,
+       round(c.n_events / t.tot, 6) AS share
+FROM cells c JOIN t USING (event_type)
+"""
 
     # bounded h-index core decomposition, unrolled: per round, join
     # estimates onto the adjacency, windowed h-index per node

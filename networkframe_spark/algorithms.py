@@ -2710,3 +2710,90 @@ def core_numbers(
         .join(est, on="id", how="left")
         .select("id", F.coalesce("est", F.lit(0)).alias("core_number"))
     )
+
+
+def edge_jaccard(frame, min_jaccard: float = 0.0) -> DataFrame:
+    """Neighborhood similarity of EXISTING edges: for each undirected
+    edge ``(u, v)``, the Jaccard overlap of the endpoint
+    neighborhoods ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)| = c / (deg_u +
+    deg_v - c)`` where ``c`` is the common-neighbor count (the edge's
+    triangle support; the union retains the endpoints as members of
+    each other's neighborhoods).  Returns ``(source,
+    target, n_common, jaccard)`` with ``source < target`` at 6 dp,
+    filtered to ``jaccard >= min_jaccard`` — the standard similarity
+    sparsifier (keep only embedded edges; drop bridges/noise before
+    clustering), complementing :func:`link_prediction` which scores
+    NON-adjacent pairs.
+
+    Scale design: the common count reuses the degree-ordered oriented
+    triangle enumeration (O(m^1.5) wedges — never the naive
+    common-neighbor join), degrees join in as two keyed lookups, and
+    ``jaccard = c / (deg_u + deg_v - c)`` is a codegen'd expression.
+    """
+    e = frame.edges.select("source", "target").filter(
+        F.col("source") != F.col("target")
+    )
+    und = e.select(
+        F.least("source", "target").alias("u"),
+        F.greatest("source", "target").alias("v"),
+    ).distinct()
+    # triangle support per edge via the oriented enumeration (same
+    # wedge shape as k_truss's per-round support)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    w = und.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), on="u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), on="v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = w.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
+    e2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges = e1.join(e2, on="a").filter(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, on=["b1", "b2"]).select("a", "b1", "b2")
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b1").alias("u"), F.greatest("a", "b1").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "b2").alias("u"), F.greatest("a", "b2").alias("v")
+                ),
+                F.struct(
+                    F.least("b1", "b2").alias("u"),
+                    F.greatest("b1", "b2").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+    base = (
+        und.join(sup, on=["u", "v"], how="left")
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), on="u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), on="v")
+        .select(
+            F.col("u").alias("source"),
+            F.col("v").alias("target"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0))
+                / (F.col("du") + F.col("dv") - F.coalesce(F.col("c"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return base.filter(F.col("jaccard") >= min_jaccard)

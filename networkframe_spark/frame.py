@@ -738,6 +738,14 @@ class NetworkFrame:
 
         return k_truss(self, k, max_rounds=max_rounds)
 
+    def edge_jaccard(self, min_jaccard: float = 0.0) -> DataFrame:
+        """Neighborhood-similarity scores for existing edges
+        ``(source, target, n_common, jaccard)``; see
+        :func:`networkframe_spark.algorithms.edge_jaccard`."""
+        from .algorithms import edge_jaccard
+
+        return edge_jaccard(self, min_jaccard=min_jaccard)
+
     def core_numbers(self, max_rounds: Optional[int] = None) -> DataFrame:
         """Full core decomposition ``(id, core_number)`` via the
         distributed h-index iteration; see

@@ -713,3 +713,36 @@ def top_event_paths(
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def time_profile(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day activity profile per event type: ``(event_type,
+    hour, n_events, share)`` with the share of that type's events
+    falling in each UTC hour at 6 dp — the periodicity fingerprint
+    behind bot detection (flat profiles), timezone inference, and
+    load forecasting.  Hours derive from INTEGER epoch arithmetic
+    (``epoch div 3600 mod 24``) — engine- and session-timezone-
+    independent by construction.
+
+    Scale design: one partial+final hash aggregate on the tiny
+    (type, hour) key; the per-type totals broadcast back from the
+    aggregate itself (no second scan).
+    """
+    events = normalize_event_time(events, ts_col)
+    hour = F.pmod(F.floor(_epoch_s(ts_col) / 3600), F.lit(24)).cast("int")
+    cells = events.groupBy(
+        F.col(type_col).alias("event_type"), hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_events").alias("__tot")
+    )
+    return cells.join(F.broadcast(totals), on="event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("__tot"), 6).alias("share"),
+    )

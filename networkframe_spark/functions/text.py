@@ -989,3 +989,87 @@ def script_profile(
         ratio(counts["cyrillic"]).alias("cyrillic_ratio"),
         ratio(other).alias("other_ratio"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary richness: ``(id_col, n_tokens,
+    n_types, ttr, hapax_frac)`` — type-token ratio (distinct/total)
+    and the fraction of types occurring exactly once, both at 6 dp
+    (empty documents report zeros with NULL ratios).  Low TTR flags
+    template/boilerplate floods; a collapsing hapax fraction flags
+    synthetic or looped text — cheap complements to the repetition
+    score.
+
+    Scale design: ONE explode into the per-doc term-frequency table
+    (the same skew-free (doc, token) key as the LM scores), then one
+    per-doc hash aggregate — never the O(L²) per-row
+    count-occurrences expression.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = tf.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("__c") == 1, 1)).alias("__hapax"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_types") / F.col("n_tokens"), 6),
+            ).alias("ttr"),
+            F.when(
+                F.col("n_types") > 0,
+                F.round(F.col("__hapax") / F.col("n_types"), 6),
+            ).alias("hapax_frac"),
+        )
+    )
+
+
+def sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sentence segmentation statistics: split on
+    ``.!?`` runs and report ``(id_col, n_sentences, mean_sentence_tokens,
+    max_sentence_tokens)`` at 6 dp — the Gopher-adjacent structure
+    check (no sentence boundaries at all, or absurdly long
+    "sentences", both flag non-prose).  Sentences are non-empty
+    segments; token counts are whitespace words.
+
+    Scale design: pure per-row array expressions — one regex split,
+    one filter, one transform, three array aggregates; zero shuffle,
+    zero UDF.
+    """
+    segs = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    tok_counts = F.transform(
+        segs, lambda s: F.size(F.split(s, r"\s+"))
+    )
+    n = F.size(segs)
+    total = F.aggregate(tok_counts, F.lit(0), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sentences"),
+        F.when(n > 0, F.round(total / n, 6)).alias("mean_sentence_tokens"),
+        F.when(n > 0, F.array_max(tok_counts)).alias("max_sentence_tokens"),
+    )

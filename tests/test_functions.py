@@ -1487,3 +1487,87 @@ def test_join_skew_report_fanout(spark):
     assert got["hot"]["n_out"] == 50
     assert got["only_left"]["n_right"] == 0 and got["only_left"]["n_out"] == 0
     assert got["only_right"]["n_left"] == 0
+
+
+def test_edge_jaccard_triangle_and_bridge(spark):
+    """Triangle edges score 1/3 (one common neighbor, union of 3);
+    a pendant bridge scores 0; min_jaccard filters it."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.range(5).toDF("id")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        (r["source"], r["target"]): (r["n_common"], r["jaccard"])
+        for r in nf.edge_jaccard().collect()
+    }
+    assert got[(0, 1)] == (1, round(1 / 3, 6))
+    assert got[(2, 3)] == (0, 0.0)
+    kept = {
+        (r["source"], r["target"])
+        for r in nf.edge_jaccard(min_jaccard=0.1).collect()
+    }
+    assert (2, 3) not in kept and (0, 1) in kept
+
+
+def test_lexical_diversity_known_values(spark):
+    from networkframe_spark.functions.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr"], r["hapax_frac"])
+        for r in lexical_diversity(docs).collect()
+    }
+    assert got[1] == (4, 2, 0.5, 0.5)  # types {a,b}; hapax {b}
+    assert got[2] == (3, 3, 1.0, 1.0)
+    assert got[3] == (0, 0, None, None)
+
+
+def test_sentence_stats_segmentation(spark):
+    from networkframe_spark.functions.text import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two. Three four five! Six?"),
+            (2, "no punctuation at all"),
+            (3, "..."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_sentences"],
+            r["mean_sentence_tokens"],
+            r["max_sentence_tokens"],
+        )
+        for r in sentence_stats(docs).collect()
+    }
+    assert got[1] == (3, 2.0, 3)
+    assert got[2] == (1, 4.0, 4)
+    assert got[3] == (0, None, None)
+
+
+def test_time_profile_shares(spark):
+    from networkframe_spark.functions.temporal import time_profile
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 05:10:00", "view"),
+            (2, 1, "2024-01-01 05:50:00", "view"),
+            (3, 1, "2024-01-02 07:00:00", "view"),
+            (4, 1, "2024-01-01 05:00:00", "buy"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["share"])
+        for r in time_profile(ev).collect()
+    }
+    assert got[("view", 5)] == (2, round(2 / 3, 6))
+    assert got[("view", 7)] == (1, round(1 / 3, 6))
+    assert got[("buy", 5)] == (1, 1.0)
