@@ -868,6 +868,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_search"] = q_pq_search
 
+    # label-noise audit on the subset the O(n^2) oracle can afford
+    def q_knn_label_check(spark, sf):
+        from networkframe_spark.functions.similarity import knn_label_check
+
+        emb = read_embeddings(spark, sf).filter("vec_id < 200")
+        return knn_label_check(emb, k=5)
+
+    q["knn_label_check"] = q_knn_label_check
+
+    def q_merge_incremental(spark, sf):
+        from networkframe_spark.functions.pipeline import merge_incremental
+
+        events = read_events(spark, sf)
+        # incoming batch: re-deliveries of even events with doubled
+        # value and a later timestamp — latest must win
+        incoming = (
+            events.filter("event_id % 2 = 0")
+            .withColumn("value", F.round(F.col("value") * 2, 2))
+            .withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        merged = merge_incremental(
+            events, incoming, key_col="event_id", tiebreak_col="user_id"
+        )
+        return merged.select("event_id", "user_id", "ts", "event_type", "value")
+
+    q["merge_incremental"] = q_merge_incremental
+
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -4759,6 +4788,69 @@ SELECT query_id, vec_id,
        AS INTEGER) AS rank,
        approx_d2
 FROM scored QUALIFY rank <= 5
+"""
+
+    # kNN label vote: brute top-5 (self-excluded, 6-dp cosine ranks),
+    # max-votes argmax with lowest-label ties
+    o["knn_label_check"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+  WHERE vec_id < 200
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nl,
+         round(list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(c.emb, c.emb))), 6) AS w
+  FROM e q, e c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, nl,
+         row_number() OVER (PARTITION BY qid ORDER BY w DESC, cid ASC) AS rk
+  FROM scored
+),
+nb AS (
+  SELECT qid, nl, count(*) AS votes FROM ranked
+  WHERE rk <= 5 GROUP BY qid, nl
+),
+tp AS (SELECT qid, max(votes) AS t FROM nb GROUP BY qid),
+win AS (
+  SELECT nb.qid, min(nb.nl) AS knn_label
+  FROM nb JOIN tp ON tp.qid = nb.qid AND nb.votes = tp.t
+  GROUP BY nb.qid
+)
+SELECT e.vec_id, e.label, win.knn_label,
+       coalesce(ag.votes, 0) AS n_agree,
+       (win.knn_label IS NOT NULL AND win.knn_label <> e.label)
+         AS is_suspect
+FROM e
+LEFT JOIN win ON win.qid = e.vec_id
+LEFT JOIN nb ag ON ag.qid = e.vec_id AND ag.nl = e.label
+"""
+
+    # latest-wins upsert: incoming (src=1) beats existing on exact
+    # (ts, tiebreak) ties; one struct-max aggregate
+    o["merge_incremental"] = """
+WITH inc AS (
+  SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+         round(value * 2, 2) AS value, 1 AS src
+  FROM events WHERE event_id % 2 = 0
+),
+un AS (
+  SELECT event_id, user_id, ts, event_type, value, 0 AS src FROM events
+  UNION ALL SELECT * FROM inc
+),
+w AS (
+  SELECT event_id,
+         max(struct_pack(t := ts, u := user_id, s := src,
+                         pu := user_id, pts := ts, pe := event_type,
+                         pv := value)) AS m
+  FROM un GROUP BY event_id
+)
+SELECT event_id, (m).pu AS user_id, (m).pts AS ts,
+       (m).pe AS event_type, (m).pv AS value
+FROM w
 """
 
     # bounded k-truss peel, unrolled: per round, per-edge triangle

@@ -1297,3 +1297,55 @@ def ab_test_report(
             "z_score"
         ),
     )
+
+
+def merge_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins upsert merge (the CDC / incremental-append
+    compaction step): union the existing table with an incoming
+    batch and keep, per key, the row with the greatest ``(ts,
+    tiebreak, source)`` — incoming beats existing on exact ties, so
+    replaying the same batch is idempotent.  Schemas must match
+    (unioned by name).  This is the maintenance operation every
+    continuously-appended 100 TB table needs between full rewrites;
+    pair with :func:`~networkframe_spark.sources.compact_parquet`
+    for the physical half.
+
+    Scale design: ONE hash aggregate on the key — the winning row
+    rides a ``max(struct(ordering..., payload))`` so the map side
+    combines before the exchange (a row_number window would shuffle
+    everything and cannot); no join, no second pass.
+    """
+    cols = existing.columns
+    if set(cols) != set(incoming.columns):
+        raise ValueError(
+            "merge_incremental: schemas differ: "
+            f"{sorted(cols)} vs {sorted(incoming.columns)}"
+        )
+    tagged = existing.select(
+        *[F.col(c) for c in cols], F.lit(0).alias("__src")
+    ).unionByName(
+        incoming.select(*[F.col(c) for c in cols], F.lit(1).alias("__src"))
+    )
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    order.append(F.col("__src"))
+    payload = [c for c in cols if c != key_col]
+    win = F.max(
+        F.struct(*order, *[F.col(c).alias(f"__p_{c}") for c in payload])
+    ).alias("__w")
+    return (
+        tagged.groupBy(key_col)
+        .agg(win)
+        .select(
+            F.col(key_col),
+            *[F.col(f"__w.__p_{c}").alias(c) for c in payload],
+        )
+        .select(*cols)
+    )

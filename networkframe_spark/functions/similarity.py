@@ -1124,3 +1124,86 @@ def pq_search(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_label_check(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    method: str = "brute",
+    **kwargs,
+) -> DataFrame:
+    """Label-noise detection by neighborhood vote (confident-learning
+    lite): each vector's k nearest neighbors (excluding itself) vote
+    with their labels; rows whose own label disagrees with the
+    majority are flagged.  Returns ``(id_col, label, knn_label,
+    n_agree, is_suspect)`` — ties break to the LOWEST label value, so
+    the verdict is deterministic.  Run it on any labeled embedding
+    table before training; the suspects list is the audit queue.
+
+    Scale design: neighbor search delegates to the existing top-k
+    scorers (``brute`` = the oracle path; ``lsh``/``ivf`` are the
+    banded/cell-pruned 100 TB paths — same output schema); the vote
+    is one hash aggregate on (query, neighbor-label) plus a
+    ``max_by`` tie-broken argmax per query, joined back to the
+    labels.  Nothing here is quadratic beyond the chosen scorer.
+    """
+    if method == "brute":
+        # brute_force_top_k excludes self by default — k means k
+        # genuine neighbors
+        topk = brute_force_top_k(emb, emb, k=k, id_col=id_col, emb_col=emb_col)
+    elif method == "lsh":
+        topk = lsh_top_k(emb, emb, k=k, id_col=id_col, emb_col=emb_col, **kwargs)
+    elif method == "ivf":
+        topk = ivf_top_k(emb, emb, k=k, id_col=id_col, emb_col=emb_col, **kwargs)
+    else:
+        raise ValueError("method must be 'brute', 'lsh', or 'ivf'")
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    nb = (
+        topk.filter(F.col("query_id") != F.col(id_col))
+        .join(
+            labels.select(
+                F.col(id_col).alias("__nid"), F.col(label_col).alias("__nl")
+            ),
+            on=F.col(id_col) == F.col("__nid"),
+        )
+        .groupBy(F.col("query_id"), F.col("__nl"))
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    # deterministic argmax for ANY orderable label type: max votes,
+    # then the lowest label among the tied
+    top = nb.groupBy("query_id").agg(F.max("__votes").alias("__top"))
+    win = (
+        nb.join(top, on="query_id")
+        .filter(F.col("__votes") == F.col("__top"))
+        .groupBy("query_id")
+        .agg(F.min("__nl").alias("knn_label"))
+    )
+    agree = nb.select(
+        F.col("query_id").alias("__aq"),
+        F.col("__nl").alias("__al"),
+        F.col("__votes").alias("__av"),
+    )
+    return (
+        labels.join(
+            win, on=F.col(id_col) == F.col("query_id"), how="left"
+        )
+        .join(
+            agree,
+            on=(F.col(id_col) == F.col("__aq"))
+            & (F.col(label_col) == F.col("__al")),
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("knn_label"),
+            F.coalesce(F.col("__av"), F.lit(0)).alias("n_agree"),
+            (
+                F.col("knn_label").isNotNull()
+                & (F.col("knn_label") != F.col(label_col))
+            ).alias("is_suspect"),
+        )
+    )

@@ -1571,3 +1571,49 @@ def test_time_profile_shares(spark):
     assert got[("view", 5)] == (2, round(2 / 3, 6))
     assert got[("view", 7)] == (1, round(1 / 3, 6))
     assert got[("buy", 5)] == (1, 1.0)
+
+
+def test_knn_label_check_flags_mislabel(spark):
+    """Two tight clusters; one vector carries the wrong label and is
+    flagged, its correctly-labeled neighbors are not."""
+    from networkframe_spark.functions.similarity import knn_label_check
+
+    rows = (
+        [(i, [1.0, 0.01 * i, 0.0], 0) for i in range(4)]
+        + [(10 + i, [0.0, 0.01 * i, 1.0], 1) for i in range(4)]
+        + [(20, [1.0, 0.02, 0.001], 1)]  # sits in cluster 0, labeled 1
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["vec_id"]: r for r in knn_label_check(emb, k=3).collect()}
+    assert got[20]["is_suspect"] and got[20]["knn_label"] == 0
+    assert got[20]["n_agree"] == 0
+    assert not got[0]["is_suspect"] and got[0]["knn_label"] == 0
+    assert not got[10]["is_suspect"]
+
+
+def test_merge_incremental_latest_wins_idempotent(spark):
+    from networkframe_spark.functions.pipeline import merge_incremental
+
+    old = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (2, "2024-01-01 00:00:00", 20.0),
+        ],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    new = spark.createDataFrame(
+        [
+            (2, "2024-01-02 00:00:00", 99.0),   # later -> wins
+            (3, "2024-01-01 00:00:00", 30.0),   # brand new key
+            (1, "2024-01-01 00:00:00", 11.0),   # exact ts tie -> incoming wins
+        ],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    merged = merge_incremental(old, new, key_col="k")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert got == {1: 11.0, 2: 99.0, 3: 30.0}
+    # idempotent: replaying the same batch changes nothing
+    again = merge_incremental(merged, new, key_col="k")
+    assert {r["k"]: r["v"] for r in again.collect()} == got
