@@ -119,6 +119,12 @@ HEADLINE = [
     "ab_test_report",        # Welch-z experiment readout (r6s3)
     "category_stats",        # entropy/gini class balance (r6s3)
     "join_skew_report",      # per-key fan-out preflight (r6s3)
+    "edge_jaccard",          # similarity sparsifier (r6s3)
+    "lexical_diversity",     # TTR/hapax per doc (r6s3)
+    "sentence_stats",        # punctuation segmentation (r6s3)
+    "time_profile",          # hour-of-day shares (r6s3)
+    "merge_incremental",     # latest-wins upsert (r6s3)
+    "knn_label_check",       # neighborhood label vote (r6s3)
 ]
 
 
