@@ -1492,6 +1492,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_skew_report"] = q_join_skew_report
 
+    def q_numeric_histogram(spark, sf):
+        from networkframe_spark.functions.stats import numeric_histogram
+
+        events = read_events(spark, sf)
+        return numeric_histogram(events, "value", bins=20, lo=0.0, hi=500.0)
+
+    q["numeric_histogram"] = q_numeric_histogram
+
+    # correlations over (value, json k, utc hour) — composes
+    # extract_json; moments are exact decimals
+    def q_pairwise_corr(spark, sf):
+        from networkframe_spark.functions.pipeline import extract_json
+        from networkframe_spark.functions.stats import pairwise_corr
+        from networkframe_spark.functions.temporal import _epoch_s
+
+        events = read_events(spark, sf)
+        ej = extract_json(events, "props", {"k": "int"}).withColumn(
+            "hour", F.pmod(F.floor(_epoch_s("ts") / 3600), F.lit(24)).cast("int")
+        )
+        return pairwise_corr(ej, ["value", "k", "hour"])
+
+    q["pairwise_corr"] = q_pairwise_corr
+
     def q_bigram_logprob(spark, sf):
         from networkframe_spark.functions.text import bigram_logprob_score
 
@@ -3877,6 +3900,70 @@ SELECT coalesce(lc.key, rc.key) AS key,
 FROM lc FULL OUTER JOIN rc ON lc.key = rc.key
 ORDER BY n_out DESC, n_left DESC, key ASC LIMIT 20
 """
+
+    # equi-width histogram via integer bin arithmetic, single pass
+    o["numeric_histogram"] = """
+WITH b AS (
+  SELECT LEAST(19, GREATEST(0, CAST(floor((value - 0.0) / 25.0) AS INTEGER)))
+           AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, round(0.0 + bin * 25.0, 6) AS lo_edge,
+       round(0.0 + (bin + 1) * 25.0, 6) AS hi_edge,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+    # all-pairs Pearson from one conditional decimal-moment aggregate
+    _pc_pairs = [("hour", "k"), ("hour", "value"), ("k", "value")]
+
+    def _pc_block(a, b):
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        xa = f"CAST(round(CAST({a} AS DOUBLE) * 1000000) AS DECIMAL(28,0))"
+        xb = f"CAST(round(CAST({b} AS DOUBLE) * 1000000) AS DECIMAL(28,0))"
+        t = f"{a}__{b}"
+        return ",\n  ".join(
+            [
+                f"count(CASE WHEN {both} THEN 1 END) AS n_{t}",
+                f"SUM(CASE WHEN {both} THEN {xa} ELSE CAST(0 AS DECIMAL(28,0)) END) AS sa_{t}",
+                f"SUM(CASE WHEN {both} THEN {xb} ELSE CAST(0 AS DECIMAL(28,0)) END) AS sb_{t}",
+                f"SUM(CASE WHEN {both} THEN {xa} * {xb} ELSE CAST(0 AS DECIMAL(38,0)) END) AS sab_{t}",
+                f"SUM(CASE WHEN {both} THEN {xa} * {xa} ELSE CAST(0 AS DECIMAL(38,0)) END) AS saa_{t}",
+                f"SUM(CASE WHEN {both} THEN {xb} * {xb} ELSE CAST(0 AS DECIMAL(38,0)) END) AS sbb_{t}",
+            ]
+        )
+
+    def _pc_row(a, b):
+        t = f"{a}__{b}"
+        n = f"CAST(n_{t} AS DOUBLE)"
+        sa, sb = f"CAST(sa_{t} AS DOUBLE)", f"CAST(sb_{t} AS DOUBLE)"
+        sab = f"CAST(sab_{t} AS DOUBLE)"
+        saa, sbb = f"CAST(saa_{t} AS DOUBLE)", f"CAST(sbb_{t} AS DOUBLE)"
+        cov = f"({n} * {sab} - {sa} * {sb})"
+        va = f"({n} * {saa} - {sa} * {sa})"
+        vb = f"({n} * {sbb} - {sb} * {sb})"
+        return (
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n, "
+            f"CASE WHEN {va} > 0 AND {vb} > 0 "
+            f"THEN round({cov} / sqrt({va}) / sqrt({vb}), 6) END AS r FROM m"
+        )
+
+    o["pairwise_corr"] = (
+        """
+WITH x AS (
+  SELECT value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INTEGER)
+           AS hour
+  FROM events
+),
+m AS (
+  SELECT
+  """
+        + ",\n  ".join(_pc_block(a, b) for a, b in _pc_pairs)
+        + "\n  FROM x\n)\n"
+        + "\nUNION ALL\n".join(_pc_row(a, b) for a, b in _pc_pairs)
+    )
 
     # JSON scalar promotion: permissive extraction, NULL on miss
     o["extract_json"] = """

@@ -273,3 +273,129 @@ def join_skew_report(
     return both.orderBy(
         F.desc("n_out"), F.desc("n_left"), F.asc("key")
     ).limit(top_n)
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo_edge,
+    hi_edge, n)`` for ``bins`` buckets over ``[lo, hi)`` (the last
+    bucket closes at ``hi``; out-of-range rows clamp into the edge
+    buckets so totals always reconcile).  Bounds default to the
+    column min/max (one extra 1-row aggregate).  Edges round to 6 dp.
+
+    Scale design: binning is pure integer arithmetic on a map-side
+    expression feeding ONE hash aggregate on the tiny bin key; when
+    bounds are given the whole thing is a single pass with no
+    preliminary scan.
+    """
+    if bins < 1:
+        raise ValueError("numeric_histogram: bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError("numeric_histogram: need hi > lo")
+    w = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
+        ),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 6).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
+    )
+
+
+def pairwise_corr(
+    df: DataFrame,
+    cols: list,
+    scale: int = 6,
+) -> DataFrame:
+    """Pearson correlation for every column pair: ``(col_a, col_b,
+    n, r)`` with ``col_a < col_b`` lexicographically and ``r`` at
+    6 dp (NULL for degenerate variance).  Rows with a NULL in either
+    column of a pair are excluded pairwise.  The feature-redundancy
+    screen before training — near-|1| pairs are candidates to drop.
+
+    Numerics: values quantize to ``scale`` decimal places and the
+    five moments per pair accumulate as exact DECIMALs (order-
+    independent, engine-portable); only the final ``r`` is floating.
+
+    Scale design: ONE aggregate computes all pairs' moments in a
+    single pass over the fact table (conditional decimal sums per
+    pair — no per-pair scans, no shuffle beyond the 1-row result).
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(cols))
+        for b in sorted(cols)[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("pairwise_corr: need at least 2 columns")
+    m = 10**scale
+    aggs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.round(F.col(a).cast("double") * m).cast("decimal(28,0)")
+        xb = F.round(F.col(b).cast("double") * m).cast("decimal(28,0)")
+        z = F.lit(0).cast("decimal(28,0)")
+        z2 = F.lit(0).cast("decimal(38,0)")
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"__n_{tag}"),
+            F.sum(F.when(both, xa).otherwise(z)).alias(f"__sa_{tag}"),
+            F.sum(F.when(both, xb).otherwise(z)).alias(f"__sb_{tag}"),
+            F.sum(F.when(both, xa * xb).otherwise(z2)).alias(f"__sab_{tag}"),
+            F.sum(F.when(both, xa * xa).otherwise(z2)).alias(f"__saa_{tag}"),
+            F.sum(F.when(both, xb * xb).otherwise(z2)).alias(f"__sbb_{tag}"),
+        ]
+    # checkpoint the 1-row moment table: the per-pair union branches
+    # below would otherwise each re-execute the full aggregate
+    # (Catalyst has no cross-branch common-subtree elimination)
+    wide = df.agg(*aggs).localCheckpoint(eager=False)
+    outs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"__n_{tag}").cast("double")
+        sa = F.col(f"__sa_{tag}").cast("double")
+        sb = F.col(f"__sb_{tag}").cast("double")
+        sab = F.col(f"__sab_{tag}").cast("double")
+        saa = F.col(f"__saa_{tag}").cast("double")
+        sbb = F.col(f"__sbb_{tag}").cast("double")
+        cov = n * sab - sa * sb
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        outs.append(
+            wide.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n_{tag}").alias("n"),
+                F.when(
+                    (va > 0) & (vb > 0),
+                    F.round(cov / F.sqrt(va) / F.sqrt(vb), 6),
+                ).alias("r"),
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionAll(o_)
+    return out

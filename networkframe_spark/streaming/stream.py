@@ -322,3 +322,75 @@ def stream_to_parquet(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def stream_upsert_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    query_name: str = "upsert_parquet",
+):
+    """Latest-wins streaming upsert into a parquet table: every
+    micro-batch merges into the target via
+    :func:`~networkframe_spark.functions.pipeline.merge_incremental`
+    (one struct-max aggregate; incoming beats existing on exact
+    ties), so the table always holds exactly one — the newest — row
+    per key.  The Delta-less CDC materialization: keyed state lives
+    in the TABLE, not the state store, so it survives restarts and
+    is readable by any batch scan mid-stream.
+
+    Restart semantics: the checkpoint makes batch REPLAY possible
+    after a crash; because the merge is idempotent (replaying a batch
+    against a table that already absorbed it changes nothing), the
+    table converges to exactly-once CONTENT even though foreachBatch
+    itself is at-least-once.
+
+    Scale note: each micro-batch rewrites the table (read + merge +
+    eager-checkpoint + overwrite — the checkpoint materializes the
+    merged rows BEFORE the overwrite deletes the input files).  That
+    is the right shape for keyed TABLES (dimensions, sessions,
+    feature snapshots), not for append-only fact streams — use
+    :func:`stream_to_parquet` there.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    import os
+
+    from ..functions.pipeline import merge_incremental
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        latest_batch = merge_incremental(
+            batch_df.limit(0),
+            batch_df,
+            key_col=key_col,
+            ts_col=ts_col,
+            tiebreak_col=tiebreak_col,
+        )
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = merge_incremental(
+                existing,
+                latest_batch,
+                key_col=key_col,
+                ts_col=ts_col,
+                tiebreak_col=tiebreak_col,
+            )
+        else:
+            merged = latest_batch
+        # materialize BEFORE overwrite: the plan must not reference
+        # the files the write is about to delete
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

@@ -1617,3 +1617,36 @@ def test_merge_incremental_latest_wins_idempotent(spark):
     # idempotent: replaying the same batch changes nothing
     again = merge_incremental(merged, new, key_col="k")
     assert {r["k"]: r["v"] for r in again.collect()} == got
+
+
+def test_numeric_histogram_clamps_and_reconciles(spark):
+    from networkframe_spark.functions.stats import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 9.9, 10, 55, 99, 200]], "x double"
+    )
+    got = {r["bin"]: r for r in numeric_histogram(df, "x", bins=10, lo=0.0, hi=100.0).collect()}
+    assert got[0]["n"] == 4  # -5 clamps in; 0, 1, 9.9
+    assert got[9]["n"] == 2  # 99 and the 200 clamp
+    assert got[5]["n"] == 1 and got[5]["lo_edge"] == 50.0
+    assert sum(r["n"] for r in got.values()) == 8
+    # auto bounds: one extra scan, same reconciliation
+    auto = numeric_histogram(df, "x", bins=4)
+    assert sum(r["n"] for r in auto.collect()) == 8
+
+
+def test_pairwise_corr_known_values(spark):
+    """y = 2x gives r = 1; z anti-correlates with x exactly; NULLs
+    excluded pairwise."""
+    from networkframe_spark.functions.stats import pairwise_corr
+
+    rows = [(float(i), float(2 * i), float(-i), None if i == 3 else float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {
+        (r["col_a"], r["col_b"]): (r["n"], r["r"])
+        for r in pairwise_corr(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert got[("x", "y")] == (6, 1.0)
+    assert got[("x", "z")] == (6, -1.0)
+    assert got[("w", "x")][0] == 5  # the NULL row drops pairwise
+    assert got[("w", "x")][1] == 1.0

@@ -584,3 +584,47 @@ def test_stream_map_only_session3_ops(spark, tmp_path):
         )
     )
     assert got == want and len(want) == 3
+
+
+def test_stream_upsert_parquet_latest_wins(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the parquet table
+    ends with exactly one latest row per key; a later batch with an
+    older timestamp does not regress the value."""
+    import time as _time
+
+    from networkframe_spark.streaming.stream import stream_upsert_parquet
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts timestamp, v double"
+
+    def batch(rows, name):
+        spark.createDataFrame(rows, "k long, ts string, v double").selectExpr(
+            "k", "CAST(ts AS TIMESTAMP) AS ts", "v"
+        ).write.mode("append").parquet(src)
+
+    batch([(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:00:00", 2.0)], "b1")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_upsert_parquet(stream, target, ckpt, key_col="k", ts_col="ts")
+    try:
+        q.processAllAvailable()
+        first = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert first == {1: 1.0, 2: 2.0}
+        # batch 2: newer row for key 2, stale row for key 1, new key 3
+        batch(
+            [
+                (2, "2024-01-02 00:00:00", 22.0),
+                (1, "2023-12-01 00:00:00", 0.5),
+                (3, "2024-01-01 00:00:00", 3.0),
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+        final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert final == {1: 1.0, 2: 22.0, 3: 3.0}
+        assert spark.read.parquet(target).count() == 3
+    finally:
+        q.stop()
