@@ -897,6 +897,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_incremental"] = q_merge_incremental
 
+    # diff a synthetic "next version": drop ids % 5 == 0, double the
+    # value of ids % 3 == 0, add shifted new ids
+    def q_table_diff(spark, sf):
+        from networkframe_spark.functions.pipeline import table_diff
+
+        events = read_events(spark, sf).select("event_id", "value")
+        new = (
+            events.filter("event_id % 5 != 0")
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("event_id") % 3 == 0, F.round(F.col("value") * 2, 2)
+                ).otherwise(F.col("value")),
+            )
+            .unionByName(
+                events.select(
+                    (F.col("event_id") + 1_000_000).alias("event_id"), "value"
+                ).filter("event_id <= 1000100")
+            )
+        )
+        return table_diff(events, new, key_col="event_id")
+
+    q["table_diff"] = q_table_diff
+
+    def q_json_key_profile(spark, sf):
+        from networkframe_spark.functions.pipeline import json_key_profile
+
+        events = read_events(spark, sf)
+        return json_key_profile(events, "props")
+
+    q["json_key_profile"] = q_json_key_profile
+
     # -- multimodal plumbing: binary payload -> Arrow UDF features ---------
     def q_multimodal(spark, sf):
         docs = read_table(spark, sf, "documents")
@@ -3899,6 +3931,44 @@ SELECT coalesce(lc.key, rc.key) AS key,
        coalesce(lc.n_left, 0) * coalesce(rc.n_right, 0) AS n_out
 FROM lc FULL OUTER JOIN rc ON lc.key = rc.key
 ORDER BY n_out DESC, n_left DESC, key ASC LIMIT 20
+"""
+
+    # keyed version diff: full outer join + NULL-safe compare
+    o["table_diff"] = """
+WITH o AS (SELECT event_id AS key, value FROM events),
+n AS (
+  SELECT event_id AS key,
+         CASE WHEN event_id % 3 = 0 THEN round(value * 2, 2)
+              ELSE value END AS value
+  FROM events WHERE event_id % 5 != 0
+  UNION ALL
+  SELECT event_id + 1000000 AS key, value FROM events
+  WHERE event_id + 1000000 <= 1000100
+),
+j AS (
+  SELECT coalesce(o.key, n.key) AS key, o.key AS ok, n.key AS nk,
+         o.value AS ov, n.value AS nv
+  FROM o FULL OUTER JOIN n ON o.key = n.key
+)
+SELECT key,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN NOT (ov IS NOT DISTINCT FROM nv) THEN 'changed'
+       END AS change
+FROM j
+WHERE (ok IS NULL) OR (nk IS NULL) OR NOT (ov IS NOT DISTINCT FROM nv)
+"""
+
+    # top-level JSON key census; objects only (mirrors the map parse)
+    o["json_key_profile"] = """
+WITH t AS (SELECT count(*) AS tot FROM events),
+k AS (
+  SELECT unnest(json_keys(props)) AS key FROM events
+  WHERE json_valid(props) AND json_type(props) = 'OBJECT'
+)
+SELECT key, count(*) AS n,
+       round(count(*) / t.tot, 6) AS frac
+FROM k, t GROUP BY key, t.tot
 """
 
     # equi-width histogram via integer bin arithmetic, single pass

@@ -125,6 +125,10 @@ HEADLINE = [
     "time_profile",          # hour-of-day shares (r6s3)
     "merge_incremental",     # latest-wins upsert (r6s3)
     "knn_label_check",       # neighborhood label vote (r6s3)
+    "numeric_histogram",     # clamped equi-width bins (r6s3)
+    "pairwise_corr",         # one-agg Pearson moments (r6s3)
+    "table_diff",            # keyed version diff (r6s3)
+    "json_key_profile",      # payload schema census (r6s3)
 ]
 
 

@@ -1349,3 +1349,82 @@ def merge_incremental(
         )
         .select(*cols)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list | None = None,
+) -> DataFrame:
+    """Keyed diff between two table versions: one row per key that
+    changed, ``(key, change)`` with ``change`` ∈ ``added`` /
+    ``removed`` / ``changed`` (same key present in both but any
+    compared column differs, NULL-safely).  Unchanged keys are
+    omitted — on a 100 TB table the diff is the small output, which
+    is the point: audit a backfill, validate a migration, or feed an
+    incremental downstream without rereading either side twice.
+
+    Scale design: one full-outer keyed join; the change expression is
+    a codegen'd NULL-safe comparison chain — no row hashing UDF, no
+    second pass.  Compared columns default to the shared non-key
+    columns.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != key_col and c in new.columns
+        ]
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on="key", how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.select(F.col("key"), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-level key census of a JSON payload column: ``(key, n,
+    frac)`` — how many rows carry each key and the fraction of all
+    rows, at 6 dp.  The schema-drift monitor for producer-owned JSON
+    blobs: new keys appearing (or old ones draining) show up here
+    before any extraction breaks.  Rows whose payload fails to parse
+    as a JSON object contribute nothing.
+
+    Scale design: one ``from_json`` parse per row feeding a
+    ``map_keys`` explode and a hash aggregate on the tiny key space;
+    the row total rides along as a 1-row broadcast.
+    """
+    parsed = df.select(
+        F.from_json(F.col(json_col), "map<string,string>").alias("__m")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    keys = (
+        parsed.filter(F.col("__m").isNotNull())
+        .select(F.explode(F.map_keys(F.col("__m"))).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return keys.crossJoin(F.broadcast(total)).select(
+        "key", "n", F.round(F.col("n") / F.col("__t"), 6).alias("frac")
+    )

@@ -725,3 +725,35 @@ def test_ab_test_report_welch_z(spark):
     )
     r1 = ab_test_report(one, "variant", "value").collect()[0]
     assert r1["z_score"] is None and r1["mean_control"] == 1.0
+
+
+def test_table_diff_classifies(spark):
+    from networkframe_spark.functions.pipeline import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (4, 40.0), (5, None)], "k long, v double"
+    )
+    got = {r["key"]: r["change"] for r in table_diff(old, new, "k").collect()}
+    # key 1 unchanged -> absent; NULL-safe compare keeps 3 as removed
+    assert got == {2: "changed", 3: "removed", 4: "added", 5: "added"}
+
+
+def test_json_key_profile_census(spark):
+    from networkframe_spark.functions.pipeline import json_key_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": 2}'),
+            (2, '{"a": 3}'),
+            (3, "not json"),
+            (4, "[1,2]"),
+        ],
+        "event_id long, props string",
+    )
+    got = {r["key"]: (r["n"], r["frac"]) for r in json_key_profile(df, "props").collect()}
+    assert got["a"] == (2, 0.5)
+    assert got["b"] == (1, 0.25)
+    assert set(got) == {"a", "b"}
