@@ -778,22 +778,35 @@ def semantic_dedup(
             )
     if score == "arrow":
         return _cell_pairs_arrow(assigned, id_col, emb_col, threshold)
+    # norms precompute PER ROW, not per pair: higher-order-function
+    # folds (zip_with/aggregate) run interpreted, so the naive
+    # cosine_expr costs three folds per pair — one dot per pair plus
+    # two norms per row is ~3x cheaper on the O(Σ n_c²) pair set, and
+    # dot/(na*nb) is the bit-identical expression tree
+    from .similarity import dot_expr, norm_expr
+
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("__emb_a"),
+        norm_expr(F.col(emb_col)).alias("__na"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("__emb_b"),
+        norm_expr(F.col(emb_col)).alias("__nb"),
     )
     pairs = (
         a.join(b, on="cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine_expr(F.col("__emb_a"), F.col("__emb_b")), 6),
+            F.round(
+                dot_expr(F.col("__emb_a"), F.col("__emb_b"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine")
