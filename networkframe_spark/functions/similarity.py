@@ -348,17 +348,29 @@ def lsh_top_k(
             ).alias("tb"),
         ).select(out_id, out_emb, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
-    cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb")
-    qb = banded(queries, query_id_col, emb_col, "query_id", "q_emb")
+    cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb").withColumn(
+        "c_norm", norm_expr(F.col("c_emb"))
+    )
+    qb = banded(queries, query_id_col, emb_col, "query_id", "q_emb").withColumn(
+        "q_norm", norm_expr(F.col("q_emb"))
+    )
     cand = (
         cb.join(qb, on=["table", "bucket"])
-        .select("query_id", "vec_id", "q_emb", "c_emb")
+        .select("query_id", "vec_id", "q_emb", "c_emb", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "vec_id"])
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    # norms ride from the banded rows (interpreted HOF folds cost per
+    # evaluation — one dot per candidate beats three folds per pair);
+    # dot/(qn*cn) is the bit-identical expression tree of cosine_expr
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+        "cosine",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
