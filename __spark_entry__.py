@@ -1730,6 +1730,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["time_profile"] = q_time_profile
 
+    def q_rfm_segments(spark, sf):
+        from networkframe_spark.functions.temporal import rfm_segments
+
+        events = read_events(spark, sf)
+        return rfm_segments(events)
+
+    q["rfm_segments"] = q_rfm_segments
+
     def q_corpus_describe(spark, sf):
         docs = read_table(spark, sf, "documents")
         return corpus_describe(docs)
@@ -3931,6 +3939,49 @@ SELECT coalesce(lc.key, rc.key) AS key,
        coalesce(lc.n_left, 0) * coalesce(rc.n_right, 0) AS n_out
 FROM lc FULL OUTER JOIN rc ON lc.key = rc.key
 ORDER BY n_out DESC, n_left DESC, key ASC LIMIT 20
+"""
+
+    # RFM quintiles from percentile fences (no global ntile window);
+    # recency inverted so recent = high score
+    _rfm_pcts = [0.2, 0.4, 0.6, 0.8]
+
+    def _rfm_cut(c):
+        return ",\n         ".join(
+            f"quantile_cont({c}, {p!r}) AS {c}_{i}"
+            for i, p in enumerate(_rfm_pcts)
+        )
+
+    def _rfm_tile(c):
+        chain = " ".join(
+            f"WHEN {c} > {c}_{i} THEN {i + 2}"
+            for i in reversed(range(len(_rfm_pcts)))
+        )
+        return f"(CASE {chain} ELSE 1 END)"
+
+    o["rfm_segments"] = f"""
+WITH per AS (
+  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+         count(*) AS frequency,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS monetary
+  FROM events GROUP BY user_id
+),
+cm AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS cmax FROM events),
+base AS (
+  SELECT user_id, cm.cmax - last_s AS recency_s, frequency, monetary
+  FROM per, cm
+),
+cuts AS (
+  SELECT {_rfm_cut("recency_s")},
+         {_rfm_cut("frequency")},
+         {_rfm_cut("monetary")}
+  FROM base
+)
+SELECT b.user_id, b.recency_s, b.frequency, b.monetary,
+       6 - {_rfm_tile("recency_s")} AS r_score,
+       {_rfm_tile("frequency")} AS f_score,
+       {_rfm_tile("monetary")} AS m_score
+FROM base b, cuts
 """
 
     # keyed version diff: full outer join + NULL-safe compare

@@ -746,3 +746,74 @@ def time_profile(
         "n_events",
         F.round(F.col("n_events") / F.col("__tot"), 6).alias("share"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+    approx: bool = False,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value grid): per entity, seconds since its last event
+    (relative to the corpus max timestamp), event count, and exact
+    decimal value sum, each scored 1..``n_tiles`` against corpus-wide
+    percentile cutpoints (higher = better: more recent, more
+    frequent, higher spend).  Returns ``(user, recency_s, frequency,
+    monetary, r_score, f_score, m_score)`` with monetary at 6 dp.
+
+    Scale design: one per-entity hash aggregate; the cutpoints are a
+    1-row percentile aggregate over the ENTITY table (not the event
+    stream) broadcast back as when-chains — no global ntile window
+    (the single-partition scale-killer the two-phase rankers exist to
+    avoid; percentile fences give the same quintile semantics without
+    any global sort).  ``approx=True`` swaps in the mergeable
+    ``percentile_approx`` sketch for the 100 TB path.  Boundary ties
+    score HIGH (``value <= cut`` moves to the next tile only when
+    strictly above), deterministically in both engines.
+    """
+    events = normalize_event_time(events, ts_col)
+    per = events.groupBy(F.col(user_col)).agg(
+        F.max(_epoch_s(ts_col)).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 6
+        ).alias("monetary"),
+    )
+    corpus_max = events.agg(F.max(_epoch_s(ts_col)).alias("__cmax"))
+    per = per.crossJoin(F.broadcast(corpus_max)).select(
+        F.col(user_col),
+        (F.col("__cmax") - F.col("__last")).alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    pf = F.percentile_approx if approx else F.percentile
+    pcts = [i / n_tiles for i in range(1, n_tiles)]
+    cuts = per.agg(
+        *[
+            pf(F.col(c), F.lit(p)).alias(f"__{c}_{i}")
+            for c in ("recency_s", "frequency", "monetary")
+            for i, p in enumerate(pcts)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> "F.Column":
+        # tiles from when-chains over the broadcast cutpoints; ties at
+        # a fence stay in the lower tile index (then inverted for
+        # recency, where LOW values are good)
+        s = F.lit(1)
+        for i in range(len(pcts)):
+            s = F.when(F.col(c) > F.col(f"__{c}_{i}"), i + 2).otherwise(s)
+        return (n_tiles + 1 - s) if invert else s
+
+    return per.crossJoin(F.broadcast(cuts)).select(
+        F.col(user_col),
+        "recency_s",
+        "frequency",
+        "monetary",
+        score("recency_s", invert=True).alias("r_score"),
+        score("frequency", invert=False).alias("f_score"),
+        score("monetary", invert=False).alias("m_score"),
+    )

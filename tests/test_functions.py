@@ -1650,3 +1650,26 @@ def test_pairwise_corr_known_values(spark):
     assert got[("x", "z")] == (6, -1.0)
     assert got[("w", "x")][0] == 5  # the NULL row drops pairwise
     assert got[("w", "x")][1] == 1.0
+
+
+def test_rfm_segments_scores(spark):
+    """Five users with strictly increasing frequency/monetary and
+    strictly DECREASING recency land in the five distinct tiles; the
+    most recent, most active, highest-spend user scores 5/5/5."""
+    from networkframe_spark.functions.temporal import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for j in range(u):  # user u has u events
+            rows.append((u, eid, f"2024-01-0{u} 00:00:00", float(10 * u)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+    assert got[5]["r_score"] == 5 and got[5]["f_score"] == 5 and got[5]["m_score"] == 5
+    assert got[1]["r_score"] == 1 and got[1]["f_score"] == 1 and got[1]["m_score"] == 1
+    assert [got[u]["f_score"] for u in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert got[3]["recency_s"] == 2 * 86400
+    assert got[4]["monetary"] == 160.0
