@@ -129,6 +129,7 @@ HEADLINE = [
     "pairwise_corr",         # one-agg Pearson moments (r6s3)
     "table_diff",            # keyed version diff (r6s3)
     "json_key_profile",      # payload schema census (r6s3)
+    "rfm_segments",          # percentile-fence RFM tiles (r6s3)
 ]
 
 
