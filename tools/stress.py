@@ -177,6 +177,10 @@ def events_stress(n_events: int = 10_000_000, n_users: int = 100_000) -> None:
     run("fill_gaps_1h", lambda: fill_gaps(base, minutes=60))
     run("top_event_paths", lambda: top_event_paths(base, path_len=3))
     run("inter_event_stats", lambda: inter_event_stats(base))
+    from networkframe_spark.functions.temporal import rfm_segments, time_profile
+
+    run("time_profile", lambda: time_profile(base))
+    run("rfm_segments_approx", lambda: rfm_segments(base, approx=True))
     print(
         json.dumps(
             {
