@@ -523,7 +523,9 @@ def char_entropy_score(
         df.select(
             F.col(id_col),
             F.explode(
-                F.expr(f"regexp_extract_all({text_col}, '.', 0)")
+                # backtick-quoted: a caller column named e.g. "my col"
+                # must not be parsed as SQL
+                F.expr(f"regexp_extract_all(`{text_col}`, '.', 0)")
             ).alias("__ch"),
         )
         .groupBy(id_col, "__ch")
