@@ -3872,17 +3872,20 @@ g AS (
   FROM s
 ),
 gf AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 1000),
-gg AS (SELECT g.* FROM g JOIN gf USING (gr)),
+gg0 AS (SELECT g.* FROM g JOIN gf USING (gr)),
+ngc AS (SELECT id, count(*) AS ng FROM gg0 GROUP BY id),
+gg AS (SELECT gg0.*, ngc.ng FROM gg0 JOIN ngc USING (id)),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b, a.sv AS sa, b.sv AS sb,
-         count(*) AS shared
+         a.ng AS na, b.ng AS nb, count(*) AS shared
   FROM gg a JOIN gg b ON a.gr = b.gr AND a.id < b.id
   WHERE abs(length(a.sv) - length(b.sv)) <= 2
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2, 3, 4, 5, 6
 )
 SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
 FROM cand
-WHERE shared >= greatest(1, least(length(sa), length(sb)) - 2 - 6)
+WHERE shared >= greatest(1, least(least(length(sa), length(sb)) - 2 - 6,
+                                  least(na, nb)))
   AND levenshtein(sa, sb) <= 2
 """
 
@@ -4187,12 +4190,14 @@ SELECT doc_id, n_chars FROM w ORDER BY es DESC, doc_id ASC LIMIT 50
     # derived from a single category aggregate
     o["group_rare_categories"] = """
 WITH keep AS (
-  SELECT source FROM documents GROUP BY source HAVING count(*) >= 30
+  SELECT source, 1 AS hit
+  FROM documents GROUP BY source HAVING count(*) >= 30
 )
 SELECT d.doc_id, d.source,
-       CASE WHEN k.source IS NOT NULL THEN d.source
+       CASE WHEN k.hit IS NOT NULL THEN d.source
             ELSE '__other__' END AS source_folded
-FROM documents d LEFT JOIN keep k ON d.source = k.source
+FROM documents d
+LEFT JOIN keep k ON d.source IS NOT DISTINCT FROM k.source
 """
 
     # smoothed target encoding: decimal category/global sums, two
@@ -5243,7 +5248,8 @@ FROM documents d LEFT JOIN est{_cn_rounds} e ON e.id = d.doc_id
 WITH pb AS (
   SELECT user_id,
          (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
-         (max(struct_pack(t := ts, i := event_id, v := value))).v AS v_last
+         (max(struct_pack(t := ts, i := event_id, v := value))).v AS v_last,
+         count(*) AS cnt
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pb GROUP BY 1),
@@ -5252,10 +5258,12 @@ grid AS (
 )
 SELECT g.user_id,
        CAST(to_timestamp(g.b) AS TIMESTAMP) AS bucket_start,
-       last_value(pb.v_last IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.b ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-       pb.v_last IS NULL AS is_gap
+       (last_value(CASE WHEN pb.cnt IS NOT NULL
+                        THEN struct_pack(v := pb.v_last) END IGNORE NULLS)
+        OVER (PARTITION BY g.user_id ORDER BY g.b ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
+         AS v_filled,
+       pb.cnt IS NULL AS is_gap
 FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b
 """
 

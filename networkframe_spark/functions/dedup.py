@@ -1091,8 +1091,11 @@ def similar_strings(
     length band, AND clear the q-gram COUNT filter (Gravano et al.
     2001: ``k`` edits destroy at most ``k·q`` grams, so true matches
     share at least ``min(len) - (q-1) - k·q`` of them — computed on
-    distinct-gram sets here, which can under-count for strings with
-    repeated grams), then survive an exact ``levenshtein`` check.
+    distinct-gram sets here, so the bound is additionally capped at
+    each string's distinct-gram count: a highly repetitive string
+    ("ab"*20 has 2 distinct 3-grams) can never share more grams than
+    it HAS, and without the cap even exact duplicates of such strings
+    would be pruned), then survive an exact ``levenshtein`` check.
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b`` — typo-level
     near-duplicate detection for titles, URLs, product names.
     ``prefix_len`` truncates long values first (None = whole string);
@@ -1142,16 +1145,26 @@ def similar_strings(
         .select("gr")
     )
     gg = grams.join(rare, on="gr", how="left_semi")
+    # per-string distinct-gram counts AFTER the max_df cut — __shared
+    # can never exceed these, so they cap the auto threshold below
+    ng = gg.groupBy("id").agg(F.count(F.lit(1)).alias("__ng"))
+    gg = gg.join(ng, on="id")
     # the candidate join carries only (id, length) — never the string
     # payload: the gram join multiplies rows by Σ df², and shuffling
     # 40-char strings through it dominated the wall clock (measured
     # 30s → 3s at sf0.1 after this change); strings rejoin AFTER the
     # count filter, when candidates are few
     a = gg.select(
-        F.col("gr"), F.col("id").alias("id_a"), F.length("sv").alias("la")
+        F.col("gr"),
+        F.col("id").alias("id_a"),
+        F.length("sv").alias("la"),
+        F.col("__ng").alias("na"),
     )
     b = gg.select(
-        F.col("gr"), F.col("id").alias("id_b"), F.length("sv").alias("lb")
+        F.col("gr"),
+        F.col("id").alias("id_b"),
+        F.length("sv").alias("lb"),
+        F.col("__ng").alias("nb"),
     )
     cand = (
         a.join(b, on="gr")
@@ -1159,15 +1172,18 @@ def similar_strings(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
         )
-        .groupBy("id_a", "id_b", "la", "lb")
+        .groupBy("id_a", "id_b", "la", "lb", "na", "nb")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
     if min_shared == "auto":
         thr = F.greatest(
             F.lit(1),
-            F.least(F.col("la"), F.col("lb"))
-            - (ngram - 1)
-            - max_dist * ngram,
+            F.least(
+                F.least(F.col("la"), F.col("lb"))
+                - (ngram - 1)
+                - max_dist * ngram,
+                F.least(F.col("na"), F.col("nb")),
+            ),
         )
     else:
         thr = F.lit(int(min_shared))

@@ -1108,19 +1108,23 @@ def group_rare_categories(
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select(F.col(col).alias("__keep"))
+        .select(F.col(col).alias("__keep"), F.lit(1).alias("__hit"))
     )
+    # membership tested via the __hit indicator, not __keep itself:
+    # when the frequent category IS NULL the eqNullSafe join matches
+    # but __keep stays NULL, so an isNotNull test would wrongly fold
+    # a frequent NULL category into other_label
     return (
         df.join(
             F.broadcast(keep), on=F.col(col).eqNullSafe(F.col("__keep")), how="left"
         )
         .withColumn(
             out_col,
-            F.when(F.col("__keep").isNotNull(), F.col(col)).otherwise(
+            F.when(F.col("__hit").isNotNull(), F.col(col)).otherwise(
                 F.lit(other_label)
             ),
         )
-        .drop("__keep")
+        .drop("__keep", "__hit")
     )
 
 

@@ -339,6 +339,12 @@ def pairwise_corr(
     Numerics: values quantize to ``scale`` decimal places and the
     five moments per pair accumulate as exact DECIMALs (order-
     independent, engine-portable); only the final ``r`` is floating.
+    Magnitude bound: the squared-moment sums live in DECIMAL(38,0),
+    so ``n * (max|v| * 10^scale)^2`` must stay under 1e38 — about
+    |v| ≤ 1e9 at the default scale with 1e8 rows.  Values beyond the
+    bound (e.g. raw epoch-micros timestamps) RAISE rather than let
+    Spark's non-ANSI mode null the sum silently; rescale or lower
+    ``scale`` for such columns.
 
     Scale design: ONE aggregate computes all pairs' moments in a
     single pass over the fact table (conditional decimal sums per
@@ -360,14 +366,29 @@ def pairwise_corr(
         xb = F.round(F.col(b).cast("double") * m).cast("decimal(28,0)")
         z = F.lit(0).cast("decimal(28,0)")
         z2 = F.lit(0).cast("decimal(38,0)")
+        # try_multiply/try_sum: overflow yields NULL in BOTH ANSI and
+        # non-ANSI modes (instead of an unbranded ANSI throw or a
+        # silent non-ANSI null mid-aggregate), so the magnitude guard
+        # below is what surfaces the failure — loudly and portably
         aggs += [
             F.count(F.when(both, 1)).alias(f"__n_{tag}"),
-            F.sum(F.when(both, xa).otherwise(z)).alias(f"__sa_{tag}"),
-            F.sum(F.when(both, xb).otherwise(z)).alias(f"__sb_{tag}"),
-            F.sum(F.when(both, xa * xb).otherwise(z2)).alias(f"__sab_{tag}"),
-            F.sum(F.when(both, xa * xa).otherwise(z2)).alias(f"__saa_{tag}"),
-            F.sum(F.when(both, xb * xb).otherwise(z2)).alias(f"__sbb_{tag}"),
+            F.try_sum(F.when(both, xa).otherwise(z)).alias(f"__sa_{tag}"),
+            F.try_sum(F.when(both, xb).otherwise(z)).alias(f"__sb_{tag}"),
+            F.try_sum(F.when(both, F.try_multiply(xa, xb)).otherwise(z2)).alias(
+                f"__sab_{tag}"
+            ),
+            F.try_sum(F.when(both, F.try_multiply(xa, xa)).otherwise(z2)).alias(
+                f"__saa_{tag}"
+            ),
+            F.try_sum(F.when(both, F.try_multiply(xb, xb)).otherwise(z2)).alias(
+                f"__sbb_{tag}"
+            ),
         ]
+    for c in sorted(set(cols)):
+        aggs.append(
+            F.max(F.abs(F.col(c).cast("double"))).alias(f"__ma_{c}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"__nc_{c}"))
     # checkpoint the 1-row moment table: the per-pair union branches
     # below would otherwise each re-execute the full aggregate
     # (Catalyst has no cross-branch common-subtree elimination)
@@ -384,15 +405,38 @@ def pairwise_corr(
         cov = n * sab - sa * sb
         va = n * saa - sa * sa
         vb = n * sbb - sb * sb
+        # loud-failure overflow guard: sum(x²) ≤ n·(max|v|·10^scale)²,
+        # so if that bound reaches DECIMAL(38,0)'s ceiling the silent
+        # non-ANSI null is possible — raise instead (cheap: evaluated
+        # on the 1-row moment table)
+        overflow = F.lit(False)
+        for c in (a, b):
+            overflow = overflow | (
+                F.pow(F.col(f"__ma_{c}") * m, 2)
+                * F.col(f"__nc_{c}").cast("double")
+                >= 1e38
+            )
         outs.append(
             wide.select(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.col(f"__n_{tag}").alias("n"),
                 F.when(
+                    overflow,
+                    F.raise_error(
+                        F.lit(
+                            "pairwise_corr: column magnitude * 10^scale "
+                            "overflows DECIMAL(38,0) moment sums for pair "
+                            f"({a}, {b}); rescale the column or lower "
+                            "`scale`"
+                        )
+                    ).cast("double"),
+                )
+                .when(
                     (va > 0) & (vb > 0),
                     F.round(cov / F.sqrt(va) / F.sqrt(vb), 6),
-                ).alias("r"),
+                )
+                .alias("r"),
             )
         )
     out = outs[0]

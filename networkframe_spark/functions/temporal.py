@@ -483,10 +483,12 @@ def fill_gaps(
     row per ``minutes``-wide bucket between its first and last event,
     carrying the last observed value forward through empty buckets.
     Returns ``(key, bucket_start, v_filled, is_gap)`` where ``is_gap``
-    marks buckets with no events.  ``v_filled`` is the
-    chronologically-last value of the latest non-empty bucket at or
-    before this one (ties broken by ``id_col``) — never NULL, since
-    every grid starts at a non-empty bucket.
+    marks buckets with NO EVENTS (tracked by a per-bucket event
+    count, not value NULLness — a bucket whose events carry a NULL
+    ``value_col`` is a real observation, not a gap).  ``v_filled`` is
+    the chronologically-last value of the latest non-empty bucket at
+    or before this one (ties broken by ``id_col``); it is NULL exactly
+    when that observation itself was NULL.
 
     Scale design: the grid is generated DISTRIBUTED — a per-key
     min/max hash aggregate, then ``sequence()`` + ``explode`` on the
@@ -507,7 +509,10 @@ def fill_gaps(
     per_bucket = (
         events.select(F.col(key_col), bucket, F.col(ts_col), F.col(id_col), F.col(value_col))
         .groupBy(key_col, "__b")
-        .agg(F.max(F.struct(ts_col, id_col, value_col)).getField(value_col).alias("__v_last"))
+        .agg(
+            F.max(F.struct(ts_col, id_col, value_col)).getField(value_col).alias("__v_last"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
     )
     span = per_bucket.groupBy(key_col).agg(
         F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
@@ -532,13 +537,17 @@ def fill_gaps(
         ).alias("__b"),
     )
     w = Window.partitionBy(key_col).orderBy(F.col("__b").asc())
+    # the fill skips GAP buckets, not NULL VALUES: wrapping the
+    # observation in a struct makes ignorenulls see non-empty buckets
+    # as non-null even when the observed value itself is NULL
+    obs = F.when(F.col("__cnt").isNotNull(), F.struct(F.col("__v_last").alias("v")))
     return (
         grid.join(per_bucket, on=[key_col, "__b"], how="left")
         .select(
             F.col(key_col),
             F.to_timestamp(F.col("__b")).alias("bucket_start"),
-            F.last("__v_last", ignorenulls=True).over(w).alias("v_filled"),
-            F.col("__v_last").isNull().alias("is_gap"),
+            F.last(obs, ignorenulls=True).over(w).getField("v").alias("v_filled"),
+            F.col("__cnt").isNull().alias("is_gap"),
         )
     )
 

@@ -357,9 +357,19 @@ def stream_upsert_parquet(
 
     Returns the started StreamingQuery (caller stops it).
     """
-    import os
-
     from ..functions.pipeline import merge_incremental
+
+    def _table_exists(spark, p: str) -> bool:
+        # Probe through the Hadoop FileSystem API so s3://, hdfs://,
+        # file:// all resolve the way the executor-side reader will —
+        # a driver-local os.path.exists would be always-false for any
+        # remote URI and silently discard existing table state on the
+        # first micro-batch after a restart.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(hconf)
+        return bool(fs.exists(hpath))
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -372,7 +382,7 @@ def stream_upsert_parquet(
             ts_col=ts_col,
             tiebreak_col=tiebreak_col,
         )
-        if os.path.exists(path):
+        if _table_exists(spark, path):
             existing = spark.read.parquet(path)
             merged = merge_incremental(
                 existing,

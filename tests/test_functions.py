@@ -900,6 +900,26 @@ def test_fill_gaps_forward_fill(spark):
     assert len(u2) == 1 and u2[0]["v_filled"] == 7.0 and not u2[0]["is_gap"]
 
 
+def test_fill_gaps_null_value_bucket_not_gap(spark):
+    """A bucket whose events carry a NULL value is a real observation
+    (is_gap=False, v_filled=NULL), distinct from an empty bucket —
+    and subsequent GAP buckets carry that NULL forward rather than
+    resurrecting the older value."""
+    from networkframe_spark.functions.temporal import fill_gaps
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:05:00", 10.0),
+            (1, 2, "2024-01-01 01:05:00", None),  # NULL observation
+            (1, 3, "2024-01-01 03:10:00", 5.0),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = sorted(fill_gaps(ev, minutes=60).collect(), key=lambda r: r["bucket_start"])
+    assert [r["is_gap"] for r in rows] == [False, False, True, False]
+    assert [r["v_filled"] for r in rows] == [10.0, None, None, 5.0]
+
+
 def test_fill_gaps_max_buckets_guard(spark):
     """An entity spanning more grid points than max_buckets fails
     loudly instead of exploding rows."""
@@ -1395,6 +1415,25 @@ def test_similar_strings_typo_pairs(spark):
     assert all(4 not in pair for pair in got)
 
 
+def test_similar_strings_repetitive_exact_dup(spark):
+    """A highly repetitive string ('ab'*20 has only 2 distinct
+    trigrams) still pairs with its exact duplicate: the q-gram count
+    threshold is capped at each string's distinct-gram count, so
+    low-gram-diversity strings aren't pruned below reachability."""
+    from networkframe_spark.functions.dedup import similar_strings
+
+    docs = spark.createDataFrame(
+        [(1, "ab" * 20), (2, "ab" * 20), (3, "zq" * 20)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in similar_strings(docs, max_dist=2).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert all(3 not in pair for pair in got)
+
+
 def test_pq_search_exact_when_codes_are_identity(spark):
     """With k = n corpus vectors as their own centroids (first_ids
     covers the whole corpus), ADC distance equals the true squared
@@ -1650,6 +1689,23 @@ def test_pairwise_corr_known_values(spark):
     assert got[("x", "z")] == (6, -1.0)
     assert got[("w", "x")][0] == 5  # the NULL row drops pairwise
     assert got[("w", "x")][1] == 1.0
+
+
+def test_pairwise_corr_overflow_raises(spark):
+    """Magnitudes whose quantized squares could overflow the
+    DECIMAL(38,0) moment sums raise loudly instead of letting
+    non-ANSI Spark null the sum silently (epoch-micros-style
+    columns)."""
+    import pytest as _pytest
+
+    from networkframe_spark.functions.stats import pairwise_corr
+
+    df = spark.createDataFrame(
+        [(1.0e13, 1.0), (2.0e13, 2.0), (3.0e13, 3.0)],
+        "big double, small double",
+    )
+    with _pytest.raises(Exception, match="pairwise_corr"):
+        pairwise_corr(df, ["big", "small"]).collect()
 
 
 def test_rfm_segments_scores(spark):

@@ -637,6 +637,25 @@ def test_group_rare_categories_fold(spark):
     assert got[11] == "__other__"  # null folds too
 
 
+def test_group_rare_categories_frequent_null_kept(spark):
+    """A NULL category whose count clears min_count is a KEPT
+    category (stays NULL in the folded column), not other_label — the
+    membership test rides an indicator column, not the NULL-valued
+    join key itself."""
+    from networkframe_spark.functions.pipeline import group_rare_categories
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)] + [(10, "tiny")],
+        "doc_id long, cat string",
+    )
+    got = {
+        r["doc_id"]: r["cat_folded"]
+        for r in group_rare_categories(df, "cat", min_count=5).collect()
+    }
+    assert got[0] is None  # frequent NULL kept as NULL
+    assert got[10] == "__other__"
+
+
 def test_target_encoding_shrinks_to_prior(spark):
     """A 1-row category lands near the prior; a large category stays
     near its own mean; exact decimal arithmetic."""
