@@ -1887,7 +1887,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_corpus"] = q_dedup_corpus
 
-    return q
+    # -- driver-window rotation -----------------------------------------
+    # The driver's correctness gate hashes only the FIRST 50 entries of
+    # this dict.  Registration order above is historical (oldest first),
+    # which froze the window on the round-1/2 core and left the newer,
+    # riskier ops (centrality, temporal, ANN) with replay-only evidence.
+    # Reorder here: a stable 25-query core (cross-round comparability)
+    # followed by 25 rotated-in newer ops, then everything else in
+    # registration order.  Every entry keeps its oracle either way.
+    _window = [
+        # stable core — same 25 the window has carried since round 2
+        "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
+        "remove_nodes", "remove_edges", "add_nodes", "remove_unused_nodes",
+        "reindex_nodes", "apply_node_features", "node_agreement",
+        "groupby_size", "condense_sum", "khop_aggregation",
+        "khop_neighborhood", "reachable_from", "weak_components",
+        "aggregated_edges", "apply_edges_max", "largest_component",
+        "strong_components", "khop_pairs", "frame_validation",
+        "adjacency_dense", "n_components",
+        # rotated in — round-5/6 ops that never had driver-grade checks
+        "betweenness_approx", "hits_scores", "random_walks",
+        "harmonic_centrality", "core_numbers", "k_truss", "pagerank",
+        "triangle_count", "shortest_paths", "rolling_stats", "ewma",
+        "fill_gaps", "resample_events", "retention_cohorts", "asof_join",
+        "range_join", "pq_search", "semantic_dedup_arrow",
+        "fuzzy_decontaminate", "ivf_index_search", "cosine_topk_lsh",
+        # round-7 additions land directly in the window
+        "exact_substring_decontaminate", "node2vec_walks",
+        "label_propagation_weighted", "stream_condense_twin",
+    ]
+    ordered = {k: q[k] for k in _window if k in q}
+    for k, v in q.items():
+        if k not in ordered:
+            ordered[k] = v
+    return ordered
 
 
 # ---------------------------------------------------------------------------

@@ -160,15 +160,38 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     common18 = round(sum(timings[n] for n in COMMON18 if n in timings), 3)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "common18_total": common18,
+        "sf": sf,
+    }
+    # the full per-query map outgrew the driver's tail capture in r6
+    # (BENCH_r06.json.parsed came back null) — persist the complete
+    # artifact in-repo so every timing survives regardless of how much
+    # of stdout the harness keeps
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": worst5,
+                "n_queries": len(timings),
                 "common18_total": common18,
                 "sf": sf,
+                "full_artifact": "BENCH_LOCAL.json",
             }
         )
     )
