@@ -1188,6 +1188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_decontaminate"] = q_decontaminate
 
+    # MassiveText §2.1 exact-substring rule: stride-1 eval windows vs
+    # strided corpus windows; (25, 26) guarantees every shared
+    # 50-token run is caught
+    def q_exact_substring_decontaminate(spark, sf):
+        from networkframe_spark.functions.pipeline import (
+            exact_substring_decontaminate,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        split = train_test_split(docs, test_fraction=0.2, seed=7)
+        train = split.filter("split = 'train'")
+        test = split.filter("split = 'test'")
+        return exact_substring_decontaminate(train, test, window=25, stride=26)
+
+    q["exact_substring_decontaminate"] = q_exact_substring_decontaminate
+
     def q_cap_per_group(spark, sf):
         docs = read_table(spark, sf, "documents")
         return cap_per_group(docs, "source", 15).select("doc_id", "source")
@@ -3328,6 +3344,38 @@ SELECT cg.doc_id,
        count(DISTINCT eg.eval_id) AS n_eval_docs
 FROM cg JOIN eg ON eg.gram = cg.gram
 GROUP BY cg.doc_id
+"""
+
+    o["exact_substring_decontaminate"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+lab AS (
+  SELECT doc_id,
+         CASE WHEN {BUCKET} < 200000 THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+cidx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 24, 1), 26)) AS i
+  FROM toks
+),
+eidx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 24, 1))) AS i
+  FROM toks
+),
+cfp AS (
+  SELECT DISTINCT c.doc_id, md5(array_to_string(t[i:i+24], ' ')) AS fp
+  FROM cidx c JOIN lab l USING (doc_id) WHERE l.split = 'train'
+),
+efp AS (
+  SELECT DISTINCT e.doc_id AS eval_id, md5(array_to_string(t[i:i+24], ' ')) AS fp
+  FROM eidx e JOIN lab l USING (doc_id) WHERE l.split = 'test'
+)
+SELECT cfp.doc_id,
+       count(DISTINCT cfp.fp) AS n_shared_windows,
+       count(DISTINCT efp.eval_id) AS n_eval_docs
+FROM cfp JOIN efp USING (fp)
+GROUP BY cfp.doc_id
 """
 
     o["cap_per_group"] = f"""

@@ -472,6 +472,76 @@ def ngram_decontaminate(
     )
 
 
+def exact_substring_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    window: int = 25,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring eval-set decontamination (the MassiveText /
+    Gopher §2.1 rule: flag training documents sharing a long exact
+    token run with any eval document).  Detection is by overlapping
+    fixed-length token windows: the EVAL side fingerprints every
+    stride-1 window of ``window`` tokens; the CORPUS side fingerprints
+    only every ``stride``-th window.  The pigeonhole guarantee: any
+    shared exact run of at least ``window + stride - 1`` tokens
+    contains a corpus grid position whose full window lies inside the
+    run, and that window exists verbatim on the stride-1 eval side —
+    so with the defaults (25, 26) every shared 50-token substring is
+    caught, the published MassiveText threshold, while the corpus
+    explode emits ~1/26th of the stride-1 row count.  Shorter overlaps
+    MAY be caught (when alignment cooperates) but are not guaranteed.
+    Returns flagged corpus docs only: ``(doc_id, n_shared_windows,
+    n_eval_docs)`` — drop them, or re-scan just the flagged docs
+    driver-side to excise the matched spans.
+
+    Complements :func:`ngram_decontaminate` (stride-1 both sides, short
+    grams): this is the long-run variant whose corpus-side cost stays
+    ~O(tokens/stride) rows, the only explode shape that survives a
+    100 TB corpus.  Windows are md5 fingerprints (32 hex chars) so the
+    join key is fixed-width and skew-free — long exact runs are
+    near-unique by construction; a doc shorter than ``window`` tokens
+    contributes its whole text as one truncated window (whole-doc
+    exact matching for short docs).  The eval side is tiny by
+    definition and broadcasts under AQE.
+    """
+    from .text import tokens_col
+
+    if window < 1:
+        raise ValueError("exact_substring_decontaminate: window >= 1")
+    if stride is None:
+        stride = window + 1
+    if stride < 1:
+        raise ValueError("exact_substring_decontaminate: stride >= 1")
+
+    def _fps(df: DataFrame, s: int, out_id: str) -> DataFrame:
+        toks = tokens_col(text_col)
+        grams = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(toks) - window + 1, F.lit(1)),
+                F.lit(s),
+            ),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(grams).alias("__fp")
+        ).distinct()
+
+    c = _fps(corpus, stride, id_col)
+    ev = _fps(eval_df, 1, "eval_id")
+    return (
+        c.join(ev, on="__fp")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__fp").alias("n_shared_windows"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -637,6 +637,39 @@ def test_group_rare_categories_fold(spark):
     assert got[11] == "__other__"  # null folds too
 
 
+def test_exact_substring_decontaminate_pigeonhole(spark):
+    """A corpus doc embedding a 50-token eval run at an arbitrary
+    offset is always flagged at (window=25, stride=26) — the
+    pigeonhole guarantee — while disjoint text is not; short docs
+    match whole-text."""
+    from networkframe_spark.functions.pipeline import (
+        exact_substring_decontaminate,
+    )
+
+    eval_tokens = [f"e{i}" for i in range(50)]
+    noise = [f"x{i}" for i in range(40)]
+    corpus = spark.createDataFrame(
+        [
+            # the 50-token eval run at offset 17 — awkward alignment
+            (1, " ".join(noise[:17] + eval_tokens + noise[17:])),
+            (2, " ".join(f"y{i}" for i in range(80))),  # clean
+            (3, "tiny shared doc"),  # short doc, whole-text window
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, " ".join(eval_tokens)), (101, "tiny shared doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_decontaminate(corpus, ev).collect()
+    }
+    assert 1 in got and got[1]["n_eval_docs"] == 1
+    assert 2 not in got
+    assert 3 in got and got[3]["n_eval_docs"] == 1
+
+
 def test_group_rare_categories_frequent_null_kept(spark):
     """A NULL category whose count clears min_count is a KEPT
     category (stays NULL in the folded column), not other_label — the

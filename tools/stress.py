@@ -427,6 +427,20 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
         "perplexity_buckets_approx",
         lambda: perplexity_buckets(base, approx=True),
     )
+    # round-7 ops
+    from networkframe_spark.functions.pipeline import (
+        exact_substring_decontaminate,
+    )
+
+    # eval = ~0.1% of the corpus; the planted 20-doc identical runs
+    # mean each eval doc has ~19 exact 60-token twins to catch
+    evalset = hash_sample(base, 0.001, seed=11)
+    run(
+        "exact_substring_decon",
+        lambda: exact_substring_decontaminate(
+            base, evalset, window=25, stride=26
+        ),
+    )
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
     spark.stop()
