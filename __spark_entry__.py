@@ -1600,6 +1600,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_walks"] = q_random_walks
 
+    def q_node2vec_walks(spark, sf):
+        # p=2 discourages returning, q=0.5 encourages moving outward —
+        # a DFS-flavored corpus; quarter-unit p/q keeps every weight
+        # an exact integer (see algorithms.node2vec_walks)
+        nf = _graph(spark, sf)
+        return nf.node2vec_walks(
+            walk_length=3, walks_per_node=1, p=2.0, q=0.5, directed=False
+        )
+
+    q["node2vec_walks"] = q_node2vec_walks
+
     def q_retention(spark, sf):
         events = read_events(spark, sf)
         return retention_cohorts(events, period_days=7)
@@ -4465,6 +4476,65 @@ w{t} AS (
         rw_union += (
             f"\nUNION ALL SELECT start_id, rep, {t} AS step, id FROM w{t}"
         )
+    # node2vec biased walks: 3 unrolled second-order steps; weights are
+    # the exact integers (4*q4, p4*q4, 4*p4) = (8, 16, 32) for
+    # (p, q) = (2, 0.5); the pick inverts the cumulative weight at the
+    # counter hash mod total weight (see algorithms.node2vec_walks)
+    n2v_hash = (
+        "(((((start_id % 1000003) + 1000003) % 1000003)"
+        " * 1315423911 + rep * 2654435761 + {t} * 97)"
+        " % 1000003)"
+    )
+    n2v_steps = ""
+    n2v_union = "SELECT start_id, rep, 0 AS step, id FROM v0"
+    for t in range(1, 4):
+        h = n2v_hash.format(t=t)
+        n2v_steps += f""",
+cand{t} AS (
+  SELECT v.start_id, v.rep, v.prev, v.id, a.target, a.rank,
+         CASE WHEN a.target = v.prev THEN 8
+              WHEN nb.s IS NOT NULL THEN 16
+              ELSE 32 END AS wt
+  FROM v{t - 1} v
+  JOIN adj a ON a.source = v.id
+  LEFT JOIN simple nb ON nb.s = v.prev AND nb.t = a.target
+),
+sel{t} AS (
+  SELECT *,
+         SUM(wt) OVER (PARTITION BY start_id, rep ORDER BY rank ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wt) OVER (PARTITION BY start_id, rep) AS tw
+  FROM cand{t}
+),
+v{t} AS (
+  SELECT start_id, rep, id AS prev, target AS id
+  FROM sel{t}
+  WHERE cw - wt <= ({h} % tw) AND ({h} % tw) < cw
+)"""
+        n2v_union += (
+            f"\nUNION ALL SELECT start_id, rep, {t} AS step, id FROM v{t}"
+        )
+    o["node2vec_walks"] = f"""
+WITH {GRAPH_CTE},
+e AS (SELECT DISTINCT source, target FROM edges),
+sym AS (
+  SELECT source AS s, target AS t FROM e
+  UNION
+  SELECT target AS s, source AS t FROM e
+),
+simple AS (SELECT s, t FROM sym WHERE s <> t),
+adj AS (
+  SELECT s AS source, t AS target,
+         row_number() OVER (PARTITION BY s ORDER BY t ASC) - 1 AS rank
+  FROM simple
+),
+v0 AS (SELECT n.id AS start_id, 0 AS rep, n.id AS prev, n.id AS id
+       FROM nodes n)
+{n2v_steps}
+{n2v_union}
+"""
+
     o["random_walks"] = f"""
 WITH {GRAPH_CTE},
 e AS (SELECT DISTINCT source, target FROM edges),

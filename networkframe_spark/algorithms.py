@@ -1906,12 +1906,21 @@ def random_walks(
     distributed embedding-training corpus needs (re-runs and
     stragglers regenerate identical walks).
 
-    Scale design: the adjacency is ranked once (one row_number window
-    per source — the only window, over neighbor lists) and cached
-    hash-partitioned with the degree table; each step is two keyed
-    joins (walk x degree on the current node, then x adjacency on
-    (node, rank)) — state is n x walks_per_node rows per step, edges
-    never rematerialize.  Lineage is checkpoint-truncated per step.
+    Scale design: the adjacency is ranked once, and the SAME window
+    that ranks it also counts it — each adjacency row carries its
+    source's degree, so a step is ONE join: walk x adjacency on the
+    node, with ``rank == hash mod deg`` as the probe-time filter
+    (rank implies degree; there is no separate degree table or
+    per-step degree join).  Measured best-of-3 at sf0.1:
+    3.5s vs 4.9s for the two-join form; 5M-edge stress agrees
+    (SCALE.md round 7, which also records the measured NEGATIVE
+    result for the carry-target-degree variant).  Hub note: the
+    probe streams deg(u) adjacency rows per walk standing at u and
+    filters inline (never materialized); with extreme hubs AND many
+    concurrent walks the exact (node, rank)-keyed two-join form
+    bounds probe work instead.  State is n x walks_per_node rows per
+    step, edges never rematerialize.  Lineage is
+    checkpoint-truncated per step.
     """
     from pyspark.sql import Window as w
 
@@ -1919,27 +1928,21 @@ def random_walks(
     adj = _edge_pairs(frame, directed).filter(
         F.col("source") != F.col("target")
     )
+    win = w.partitionBy("source")
     ranked = (
         adj.select(
             "source",
             "target",
             (
-                F.row_number().over(
-                    w.partitionBy("source").orderBy(F.col("target").asc())
-                )
-                - 1
+                F.row_number().over(win.orderBy(F.col("target").asc())) - 1
             ).alias("rank"),
+            F.count(F.lit(1)).over(win).alias("deg"),
         )
         .repartition("source")
         # localCheckpoint, not cache(): blocks are RDD-scoped (freed by
         # the ContextCleaner when the walk result is dropped) instead
         # of pinning an edge-sized table in the CacheManager for the
         # whole session; partitioning is preserved for the step joins
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        ranked.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
     reps = F.explode(
@@ -1967,16 +1970,157 @@ def random_walks(
             + F.lit(t * 97),
             F.lit(P),
         )
+        c = cur
         cur = (
-            cur.join(deg.withColumnRenamed("source", "id"), on="id")
+            c.join(
+                ranked,
+                (c["id"] == ranked["source"])
+                & (ranked["rank"] == F.pmod(h, ranked["deg"])),
+            )
+            .select("start_id", "rep", F.col("target").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.union(
+            cur.select("start_id", "rep", F.lit(t).alias("step"), "id")
+        )
+    return out
+
+
+def node2vec_walks(
+    frame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic node2vec biased walks (Grover & Leskovec 2016):
+    the second-order walk where a step from ``v`` (arrived from
+    ``prev``) weights each candidate ``x`` by 1/p if ``x == prev``
+    (return), 1 if ``x`` neighbors ``prev`` (BFS-ish stay-local), and
+    1/q otherwise (DFS-ish move-outward).  ``p``/``q`` must be
+    positive quarter-unit rationals (0.25, 0.5, 1, 2, 4, ... — the
+    grid the paper searches): with p4=4p and q4=4q integral, the three
+    weights scale to EXACT integers (4·q4, p4·q4, 4·p4), so the
+    cumulative-weight inversion below is pure bigint arithmetic —
+    bit-identical in any engine, no floats anywhere in the pick.
+
+    The pick: candidates of a walk sort by neighbor rank; the chosen
+    one is the unique candidate whose cumulative-weight interval
+    contains ``hash(start, rep, t) mod total_weight`` — the same
+    splittable counter hash as :func:`random_walks` (re-runs and
+    stragglers regenerate identical walks).  Step 1 initializes
+    ``prev = start``, which makes every candidate a neighbor of
+    ``prev`` and the first hop uniform — the standard convention.
+    Walks stop early at sinks.  Returns ``(start_id, rep, step, id)``.
+
+    Scale design: per step, candidates materialize as Σ deg(current)
+    rows (ONE keyed join on the current node), the dist-1 test is one
+    left-semi-shaped join on the (prev, candidate) edge key, and the
+    weighted pick is one window over the walk key — three shuffles per
+    step, all on bounded keys, state never exceeds the touched
+    adjacency.  This is the distributed answer to node2vec's O(Σ
+    deg(u)·deg(v)) alias-table preprocessing: the same weights are
+    evaluated on the fly, paid only for nodes walks actually visit.
+    """
+    from pyspark.sql import Window as w
+
+    P = 1000003
+    p4, q4 = round(4 * p), round(4 * q)
+    if p4 < 1 or q4 < 1 or abs(4 * p - p4) > 1e-9 or abs(4 * q - q4) > 1e-9:
+        raise ValueError(
+            "node2vec_walks: p and q must be positive multiples of 0.25"
+        )
+    w_ret, w_nbr, w_out = 4 * q4, p4 * q4, 4 * p4
+    adj = _edge_pairs(frame, directed).filter(
+        F.col("source") != F.col("target")
+    )
+    ranked = (
+        adj.select(
+            "source",
+            "target",
+            (
+                F.row_number().over(
+                    w.partitionBy("source").orderBy(F.col("target").asc())
+                )
+                - 1
+            ).alias("rank"),
+        )
+        .repartition("source")
+        .localCheckpoint(eager=True)
+    )
+    nbr = ranked.select(
+        F.col("source").alias("__ps"),
+        F.col("target").alias("__pt"),
+        F.lit(1).alias("__nb"),
+    )
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+    ).alias("rep")
+    cur = frame.nodes.select(F.col("id").alias("start_id"), reps).select(
+        "start_id",
+        "rep",
+        F.col("start_id").alias("prev"),
+        F.col("start_id").alias("id"),
+    )
+    out = cur.select("start_id", "rep", F.lit(0).alias("step"), "id")
+    id_type = dict(frame.nodes.dtypes)["id"]
+    numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    walk_w = w.partitionBy("start_id", "rep")
+    cum_w = walk_w.orderBy(F.col("rank").asc()).rowsBetween(
+        w.unboundedPreceding, w.currentRow
+    )
+    for t in range(1, walk_length + 1):
+        base = (
+            F.pmod(F.col("start_id"), F.lit(P))
+            if numeric
+            else F.pmod(F.xxhash64(F.col("start_id").cast("string")), F.lit(P))
+        )
+        h = F.pmod(
+            base * F.lit(1315423911)
+            + F.col("rep") * F.lit(2654435761)
+            + F.lit(t * 97),
+            F.lit(P),
+        )
+        cand = (
+            cur.join(ranked, cur["id"] == ranked["source"])
+            .select("start_id", "rep", "prev", "id", "target", "rank")
+            .join(
+                nbr,
+                (F.col("prev") == F.col("__ps"))
+                & (F.col("target") == F.col("__pt")),
+                how="left",
+            )
             .select(
                 "start_id",
                 "rep",
-                F.col("id").alias("source"),
-                F.pmod(h, F.col("deg")).alias("rank"),
+                "prev",
+                "id",
+                "target",
+                "rank",
+                F.when(F.col("target") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("__nb").isNotNull(), F.lit(w_nbr))
+                .otherwise(F.lit(w_out))
+                .cast("bigint")
+                .alias("__wt"),
             )
-            .join(ranked, on=["source", "rank"])
-            .select("start_id", "rep", F.col("target").alias("id"))
+        )
+        cw = F.sum("__wt").over(cum_w)
+        tw = F.sum("__wt").over(walk_w)
+        r = F.pmod(h, tw)
+        cur = (
+            cand.withColumn("__cw", cw)
+            .withColumn("__r", r)
+            .filter(
+                (F.col("__cw") - F.col("__wt") <= F.col("__r"))
+                & (F.col("__r") < F.col("__cw"))
+            )
+            .select(
+                "start_id",
+                "rep",
+                F.col("id").alias("prev"),
+                F.col("target").alias("id"),
+            )
             .localCheckpoint(eager=False)
         )
         out = out.union(

@@ -923,6 +923,28 @@ class NetworkFrame:
             directed=directed,
         )
 
+    def node2vec_walks(
+        self,
+        walk_length: int = 4,
+        walks_per_node: int = 1,
+        p: float = 1.0,
+        q: float = 1.0,
+        directed: bool = False,
+    ) -> DataFrame:
+        """Deterministic node2vec biased-walk corpus ``(start_id, rep,
+        step, id)`` with exact-integer return/in-out weighting; see
+        :func:`networkframe_spark.algorithms.node2vec_walks`."""
+        from .algorithms import node2vec_walks
+
+        return node2vec_walks(
+            self,
+            walk_length=walk_length,
+            walks_per_node=walks_per_node,
+            p=p,
+            q=q,
+            directed=directed,
+        )
+
     def metrics(self) -> DataFrame:
         """One-row graph-science summary ``(density, reciprocity,
         assortativity, avg_degree)`` over the simple projection; see

@@ -653,6 +653,73 @@ def test_random_walks_stop_at_sinks(spark, letter_frame):
             assert (pos[(s, t - 1)], v) in fwd
 
 
+def test_node2vec_walks_match_reference_simulation(spark):
+    """The distributed biased walk reproduces, row for row, an
+    independent pure-Python simulation of the node2vec rule (counter
+    hash, integer quarter-unit weights, cumulative-weight inversion)
+    on a 6-node undirected graph — for a biased (p=2, q=0.5) and the
+    uniform (p=q=1) setting."""
+    from networkframe_spark import NetworkFrame
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (2, 5)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edf = spark.createDataFrame(edges, "source long, target long")
+    nf = NetworkFrame(nodes, edf)
+
+    und = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    P = 1000003
+
+    def simulate(p4, q4, walk_length, walks_per_node):
+        w_ret, w_nbr, w_out = 4 * q4, p4 * q4, 4 * p4
+        rows = []
+        for start in range(6):
+            for rep in range(walks_per_node):
+                prev, cur = start, start
+                rows.append((start, rep, 0, start))
+                for t in range(1, walk_length + 1):
+                    cands = sorted(und[cur])
+                    wts = [
+                        w_ret
+                        if x == prev
+                        else w_nbr
+                        if x in und[prev]
+                        else w_out
+                        for x in cands
+                    ]
+                    h = (
+                        (start % P) * 1315423911 + rep * 2654435761 + t * 97
+                    ) % P
+                    r = h % sum(wts)
+                    cum = 0
+                    for x, wt in zip(cands, wts):
+                        cum += wt
+                        if r < cum:
+                            nxt = x
+                            break
+                    prev, cur = cur, nxt
+                    rows.append((start, rep, t, cur))
+        return sorted(rows)
+
+    for p, q, p4, q4 in [(2.0, 0.5, 8, 2), (1.0, 1.0, 4, 4)]:
+        got = sorted(
+            (r["start_id"], r["rep"], r["step"], r["id"])
+            for r in nf.node2vec_walks(
+                walk_length=4, walks_per_node=2, p=p, q=q, directed=False
+            ).collect()
+        )
+        assert got == simulate(p4, q4, 4, 2), (p, q)
+
+
+def test_node2vec_walks_rejects_non_quarter_pq(spark, letter_frame):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="0.25"):
+        letter_frame.node2vec_walks(p=0.3)
+
+
 def test_betweenness_single_seed_hand_computed(spark, letter_frame):
     """Undirected seed A on A-B, A-C, B-C, C-D: the BFS DAG from A has
     C as the sole gateway to D -> delta(C) = 1, everything else 0."""
