@@ -1357,6 +1357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["label_propagation"] = q_label_propagation
 
+    def q_label_propagation_weighted(spark, sf):
+        # weighted voting over the customer-supplier multigraph:
+        # parallel order edges accumulate into exact decimal vote sums
+        nf = _graph(spark, sf)
+        return nf.label_propagation(
+            n_iter=2, directed=False, weight_col="weight"
+        )
+
+    q["label_propagation_weighted"] = q_label_propagation_weighted
+
     def q_unigram_logprob(spark, sf):
         docs = read_table(spark, sf, "documents")
         return unigram_logprob_score(docs)
@@ -3743,6 +3753,44 @@ WHERE round(list_dot_product(a.emb, b.emb)
         )
     o["label_propagation"] = (
         "WITH " + ", ".join(_lp) + " SELECT id, community FROM l2"
+    )
+
+    # weighted LPA: same unrolled round shape, votes are exact
+    # DECIMAL(28,6) weight sums over the symmetrized simple pairs
+    # (parallel edges pre-accumulated); self-vote weight 0
+    _lpw = [
+        "und AS (SELECT least(source, target) AS source,"
+        " greatest(source, target) AS target,"
+        " SUM(CAST(weight AS DECIMAL(28,6))) AS w"
+        " FROM edges GROUP BY 1, 2)",
+        "sym AS (SELECT source, target, w FROM und WHERE source <> target"
+        " UNION ALL SELECT target, source, w FROM und"
+        " WHERE source <> target)",
+        "l0 AS (SELECT id, id AS community FROM nodes)",
+    ]
+    for _i in range(2):
+        _lpw.append(
+            f"v{_i + 1} AS (SELECT id, nb, SUM(v) AS n FROM ("
+            f"SELECT s.target AS id, l{_i}.community AS nb, s.w AS v"
+            f" FROM sym s JOIN l{_i} ON s.source = l{_i}.id"
+            f" UNION ALL SELECT id, community,"
+            f" CAST(0 AS DECIMAL(28,6)) FROM l{_i}"
+            f") GROUP BY 1, 2)"
+        )
+        _lpw.append(
+            f"w{_i + 1} AS (SELECT id, nb FROM (SELECT id, nb, row_number()"
+            f" OVER (PARTITION BY id ORDER BY n DESC, nb ASC) AS rn"
+            f" FROM v{_i + 1}) WHERE rn = 1)"
+        )
+        _lpw.append(
+            f"l{_i + 1} AS (SELECT l{_i}.id,"
+            f" coalesce(w{_i + 1}.nb, l{_i}.community) AS community"
+            f" FROM l{_i} LEFT JOIN w{_i + 1} ON l{_i}.id = w{_i + 1}.id)"
+        )
+    o["label_propagation_weighted"] = (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(_lpw)
+        + " SELECT id, community FROM l2"
     )
 
     # weighted tf form mirrors the Spark plan exactly (sum(c*lp)/sum(c))

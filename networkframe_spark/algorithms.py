@@ -58,6 +58,34 @@ def _edge_pairs(frame, directed: bool) -> DataFrame:
     )
 
 
+def _weighted_pairs(frame, directed: bool, weight_col: str) -> DataFrame:
+    """``(source, target, w)`` with parallel edges collapsed by
+    exact DECIMAL(28,6) weight sums; symmetrized when undirected
+    (same unordered-pair-first dedup shape as :func:`_edge_pairs` —
+    the aggregate shuffle carries the raw edge count, not twice it)."""
+    wcol = F.col(weight_col).cast("decimal(28,6)")
+    if directed:
+        return frame.edges.groupBy("source", "target").agg(
+            F.sum(wcol).alias("w")
+        )
+    und = (
+        frame.edges.select(
+            F.least("source", "target").alias("source"),
+            F.greatest("source", "target").alias("target"),
+            wcol.alias("w"),
+        )
+        .groupBy("source", "target")
+        .agg(F.sum("w").alias("w"))
+    )
+    return und.union(
+        und.filter(F.col("source") != F.col("target")).select(
+            F.col("target").alias("source"),
+            F.col("source").alias("target"),
+            F.col("w"),
+        )
+    )
+
+
 def _seed_df(frame, node_id: Any) -> DataFrame:
     from .frame import _as_id_df
 
@@ -1570,30 +1598,54 @@ def shortest_paths(
 
 
 def label_propagation(
-    frame, n_iter: int = 3, directed: bool = False
+    frame,
+    n_iter: int = 3,
+    directed: bool = False,
+    weight_col: str | None = None,
+    self_weight: float = 0.0,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic: ``(id, community)`` after
     ``n_iter`` rounds over the undirected simple projection (or
     directed out-edges when ``directed``).
 
-    Each round every node adopts the most frequent label among its
-    neighbors AND itself (the self-vote damps the two-coloring
-    oscillation synchronous LPA is known for) — ties break to the
-    SMALLEST label, and isolated nodes keep their own — so the result
-    is a pure function of the graph (no RNG, no visit order), and a
-    fixed-``n_iter`` unrolled SQL twin is exact.
+    Unweighted (``weight_col=None``): each round every node adopts
+    the most frequent label among its neighbors AND itself (the
+    self-vote damps the two-coloring oscillation synchronous LPA is
+    known for).  Weighted (Barber & Clark 2009 style): the vote is
+    ``sum(weight)`` per neighbor label — parallel edges accumulate,
+    weights are summed as exact DECIMAL(28,6) so the argmax is
+    order-independent and engine-portable; ``self_weight`` is the
+    node's own-label vote (0 disables self-damping; raise it on
+    graphs that oscillate).  Weights must be non-negative.  Ties
+    break to the SMALLEST label, and isolated nodes keep their own —
+    the result is a pure function of the graph (no RNG, no visit
+    order), and a fixed-``n_iter`` unrolled SQL twin is exact.
+    Pair the labels with :func:`community_quality` for the modularity
+    readout of the resulting partition.
 
-    Scale design: one keyed join (labels onto edges) + two hash
-    aggregates per round — count per (node, neighbor-label), then a
-    deterministic argmax via ``max_by`` on the (count, -label) pair.
+    Scale design: identical round shape in both modes — one keyed
+    join (labels onto edges) + two hash aggregates per round — count
+    (or decimal weight-sum) per (node, neighbor-label), then a
+    deterministic argmax via ``min_by`` on the (-votes, label) pair.
     All shuffles key on the node id; lineage is cut per round.
     """
     # cached pre-partitioned on the per-round join key: each round
     # then shuffles only the node-sized label table into the join
-    pairs = _edge_pairs(frame, directed).filter(
-        F.col("source") != F.col("target")
-    ).repartition("source").cache()
+    if weight_col is None:
+        pairs = _edge_pairs(frame, directed).filter(
+            F.col("source") != F.col("target")
+        )
+        vote = F.lit(1).cast("decimal(28,6)")
+    else:
+        pairs = _weighted_pairs(frame, directed, weight_col).filter(
+            F.col("source") != F.col("target")
+        )
+        vote = F.col("w")
+    pairs = pairs.repartition("source").cache()
+    self_vote = F.lit(1 if weight_col is None else self_weight).cast(
+        "decimal(28,6)"
+    )
     labels = frame.nodes.select(
         "id", F.col("id").alias("community")
     ).localCheckpoint(eager=True)
@@ -1606,17 +1658,21 @@ def label_propagation(
                 ),
                 on="source",
             )
-            .select(F.col("target").alias("id"), "nb_label")
+            .select(F.col("target").alias("id"), "nb_label", vote.alias("__v"))
             .unionByName(
-                labels.select("id", F.col("community").alias("nb_label"))
+                labels.select(
+                    "id",
+                    F.col("community").alias("nb_label"),
+                    self_vote.alias("__v"),
+                )
             )
             .groupBy("id", "nb_label")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("__v").alias("n"))
         )
-        # most frequent neighbor label, ties -> smallest label
+        # most heavily voted neighbor label, ties -> smallest label
         winner = votes.groupBy("id").agg(
-            # min_by on (-n, label): largest count, then SMALLEST label.
-            # Negating the count (always numeric) instead of the label
+            # min_by on (-n, label): largest vote, then SMALLEST label.
+            # Negating the vote (always numeric) instead of the label
             # keeps the tie-break legal for string node ids
             F.expr("min_by(nb_label, struct(-n, nb_label))").alias("__new")
         )

@@ -775,14 +775,25 @@ class NetworkFrame:
         )
 
     def label_propagation(
-        self, n_iter: int = 3, directed: bool = False
+        self,
+        n_iter: int = 3,
+        directed: bool = False,
+        weight_col: Optional[str] = None,
+        self_weight: float = 0.0,
     ) -> DataFrame:
         """Deterministic synchronous label-propagation communities
-        ``(id, community)``; see
+        ``(id, community)``, optionally weighted by ``weight_col``
+        (exact decimal vote sums); see
         :func:`networkframe_spark.algorithms.label_propagation`."""
         from .algorithms import label_propagation
 
-        return label_propagation(self, n_iter=n_iter, directed=directed)
+        return label_propagation(
+            self,
+            n_iter=n_iter,
+            directed=directed,
+            weight_col=weight_col,
+            self_weight=self_weight,
+        )
 
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None

@@ -653,6 +653,55 @@ def test_random_walks_stop_at_sinks(spark, letter_frame):
             assert (pos[(s, t - 1)], v) in fwd
 
 
+def test_label_propagation_weighted_votes(spark):
+    """Weighted voting: parallel edges accumulate (1-2 carries 3+3=6,
+    beating the single 5-weight 1-4 edge), winners follow weight sums
+    not neighbor counts, isolated nodes keep their own label."""
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 2, 3.0), (1, 4, 5.0), (2, 4, 1.0)],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["id"]: r["community"]
+        for r in nf.label_propagation(
+            n_iter=1, directed=False, weight_col="weight"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 1, 3: 3}
+
+
+def test_label_propagation_weighted_vs_unweighted_diverge(spark):
+    """On a graph where one heavy edge opposes two light ones, the
+    weighted and unweighted variants pick different communities for
+    the contested node."""
+    from networkframe_spark import NetworkFrame
+
+    # node 10 has two light edges into the {1,2} side and one heavy
+    # edge to 20; unweighted majority says {1,2}, weight says 20
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 10, 20)], "id long")
+    edges = spark.createDataFrame(
+        [(10, 1, 1.0), (10, 2, 1.0), (10, 20, 100.0), (1, 2, 1.0)],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    unw = {
+        r["id"]: r["community"]
+        for r in nf.label_propagation(n_iter=1, directed=False).collect()
+    }
+    wtd = {
+        r["id"]: r["community"]
+        for r in nf.label_propagation(
+            n_iter=1, directed=False, weight_col="weight"
+        ).collect()
+    }
+    assert unw[10] == 1  # two votes from {1,2} side + tie-break
+    assert wtd[10] == 20  # the heavy edge dominates
+
+
 def test_node2vec_walks_match_reference_simulation(spark):
     """The distributed biased walk reproduces, row for row, an
     independent pure-Python simulation of the node2vec rule (counter

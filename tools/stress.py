@@ -255,6 +255,12 @@ def main() -> None:
         lambda: nf.random_walks(walk_length=4, walks_per_node=1, directed=False),
     )
     run(
+        "lpa_weighted_3r",
+        lambda: nf.label_propagation(
+            n_iter=3, directed=False, weight_col="weight"
+        ),
+    )
+    run(
         "node2vec_L4",
         lambda: nf.node2vec_walks(
             walk_length=4, walks_per_node=1, p=2.0, q=0.5, directed=False
