@@ -953,6 +953,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_window_agg"] = q_events_window
 
+    # batch twin of streaming/stream.stream_edge_condense: events as
+    # edges user->event_type, quotient graph per tumbling hour
+    def q_stream_condense_twin(spark, sf):
+        from networkframe_spark.streaming.ops import windowed_edge_condense
+
+        events = read_events(spark, sf)
+        return windowed_edge_condense(events, "1 hour", cohorts=10)
+
+    q["stream_condense_twin"] = q_stream_condense_twin
+
     def q_sessions(spark, sf):
         events = read_events(spark, sf)
         return session_stats(events, gap_minutes=30)
@@ -2832,6 +2842,19 @@ SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+    # quotient graph per hour window: user cohorts x event types,
+    # decimal-exact weight sums cast to double (stream_edge_condense's
+    # batch twin)
+    o["stream_condense_twin"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       user_id % 10 AS source_group,
+       event_type AS target_group,
+       count(*) AS n_edges,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_weight
+FROM events
+GROUP BY 1, 2, 3
 """
 
     o["sessionize"] = """

@@ -8,14 +8,26 @@ and behind ``readStream`` (production path) — the Structured Streaming
 unified-API contract.
 """
 
-from .ops import session_stats, sessionize, windowed_event_counts
-from .stream import stream_deduplicate, stream_events_windowed, stream_unique_users
+from .ops import (
+    session_stats,
+    sessionize,
+    windowed_edge_condense,
+    windowed_event_counts,
+)
+from .stream import (
+    stream_deduplicate,
+    stream_edge_condense,
+    stream_events_windowed,
+    stream_unique_users,
+)
 
 __all__ = [
     "sessionize",
     "session_stats",
     "windowed_event_counts",
+    "windowed_edge_condense",
     "stream_events_windowed",
+    "stream_edge_condense",
     "stream_deduplicate",
     "stream_unique_users",
 ]

@@ -54,6 +54,46 @@ def windowed_event_counts(
     )
 
 
+def windowed_edge_condense(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    cohorts: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Edge-stream → quotient-graph-per-window: each event is an edge
+    ``user_id → event_type`` weighted by ``value``; users group into
+    ``user_id mod cohorts`` cohorts and the output is the condensed
+    edge list per tumbling window — ``(window_start, source_group,
+    target_group, n_edges, sum_weight)``.
+
+    This is :meth:`NetworkFrame.condense` (frame.py, quotient-graph
+    aggregation) applied to a windowed edge stream: building the
+    per-window frame and condensing it yields exactly these rows
+    (asserted in tests), but expressing the composition as ONE
+    windowed aggregate keeps it a single-exchange plan that runs
+    identically under ``readStream`` (see
+    :func:`~networkframe_spark.streaming.stream.stream_edge_condense`).
+    Sums are decimal-exact then cast to double — deterministic across
+    engines and micro-batch orders.
+    """
+    events = normalize_event_time(events, ts_col)
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration)["start"].alias(
+                "window_start"
+            ),
+            F.pmod(F.col("user_id"), F.lit(cohorts)).alias("source_group"),
+            F.col("event_type").alias("target_group"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_weight"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

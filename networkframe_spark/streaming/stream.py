@@ -54,6 +54,62 @@ def stream_events_windowed(
     )
 
 
+def stream_edge_condense(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    cohorts: int = 10,
+    query_name: str = "edge_condense",
+):
+    """Streaming graph ingestion → windowed condense: events arrive as
+    edges (``user_id → event_type``, weight ``value``) and each
+    tumbling window emits its quotient graph — the same
+    ``(window_start, source_group, target_group, n_edges,
+    sum_weight)`` rows as the batch twin
+    :func:`~networkframe_spark.streaming.ops.windowed_edge_condense`
+    (that is, ``add_edges`` + :meth:`NetworkFrame.condense` per
+    window, expressed as one watermarked streaming aggregate so the
+    state store holds only per-(window, cohort, type) partial sums —
+    never the edges themselves).
+
+    Returns the started StreamingQuery writing to an in-memory sink
+    (for tests, ``query.processAllAvailable()`` then read
+    ``spark.table(query_name)``).  At scale: Kafka source, append
+    mode + parquet/Delta sink keyed by window — the aggregate plan is
+    identical.
+    """
+    events = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .load(source_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), window_duration)["start"].alias(
+                "window_start"
+            ),
+            F.pmod(F.col("user_id"), F.lit(cohorts)).alias("source_group"),
+            F.col("event_type").alias("target_group"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_weight"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def user_running_totals(events: DataFrame):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user cumulative event count and value sum, updated each

@@ -119,6 +119,77 @@ def test_readstream_matches_batch(spark, events, tmp_path):
     assert got == want
 
 
+def test_stream_edge_condense_matches_batch(spark, events, tmp_path):
+    """Streaming graph ingestion (events-as-edges) emits the same
+    quotient graph per window as the batch twin."""
+    from networkframe_spark.streaming.ops import windowed_edge_condense
+    from networkframe_spark.streaming.stream import stream_edge_condense
+
+    src = str(tmp_path / "events_edge_src")
+    events.repartition(3).write.parquet(src)
+    q = stream_edge_condense(
+        spark, src, schema=events.schema, window_duration="1 hour",
+        cohorts=2, query_name="t_edge_condense",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["source_group"], r["target_group"]): (
+                r["n_edges"],
+                r["sum_weight"],
+            )
+            for r in spark.table("t_edge_condense").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["source_group"], r["target_group"]): (
+            r["n_edges"],
+            r["sum_weight"],
+        )
+        for r in windowed_edge_condense(
+            events, "1 hour", cohorts=2
+        ).collect()
+    }
+    assert got == want and len(want) > 1
+
+
+def test_windowed_edge_condense_is_frame_condense(spark, events):
+    """For one window's events, the batch twin's rows ARE
+    NetworkFrame.condense of the events-as-edges graph (node groups =
+    user cohort / event type) — the composition the operator fuses."""
+    from networkframe_spark import NetworkFrame
+    from networkframe_spark.streaming.ops import windowed_edge_condense
+
+    one_hour = events.filter(F.hour("ts") == 12)
+    # build the explicit bipartite frame: user nodes grouped by
+    # user_id % 2, type nodes grouped by themselves
+    users = one_hour.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("id"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("string").alias("grp"),
+    ).distinct()
+    types = one_hour.select(
+        F.col("event_type").alias("id"), F.col("event_type").alias("grp")
+    ).distinct()
+    edges = one_hour.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("source"),
+        F.col("event_type").alias("target"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    nf = NetworkFrame(users.union(types), edges)
+    condensed = {
+        (r["source"], r["target"]): float(r["weight"])
+        for r in nf.condense("grp", func="sum", columns=["value"])
+        .edges.collect()
+    }
+    twin = {
+        (str(r["source_group"]), r["target_group"]): r["sum_weight"]
+        for r in windowed_edge_condense(one_hour, "1 hour", cohorts=2)
+        .collect()
+    }
+    assert condensed == twin and len(twin) >= 2
+
+
 def test_stream_session_windows_matches_batch(spark, events, tmp_path):
     """Streaming session_window (watermarked, append mode) must close
     the same sessions the batch plan computes once all data is in and
