@@ -748,6 +748,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = q_topk
 
+    def q_mine_hard_negatives(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = read_embeddings(spark, sf)
+        anchors = emb.filter("vec_id < 10")
+        return mine_hard_negatives(emb, k=3, anchors=anchors)
+
+    q["mine_hard_negatives"] = q_mine_hard_negatives
+
     # LSH plumbing in deterministic degenerate mode: zero hyperplanes
     # puts every vector in one bucket, so the banded candidate join is
     # exhaustive and the output is bit-identical to brute force — the
@@ -1035,6 +1046,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nf.pagerank(damping=0.85, n_iter=PAGERANK_ITERS)
 
     q["pagerank"] = q_pagerank
+
+    def q_pagerank_weighted(spark, sf):
+        # weighted transition shares: heavy order edges carry more
+        # rank mass; 6-dp-quantized weights + decimal out-weight sums
+        # keep the shares engine-portable
+        nf = _graph(spark, sf)
+        return nf.pagerank(
+            damping=0.85, n_iter=PAGERANK_ITERS, weight_col="weight"
+        )
+
+    q["pagerank_weighted"] = q_pagerank_weighted
 
     def q_triangles(spark, sf):
         # doc-clique graph: docs < 450 form 7 mod-cliques, the rest are
@@ -1630,6 +1652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["node2vec_walks"] = q_node2vec_walks
+
+    def q_sample_negative_edges(spark, sf):
+        nf = _graph(spark, sf)
+        return nf.sample_negative_edges(per_node=2, directed=False)
+
+    q["sample_negative_edges"] = q_sample_negative_edges
 
     def q_retention(spark, sf):
         events = read_events(spark, sf)
@@ -2789,6 +2817,27 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
+    # hard negatives: the same scored cross join, label-mismatch
+    # filtered BEFORE the per-anchor top-k (NULL labels never pair)
+    o["mine_hard_negatives"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         q.label AS anchor_label, c.label AS neg_label,
+         round(list_dot_product((q.embedding::DOUBLE[]), (c.embedding::DOUBLE[]))
+           / (sqrt(list_dot_product((q.embedding::DOUBLE[]), (q.embedding::DOUBLE[])))
+              * sqrt(list_dot_product((c.embedding::DOUBLE[]), (c.embedding::DOUBLE[])))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.label <> c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neg_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, anchor_label, neg_label, cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
     # exhaustive-probe IVF == brute force: same oracle as cosine_topk
     o["cosine_topk_ivf"] = o["cosine_topk"]
     # single-bucket (n_planes=0) LSH == brute force: same oracle
@@ -2976,6 +3025,42 @@ deg AS (SELECT source, count(*) AS w_out FROM edges GROUP BY source),
 pr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)
 {pr_iters}
 SELECT id, round(pr, 6) AS pagerank FROM pr{PAGERANK_ITERS}
+"""
+
+    # weighted PageRank: transition shares = 6-dp-quantized weight /
+    # decimal-summed out-weight; same scaled-long round scheme
+    prw_iters = "".join(
+        f""",
+wc{i} AS (
+  SELECT e.target AS id,
+         SUM(floor(p.pr * (e.w / d.w_out) * 1e18)::BIGINT) AS s
+  FROM we e
+  JOIN wpr{i - 1} p ON e.source = p.id
+  JOIN wdeg d ON e.source = d.source
+  GROUP BY e.target
+),
+wpr{i} AS (
+  SELECT n.id,
+         round((1 - 0.85) / (SELECT count(*) FROM nodes)
+               + 0.85 * (coalesce(wc{i}.s, 0) / 1e18), 12) AS pr
+  FROM nodes n LEFT JOIN wc{i} ON n.id = wc{i}.id
+)"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    o["pagerank_weighted"] = f"""
+WITH {GRAPH_CTE},
+we AS (
+  SELECT source, target,
+         CAST(CAST(weight AS DECIMAL(28,6)) AS DOUBLE) AS w
+  FROM edges
+),
+wdeg AS (
+  SELECT source, CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS w_out
+  FROM we GROUP BY source
+),
+wpr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)
+{prw_iters}
+SELECT id, round(pr, 6) AS pagerank FROM wpr{PAGERANK_ITERS}
 """
 
     o["triangle_count"] = """
@@ -4604,6 +4689,38 @@ v0 AS (SELECT n.id AS start_id, 0 AS rep, n.id AS prev, n.id AS id
        FROM nodes n)
 {n2v_steps}
 {n2v_union}
+"""
+
+    # deterministic non-edge sampling: counter-hash candidate ranks
+    # mapped through the dense (ORDER BY id) node index, anti-joined
+    # against the symmetrized edge set (see
+    # algorithms.sample_negative_edges)
+    o["sample_negative_edges"] = f"""
+WITH {GRAPH_CTE},
+idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM nodes),
+nn AS (SELECT count(*) AS n FROM nodes),
+cand AS (
+  SELECT i.id AS source, t.id AS target, r.rep
+  FROM idx i
+  CROSS JOIN (SELECT unnest([0, 1]) AS rep) r
+  CROSS JOIN nn
+  JOIN idx t
+    ON t.rk = ((i.rk::BIGINT * 1315423911 + r.rep * 2654435761 + 7)
+               % nn.n + nn.n) % nn.n
+  WHERE i.id <> t.id
+),
+e AS (SELECT DISTINCT source, target FROM edges),
+sym AS (
+  SELECT source AS s, target AS t FROM e
+  UNION
+  SELECT target AS s, source AS t FROM e
+)
+SELECT c.source, c.target, min(c.rep) AS rep
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM sym WHERE sym.s = c.source AND sym.t = c.target
+)
+GROUP BY 1, 2
 """
 
     o["random_walks"] = f"""

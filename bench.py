@@ -130,6 +130,10 @@ HEADLINE = [
     "table_diff",            # keyed version diff (r6s3)
     "json_key_profile",      # payload schema census (r6s3)
     "rfm_segments",          # percentile-fence RFM tiles (r6s3)
+    "exact_substring_decontaminate",  # MassiveText strided windows (r7)
+    "node2vec_walks",        # integer-weighted biased walks (r7)
+    "label_propagation_weighted",     # decimal vote sums (r7)
+    "stream_condense_twin",  # windowed quotient graph (r7)
 ]
 
 

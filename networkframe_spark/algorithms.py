@@ -918,7 +918,11 @@ def pagerank(
     large seed sets join a seeds table instead.
 
     Multigraph semantics: parallel edges each contribute (``W_out``
-    counts multiplicity); ``weight_col`` switches to weighted shares.
+    counts multiplicity); ``weight_col`` switches to weighted shares —
+    weights quantize to 6 dp and the out-weight normalizer sums them
+    as exact DECIMAL(28,6), so the shares (and therefore every rank)
+    are order-independent and engine-portable even though the share
+    division itself is floating.  Weights must be non-negative.
 
     Scale design: the per-iteration work is one keyed join
     (edges ⋈ ranks on ``source``) and one partial+final hash aggregate
@@ -942,12 +946,16 @@ def pagerank(
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("pagerank"))
     w = (
-        F.col(weight_col).cast("double")
+        # 6-dp quantization so the decimal normalizer sum below is
+        # lossless on these exact values
+        F.col(weight_col).cast("decimal(28,6)").cast("double")
         if weight_col
         else F.lit(1.0)
     )
     edges = frame.edges.select("source", "target", w.alias("w"))
-    out_w = edges.groupBy("source").agg(F.sum("w").alias("w_out"))
+    out_w = edges.groupBy("source").agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_out")
+    )
     e = (
         edges.join(out_w, on="source")
         .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
@@ -2183,6 +2191,75 @@ def node2vec_walks(
             cur.select("start_id", "rep", F.lit(t).alias("step"), "id")
         )
     return out
+
+
+def sample_negative_edges(
+    frame,
+    per_node: int = 2,
+    directed: bool = True,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction /
+    GNN-contrastive training: up to ``per_node`` NON-edges per source
+    node, ``(source, target, rep)`` where ``rep`` is the smallest
+    counter value that produced the pair.  Candidate targets come from
+    the splittable counter hash ``(rank(source) * A + rep * B + seed)
+    mod N`` mapped through a dense node index — RNG-free, so re-runs,
+    stragglers, and any engine regenerate the identical negative set.
+    Candidates that collide with a real edge (either direction when
+    ``directed=False``), a self-loop, or an earlier rep are DROPPED,
+    not resampled: on a sparse graph the expected loss per node is
+    ~(deg+1)/N, and the standard 1:k negative ratio tolerates it; pass
+    a larger ``per_node`` and cap downstream if exact counts matter.
+
+    Scale design: the dense index is the two-phase
+    :func:`_dense_rank_distributed` (no single-partition window); the
+    candidate table is ``N * per_node`` rows flowing through one
+    rank-keyed join (the index used twice) and one anti-join against
+    the distinct edge pairs.  All keys uniform by construction.
+    Node-rank arithmetic stays in bigint: safe for N up to ~7e9 nodes.
+    """
+    if per_node < 1:
+        raise ValueError("sample_negative_edges: per_node >= 1")
+    nodes = frame.nodes.select("id")
+    idx = _dense_rank_distributed(nodes, ["id"], out_col="__rk")
+    n = idx.count()
+    if n < 2:
+        return nodes.limit(0).select(
+            F.col("id").alias("source"),
+            F.col("id").alias("target"),
+            F.lit(0).alias("rep"),
+        )
+    A, B = 1315423911, 2654435761
+    cand = (
+        idx.select(
+            F.col("id").alias("source"),
+            F.col("__rk").cast("bigint").alias("__srk"),
+            F.explode(F.sequence(F.lit(0), F.lit(per_node - 1))).alias("rep"),
+        )
+        .withColumn(
+            "__trk",
+            F.pmod(
+                F.col("__srk") * F.lit(A)
+                + F.col("rep") * F.lit(B)
+                + F.lit(seed),
+                F.lit(n),
+            ).cast("int"),
+        )
+        .join(
+            idx.select(
+                F.col("id").alias("target"), F.col("__rk").alias("__trk")
+            ),
+            on="__trk",
+        )
+        .filter(F.col("source") != F.col("target"))
+    )
+    pairs = _edge_pairs(frame, directed)
+    return (
+        cand.join(pairs, on=["source", "target"], how="left_anti")
+        .groupBy("source", "target")
+        .agg(F.min("rep").alias("rep"))
+    )
 
 
 def betweenness_approx(

@@ -956,6 +956,18 @@ class NetworkFrame:
             directed=directed,
         )
 
+    def sample_negative_edges(
+        self, per_node: int = 2, directed: bool = True, seed: int = 7
+    ) -> DataFrame:
+        """Deterministic non-edge samples ``(source, target, rep)``
+        for link-prediction training; see
+        :func:`networkframe_spark.algorithms.sample_negative_edges`."""
+        from .algorithms import sample_negative_edges
+
+        return sample_negative_edges(
+            self, per_node=per_node, directed=directed, seed=seed
+        )
+
     def metrics(self) -> DataFrame:
         """One-row graph-science summary ``(density, reciprocity,
         assortativity, avg_degree)`` over the simple projection; see

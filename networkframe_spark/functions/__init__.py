@@ -41,6 +41,7 @@ from .similarity import (
     embedding_gram,
     label_centroids,
     lsh_top_k,
+    mine_hard_negatives,
     principal_component_scores,
 )
 from .text import (
@@ -91,4 +92,5 @@ __all__ = [
     "inter_event_stats",
     "funnel_counts",
     "split_by_cluster",
+    "mine_hard_negatives",
 ]

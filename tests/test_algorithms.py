@@ -653,6 +653,43 @@ def test_random_walks_stop_at_sinks(spark, letter_frame):
             assert (pos[(s, t - 1)], v) in fwd
 
 
+def test_sample_negative_edges_properties(spark, letter_frame):
+    """No sampled pair is a real edge (either direction, undirected
+    mode), no self-loops, at most per_node per source, and two runs
+    are identical."""
+    neg1 = sorted(
+        map(
+            tuple,
+            letter_frame.sample_negative_edges(
+                per_node=3, directed=False
+            ).collect(),
+        )
+    )
+    neg2 = sorted(
+        map(
+            tuple,
+            letter_frame.sample_negative_edges(
+                per_node=3, directed=False
+            ).collect(),
+        )
+    )
+    assert neg1 == neg2 and len(neg1) > 0
+    und = {("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")}
+    und |= {(b, a) for a, b in und}
+    from collections import Counter
+
+    per_src = Counter()
+    for s, t, rep in neg1:
+        assert (s, t) not in und and s != t
+        assert 0 <= rep < 3
+        per_src[s] += 1
+    assert all(v <= 3 for v in per_src.values())
+    # A-D is the only undirected non-edge on 4 nodes; it must be
+    # reachable by SOME seed/rep combination here (per_node=3 probes
+    # 3 of the 4 ranks per source)
+    assert any((s, t) in {("A", "D"), ("D", "A")} for s, t, _ in neg1)
+
+
 def test_label_propagation_weighted_votes(spark):
     """Weighted voting: parallel edges accumulate (1-2 carries 3+3=6,
     beating the single 5-weight 1-4 edge), winners follow weight sums

@@ -1691,6 +1691,63 @@ def test_pairwise_corr_known_values(spark):
     assert got[("w", "x")][1] == 1.0
 
 
+def test_mine_hard_negatives_skips_same_label(spark):
+    """The nearest neighbor overall is same-label and must be skipped;
+    the top negative is the closest DIFFERENT-label vector; NULL
+    labels never pair."""
+    from networkframe_spark.functions.similarity import mine_hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),    # anchor
+            (1, [0.99, 0.1], 1),   # nearest, same label -> skipped
+            (2, [0.9, 0.3], 2),    # nearest different label
+            (3, [0.0, 1.0], 2),    # far negative
+            (4, [1.0, 0.01], None),  # NULL label: never a negative
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = emb.filter("vec_id = 0")
+    got = [
+        (r["neg_id"], r["rank"])
+        for r in mine_hard_negatives(emb, k=2, anchors=anchors)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1), (3, 2)]
+    # min_cosine floors out the far negative
+    floored = mine_hard_negatives(emb, k=2, anchors=anchors, min_cosine=0.5)
+    assert [r["neg_id"] for r in floored.collect()] == [2]
+
+
+def test_mine_hard_negatives_ivf_matches_brute_when_exhaustive(spark):
+    """With exhaustive probing the IVF candidate path re-ranks to the
+    same negatives as the exact brute path."""
+    from networkframe_spark.functions.similarity import mine_hard_negatives
+
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 3) % 11), 1.0], i % 3)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = emb.filter("vec_id < 5")
+    brute = sorted(
+        map(tuple, mine_hard_negatives(emb, k=3, anchors=anchors).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            mine_hard_negatives(
+                emb, k=3, anchors=anchors, method="ivf",
+                oversample=14, n_lists=2, n_probe=2,
+            ).collect(),
+        )
+    )
+    assert brute == ivf
+
+
 def test_pairwise_corr_overflow_raises(spark):
     """Magnitudes whose quantized squares could overflow the
     DECIMAL(38,0) moment sums raise loudly instead of letting
