@@ -974,6 +974,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_condense_twin"] = q_stream_condense_twin
 
+    def q_anomaly_zscore(spark, sf):
+        from networkframe_spark.functions.temporal import anomaly_zscore
+
+        events = read_events(spark, sf)
+        return anomaly_zscore(events, n_rows=20, threshold=3.0)
+
+    q["anomaly_zscore"] = q_anomaly_zscore
+
+    def q_dup_ngram_fraction(spark, sf):
+        from networkframe_spark.functions.pipeline import dup_ngram_fraction
+
+        docs = read_table(spark, sf, "documents")
+        return dup_ngram_fraction(docs, n=8)
+
+    q["dup_ngram_fraction"] = q_dup_ngram_fraction
+
     def q_sessions(spark, sf):
         events = read_events(spark, sf)
         return session_stats(events, gap_minutes=30)
@@ -3507,6 +3523,35 @@ FROM cfp JOIN efp USING (fp)
 GROUP BY cfp.doc_id
 """
 
+    # cross-document duplicate 8-gram fraction: per-doc gram tf with
+    # multiplicity, gram df over the tf table, dup share at 6 dp;
+    # truncated single gram for docs shorter than 8 tokens (mirrors
+    # _grams_expr)
+    o["dup_ngram_fraction"] = f"""
+WITH {TOKS_CTE.strip().rstrip()},
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM toks
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx
+),
+tf AS (
+  SELECT doc_id, gram, count(*) AS c FROM g
+  WHERE length(trim(gram)) > 0 GROUP BY 1, 2
+),
+dfreq AS (SELECT gram, count(*) AS df FROM tf GROUP BY gram),
+agg AS (
+  SELECT tf.doc_id, SUM(tf.c) AS n_grams,
+         SUM(CASE WHEN dfreq.df >= 2 THEN tf.c ELSE 0 END) AS dup
+  FROM tf JOIN dfreq USING (gram) GROUP BY tf.doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+       round(agg.dup / agg.n_grams, 6) AS dup_frac
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
     o["cap_per_group"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
@@ -4769,6 +4814,35 @@ base AS (
 SELECT c.cohort_period, c.period_offset, c.n_users,
        round(c.n_users / base.b, 6) AS retention
 FROM cells c JOIN base ON c.cohort_period = base.cohort_period
+"""
+
+    # trailing z-score over the 20 PRECEDING rows (current excluded):
+    # decimal windowed moments, (n*s2 - s1^2)/(n*(n-1)) variance,
+    # NULL z on < 5 priors / zero variance / NULL value
+    o["anomaly_zscore"] = """
+WITH m AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         count(CAST(value AS DECIMAL(18,6))) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))
+                        AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, event_id, value, n,
+         CASE WHEN n >= 5 AND value IS NOT NULL
+                   AND (n * s2 - s1 * s1) / (n * (n - 1)) > 0
+              THEN round((value - s1 / n)
+                         / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)
+         END AS z
+  FROM m
+)
+SELECT user_id, event_id, value, n AS n_window, z,
+       coalesce(abs(z) >= 3.0, false) AS is_anomaly
+FROM z
 """
 
     # trailing ROWS frame over the (ts, event_id) total order; the

@@ -542,6 +542,60 @@ def exact_substring_decontaminate(
     )
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction (the MassiveText-style
+    boilerplate signal): per document, the fraction of its word
+    ``n``-gram OCCURRENCES whose gram appears in at least ``min_df``
+    distinct documents.  High values mark documents assembled from
+    corpus-common boilerplate (headers, license blocks, templated
+    spam) even when the document's INTERNAL repetition — the
+    complementary :func:`add_repetition_score` signal — is low.
+    Returns ``(id_col, n_grams, dup_frac)`` at 6 dp; documents with
+    zero grams score NULL.
+
+    Scale design: one explode into a per-doc gram tf table; the gram
+    document-frequency table derives from the same exchange
+    (ReusedExchange), and the verdict is one hash agg per doc plus a
+    broadcast-shaped join on the gram key.  At n=8 gram frequencies
+    are long-tailed but the join key is the gram itself — uniform by
+    construction; hash grams to 128 bits at corpus scale (raw text
+    kept here for the byte-identical SQL twin).
+    """
+    from .text import tokens_col
+
+    g = df.select(
+        F.col(id_col),
+        F.explode(_grams_expr(tokens_col(text_col), n)).alias("gram"),
+    ).filter(F.length(F.trim(F.col("gram"))) > 0)
+    tf = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("__c"))
+    dfreq = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    agg = (
+        tf.join(dfreq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= min_df, F.col("__c")).otherwise(0)).alias(
+                "__dup"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.col("__dup") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

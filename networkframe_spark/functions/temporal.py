@@ -320,6 +320,64 @@ def rolling_stats(
     )
 
 
+def anomaly_zscore(
+    events: DataFrame,
+    n_rows: int = 20,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing z-score anomaly flags: each event's ``value`` compared
+    to the mean/sample-std of the PRECEDING ``n_rows`` events of the
+    same entity (current row excluded — the score must not see
+    itself), ordered by ``(ts, id)``.  Returns ``(user, event_id,
+    value, n_window, z, is_anomaly)`` with ``z`` at 6 dp;
+    ``is_anomaly = |z| >= threshold``.  ``z`` is NULL (and the flag
+    false) when fewer than ``min_periods`` prior events exist, the
+    trailing window has zero variance, or the value itself is NULL —
+    an uncomputable score is not evidence of an anomaly.
+
+    Numerics: the two windowed moments accumulate as exact
+    DECIMAL(18,6)/(38,12) sums within the ROWS frame; the variance is
+    the numerically-safe ``(n*sumsq - sum²) / (n*(n-1))`` form
+    evaluated in floating point only at the end, so results are
+    engine-portable and order-independent.
+
+    Scale design: ONE shuffle (hash-partition by entity) + one
+    in-partition sort serves both moments — the sliding frame is
+    evaluated incrementally, so a hub entity costs O(n_rows) state,
+    never its own row count.
+    """
+    events = normalize_event_time(events, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-n_rows, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,12)")).over(w).cast("double")
+    nn = n.cast("double")
+    var = (nn * s2 - s1 * s1) / (nn * (nn - 1))
+    mean = s1 / nn
+    z = F.when(
+        (n >= min_periods) & (var > 0) & F.col(value_col).isNotNull(),
+        F.round((F.col(value_col) - mean) / F.sqrt(var), 6),
+    )
+    return events.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias(value_col),
+        n.alias("n_window"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def resample_events(
     events: DataFrame,
     minutes: int = 60,

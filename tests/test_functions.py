@@ -900,6 +900,39 @@ def test_fill_gaps_forward_fill(spark):
     assert len(u2) == 1 and u2[0]["v_filled"] == 7.0 and not u2[0]["is_gap"]
 
 
+def test_anomaly_zscore_flags_spike(spark):
+    """A 100x spike after a stable run is flagged; the stable run
+    itself is not; early rows (< min_periods priors) and zero-variance
+    windows score NULL/false."""
+    from networkframe_spark.functions.temporal import anomaly_zscore
+
+    rows = []
+    # user 1: values 10,11,10,11,... then a spike
+    vals = [10.0, 11.0] * 5 + [1000.0, 10.0]
+    for i, v in enumerate(vals):
+        rows.append((1, i, f"2024-01-01 00:{i:02d}:00", v))
+    # user 2: constant values -> zero variance, never flagged
+    for i in range(8):
+        rows.append((2, 100 + i, f"2024-01-01 00:{i:02d}:00", 5.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {r["event_id"]: r for r in anomaly_zscore(ev, n_rows=10, min_periods=4).collect()}
+    assert got[10]["is_anomaly"] and got[10]["z"] > 3
+    assert not any(got[i]["is_anomaly"] for i in range(10))
+    assert got[0]["z"] is None and got[3]["z"] is None  # too few priors
+    assert all(
+        got[100 + i]["z"] is None and not got[100 + i]["is_anomaly"]
+        for i in range(8)
+    )  # zero variance
+    # hand-check one z: event 10 sees 10 priors alternating 10/11
+    import statistics
+
+    prior = vals[:10]
+    want = (1000.0 - statistics.mean(prior)) / statistics.stdev(prior)
+    assert abs(got[10]["z"] - want) < 1e-4
+
+
 def test_fill_gaps_null_value_bucket_not_gap(spark):
     """A bucket whose events carry a NULL value is a real observation
     (is_gap=False, v_filled=NULL), distinct from an empty bucket —

@@ -637,6 +637,31 @@ def test_group_rare_categories_fold(spark):
     assert got[11] == "__other__"  # null folds too
 
 
+def test_dup_ngram_fraction_boilerplate(spark):
+    """Two docs sharing a boilerplate half score ~0.5; a unique doc
+    scores 0; an empty doc scores NULL; internal repetition alone does
+    NOT raise the score (cross-document signal only)."""
+    from networkframe_spark.functions.pipeline import dup_ngram_fraction
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(10))),
+            (3, " ".join(f"z{i}" for i in range(20))),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=4).collect()}
+    # 20 tokens -> 17 4-grams; the 7 grams fully inside the boilerplate
+    # prefix are shared between docs 1 and 2
+    assert got[1]["n_grams"] == 17 and abs(got[1]["dup_frac"] - 7 / 17) < 1e-6
+    assert got[2]["dup_frac"] == got[1]["dup_frac"]
+    assert got[3]["dup_frac"] == 0.0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] is None
+
+
 def test_exact_substring_decontaminate_pigeonhole(spark):
     """A corpus doc embedding a 50-token eval run at an arbitrary
     offset is always flagged at (window=25, stride=26) — the
