@@ -990,6 +990,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_ngram_fraction"] = q_dup_ngram_fraction
 
+    def q_winsorize(spark, sf):
+        from networkframe_spark.functions.stats import winsorize
+
+        events = read_events(spark, sf)
+        return winsorize(
+            events, "value", 0.05, 0.95, group_col="event_type"
+        ).select("event_id", "event_type", "value", "value_wins", "was_clamped")
+
+    q["winsorize"] = q_winsorize
+
+    def q_embedding_outliers(spark, sf):
+        from networkframe_spark.functions.similarity import embedding_outliers
+
+        emb = read_embeddings(spark, sf)
+        return embedding_outliers(emb, pct=0.05)
+
+    q["embedding_outliers"] = q_embedding_outliers
+
     def q_sessions(spark, sf):
         events = read_events(spark, sf)
         return session_stats(events, gap_minutes=30)
@@ -4814,6 +4832,59 @@ base AS (
 SELECT c.cohort_period, c.period_offset, c.n_users,
        round(c.n_users / base.b, 6) AS retention
 FROM cells c JOIN base ON c.cohort_period = base.cohort_period
+"""
+
+    # percentile clamping per event type: quantile_cont == F.percentile
+    # (both ANSI lerp); fences round to 6 dp before the gate
+    o["winsorize"] = """
+WITH fences AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < f.lo THEN f.lo
+            WHEN e.value > f.hi THEN f.hi
+            ELSE e.value END AS value_wins,
+       e.value IS NOT NULL AND (e.value < f.lo OR e.value > f.hi)
+         AS was_clamped
+FROM events e JOIN fences f USING (event_type)
+"""
+
+    # prototype-distance pruning: per-label centroid (6-dp dim means)
+    # reassembled as a list ordered by position, sequential-fold cosine
+    # (list_dot_product == dot_expr), 5% quantile fence per label
+    o["embedding_outliers"] = """
+WITH longf AS (
+  SELECT vec_id, label,
+         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings WHERE label IS NOT NULL
+),
+cent AS (
+  SELECT label, pos, round(avg(val), 6) AS c FROM longf GROUP BY 1, 2
+),
+cvec AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_dot_product((e.embedding::DOUBLE[]), cv.centroid)
+           / (sqrt(list_dot_product((e.embedding::DOUBLE[]),
+                                    (e.embedding::DOUBLE[])))
+              * sqrt(list_dot_product(cv.centroid, cv.centroid))), 6)
+           AS cos_centroid
+  FROM embeddings e JOIN cvec cv USING (label)
+  WHERE e.label IS NOT NULL
+),
+fences AS (
+  SELECT label, round(quantile_cont(cos_centroid, 0.05), 6) AS fence
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.cos_centroid, f.fence,
+       s.cos_centroid < f.fence AS is_outlier
+FROM scored s JOIN fences f USING (label)
 """
 
     # trailing z-score over the 20 PRECEDING rows (current excluded):

@@ -1328,3 +1328,65 @@ def mine_hard_negatives(
             "query_id", "neg_id", "anchor_label", "neg_label", "cosine", "rank"
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    pct: float = 0.05,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    approx: bool = False,
+) -> DataFrame:
+    """Prototype-distance curation (the SSL-prototypes / SemDeDup-style
+    pruning signal): each vector's cosine similarity to its OWN label
+    centroid, flagging the least-typical ``pct`` tail of every label —
+    mislabeled rows, encoding glitches, and off-distribution examples
+    all surface here before training.  Returns ``(id, label,
+    cos_centroid, fence, is_outlier)`` where ``fence`` is the label's
+    ``pct`` quantile of the similarity (6 dp) and ``is_outlier = cos <
+    fence``.  Rows with a NULL label are dropped (no prototype to
+    compare against).
+
+    Scale design: centroids come from :func:`label_centroids` (one
+    long-form hash agg, k x dim result) and broadcast back; the cosine
+    is a codegen'd sequential array fold (``dot_expr``) — identical
+    fold order to the SQL twin's ``list_dot_product``, so scores are
+    bit-stable; the per-label fence is one percentile aggregate
+    broadcast back (``approx=True`` switches to the mergeable sketch —
+    the 100 TB path).  The fact table never shuffles.
+    """
+    if not (0.0 < pct < 1.0):
+        raise ValueError("embedding_outliers: need 0 < pct < 1")
+    cents = label_centroids(df, vec_col=vec_col, label_col=label_col).select(
+        F.col("label").alias(label_col), F.col("centroid")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.filter(F.col(label_col).isNotNull())
+        .join(F.broadcast(cents), on=label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                dot_expr(v, F.col("centroid"))
+                / (norm_expr(v) * norm_expr(F.col("centroid"))),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )
+    pf = (
+        (lambda c: F.percentile_approx(c, F.lit(pct)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(pct)))
+    )
+    fences = scored.groupBy(label_col).agg(
+        F.round(pf(F.col("cos_centroid")), 6).alias("fence")
+    )
+    return scored.join(F.broadcast(fences), on=label_col).select(
+        id_col,
+        label_col,
+        "cos_centroid",
+        "fence",
+        (F.col("cos_centroid") < F.col("fence")).alias("is_outlier"),
+    )

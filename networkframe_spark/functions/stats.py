@@ -443,3 +443,59 @@ def pairwise_corr(
     for o_ in outs[1:]:
         out = out.unionAll(o_)
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_col: str | None = None,
+    approx: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clamping (winsorization): values below the
+    ``lower`` quantile or above the ``upper`` quantile of
+    ``value_col`` — per group when ``group_col`` is given — are
+    replaced by the fence values; everything else passes through.
+    Adds ``out_col`` (default ``{col}_wins``) plus a ``was_clamped``
+    flag, keeping the raw column — the standard heavy-tail taming
+    step before scaling/normalizing features.  NULL values stay NULL
+    and are never flagged.  Fences round to 6 dp before clamping so
+    both engines gate on the identical boundary (same convention as
+    :func:`robust_outliers`).
+
+    Scale design: one percentile aggregate (tiny result) broadcast
+    back; the clamp itself is a map-side ``when`` chain — the fact
+    table is never shuffled.  ``approx=True`` swaps the exact
+    sort-based percentile for the mergeable ``percentile_approx``
+    sketch (the 100 TB path).
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("winsorize: need 0 <= lower < upper <= 1")
+    out_col = out_col or f"{value_col}_wins"
+    pf = (
+        (lambda c, p: F.percentile_approx(c, F.lit(p)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    v = F.col(value_col)
+    gcols = [group_col] if group_col else []
+    fences = df.groupBy(*gcols).agg(
+        F.round(pf(v, lower), 6).alias("__lo"),
+        F.round(pf(v, upper), 6).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    clamped = (
+        F.when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v)
+    )
+    return joined.withColumn(out_col, clamped).withColumn(
+        "was_clamped",
+        v.isNotNull() & ((v < F.col("__lo")) | (v > F.col("__hi"))),
+    ).drop("__lo", "__hi")

@@ -1724,6 +1724,49 @@ def test_pairwise_corr_known_values(spark):
     assert got[("w", "x")][1] == 1.0
 
 
+def test_winsorize_clamps_tails(spark):
+    """Values beyond the percentile fences clamp to them, the rest
+    pass through, NULLs survive unflagged; per-group fences are
+    independent."""
+    from networkframe_spark.functions.stats import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 100)] + [
+        (100, "a", 10_000.0),
+        (101, "a", None),
+        (102, "b", 5.0),
+        (103, "b", 6.0),
+        (104, "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r["id"]: (r["v_wins"], r["was_clamped"])
+        for r in winsorize(df, "v", 0.05, 0.95, group_col="grp").collect()
+    }
+    assert got[100][1] and got[100][0] < 10_000.0  # spike clamped
+    assert got[50] == (50.0, False)  # mid-range untouched
+    assert got[101] == (None, False)  # NULL passes, unflagged
+    assert got[103] == (6.0, False)  # group b's own fences
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    """The planted far-from-centroid vector is its label's outlier;
+    tight cluster members are not; NULL labels are dropped."""
+    from networkframe_spark.functions.similarity import embedding_outliers
+
+    rows = [(i, [1.0, 0.0 + i * 0.001], 1) for i in range(9)]
+    rows.append((9, [-1.0, 0.5], 1))  # planted outlier
+    rows += [(10 + i, [0.0, 1.0], 2) for i in range(5)]
+    rows.append((20, [1.0, 1.0], None))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["vec_id"]: r for r in embedding_outliers(emb, pct=0.1).collect()}
+    assert 20 not in got  # NULL label dropped
+    assert got[9]["is_outlier"]
+    assert sum(got[i]["is_outlier"] for i in range(9)) == 0
+    assert not any(got[10 + i]["is_outlier"] for i in range(5))
+
+
 def test_mine_hard_negatives_skips_same_label(spark):
     """The nearest neighbor overall is same-label and must be skipped;
     the top negative is the closest DIFFERENT-label vector; NULL
