@@ -1039,6 +1039,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join"] = q_asof
 
+    def q_asof_forward(spark, sf):
+        events = read_events(spark, sf)
+        clicks = events.filter("event_type = 'click'").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = events.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id", F.col("value")
+        )
+        out = asof_join(
+            clicks, purchases, on="user_id", right_cols=["value"],
+            direction="forward",
+        )
+        return out.select(
+            "user_id",
+            "event_id",
+            F.round("value_right", 6).alias("next_purchase_value"),
+            F.col("ts_right").alias("next_purchase_ts"),
+        )
+
+    q["asof_join_forward"] = q_asof_forward
+
+    def q_asof_nearest(spark, sf):
+        events = read_events(spark, sf)
+        clicks = events.filter("event_type = 'click'").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = events.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id", F.col("value")
+        )
+        out = asof_join(
+            clicks, purchases, on="user_id", right_cols=["value"],
+            direction="nearest", tolerance_seconds=86400,
+        )
+        return out.select(
+            "user_id",
+            "event_id",
+            F.round("value_right", 6).alias("near_purchase_value"),
+            F.col("ts_right").alias("near_purchase_ts"),
+        )
+
+    q["asof_join_nearest"] = q_asof_nearest
+
     def q_range_join(spark, sf):
         events = read_events(spark, sf)
         clicks = events.filter("event_type = 'click'").select(
@@ -3004,6 +3046,62 @@ SELECT c.user_id, c.event_id,
        p.ts AS last_purchase_ts
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+    # forward asof: DuckDB's native ASOF with the inequality flipped
+    o["asof_join_forward"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id,
+       round(p.value, 6) AS next_purchase_value,
+       p.ts AS next_purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+    # nearest asof: both directional ASOF matches joined back per
+    # click; integer-second deltas, exact ties prefer backward, the
+    # 86400 s tolerance bounds |dt| on both sides
+    o["asof_join_nearest"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT c.user_id, c.event_id, c.ts, p.value AS bv, p.ts AS bts
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+f AS (
+  SELECT c.user_id, c.event_id, p.value AS fv, p.ts AS fts
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+),
+j AS (
+  SELECT b.user_id, b.event_id,
+         bv, bts, fv, fts,
+         bts IS NOT NULL
+           AND abs(floor(epoch(b.ts))::BIGINT - floor(epoch(bts))::BIGINT)
+               <= 86400 AS mb,
+         fts IS NOT NULL
+           AND abs(floor(epoch(b.ts))::BIGINT - floor(epoch(fts))::BIGINT)
+               <= 86400 AS mf,
+         floor(epoch(b.ts))::BIGINT - floor(epoch(bts))::BIGINT AS bdt,
+         floor(epoch(fts))::BIGINT - floor(epoch(b.ts))::BIGINT AS fdt
+  FROM b JOIN f USING (user_id, event_id)
+)
+SELECT user_id, event_id,
+       round(CASE WHEN mb AND (NOT mf OR bdt <= fdt) THEN bv
+                  WHEN mf THEN fv END, 6) AS near_purchase_value,
+       CASE WHEN mb AND (NOT mf OR bdt <= fdt) THEN bts
+            WHEN mf THEN fts END AS near_purchase_ts
+FROM j
 """
 
     o["range_join"] = """

@@ -48,14 +48,32 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with the same
-    ``on`` key and ``right.ts <= left.ts`` (inclusive).
+    """For each left row, attach one right row with the same ``on``
+    key, chosen by ``direction``: ``"backward"`` (default) takes the
+    latest right row with ``right.ts <= left.ts``; ``"forward"`` the
+    earliest with ``right.ts >= left.ts``; ``"nearest"`` whichever of
+    the two sits closer in time (exact ties prefer the backward
+    match) — the pandas ``merge_asof`` direction contract.
 
     Returns all left columns plus ``{col}{suffix}`` for each requested
     right column and ``{ts_col}{suffix}`` (the matched right event
-    time, null when nothing precedes / outside ``tolerance_seconds``).
+    time, null when no candidate exists in the direction / outside
+    ``tolerance_seconds``, which bounds ``|left.ts - right.ts|``).
+
+    Scale design: no join at all — both sides union into one stream,
+    ONE hash exchange on the key + one in-partition sort serve every
+    direction (backward = a last-ignorenulls running frame, forward
+    = the mirrored first-ignorenulls frame, nearest = both frames
+    from the same sort); per-key state is the frame, so hub keys
+    never materialize a pairwise product the way an inequality join
+    would.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join: direction must be 'backward', 'forward', or 'nearest'"
+        )
     left = normalize_event_time(left, ts_col)
     right = normalize_event_time(right, ts_col)
     if right_cols is None:
@@ -78,36 +96,74 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(ts_col).alias("__r_ts"),
     )
-    # right rows sort before left rows at equal ts (__is_left asc), so
-    # a right event at exactly left.ts matches — inclusive semantics
-    w = (
+    unioned = tagged_l.unionByName(tagged_r)
+    # backward: right rows sort BEFORE left rows at equal ts
+    # (__is_left asc), so a right event at exactly left.ts matches —
+    # inclusive semantics; forward mirrors with __is_left desc and a
+    # first-over-following frame
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = tagged_l.unionByName(tagged_r).select(
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    sides = []
+    if direction in ("backward", "nearest"):
+        sides.append(("b", wb, lambda c: F.last(c, ignorenulls=True)))
+    if direction in ("forward", "nearest"):
+        sides.append(("f", wf, lambda c: F.first(c, ignorenulls=True)))
+    filled = unioned.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            agg(f"__r_{c}").over(w).alias(f"__{tag}_{c}")
+            for tag, w, agg in sides
             for c in right_cols
         ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[
+            agg("__r_ts").over(w).alias(f"__{tag}_ts")
+            for tag, w, agg in sides
+        ],
     )
     out = filled.filter(F.col("__is_left") == 1)
-    matched = F.col("__m_ts").isNotNull()
-    if tolerance_seconds is not None:
-        matched = matched & (
-            _epoch_s(ts_col) - _epoch_s("__m_ts") <= tolerance_seconds
-        )
+
+    def _matched(tag: str):
+        m = F.col(f"__{tag}_ts").isNotNull()
+        if tolerance_seconds is not None:
+            dt = _epoch_s(ts_col) - _epoch_s(f"__{tag}_ts")
+            m = m & (F.abs(dt) <= tolerance_seconds)
+        return m
+
+    if direction in ("backward", "forward"):
+        tag = direction[0]
+        matched = _matched(tag)
+        picks = [
+            F.when(matched, F.col(f"__{tag}_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ] + [F.when(matched, F.col(f"__{tag}_ts")).alias(f"{ts_col}{suffix}")]
+    else:
+        mb, mf = _matched("b"), _matched("f")
+        bdt = _epoch_s(ts_col) - _epoch_s("__b_ts")
+        fdt = _epoch_s("__f_ts") - _epoch_s(ts_col)
+        use_b = mb & (~mf | (bdt <= fdt))  # tie -> backward
+        picks = [
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(mf, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in right_cols
+        ] + [
+            F.when(use_b, F.col("__b_ts"))
+            .when(mf, F.col("__f_ts"))
+            .alias(f"{ts_col}{suffix}")
+        ]
     return out.select(
         F.col(on),
         F.col(ts_col),
         *[F.col(c) for c in lcols],
-        *[
-            F.when(matched, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.when(matched, F.col("__m_ts")).alias(f"{ts_col}{suffix}"),
+        *picks,
     )
 
 

@@ -304,6 +304,62 @@ def test_asof_join(spark):
     assert out_tol["a"] == 100.0 and out_tol["b"] is None
 
 
+def test_asof_join_forward_and_nearest(spark):
+    """Forward takes the earliest right at-or-after; nearest picks the
+    closer side with exact ties preferring backward; tolerance bounds
+    |dt| in both directions."""
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import asof_join
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(30), "b"), (2, ts(5), "c"), (3, ts(7), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10), 100.0),   # equal ts for 'a'
+            (1, ts(25), 200.0),   # 5 min before 'b'
+            (1, ts(35), 250.0),   # 5 min after 'b' -> exact tie
+            (2, ts(50), 300.0),   # only AFTER 'c'
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    fwd = {
+        r["tag"]: r["value_right"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd["a"] == 100.0  # inclusive equal ts
+    assert fwd["b"] == 250.0  # earliest following
+    assert fwd["c"] == 300.0  # forward finds what backward cannot
+    assert fwd["d"] is None  # no right rows for key 3
+    near = {
+        r["tag"]: r["value_right"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["value"],
+            direction="nearest",
+        ).collect()
+    }
+    assert near["a"] == 100.0
+    assert near["b"] == 200.0  # exact 5-min tie -> backward wins
+    assert near["c"] == 300.0  # only forward exists
+    near_tol = {
+        r["tag"]: r["value_right"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["value"],
+            direction="nearest", tolerance_seconds=60,
+        ).collect()
+    }
+    assert near_tol["a"] == 100.0 and near_tol["b"] is None
+    assert near_tol["c"] is None  # 45 min away > 60 s
+
+
 def test_range_join(spark):
     import datetime as dt
 
