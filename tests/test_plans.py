@@ -465,3 +465,64 @@ def test_bpe_train_plan_no_collect_no_python(spark):
     # re-expanded pair-count subtree
     assert plan.count("Scan ExistingRDD") == 2
     assert "Scan parquet" not in plan
+
+
+def test_exact_substring_decontaminate_plan_no_cartesian(spark):
+    """The strided-window decontaminator must plan a keyed fingerprint
+    equi-join — never a cartesian/nested-loop candidate product."""
+    from networkframe_spark.functions.pipeline import (
+        exact_substring_decontaminate,
+        train_test_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    split = train_test_split(docs, test_fraction=0.2, seed=7)
+    plan = _plan(
+        exact_substring_decontaminate(
+            split.filter("split = 'train'"),
+            split.filter("split = 'test'"),
+            window=25,
+            stride=26,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mine_hard_negatives_plan_broadcasts_anchors(spark):
+    """The brute hard-negative path must broadcast the (small) anchor
+    side into the scoring join — a shuffled corpus-x-anchors join
+    would rewrite the 100 TB story."""
+    from networkframe_spark.functions.similarity import mine_hard_negatives
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, SF_DIR)
+    plan = _plan(
+        mine_hard_negatives(emb, k=3, anchors=emb.filter("vec_id < 10"))
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the label filter must sit in the join, not after the window
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_plan_single_exchange(spark):
+    """Both windowed moments ride ONE hash exchange on the entity key
+    (no second shuffle, no global window)."""
+    from networkframe_spark.functions.temporal import anomaly_zscore
+    from networkframe_spark.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    plan = _plan(anomaly_zscore(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_winsorize_plan_broadcast_fences(spark):
+    """The clamp is map-side: fences broadcast back, the fact table is
+    never hash-exchanged."""
+    from networkframe_spark.functions.stats import winsorize
+    from networkframe_spark.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    plan = _plan(winsorize(ev, "value", group_col="event_type"))
+    assert "BroadcastHashJoin" in plan
