@@ -708,3 +708,37 @@ def test_core_numbers_match_python_peel(spark, edge_list):
             if w in remaining:
                 deg[w] -= 1
     assert got == core
+
+
+@given(
+    offset=st.integers(0, 30),
+    window=st.integers(2, 8),
+    stride_extra=st.integers(0, 5),
+    data=st.data(),
+)
+@_settings
+def test_exact_substring_pigeonhole_guarantee(spark, offset, window, stride_extra, data):
+    """The pigeonhole contract: any shared exact run of
+    window + stride - 1 tokens is detected regardless of its offset in
+    the corpus document, for arbitrary (window, stride) choices."""
+    from networkframe_spark.functions.pipeline import (
+        exact_substring_decontaminate,
+    )
+
+    stride = window + 1 + stride_extra
+    run_len = window + stride - 1
+    shared = [f"s{i}" for i in range(run_len)]
+    noise_n = data.draw(st.integers(0, 10))
+    prefix = [f"p{i}" for i in range(offset)]
+    suffix = [f"q{i}" for i in range(noise_n)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(prefix + shared + suffix))], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, " ".join([f"e{i}" for i in range(3)] + shared))],
+        "doc_id long, text string",
+    )
+    flagged = exact_substring_decontaminate(
+        corpus, ev, window=window, stride=stride
+    ).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
