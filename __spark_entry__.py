@@ -1729,6 +1729,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walks"] = q_node2vec_walks
 
+    def q_topological_levels(spark, sf):
+        # doc-chain DAG: doc i -> i+50 (depth 9 at 500 docs) — levels
+        # follow the longest path; isolated tail docs sit at their
+        # chain position
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id")).filter("id < 500")
+        edges = ids.select(
+            F.col("id").alias("source"), (F.col("id") + 50).alias("target")
+        ).filter("target < 500")
+        return NetworkFrame(ids, edges).topological_levels(max_rounds=16)
+
+    q["topological_levels"] = q_topological_levels
+
     def q_sample_negative_edges(spark, sf):
         nf = _graph(spark, sf)
         return nf.sample_negative_edges(per_node=2, directed=False)
@@ -4851,6 +4864,26 @@ v0 AS (SELECT n.id AS start_id, 0 AS rep, n.id AS prev, n.id AS id
 {n2v_steps}
 {n2v_union}
 """
+
+    # DAG levels: 10 unrolled max-relaxation rounds over the doc-chain
+    # (depth 9, so round 10 is a no-op — fixed-round twin is exact)
+    _tl = [
+        "ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500)",
+        "eg AS (SELECT id AS source, id + 50 AS target FROM ids"
+        " WHERE id + 50 < 500)",
+        "l0 AS (SELECT id, 0 AS level FROM ids)",
+    ]
+    for _i in range(10):
+        _tl.append(
+            f"l{_i + 1} AS (SELECT id, max(level) AS level FROM ("
+            f"SELECT e.target AS id, l{_i}.level + 1 AS level"
+            f" FROM eg e JOIN l{_i} ON e.source = l{_i}.id"
+            f" UNION ALL SELECT id, level FROM l{_i}"
+            f") GROUP BY id)"
+        )
+    o["topological_levels"] = (
+        "WITH " + ", ".join(_tl) + " SELECT id, level FROM l10"
+    )
 
     # deterministic non-edge sampling: counter-hash candidate ranks
     # mapped through the dense (ORDER BY id) node index, anti-joined

@@ -2193,6 +2193,72 @@ def node2vec_walks(
     return out
 
 
+def topological_levels(frame, max_rounds: int = 64) -> DataFrame:
+    """Longest-path-from-source level per node of a DAG: ``(id,
+    level)`` where sources (no in-edges) sit at 0 and every other node
+    at ``1 + max(level of its in-neighbors)`` — the canonical
+    dependency-scheduling / build-wave assignment (all nodes of one
+    level can run in parallel once the previous level finished).
+    Raises if the level assignment has not converged after
+    ``max_rounds`` synchronous rounds — on a DAG that means depth >
+    max_rounds (raise it); on a cyclic graph levels grow forever, so
+    the loud failure doubles as cycle detection.
+
+    Each synchronous round computes ``lv_r(v) = max(lv_{r-1}(v),
+    max_u(lv_{r-1}(u) + 1))`` over distinct in-edges — a pure function
+    of the previous round, so a fixed-round unrolled SQL twin is exact
+    (post-convergence rounds are no-ops).
+
+    Scale design: the same shape as :func:`shortest_paths` with max
+    instead of min — the distinct edge table cached hash-partitioned
+    on ``source``, one keyed join + one max-aggregate per round over
+    node-sized state, lineage cut per round, convergence = one count
+    of changed rows.  Rounds are bounded by the DAG depth, not the
+    node count.
+    """
+    e = (
+        frame.edges.select("source", "target")
+        .filter(F.col("source") != F.col("target"))
+        .distinct()
+        .repartition("source")
+        .cache()
+    )
+    lv = frame.nodes.select("id", F.lit(0).alias("level")).localCheckpoint(
+        eager=True
+    )
+    converged = False
+    for _ in range(max_rounds):
+        raised = (
+            e.join(lv.withColumnRenamed("id", "source"), on="source")
+            .select(
+                F.col("target").alias("id"),
+                (F.col("level") + 1).alias("level"),
+            )
+            .unionByName(lv)
+            .groupBy("id")
+            .agg(F.max("level").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+        n_changed = (
+            raised.join(
+                lv.withColumnRenamed("level", "__old"), on="id"
+            )
+            .filter(F.col("level") > F.col("__old"))
+            .count()
+        )
+        lv = raised
+        if n_changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise ValueError(
+            f"topological_levels: not converged after {max_rounds} rounds — "
+            "the graph has a cycle, or its depth exceeds max_rounds"
+        )
+    return lv
+
+
 def sample_negative_edges(
     frame,
     per_node: int = 2,

@@ -956,6 +956,14 @@ class NetworkFrame:
             directed=directed,
         )
 
+    def topological_levels(self, max_rounds: int = 64) -> DataFrame:
+        """DAG dependency levels ``(id, level)`` (longest path from
+        any source; raises on cycles); see
+        :func:`networkframe_spark.algorithms.topological_levels`."""
+        from .algorithms import topological_levels
+
+        return topological_levels(self, max_rounds=max_rounds)
+
     def sample_negative_edges(
         self, per_node: int = 2, directed: bool = True, seed: int = 7
     ) -> DataFrame:

@@ -653,6 +653,36 @@ def test_random_walks_stop_at_sinks(spark, letter_frame):
             assert (pos[(s, t - 1)], v) in fwd
 
 
+def test_topological_levels_diamond_and_cycle(spark):
+    """Diamond DAG A->B->D, A->C->D, C->E: levels follow the LONGEST
+    path (D=2 despite the A->D shortcut edge); isolated node at 0; a
+    cycle raises loudly."""
+    import pytest as _pytest
+
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame(
+        [(x,) for x in "ABCDEF"], "id string"
+    )
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("C", "E"), ("A", "D")],
+        "source string, target string",
+    )
+    got = {
+        r["id"]: r["level"]
+        for r in NetworkFrame(nodes, edges).topological_levels().collect()
+    }
+    assert got == {"A": 0, "B": 1, "C": 1, "D": 2, "E": 2, "F": 0}
+    cyc = NetworkFrame(
+        nodes,
+        spark.createDataFrame(
+            [("A", "B"), ("B", "C"), ("C", "A")], "source string, target string"
+        ),
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        cyc.topological_levels(max_rounds=8)
+
+
 def test_sample_negative_edges_properties(spark, letter_frame):
     """No sampled pair is a real edge (either direction, undirected
     mode), no self-loops, at most per_node per source, and two runs
