@@ -2134,6 +2134,7 @@ def node2vec_walks(
     cum_w = walk_w.orderBy(F.col("rank").asc()).rowsBetween(
         w.unboundedPreceding, w.currentRow
     )
+    deg_w = F.count(F.lit(1)).over(w.partitionBy("source"))
     for t in range(1, walk_length + 1):
         base = (
             F.pmod(F.col("start_id"), F.lit(P))
@@ -2146,47 +2147,77 @@ def node2vec_walks(
             + F.lit(t * 97),
             F.lit(P),
         )
-        cand = (
-            cur.join(ranked, cur["id"] == ranked["source"])
-            .select("start_id", "rep", "prev", "id", "target", "rank")
-            .join(
-                nbr,
-                (F.col("prev") == F.col("__ps"))
-                & (F.col("target") == F.col("__pt")),
-                how="left",
+        if t == 1:
+            # step-1 fast path, bit-identical to the general rule:
+            # prev == current, so no candidate can be a return (no
+            # self-loops) and every candidate neighbors prev — all
+            # weights equal w_nbr, the cumulative intervals are
+            # uniform strips of width K, and the inversion collapses
+            # to rank = (h mod deg*K) // K.  One (source, rank)
+            # equi-join; no dist-1 join, no pick window.
+            K = w_nbr
+            c = cur
+            cur = (
+                c.join(
+                    ranked.withColumn("__deg", deg_w),
+                    (c["id"] == ranked["source"])
+                    & (
+                        ranked["rank"]
+                        == F.floor(
+                            F.pmod(h, F.col("__deg") * F.lit(K)) / F.lit(K)
+                        )
+                    ),
+                )
+                .select(
+                    "start_id",
+                    "rep",
+                    F.col("id").alias("prev"),
+                    F.col("target").alias("id"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                "start_id",
-                "rep",
-                "prev",
-                "id",
-                "target",
-                "rank",
-                F.when(F.col("target") == F.col("prev"), F.lit(w_ret))
-                .when(F.col("__nb").isNotNull(), F.lit(w_nbr))
-                .otherwise(F.lit(w_out))
-                .cast("bigint")
-                .alias("__wt"),
+        else:
+            cand = (
+                cur.join(ranked, cur["id"] == ranked["source"])
+                .select("start_id", "rep", "prev", "id", "target", "rank")
+                .join(
+                    nbr,
+                    (F.col("prev") == F.col("__ps"))
+                    & (F.col("target") == F.col("__pt")),
+                    how="left",
+                )
+                .select(
+                    "start_id",
+                    "rep",
+                    "prev",
+                    "id",
+                    "target",
+                    "rank",
+                    F.when(F.col("target") == F.col("prev"), F.lit(w_ret))
+                    .when(F.col("__nb").isNotNull(), F.lit(w_nbr))
+                    .otherwise(F.lit(w_out))
+                    .cast("bigint")
+                    .alias("__wt"),
+                )
             )
-        )
-        cw = F.sum("__wt").over(cum_w)
-        tw = F.sum("__wt").over(walk_w)
-        r = F.pmod(h, tw)
-        cur = (
-            cand.withColumn("__cw", cw)
-            .withColumn("__r", r)
-            .filter(
-                (F.col("__cw") - F.col("__wt") <= F.col("__r"))
-                & (F.col("__r") < F.col("__cw"))
+            cw = F.sum("__wt").over(cum_w)
+            tw = F.sum("__wt").over(walk_w)
+            r = F.pmod(h, tw)
+            cur = (
+                cand.withColumn("__cw", cw)
+                .withColumn("__r", r)
+                .filter(
+                    (F.col("__cw") - F.col("__wt") <= F.col("__r"))
+                    & (F.col("__r") < F.col("__cw"))
+                )
+                .select(
+                    "start_id",
+                    "rep",
+                    F.col("id").alias("prev"),
+                    F.col("target").alias("id"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                "start_id",
-                "rep",
-                F.col("id").alias("prev"),
-                F.col("target").alias("id"),
-            )
-            .localCheckpoint(eager=False)
-        )
         out = out.union(
             cur.select("start_id", "rep", F.lit(t).alias("step"), "id")
         )

@@ -181,6 +181,26 @@ def events_stress(n_events: int = 10_000_000, n_users: int = 100_000) -> None:
 
     run("time_profile", lambda: time_profile(base))
     run("rfm_segments_approx", lambda: rfm_segments(base, approx=True))
+    # round-7 ops
+    from networkframe_spark.functions.stats import winsorize
+    from networkframe_spark.functions.temporal import anomaly_zscore, asof_join
+
+    run("anomaly_zscore_20", lambda: anomaly_zscore(base, n_rows=20))
+    run(
+        "winsorize_by_type_approx",
+        lambda: winsorize(
+            base, "value", group_col="event_type", approx=True
+        ),
+    )
+    views = base.filter("event_type = 'view'")
+    buys = base.filter("event_type = 'buy'").select("user_id", "ts", "value")
+    run(
+        "asof_nearest",
+        lambda: asof_join(
+            views, buys, on="user_id", right_cols=["value"],
+            direction="nearest",
+        ),
+    )
     print(
         json.dumps(
             {
