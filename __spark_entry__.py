@@ -2051,6 +2051,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_corpus"] = q_dedup_corpus
 
+    def q_chi2_independence(spark, sf):
+        from networkframe_spark.functions.stats import chi2_independence
+
+        docs = read_table(spark, sf, "documents")
+        return chi2_independence(docs, "lang", "source")
+
+    q["chi2_independence"] = q_chi2_independence
+
+    def q_ks_test(spark, sf):
+        from networkframe_spark.functions.stats import ks_test_2samp
+
+        events = read_events(spark, sf)
+        return ks_test_2samp(events, "value", "event_type", "view", "purchase")
+
+    q["ks_test_2samp"] = q_ks_test
+
+    def q_psi_drift(spark, sf):
+        from networkframe_spark.functions.stats import psi_drift
+
+        events = read_events(spark, sf)
+        return psi_drift(
+            events.filter("event_type = 'view'"),
+            events.filter("event_type = 'purchase'"),
+            "value",
+            bins=10,
+        )
+
+    q["psi_drift"] = q_psi_drift
+
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
     # this dict.  Registration order above is historical (oldest first),
@@ -5935,6 +5964,138 @@ SELECT doc_id, quality_score,
             AS INTEGER) AS stage,
        md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
 FROM qs
+"""
+
+    # chi2 identity sum_cells o^2/e - N with e = ra*cb/N; the per-cell
+    # term is the same floor(o^2*1e15/(ra*cb)) scaled-integer quotient
+    # (HUGEINT here, DECIMAL(38,0) `div` in Spark), so the sum is
+    # exact and order-independent in both engines
+    o["chi2_independence"] = """
+WITH obs AS (
+  SELECT lang, source, count(*)::HUGEINT AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT lang, sum(o) AS ra FROM obs GROUP BY lang),
+cb AS (SELECT source, sum(o) AS cb FROM obs GROUP BY source),
+agg AS (
+  SELECT sum((o * o * 1000000000000000) // (ra * cb)) AS s,
+         sum(o) AS n,
+         count(DISTINCT obs.lang) AS r,
+         count(DISTINCT obs.source) AS c
+  FROM obs JOIN ra USING (lang) JOIN cb USING (source)
+)
+SELECT round(n::DOUBLE * (s::DOUBLE / 1e15) - n::DOUBLE, 6) AS chi2,
+       ((r - 1) * (c - 1))::BIGINT AS dof,
+       round(CASE WHEN n > 0 AND least(r, c) > 1 THEN
+         sqrt(greatest(n::DOUBLE * (s::DOUBLE / 1e15) - n::DOUBLE, 0)
+              / (n::DOUBLE * (least(r, c) - 1))) END, 6) AS cramers_v,
+       n::BIGINT AS n
+FROM agg
+"""
+
+    # exact-integer running sums over distinct values (window here,
+    # two-phase range scheme in Spark — same numbers); Kolmogorov
+    # p-value with the identical two-regime 100-term series
+    o["ks_test_2samp"] = """
+WITH f AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY value
+),
+c AS (
+  SELECT sum(ca) OVER (ORDER BY value) AS cuma,
+         sum(cb) OVER (ORDER BY value) AS cumb
+  FROM f
+),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM f),
+d AS (
+  SELECT max(abs(cuma::DOUBLE / t.na - cumb::DOUBLE / t.nb)) AS ds
+  FROM c, t
+),
+l AS (
+  SELECT ds, ds * sqrt(t.na * t.nb / (t.na + t.nb)::DOUBLE) AS lam,
+         t.na AS na, t.nb AS nb
+  FROM d, t
+)
+SELECT round(ds, 6) AS d_stat, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+  round(least(greatest(CASE
+    WHEN ds <= 0 THEN 1.0
+    WHEN lam < 1.18 THEN
+      1.0 - (sqrt(2 * pi()) / lam) *
+      (SELECT sum(exp(-((2 * k - 1) * (2 * k - 1)) * pi() * pi()
+                      / (8 * lam * lam)))
+       FROM generate_series(1, 100) AS gs(k))
+    ELSE
+      2.0 * (SELECT sum(pow(-1.0, k - 1) * exp(-2.0 * k * k * lam * lam))
+             FROM generate_series(1, 100) AS gs(k))
+  END, 0.0), 1.0), 6) AS p_value
+FROM l
+"""
+
+    # baseline-quantile bin edges (quantile_cont == Spark percentile,
+    # both rounded 6 dp), literal-comparison binning, eps-floored
+    # shares; total = sum of the ROUNDED per-bin terms (same
+    # convention as the Spark side)
+    o["psi_drift"] = """
+WITH base AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+),
+cur AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+edges AS (
+  SELECT DISTINCT unnest([
+    round(quantile_cont(v, 0.1), 6), round(quantile_cont(v, 0.2), 6),
+    round(quantile_cont(v, 0.3), 6), round(quantile_cont(v, 0.4), 6),
+    round(quantile_cont(v, 0.5), 6), round(quantile_cont(v, 0.6), 6),
+    round(quantile_cont(v, 0.7), 6), round(quantile_cont(v, 0.8), 6),
+    round(quantile_cont(v, 0.9), 6)]) AS e
+  FROM base
+),
+bb AS (
+  SELECT 1 + (SELECT count(*) FROM edges WHERE edges.e < b.v) AS bin,
+         count(*) AS cnt
+  FROM base b GROUP BY 1
+),
+bc AS (
+  SELECT 1 + (SELECT count(*) FROM edges WHERE edges.e < c.v) AS bin,
+         count(*) AS cnt
+  FROM cur c GROUP BY 1
+),
+allb AS (
+  SELECT CAST(t.bin AS INTEGER) AS bin
+  FROM (VALUES (1), (2), (3), (4), (5),
+               (6), (7), (8), (9), (10)) AS t(bin)
+  WHERE t.bin <= (SELECT count(*) + 1 FROM edges)
+),
+j AS (
+  SELECT a.bin,
+         coalesce(bb.cnt, 0) AS base_count,
+         coalesce(bc.cnt, 0) AS cur_count
+  FROM allb a LEFT JOIN bb ON a.bin = bb.bin
+              LEFT JOIN bc ON a.bin = bc.bin
+),
+tot AS (SELECT sum(base_count) AS tb, sum(cur_count) AS tc FROM j),
+per_bin AS (
+  SELECT j.bin, j.base_count::BIGINT AS base_count,
+         j.cur_count::BIGINT AS cur_count,
+         round(j.base_count / tot.tb, 6) AS base_share,
+         round(j.cur_count / tot.tc, 6) AS cur_share,
+         round((greatest(j.cur_count / tot.tc, 1e-6)
+                - greatest(j.base_count / tot.tb, 1e-6))
+               * ln(greatest(j.cur_count / tot.tc, 1e-6)
+                    / greatest(j.base_count / tot.tb, 1e-6)), 6)
+           AS contribution
+  FROM j, tot
+)
+SELECT p.*, (SELECT round(sum(contribution), 6) FROM per_bin) AS psi
+FROM per_bin p
 """
 
     return o

@@ -134,6 +134,18 @@ HEADLINE = [
     "node2vec_walks",        # integer-weighted biased walks (r7)
     "label_propagation_weighted",     # decimal vote sums (r7)
     "stream_condense_twin",  # windowed quotient graph (r7)
+    "pagerank_weighted",     # decimal-exact transition shares (r7)
+    "mine_hard_negatives",   # label-filtered cosine top-k (r7)
+    "sample_negative_edges", # counter-hash non-edge sampling (r7)
+    "anomaly_zscore",        # trailing decimal-moment z-scores (r7)
+    "dup_ngram_fraction",    # cross-doc boilerplate share (r7)
+    "winsorize",             # percentile tail clamping (r7)
+    "embedding_outliers",    # prototype-distance pruning (r7)
+    "asof_join_nearest",     # dual-frame nearest asof (r7)
+    "topological_levels",    # DAG wave assignment (r7)
+    "chi2_independence",     # scaled-integer contingency test (r7)
+    "ks_test_2samp",         # two-phase exact ECDF gap (r7)
+    "psi_drift",             # quantile-binned drift index (r7)
 ]
 
 

@@ -9,6 +9,7 @@ cardinality makes exact sorting unreasonable.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -499,3 +500,312 @@ def winsorize(
         "was_clamped",
         v.isNotNull() & ((v < F.col("__lo")) | (v > F.col("__hi"))),
     ).drop("__lo", "__hi")
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns, plus Cramér's V effect size — the standard QA check for
+    "is my quality label independent of source domain?" before
+    stratified sampling or mixing.  Rows with a NULL in either column
+    are dropped.  Returns one row ``(chi2, dof, cramers_v, n)``.
+
+    Determinism: the statistic is assembled from the identity
+    ``chi2 = N * (sum_cells o^2/(ra*cb)) - N`` (``e = ra*cb/N``), which
+    needs no enumeration of zero-observed cells, and the per-cell term
+    is computed as an exact scaled-integer quotient
+    ``floor(o^2 * 1e15 / (ra*cb))`` summed as DECIMAL(38,0) — the sum
+    is order-independent and engine-portable (same trick as
+    :func:`~networkframe_spark.algorithms.pagerank`); the only float
+    ops are two final divisions of exact integers.  Quotients are
+    bounded by 1e15 (``o <= ra, o <= cb``) so nothing overflows.
+
+    Scale design: one hash aggregate over the fact table produces the
+    contingency cells; everything downstream (marginals, the scaled
+    sum) is cell-count-sized with broadcast joins — the fact table is
+    touched exactly once.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    obs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    cells = obs.join(F.broadcast(ra), on=col_a).join(
+        F.broadcast(cb), on=col_b
+    )
+    SCALE = 10**15
+    term = F.expr(
+        f"CAST(__o AS DECIMAL(38,0)) * CAST(__o AS DECIMAL(38,0))"
+        f" * {SCALE} div (CAST(__ra AS DECIMAL(38,0)) * __cb)"
+    )
+    agg = cells.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("__s"),
+        F.sum("__o").alias("__n"),
+        F.countDistinct(col_a).alias("__r"),
+        F.countDistinct(col_b).alias("__c"),
+    )
+    n = F.col("__n").cast("double")
+    chi2 = n * (F.col("__s").cast("double") / F.lit(float(SCALE))) - n
+    dof = (F.col("__r") - 1) * (F.col("__c") - 1)
+    mindim = F.least(F.col("__r"), F.col("__c")) - 1
+    v = F.when(
+        (F.col("__n") > 0) & (mindim > 0),
+        F.sqrt(F.greatest(chi2, F.lit(0.0)) / (n * mindim)),
+    )
+    return agg.select(
+        F.round(chi2, 6).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+        F.col("__n").cast("bigint").alias("n"),
+    )
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: the max ECDF gap between
+    ``value_col`` restricted to ``group_col == group_a`` vs
+    ``== group_b`` — the standard "did this feature's distribution
+    shift between two slices?" check.  Returns one row
+    ``(d_stat, n_a, n_b, p_value)`` with the asymptotic two-sided
+    p-value ``2 * sum_k (-1)^(k-1) exp(-2 k^2 lambda^2)`` (first 100
+    terms, ``lambda = D * sqrt(n_a n_b / (n_a + n_b))``).
+
+    Determinism: per-distinct-value counts and their running sums are
+    exact BIGINTs, so every evaluated ECDF gap is a division of exact
+    integers; the max over distinct values is order-independent.  The
+    p-value series is evaluated in fixed k-order via ``F.aggregate``
+    over a literal sequence.
+
+    Scale design: the fact table collapses to one hash aggregate over
+    distinct values; the running sums use the two-phase
+    range-partition scheme (local window per partition + a
+    partition-count-sized offsets manifest — same shape as
+    :func:`~networkframe_spark.algorithms._dense_rank_distributed`),
+    so there is NO single-partition global window even when the value
+    column is near-unique.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == F.lit(group_a), 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(g == F.lit(group_b), 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    spark = df.sparkSession
+    n_part = max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    part = counts.repartitionByRange(n_part, v.asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.select(
+        value_col,
+        "__ca",
+        "__cb",
+        "_pid",
+        F.sum("__ca").over(lw).alias("__la"),
+        F.sum("__cb").over(lw).alias("__lb"),
+    ).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: (r["ta"], r["tb"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum("__ca").alias("ta"), F.sum("__cb").alias("tb"))
+        .collect()
+    }
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for pid in sorted(totals):
+        off_a[pid], off_b[pid] = acc_a, acc_b
+        acc_a += totals[pid][0] or 0
+        acc_b += totals[pid][1] or 0
+    n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_test_2samp: empty sample (n_a={n_a}, n_b={n_b})"
+        )
+    oa = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(off_a.items()) for x in kv]
+            ),
+            F.col("_pid"),
+        )
+        if off_a
+        else F.lit(0)
+    )
+    ob = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(off_b.items()) for x in kv]
+            ),
+            F.col("_pid"),
+        )
+        if off_b
+        else F.lit(0)
+    )
+    gaps = local.select(
+        F.abs(
+            (F.col("__la") + oa).cast("double") / F.lit(float(n_a))
+            - (F.col("__lb") + ob).cast("double") / F.lit(float(n_b))
+        ).alias("__gap")
+    )
+    d = gaps.agg(F.max("__gap").alias("__d"))
+    lam = F.col("__d") * F.lit(
+        float((n_a * n_b / (n_a + n_b)) ** 0.5)
+    )
+    # Kolmogorov survival fn, two classic regimes: the alternating
+    # series 2*sum (-1)^(k-1) exp(-2 k^2 L^2) converges fast for
+    # large L but degenerates to 1-1+1-... as L -> 0; below the
+    # standard ~1.18 crossover use the Jacobi-theta transform
+    # p = 1 - sqrt(2*pi)/L * sum exp(-(2k-1)^2 pi^2 / (8 L^2))
+    # (both truncated at 100 terms, far past double precision).
+    pi2 = math.pi * math.pi
+    big = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam),
+    )
+    small = F.lit(1.0) - (F.sqrt(F.lit(2.0 * math.pi)) / lam) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.exp(
+            -F.pow(F.lit(2.0) * k.cast("double") - F.lit(1.0), F.lit(2.0))
+            * F.lit(pi2)
+            / (F.lit(8.0) * lam * lam)
+        ),
+    )
+    p_raw = (
+        F.when(F.col("__d") <= F.lit(0.0), F.lit(1.0))
+        .when(lam < F.lit(1.18), small)
+        .otherwise(big)
+    )
+    return d.select(
+        F.round("__d", 6).alias("d_stat"),
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.round(F.least(F.greatest(p_raw, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def psi_drift(
+    df_base: DataFrame,
+    df_cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    approx: bool = False,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline sample and a
+    current sample of ``value_col`` — the standard drift monitor for
+    "has this feature's distribution moved since the snapshot I
+    trained on?".  Bin edges are the baseline's ``i/bins`` quantiles
+    (rounded to 6 dp so both engines gate on identical boundaries);
+    each sample is histogrammed into those bins and
+    ``PSI = sum_bins (p_cur - p_base) * ln(p_cur / p_base)`` with
+    shares floored at ``eps`` (zero-bin smoothing, documented
+    convention).  NULLs are dropped.  Returns one row per bin
+    ``(bin, base_count, cur_count, base_share, cur_share,
+    contribution, psi)`` — ``psi`` is the total, repeated per row so
+    the result is a single hash-checkable frame.  Rule of thumb:
+    psi < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action.
+
+    Scale design: one exact (or ``approx=True`` sketch — the 100 TB
+    path) percentile aggregate on the baseline produces a
+    (bins-1)-sized edge manifest (bounded driver collect, same class
+    as the kmeans centroid manifests); bin assignment is a map-side
+    literal comparison chain; each side then collapses via one hash
+    aggregate to ``bins`` rows, where the PSI arithmetic is free.
+    """
+    if bins < 2:
+        raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
+    v = F.col(value_col)
+    fracs = [i / bins for i in range(1, bins)]
+    pf = F.percentile_approx if approx else F.percentile
+    row = (
+        df_base.filter(v.isNotNull())
+        .agg(
+            F.transform(
+                pf(v, F.array(*[F.lit(p) for p in fracs])),
+                # rounded ENGINE-side: F.round is half-away-from-zero
+                # like DuckDB round(); Python round() is half-even and
+                # would desync the bin boundaries
+                lambda c: F.round(c, 6),
+            ).alias("q")
+        )
+        .collect()[0]
+    )
+    if row["q"] is None:
+        raise ValueError("psi_drift: baseline sample is empty")
+    edges = sorted({float(x) for x in row["q"]})
+
+    def binned(sdf: DataFrame, name: str) -> DataFrame:
+        idx = F.lit(1)
+        for e in edges:
+            idx = idx + F.when(v > F.lit(e), 1).otherwise(0)
+        return (
+            sdf.filter(v.isNotNull())
+            .groupBy(idx.cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = binned(df_base, "base_count")
+    cur = binned(df_cur, "cur_count")
+    spark = df_base.sparkSession
+    all_bins = spark.range(1, len(edges) + 2).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        all_bins.join(F.broadcast(base), on="bin", how="left")
+        .join(F.broadcast(cur), on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce("base_count", F.lit(0)).alias("base_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("base_count").alias("__tb"), F.sum("cur_count").alias("__tc")
+    )
+    pb = F.greatest(
+        F.col("base_count").cast("double") / F.col("__tb"), F.lit(eps)
+    )
+    pc = F.greatest(
+        F.col("cur_count").cast("double") / F.col("__tc"), F.lit(eps)
+    )
+    contrib = (pc - pb) * F.log(pc / pb)
+    per_bin = joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "base_count",
+        "cur_count",
+        F.round(F.col("base_count") / F.col("__tb"), 6).alias("base_share"),
+        F.round(F.col("cur_count") / F.col("__tc"), 6).alias("cur_share"),
+        F.round(contrib, 6).alias("contribution"),
+    )
+    # total = sum of the ROUNDED per-bin terms: both engines sum the
+    # identical 6-dp values, so the 6-dp total can't be perturbed by
+    # sub-ulp ln()/ordering noise (error << 5e-7 over <= bins terms)
+    psi_tot = per_bin.agg(
+        F.round(F.sum("contribution"), 6).alias("psi")
+    )
+    return per_bin.crossJoin(F.broadcast(psi_tot))

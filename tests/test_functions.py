@@ -1862,3 +1862,117 @@ def test_rfm_segments_scores(spark):
     assert [got[u]["f_score"] for u in range(1, 6)] == [1, 2, 3, 4, 5]
     assert got[3]["recency_s"] == 2 * 86400
     assert got[4]["monetary"] == 160.0
+
+
+def test_chi2_independence_matches_manual(spark):
+    """chi2/dof/Cramér's V agree with a dense NumPy contingency
+    computation; NULLs in either column are excluded."""
+    import numpy as np
+
+    from networkframe_spark.functions.stats import chi2_independence
+
+    rows = (
+        [("x", "p")] * 30
+        + [("x", "q")] * 10
+        + [("y", "p")] * 10
+        + [("y", "q")] * 30
+        + [(None, "p"), ("x", None)]
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    o = np.array([[30.0, 10.0], [10.0, 30.0]])
+    n = o.sum()
+    e = np.outer(o.sum(1), o.sum(0)) / n
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert got["n"] == 80
+    assert got["dof"] == 1
+    assert abs(got["chi2"] - chi2) < 2e-6
+    assert abs(got["cramers_v"] - (chi2 / (n * 1)) ** 0.5) < 2e-6
+
+
+def test_chi2_independence_independent_cols_near_zero(spark):
+    """A perfectly proportional table gives chi2 == 0 exactly."""
+    from networkframe_spark.functions.stats import chi2_independence
+
+    rows = [("x", "p")] * 20 + [("x", "q")] * 10 + [("y", "p")] * 40 + [
+        ("y", "q")
+    ] * 20
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    assert abs(got["chi2"]) < 2e-6
+    assert abs(got["cramers_v"]) < 2e-3
+
+
+def test_ks_test_2samp_matches_manual_ecdf(spark):
+    """D equals the hand-computed max ECDF gap; identical samples
+    give D == 0 and p == 1."""
+    import math
+
+    from networkframe_spark.functions.stats import ks_test_2samp
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    b = [4.0, 5.0, 6.0, 7.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_test_2samp(df, "v", "g", "a", "b").collect()[0]
+    vals = sorted(set(a + b))
+    d_manual = max(
+        abs(
+            sum(1 for x in a if x <= t) / len(a)
+            - sum(1 for x in b if x <= t) / len(b)
+        )
+        for t in vals
+    )
+    assert got["d_stat"] == round(d_manual, 6)
+    assert (got["n_a"], got["n_b"]) == (6, 5)
+    lam = d_manual * math.sqrt(6 * 5 / 11)
+    if lam < 1.18:  # theta-transform branch (same crossover as impl)
+        p = 1.0 - (math.sqrt(2 * math.pi) / lam) * sum(
+            math.exp(-((2 * k - 1) ** 2) * math.pi**2 / (8 * lam * lam))
+            for k in range(1, 101)
+        )
+    else:
+        p = 2 * sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+            for k in range(1, 101)
+        )
+    assert abs(got["p_value"] - min(max(p, 0.0), 1.0)) < 2e-6
+
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "g string, v double"
+    )
+    got2 = ks_test_2samp(same, "v", "g", "a", "b").collect()[0]
+    assert got2["d_stat"] == 0.0 and got2["p_value"] == 1.0
+
+
+def test_ks_test_2samp_empty_group_raises(spark):
+    from networkframe_spark.functions.stats import ks_test_2samp
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    try:
+        ks_test_2samp(df, "v", "g", "a", "zz")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "empty sample" in str(e)
+
+
+def test_psi_drift_shifted_sample_scores_high(spark):
+    """An identical sample scores ~0; a shifted one scores high; bin
+    counts cover every row; psi equals the sum of rounded
+    contributions."""
+    from networkframe_spark.functions.stats import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    same = psi_drift(base, base, "v", bins=4).collect()
+    assert all(abs(r["psi"]) < 1e-9 for r in same)
+    assert sum(r["cur_count"] for r in same) == 100
+
+    shifted = spark.createDataFrame(
+        [(float(i) + 80.0,) for i in range(100)], "v double"
+    )
+    moved = psi_drift(base, shifted, "v", bins=4).collect()
+    assert moved[0]["psi"] > 0.25  # fixture-scale "action" drift
+    assert round(sum(r["contribution"] for r in moved), 6) == moved[0]["psi"]
+    assert len(moved) == 4

