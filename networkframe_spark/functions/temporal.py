@@ -99,8 +99,16 @@ def asof_join(
     unioned = tagged_l.unionByName(tagged_r)
     # backward: right rows sort BEFORE left rows at equal ts
     # (__is_left asc), so a right event at exactly left.ts matches —
-    # inclusive semantics; forward mirrors with __is_left desc and a
-    # first-over-following frame
+    # inclusive semantics.  forward is the same running last-non-null
+    # over the REVERSED sort (ts desc; right first at equal ts): the
+    # last right row seen scanning ts-descending is the earliest one
+    # with right.ts >= left.ts.  Both frames are therefore GROWING
+    # (unboundedPreceding..current), which Spark's WindowExec
+    # evaluates incrementally in O(n) per key — the naive mirrored
+    # frame (current..unboundedFollowing) is a SHRINKING frame that
+    # WindowExec re-aggregates from scratch per row, O(n^2) on a hub
+    # key (measured: a 10M-event stress with a 10%-hub user never
+    # finished; this formulation runs it in seconds).
     wb = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col), F.col("__is_left"))
@@ -108,14 +116,14 @@ def asof_join(
     )
     wf = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col), F.col("__is_left").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     sides = []
     if direction in ("backward", "nearest"):
         sides.append(("b", wb, lambda c: F.last(c, ignorenulls=True)))
     if direction in ("forward", "nearest"):
-        sides.append(("f", wf, lambda c: F.first(c, ignorenulls=True)))
+        sides.append(("f", wf, lambda c: F.last(c, ignorenulls=True)))
     filled = unioned.select(
         "*",
         *[

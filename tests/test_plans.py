@@ -576,3 +576,27 @@ def test_psi_drift_plan_map_side_binning(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # everything joined is tiny
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_plans_have_no_shrinking_frame(spark):
+    """Every asof direction must window over GROWING frames only
+    (unboundedPreceding..current): a (current..unboundedFollowing)
+    frame is re-aggregated from scratch per row by WindowExec —
+    O(n^2) on a hub key (a 10M-event hub stress hung on exactly
+    this before the reversed-sort formulation)."""
+    from networkframe_spark.functions.temporal import asof_join
+    from networkframe_spark.sources import read_events
+
+    ev = read_events(spark, SF_DIR)
+    views = ev.filter("event_type = 'view'")
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        plan = _plan(
+            asof_join(
+                views, buys, on="user_id", right_cols=["value"],
+                direction=direction,
+            )
+        )
+        assert "unboundedfollowing" not in plan.lower(), direction
