@@ -1748,6 +1748,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_negative_edges"] = q_sample_negative_edges
 
+    def q_maximal_independent_set(spark, sf):
+        # undirected bipartite customer-supplier graph; md5 priorities
+        # make the parallel Luby rounds equal the sequential greedy
+        # MIS, so a fixed-round unrolled SQL twin is exact
+        nf = _graph(spark, sf)
+        return nf.maximal_independent_set(directed=False, seed=42)
+
+    q["maximal_independent_set"] = q_maximal_independent_set
+
     def q_retention(spark, sf):
         events = read_events(spark, sf)
         return retention_cohorts(events, period_days=7)
@@ -2079,6 +2088,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["psi_drift"] = q_psi_drift
+
+    def q_rrf_fusion(spark, sf):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, sf, "documents")
+        w1 = W.partitionBy("lang").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        w2 = W.partitionBy("lang").orderBy(F.asc("doc_id"))
+        r1 = docs.select(
+            F.col("lang").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w1).alias("rank"),
+        ).filter("rank <= 20")
+        r2 = docs.select(
+            F.col("lang").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w2).alias("rank"),
+        ).filter("rank <= 20")
+        return rrf_fuse(
+            [r1, r2], id_col="doc_id", k=60, query_col="query_id"
+        )
+
+    q["rrf_fusion"] = q_rrf_fusion
+
+    def q_retrieval_metrics(spark, sf):
+        from pyspark.sql import functions as F
+
+        from networkframe_spark.functions.retrieval import retrieval_metrics
+        from networkframe_spark.functions.similarity import brute_force_top_k
+
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        pred = brute_force_top_k(emb, qs, k=10).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        truth = (
+            qs.alias("q")
+            .join(
+                emb.alias("c"),
+                (F.col("q.label") == F.col("c.label"))
+                & (F.col("q.vec_id") != F.col("c.vec_id")),
+            )
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("doc_id"),
+            )
+        )
+        return retrieval_metrics(pred, truth, k=10)
+
+    q["retrieval_metrics"] = q_retrieval_metrics
 
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
@@ -4914,6 +4975,43 @@ v0 AS (SELECT n.id AS start_id, 0 AS rep, n.id AS prev, n.id AS id
         "WITH " + ", ".join(_tl) + " SELECT id, level FROM l10"
     )
 
+    # Luby MIS, 12 unrolled synchronous rounds (post-convergence
+    # rounds are no-ops: the undecided set is empty, so the winner
+    # CTEs stay empty); md5('42:'||id) priorities match the Spark
+    # side byte-for-byte
+    _mis = [
+        "e2 AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a,"
+        " greatest(source, target) AS b FROM edges"
+        " WHERE source <> target)",
+        "sym AS MATERIALIZED (SELECT a AS s, b AS t FROM e2"
+        " UNION ALL SELECT b AS s, a AS t FROM e2)",
+        "u0 AS MATERIALIZED (SELECT id FROM nodes)",
+        "m0 AS MATERIALIZED (SELECT id FROM nodes WHERE 1 = 0)",
+    ]
+    for _i in range(1, 13):
+        _p = _i - 1
+        _mis.append(
+            f"w{_i} AS MATERIALIZED (SELECT u.id FROM u{_p} u WHERE NOT EXISTS ("
+            f"SELECT 1 FROM sym s JOIN u{_p} n ON s.t = n.id"
+            f" WHERE s.s = u.id"
+            f" AND md5('42:' || n.id) < md5('42:' || u.id)))"
+        )
+        _mis.append(
+            f"m{_i} AS MATERIALIZED (SELECT id FROM m{_p} UNION SELECT id FROM w{_i})"
+        )
+        _mis.append(
+            f"u{_i} AS MATERIALIZED (SELECT u.id FROM u{_p} u"
+            f" WHERE u.id NOT IN (SELECT id FROM w{_i})"
+            f" AND NOT EXISTS (SELECT 1 FROM sym s JOIN w{_i} w"
+            f" ON s.s = w.id WHERE s.t = u.id))"
+        )
+    o["maximal_independent_set"] = (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(_mis)
+        + " SELECT n.id, m12.id IS NOT NULL AS in_mis"
+        " FROM nodes n LEFT JOIN m12 ON n.id = m12.id"
+    )
+
     # deterministic non-edge sampling: counter-hash candidate ranks
     # mapped through the dense (ORDER BY id) node index, anti-joined
     # against the symmetrized edge set (see
@@ -6096,6 +6194,102 @@ per_bin AS (
 )
 SELECT p.*, (SELECT round(sum(contribution), 6) FROM per_bin) AS psi
 FROM per_bin p
+"""
+
+    # per-query RRF: same 12-dp decimal-term convention as the
+    # existing o["rrf_fuse"], grouped by (query, doc) with a
+    # tie-broken fused rank
+    o["rrf_fusion"] = """
+WITH r1 AS (
+  SELECT lang AS query_id, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+),
+r2 AS (
+  SELECT lang AS query_id, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rank
+  FROM documents
+),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12)) AS term
+  FROM r1 WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12)) AS term
+  FROM r2 WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, count(*) AS n_lists,
+         round(CAST(sum(term) AS DOUBLE), 6) AS rrf_score
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_lists::BIGINT AS n_lists, rrf_score,
+       row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY rrf_score DESC, doc_id ASC
+       ) AS fused_rank
+FROM fused
+"""
+
+    # nDCG/MRR/recall@10 over the cosine_topk prediction shape;
+    # truth = same-label corpus vectors (self excluded)
+    o["retrieval_metrics"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(list_dot_product((q.embedding::DOUBLE[]), (c.embedding::DOUBLE[]))
+           / (sqrt(list_dot_product((q.embedding::DOUBLE[]), (q.embedding::DOUBLE[])))
+              * sqrt(list_dot_product((c.embedding::DOUBLE[]), (c.embedding::DOUBLE[])))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+pred AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+truth AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    AND q.label = c.label
+),
+h AS (
+  SELECT p.query_id, p.rank, 1.0 / log2(p.rank + 1) AS dcg_term
+  FROM pred p JOIN truth t USING (query_id, doc_id)
+),
+perq AS (
+  SELECT query_id, count(*) AS hits, min(rank) AS first,
+         sum(dcg_term) AS dcg
+  FROM h GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         sum(CASE WHEN irank <= 10 THEN 1.0 / log2(irank + 1) END) AS idcg
+  FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY doc_id ASC) AS irank
+    FROM truth
+  ) GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM pred)
+SELECT qs.query_id,
+       coalesce(n_rel, 0)::BIGINT AS n_rel,
+       coalesce(hits, 0)::BIGINT AS hits,
+       round(coalesce(hits, 0) / 10.0, 6) AS precision_at_k,
+       round(CASE WHEN n_rel > 0 THEN coalesce(hits, 0) / n_rel END, 6)
+         AS recall_at_k,
+       round(coalesce(1.0 / first, 0.0), 6) AS mrr,
+       round(coalesce(dcg, 0.0), 6) AS dcg,
+       round(idcg, 6) AS idcg,
+       round(CASE WHEN idcg > 0 THEN coalesce(dcg, 0.0) / idcg END, 6)
+         AS ndcg
+FROM qs LEFT JOIN perq USING (query_id) LEFT JOIN ideal USING (query_id)
 """
 
     return o

@@ -146,6 +146,9 @@ HEADLINE = [
     "chi2_independence",     # scaled-integer contingency test (r7)
     "ks_test_2samp",         # two-phase exact ECDF gap (r7)
     "psi_drift",             # quantile-binned drift index (r7)
+    "rrf_fusion",            # integer-reciprocal rank fusion (r7)
+    "retrieval_metrics",     # nDCG/MRR/recall@k eval (r7)
+    "maximal_independent_set",  # derandomized Luby MIS (r7)
 ]
 
 

@@ -2290,6 +2290,90 @@ def topological_levels(frame, max_rounds: int = 64) -> DataFrame:
     return lv
 
 
+def maximal_independent_set(
+    frame,
+    directed: bool = False,
+    max_rounds: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Luby maximal independent set: no two selected
+    nodes are adjacent, and every unselected node has a selected
+    neighbor — the classic symmetry-breaking primitive behind
+    distributed scheduling, graph coloring, and conflict-free
+    sampling of training nodes.  Returns ``(id, in_mis)`` for every
+    node.  ``directed=False`` (default) symmetrizes edges first;
+    self-loops never block a node.
+
+    Luby round, derandomized: each node's priority is
+    ``md5(seed:id)`` (unique per node, no RNG state — identical on
+    every engine and retry); an undecided node joins the MIS iff no
+    undecided neighbor has a smaller priority, then its neighbors
+    drop out.  Each round is a pure function of the previous round's
+    undecided set, so a fixed-round unrolled SQL twin is exact.
+    Raises loudly if ``max_rounds`` synchronous rounds don't decide
+    every node (expected rounds are O(log n) w.h.p. — Luby 1986).
+
+    Scale design: per round two keyed joins of the symmetric edge
+    table against node-sized undecided state plus two hash
+    semi/anti-joins — no windows, no driver-side state beyond the
+    per-round convergence count; the edge table is cached
+    hash-partitioned once.
+    """
+    sym = (
+        _edge_pairs(frame, directed)
+        .filter(F.col("source") != F.col("target"))
+        .repartition("source")
+        .cache()
+    )
+    pr = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))
+    )
+    und = frame.nodes.select("id", pr.alias("__p")).localCheckpoint(
+        eager=True
+    )
+    spark = und.sparkSession
+    mis = spark.createDataFrame([], "id " + dict(und.dtypes)["id"])
+    done = False
+    for _ in range(max_rounds):
+        cand = sym.join(
+            und.select(F.col("id").alias("source"), F.col("__p").alias("__ps")),
+            on="source",
+        ).join(
+            und.select(F.col("id").alias("target"), F.col("__p").alias("__pt")),
+            on="target",
+        )
+        blocked = (
+            cand.filter(F.col("__pt") < F.col("__ps"))
+            .select(F.col("source").alias("id"))
+            .distinct()
+        )
+        winners = und.join(blocked, on="id", how="left_anti").select("id")
+        mis = mis.union(winners).localCheckpoint(eager=False)
+        dropped = (
+            sym.join(
+                winners.withColumnRenamed("id", "source"), on="source"
+            )
+            .select(F.col("target").alias("id"))
+            .distinct()
+            .union(winners)
+        )
+        und = und.join(dropped, on="id", how="left_anti").localCheckpoint(
+            eager=False
+        )
+        if und.isEmpty():
+            done = True
+            break
+    sym.unpersist()
+    if not done:
+        raise ValueError(
+            f"maximal_independent_set: {max_rounds} rounds did not decide "
+            "every node — raise max_rounds (expected rounds are O(log n))"
+        )
+    return frame.nodes.select("id").join(
+        mis.withColumn("in_mis", F.lit(True)), on="id", how="left"
+    ).select("id", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+
+
 def sample_negative_edges(
     frame,
     per_node: int = 2,

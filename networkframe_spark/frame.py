@@ -964,6 +964,20 @@ class NetworkFrame:
 
         return topological_levels(self, max_rounds=max_rounds)
 
+    def maximal_independent_set(
+        self,
+        directed: bool = False,
+        max_rounds: int = 64,
+        seed: int = 42,
+    ) -> DataFrame:
+        """Deterministic Luby MIS ``(id, in_mis)``; see
+        :func:`networkframe_spark.algorithms.maximal_independent_set`."""
+        from .algorithms import maximal_independent_set
+
+        return maximal_independent_set(
+            self, directed=directed, max_rounds=max_rounds, seed=seed
+        )
+
     def sample_negative_edges(
         self, per_node: int = 2, directed: bool = True, seed: int = 7
     ) -> DataFrame:

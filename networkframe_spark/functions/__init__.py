@@ -18,9 +18,15 @@ from .dedup import (
     ngram_jaccard_duplicates,
     simhash_duplicates,
 )
-from .search import bm25_top_docs
+from .retrieval import retrieval_metrics
+from .search import bm25_top_docs, rrf_fuse
 from .temporal import asof_join, funnel_counts, inter_event_stats, range_join
-from .stats import group_percentiles
+from .stats import (
+    chi2_independence,
+    group_percentiles,
+    ks_test_2samp,
+    psi_drift,
+)
 from .pipeline import (
     add_repetition_score,
     cap_per_group,
@@ -78,6 +84,11 @@ __all__ = [
     "dedup_near",
     "bm25_top_docs",
     "group_percentiles",
+    "chi2_independence",
+    "ks_test_2samp",
+    "psi_drift",
+    "rrf_fuse",
+    "retrieval_metrics",
     "pack_token_sequences",
     "containment_duplicates",
     "redact_pii",

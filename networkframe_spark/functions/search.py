@@ -108,6 +108,8 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     k: int = 60,
+    query_col: str | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
     retrieval lists: ``rrf = sum_i 1 / (k + rank_i)`` over the lists
@@ -116,19 +118,28 @@ def rrf_fuse(
     ``(id_col, n_lists, rrf_score)``, score at 6 dp, ordered by
     nothing (callers sort).
 
+    ``query_col``: when the rankings are PER-QUERY (a retrieval run
+    over many queries, ranks starting at 1 within each query), name
+    the query column — fusion then groups by (query, id) and adds a
+    ``fused_rank`` (score desc, id asc tie-break) per query;
+    ``top_k`` truncates each query's fused list.
+
     Determinism: each reciprocal term is rounded to 12 dp and summed
     as DECIMAL(38,12) — order-independent regardless of how the
-    union's partitions merge.
+    union's partitions merge; the fused order ties on the exact
+    decimal score are broken by id.
 
-    Scale design: a union + ONE hash aggregate on the id; list count
-    N is a small constant, so the union is linear in total ranked
-    rows.  No windows, no joins.
+    Scale design: a union + ONE hash aggregate on the (query, id)
+    key; list count N is a small constant, so the union is linear in
+    total ranked rows.  The only window is query-keyed (never
+    global); without ``query_col`` there is no window at all.
     """
     if not ranked:
         raise ValueError("rrf_fuse: no ranked lists given")
+    keys = ([query_col] if query_col else []) + [id_col]
     parts = [
         df.select(
-            F.col(id_col),
+            *[F.col(c) for c in keys],
             F.round(
                 F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 12
             ).cast("decimal(38,12)").alias("__term"),
@@ -138,7 +149,16 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionAll(p)
-    return u.groupBy(id_col).agg(
+    fused = u.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_lists"),
         F.round(F.sum("__term").cast("double"), 6).alias("rrf_score"),
     )
+    if query_col is None:
+        return fused
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    fused = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_k is not None:
+        fused = fused.filter(F.col("fused_rank") <= top_k)
+    return fused

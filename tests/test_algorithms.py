@@ -1057,3 +1057,74 @@ def test_dedup_corpus_exact_and_fuzzy(spark):
     keptf = sorted(r["doc_id"] for r in fuzzy.collect())
     assert keptf == [0, 9]
     assert {r["doc_id"]: r["cluster_id"] for r in fuzzy.collect()}[0] == 0
+
+
+def test_maximal_independent_set_matches_greedy(spark):
+    """Luby with fixed md5 priorities equals the sequential greedy
+    MIS over the priority order (the lexicographically-first MIS);
+    the result is independent AND maximal on a random-ish graph."""
+    import hashlib
+
+    from networkframe_spark import NetworkFrame
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # deterministic pseudo-random graph incl. an isolated node (39)
+    raw = [
+        (i, (i * 7 + j * 13) % (n - 1))
+        for i in range(n - 1)
+        for j in range(3)
+    ]
+    edge_rows = [(s, t) for s, t in raw if s != t]
+    edges = spark.createDataFrame(edge_rows, "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["id"]: r["in_mis"]
+        for r in nf.maximal_independent_set(seed=42).collect()
+    }
+    assert set(got) == set(range(n))
+
+    adj = {i: set() for i in range(n)}
+    for s, t in edge_rows:
+        adj[s].add(t)
+        adj[t].add(s)
+    # sequential greedy over md5 priority order
+    prio = {
+        i: hashlib.md5(f"42:{i}".encode()).hexdigest() for i in range(n)
+    }
+    mis = set()
+    for v in sorted(range(n), key=lambda i: prio[i]):
+        if not (adj[v] & mis):
+            mis.add(v)
+    assert {v for v, f in got.items() if f} == mis
+    # independence + maximality
+    for s, t in edge_rows:
+        assert not (got[s] and got[t])
+    for v in range(n):
+        if not got[v]:
+            assert any(got[u] for u in adj[v])
+    assert got[39]  # isolated node always selected
+
+
+def test_maximal_independent_set_raises_without_convergence(spark):
+    """A path chained in increasing priority order needs one round
+    per alternate node — max_rounds=1 must fail loudly."""
+    import hashlib
+
+    from networkframe_spark import NetworkFrame
+
+    order = sorted(
+        range(6),
+        key=lambda i: hashlib.md5(f"42:{i}".encode()).hexdigest(),
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(order[i], order[i + 1]) for i in range(5)],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    try:
+        nf.maximal_independent_set(max_rounds=1, seed=42)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "did not decide" in str(e)

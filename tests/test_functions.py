@@ -1976,3 +1976,108 @@ def test_psi_drift_shifted_sample_scores_high(spark):
     assert moved[0]["psi"] > 0.25  # fixture-scale "action" drift
     assert round(sum(r["contribution"] for r in moved), 6) == moved[0]["psi"]
     assert len(moved) == 4
+
+
+def test_rrf_fuse_per_query_matches_hand_computation(spark):
+    """query_col mode: fused scores equal the 12-dp decimal reciprocal
+    sums per (query, doc); fused_rank is score-desc with doc
+    tie-break; top_k truncates; queries fuse independently."""
+    from decimal import Decimal
+
+    from networkframe_spark.functions.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q2", "z", 1)],
+        "query_id string, doc_id string, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "a", 2), ("q1", "d", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse(
+            [r1, r2], id_col="doc_id", k=60, query_col="query_id"
+        ).collect()
+    }
+
+    def rr(*ranks):
+        return float(
+            sum(round(Decimal(1) / (60 + r), 12) for r in ranks)
+        )
+
+    assert got[("q1", "a")]["rrf_score"] == round(rr(1, 2), 6)
+    assert got[("q1", "b")]["rrf_score"] == round(rr(2, 1), 6)
+    assert got[("q1", "c")]["rrf_score"] == round(rr(3), 6)
+    assert got[("q1", "a")]["n_lists"] == 2
+    assert got[("q1", "c")]["n_lists"] == 1
+    # a and b tie exactly (same reciprocal multiset): doc tie-break
+    assert got[("q1", "a")]["fused_rank"] == 1
+    assert got[("q1", "b")]["fused_rank"] == 2
+    assert got[("q2", "z")]["fused_rank"] == 1
+    top2 = rrf_fuse(
+        [r1, r2], id_col="doc_id", k=60, query_col="query_id", top_k=2
+    ).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in top2} == {
+        ("q1", "a"),
+        ("q1", "b"),
+        ("q2", "z"),
+    }
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Binary-gain metrics against a worked example: hits, recall,
+    MRR from the first relevant rank, nDCG from closed-form DCG/IDCG;
+    a query with no relevant docs gets NULL recall/ndcg and mrr 0."""
+    import math
+
+    from networkframe_spark.functions.retrieval import retrieval_metrics
+
+    pred = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "b"), ("q1", "c"), ("q1", "zz")],
+        "query_id string, doc_id string",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(pred, truth, k=3).collect()
+    }
+    g1 = got["q1"]
+    assert (g1["n_rel"], g1["hits"]) == (3, 2)
+    assert g1["precision_at_k"] == round(2 / 3, 6)
+    assert g1["recall_at_k"] == round(2 / 3, 6)
+    assert g1["mrr"] == 0.5  # first hit at rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(g1["dcg"] - dcg) < 2e-6
+    assert abs(g1["ndcg"] - dcg / idcg) < 2e-6
+    g2 = got["q2"]
+    assert (g2["n_rel"], g2["hits"], g2["mrr"]) == (0, 0, 0.0)
+    assert g2["recall_at_k"] is None and g2["ndcg"] is None
+
+
+def test_retrieval_metrics_graded_gains(spark):
+    """Graded gains change DCG/IDCG: the ideal ordering is by gain
+    desc, so a high-gain doc retrieved late still caps nDCG < 1."""
+    import math
+
+    from networkframe_spark.functions.retrieval import retrieval_metrics
+
+    pred = spark.createDataFrame(
+        [("q", "lo", 1), ("q", "hi", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    truth = spark.createDataFrame(
+        [("q", "hi", 3.0), ("q", "lo", 1.0)],
+        "query_id string, doc_id string, gain double",
+    )
+    r = retrieval_metrics(pred, truth, k=2, gain_col="gain").collect()[0]
+    dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert abs(r["dcg"] - dcg) < 2e-6
+    assert abs(r["idcg"] - idcg) < 2e-6
+    assert abs(r["ndcg"] - dcg / idcg) < 2e-6

@@ -275,6 +275,10 @@ def main() -> None:
         lambda: nf.random_walks(walk_length=4, walks_per_node=1, directed=False),
     )
     run(
+        "maximal_independent_set",
+        lambda: nf.maximal_independent_set(directed=False),
+    )
+    run(
         "lpa_weighted_3r",
         lambda: nf.label_propagation(
             n_iter=3, directed=False, weight_col="weight"
