@@ -2141,6 +2141,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retrieval_metrics"] = q_retrieval_metrics
 
+    def q_mmr_rerank(spark, sf):
+        from pyspark.sql import functions as F
+
+        from networkframe_spark.functions.similarity import (
+            brute_force_top_k,
+            mmr_rerank,
+        )
+
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        cand = brute_force_top_k(emb, qs, k=8).join(
+            emb.select("vec_id", "embedding"), on="vec_id"
+        )
+        return mmr_rerank(cand, k=3, lam=0.7)
+
+    q["mmr_rerank"] = q_mmr_rerank
+
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
     # this dict.  Registration order above is historical (oldest first),
@@ -6231,6 +6248,99 @@ SELECT query_id, doc_id, n_lists::BIGINT AS n_lists, rrf_score,
          ORDER BY rrf_score DESC, doc_id ASC
        ) AS fused_rank
 FROM fused
+"""
+
+    # 3 unrolled greedy MMR steps over the cosine-top-8 candidates:
+    # step 1 = lam*rel argmax; steps 2-3 subtract (1-lam) * the
+    # 6-dp-rounded max cosine to the already-picked set.  All CTEs
+    # MATERIALIZED (each step references the previous twice).
+    o["mmr_rerank"] = """
+WITH scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product((q.embedding::DOUBLE[]), (c.embedding::DOUBLE[]))
+           / (sqrt(list_dot_product((q.embedding::DOUBLE[]), (q.embedding::DOUBLE[])))
+              * sqrt(list_dot_product((c.embedding::DOUBLE[]), (c.embedding::DOUBLE[])))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT s.query_id, s.vec_id,
+         CAST(round(s.cosine * 1000000) AS BIGINT) AS rel6,
+         (e.embedding::DOUBLE[]) AS emb,
+         sqrt(list_dot_product((e.embedding::DOUBLE[]),
+                               (e.embedding::DOUBLE[]))) AS nrm
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) s JOIN embeddings e ON s.vec_id = e.vec_id
+  WHERE s.rank <= 8
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, vec_id, rel6, emb, nrm,
+         70 * rel6 AS mmr, 1 AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY 70 * rel6 DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM s1
+                    WHERE s1.query_id = c.query_id
+                      AND s1.vec_id = c.vec_id)
+),
+sc2 AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, c.rel6, c.emb, c.nrm,
+         70 * c.rel6 - 30 * max(
+           CAST(round(round(list_dot_product(c.emb, s.emb)
+                            / (c.nrm * s.nrm), 6) * 1000000) AS BIGINT)
+         ) AS mmr
+  FROM c1 c JOIN s1 s ON c.query_id = s.query_id
+  GROUP BY c.query_id, c.vec_id, c.rel6, c.emb, c.nrm
+),
+s2 AS MATERIALIZED (
+  SELECT query_id, vec_id, rel6, emb, nrm, mmr, 2 AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, vec_id ASC) AS rn
+    FROM sc2
+  ) WHERE rn = 1
+),
+c2 AS MATERIALIZED (
+  SELECT c.* FROM c1 c
+  WHERE NOT EXISTS (SELECT 1 FROM s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.vec_id = c.vec_id)
+),
+sel2 AS MATERIALIZED (
+  SELECT query_id, vec_id, emb, nrm FROM s1
+  UNION ALL SELECT query_id, vec_id, emb, nrm FROM s2
+),
+sc3 AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, c.rel6, c.emb, c.nrm,
+         70 * c.rel6 - 30 * max(
+           CAST(round(round(list_dot_product(c.emb, s.emb)
+                            / (c.nrm * s.nrm), 6) * 1000000) AS BIGINT)
+         ) AS mmr
+  FROM c2 c JOIN sel2 s ON c.query_id = s.query_id
+  GROUP BY c.query_id, c.vec_id, c.rel6, c.emb, c.nrm
+),
+s3 AS MATERIALIZED (
+  SELECT query_id, vec_id, rel6, emb, nrm, mmr, 3 AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, vec_id ASC) AS rn
+    FROM sc3
+  ) WHERE rn = 1
+)
+SELECT query_id, vec_id, mmr / 100000000.0 AS mmr_score, mmr_rank FROM s1
+UNION ALL
+SELECT query_id, vec_id, mmr / 100000000.0 AS mmr_score, mmr_rank FROM s2
+UNION ALL
+SELECT query_id, vec_id, mmr / 100000000.0 AS mmr_score, mmr_rank FROM s3
 """
 
     # nDCG/MRR/recall@10 over the cosine_topk prediction shape;

@@ -149,6 +149,7 @@ HEADLINE = [
     "rrf_fusion",            # integer-reciprocal rank fusion (r7)
     "retrieval_metrics",     # nDCG/MRR/recall@k eval (r7)
     "maximal_independent_set",  # derandomized Luby MIS (r7)
+    "mmr_rerank",            # integer-scored greedy diversification (r7)
 ]
 
 

@@ -1390,3 +1390,129 @@ def embedding_outliers(
         "fence",
         (F.col("cos_centroid") < F.col("fence")).alias("is_outlier"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_picked`` — the
+    standard diversification step for retrieval results and few-shot
+    / training-example selection (relevant but not redundant).
+    ``candidates`` carries per-query scored candidates
+    ``(query_col, id_col, rel_col, emb_col)`` — typically the output
+    of :func:`brute_force_top_k` (or the LSH/IVF variants) joined
+    back to its embeddings.  Returns ``(query_id, vec_id, mmr_score,
+    mmr_rank)`` with ``mmr_rank`` 1..k in pick order.
+
+    Determinism: pairwise cosines round to 6 dp before the max; the
+    pick compares the identical double expression in both engines
+    with an id tie-break, so a fixed-step unrolled SQL twin is exact.
+
+    Scale design: the greedy loop is k (small, fixed) rounds; each
+    round joins the undecided candidates against the selected set ON
+    THE QUERY KEY — per-query work is |candidates| * round, never
+    corpus-sized, and the per-round pick is a query-keyed window.
+    Candidate lists are pre-truncated by the upstream top-k, so state
+    stays (queries x list length)-sized throughout.
+    """
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    num = round(lam * 100)
+    if abs(num - lam * 100) > 1e-9:
+        raise ValueError(
+            f"mmr_rerank: lam must be a multiple of 0.01 (got {lam}) — "
+            "the score is an exact integer in (lam/100, 1e-6) units so "
+            "the greedy argmax is engine-portable"
+        )
+    # exact scoring: rel and sim quantize to 1e-6 integers, the MMR
+    # combination is integer arithmetic in 1e-8 units, and the final
+    # score is ONE division of an exact (< 2^53) integer — no float
+    # rounding anywhere, so the pick order and the reported score are
+    # bit-identical across engines (F.round on a double rounds its
+    # shortest decimal string, which desyncs from engines that round
+    # the binary value — measured one boundary hit per ~100 rows)
+    cand = candidates.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(F.col(rel_col).cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("__rel6"),
+        F.col(emb_col).alias("__emb"),
+        norm_expr(F.col(emb_col)).alias("__norm"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__mmr"), F.asc("vec_id")
+    )
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = cand.withColumn(
+                "__mmr", (F.lit(num) * F.col("__rel6")).cast("long")
+            )
+        else:
+            sims = (
+                cand.join(
+                    selected.select(
+                        "query_id",
+                        F.col("__emb").alias("__semb"),
+                        F.col("__norm").alias("__snorm"),
+                    ),
+                    on="query_id",
+                )
+                .groupBy("query_id", "vec_id")
+                .agg(
+                    F.max(
+                        F.round(
+                            F.round(
+                                dot_expr(F.col("__emb"), F.col("__semb"))
+                                / (F.col("__norm") * F.col("__snorm")),
+                                6,
+                            )
+                            * F.lit(1e6)
+                        ).cast("long")
+                    ).alias("__sim6")
+                )
+            )
+            scored = cand.join(sims, on=["query_id", "vec_id"]).withColumn(
+                "__mmr",
+                (
+                    F.lit(num) * F.col("__rel6")
+                    - F.lit(100 - num) * F.col("__sim6")
+                ).cast("long"),
+            )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "__rel6",
+                "__emb",
+                "__norm",
+                "__mmr",
+                F.lit(step).alias("mmr_rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        cand = cand.join(
+            pick.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_anti",
+        ).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id",
+        "vec_id",
+        (F.col("__mmr").cast("double") / F.lit(1e8)).alias("mmr_score"),
+        "mmr_rank",
+    )

@@ -2081,3 +2081,55 @@ def test_retrieval_metrics_graded_gains(spark):
     assert abs(r["dcg"] - dcg) < 2e-6
     assert abs(r["idcg"] - idcg) < 2e-6
     assert abs(r["ndcg"] - dcg / idcg) < 2e-6
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """A near-duplicate of the top pick is deferred behind a less
+    relevant but orthogonal candidate; scores match the hand-run
+    greedy; rank order is the pick order."""
+    from networkframe_spark.functions.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [
+            ("q", "a", 0.95, [1.0, 0.0]),
+            ("q", "b", 0.94, [1.0, 0.001]),
+            ("q", "c", 0.50, [0.0, 1.0]),
+        ],
+        "query_id string, vec_id string, cosine double,"
+        " embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in mmr_rerank(cand, k=3, lam=0.5).collect()
+    }
+    assert [got[v]["mmr_rank"] for v in ("a", "c", "b")] == [1, 2, 3]
+    # scores are exact integers in 1e-8 units: (num*rel6 - (100-num)*sim6)/1e8
+    assert got["a"]["mmr_score"] == 50 * 950000 / 1e8  # 0.475
+    # c picked over b: 0.25 - 0.5*0 beats 0.47 - 0.5*sim(a,b)~=1
+    import math
+
+    sim6_ab = round(
+        round(
+            (1.0 * 1.0 + 0.0 * 0.001)
+            / (1.0 * math.sqrt(1.0 + 0.001**2)),
+            6,
+        )
+        * 1e6
+    )
+    assert got["c"]["mmr_score"] == 50 * 500000 / 1e8  # 0.25
+    assert got["b"]["mmr_score"] == (50 * 940000 - 50 * sim6_ab) / 1e8
+
+
+def test_mmr_rerank_k1_is_pure_relevance(spark):
+    from networkframe_spark.functions.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q", "a", 0.9, [1.0, 0.0]), ("q", "b", 0.8, [0.0, 1.0]),
+         ("q2", "z", 0.1, [1.0, 1.0])],
+        "query_id string, vec_id string, cosine double,"
+        " embedding array<double>",
+    )
+    got = mmr_rerank(cand, k=1, lam=0.7).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in got} == {
+        ("q", "a"), ("q2", "z")
+    }
