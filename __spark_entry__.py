@@ -2158,6 +2158,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mmr_rerank"] = q_mmr_rerank
 
+    def q_mann_whitney(spark, sf):
+        from networkframe_spark.functions.stats import mann_whitney_u
+
+        events = read_events(spark, sf)
+        return mann_whitney_u(
+            events, "value", "event_type", "view", "purchase"
+        )
+
+    q["mann_whitney_u"] = q_mann_whitney
+
+    def q_bootstrap_ci(spark, sf):
+        from networkframe_spark.functions.stats import bootstrap_ci_mean
+
+        events = read_events(spark, sf)
+        return bootstrap_ci_mean(
+            events, "value", "event_id", n_boot=50
+        )
+
+    q["bootstrap_ci_mean"] = q_bootstrap_ci
+
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
     # this dict.  Registration order above is historical (oldest first),
@@ -6149,6 +6169,98 @@ SELECT round(ds, 6) AS d_stat, na::BIGINT AS n_a, nb::BIGINT AS n_b,
              FROM generate_series(1, 100) AS gs(k))
   END, 0.0), 1.0), 6) AS p_value
 FROM l
+"""
+
+    # exact HALF-unit midranks from running sums over distinct
+    # values; tie-corrected continuity-corrected normal z with the
+    # identical A&S 7.1.26 polynomial
+    o["mann_whitney_u"] = """
+WITH f AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY value
+),
+c AS (
+  SELECT ca, cb, ca + cb AS nv,
+         sum(ca + cb) OVER (ORDER BY value) AS lcum
+  FROM f
+),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM f),
+agg AS (
+  SELECT sum(ca * (2 * (lcum - nv) + nv + 1)) AS r2a,
+         sum(nv * nv * nv - nv) AS ties
+  FROM c
+),
+s AS (
+  SELECT (agg.r2a - t.na * (t.na + 1)) AS u2,
+         (agg.r2a - t.na * (t.na + 1)) - t.na * t.nb AS diff2,
+         (t.na * t.nb / 12.0)
+           * ((t.na + t.nb + 1)
+              - agg.ties / ((t.na + t.nb) * (t.na + t.nb - 1) * 1.0))
+           AS var,
+         t.na AS na, t.nb AS nb
+  FROM agg, t
+),
+zrow AS (
+  SELECT u2, na, nb,
+         CASE WHEN var > 0 THEN
+           (CASE WHEN diff2 > 0 THEN diff2 - 1
+                 WHEN diff2 < 0 THEN diff2 + 1
+                 ELSE 0 END) / (2.0 * sqrt(var))
+         END AS z
+  FROM s
+)
+SELECT u2 / 2.0 AS u_stat, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(z, 6) AS z,
+       round(least(1.0,
+         2.0 * exp(-0.5 * abs(z) * abs(z)) / 2.5066282746310002
+             * (0.319381530 * tt - 0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                - 1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)), 6) AS p_value
+FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zrow)
+"""
+
+    # Poisson(1) replicate weights from md5-hex string thresholds
+    # (pure string compares — no float RNG anywhere); exact sums,
+    # one double division per replicate mean
+    from networkframe_spark.functions.stats import _poisson1_thresholds
+
+    _thr = _poisson1_thresholds()
+    _wcase = "CASE " + " ".join(
+        f"WHEN h < '{t}' THEN {i}" for i, t in enumerate(_thr)
+    ) + f" ELSE {len(_thr)} END"
+    o["bootstrap_ci_mean"] = f"""
+WITH base AS (
+  SELECT event_id AS id, CAST(value AS DECIMAL(28,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT v, r.b, md5('42:' || id || ':' || r.b) AS h
+  FROM base, (SELECT unnest(range(0, 50)) AS b) r
+),
+means AS (
+  SELECT b,
+         CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM (SELECT v, b, {_wcase} AS w FROM rep)
+  GROUP BY b
+),
+fences AS (
+  SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi
+  FROM means
+),
+overall AS (
+  SELECT round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS mean,
+         count(*) AS n
+  FROM base
+)
+SELECT mean, ci_lo, ci_hi, n::BIGINT AS n, 50::BIGINT AS n_boot
+FROM overall, fences
 """
 
     # baseline-quantile bin edges (quantile_cont == Spark percentile,

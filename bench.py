@@ -150,6 +150,8 @@ HEADLINE = [
     "retrieval_metrics",     # nDCG/MRR/recall@k eval (r7)
     "maximal_independent_set",  # derandomized Luby MIS (r7)
     "mmr_rerank",            # integer-scored greedy diversification (r7)
+    "mann_whitney_u",        # exact-midrank rank-sum test (r7)
+    "bootstrap_ci_mean",     # hex-threshold Poisson bootstrap (r7)
 ]
 
 

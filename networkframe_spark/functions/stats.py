@@ -809,3 +809,236 @@ def psi_drift(
         F.round(F.sum("contribution"), 6).alias("psi")
     )
     return per_bin.crossJoin(F.broadcast(psi_tot))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: the nonparametric
+    "did group A's values shift vs group B's?" companion to the
+    parametric ``ab_test_report`` — robust to outliers and skew,
+    the usual choice for heavy-tailed metrics (latency, revenue,
+    token counts).  Returns one row ``(u_stat, n_a, n_b, z, p_value)``
+    with midrank tie handling, the tie-corrected normal
+    approximation, and a continuity correction of 0.5.
+
+    Determinism: ranks never materialize per row — per-distinct-value
+    counts and their running sums are exact BIGINTs, midranks are
+    kept in exact HALF units (``2*cum_before + n_v + 1``), so
+    ``U`` and every moment of the null distribution are assembled
+    from exact integers; the only floats are the final z and the
+    normal-CDF polynomial (Abramowitz-Stegun 7.1.26, identical
+    expression in the SQL twin).
+
+    Scale design: identical shape to :func:`ks_test_2samp` — one
+    hash aggregate over distinct values, two-phase range-partitioned
+    running sums (no single-partition window), then one scalar row.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == F.lit(group_a), 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(g == F.lit(group_b), 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    spark = df.sparkSession
+    n_part = max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    part = counts.repartitionByRange(n_part, v.asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.select(
+        value_col,
+        "__ca",
+        "__cb",
+        "_pid",
+        (F.sum(F.col("__ca") + F.col("__cb")).over(lw)).alias("__lcum"),
+    ).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: (r["ta"], r["tb"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum("__ca").alias("ta"), F.sum("__cb").alias("tb"))
+        .collect()
+    }
+    off, acc_a, acc_b, acc = {}, 0, 0, 0
+    for pid in sorted(totals):
+        off[pid] = acc
+        acc_a += totals[pid][0] or 0
+        acc_b += totals[pid][1] or 0
+        acc += (totals[pid][0] or 0) + (totals[pid][1] or 0)
+    n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"mann_whitney_u: empty sample (n_a={n_a}, n_b={n_b})"
+        )
+    n = n_a + n_b
+    o_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(off.items()) for x in kv]
+            ),
+            F.col("_pid"),
+        )
+        if off
+        else F.lit(0)
+    )
+    nv = F.col("__ca") + F.col("__cb")
+    cum_before = F.col("__lcum") + o_expr - nv
+    # midrank in exact HALF units: 2*(cum_before) + (n_v + 1)
+    midrank2 = 2 * cum_before + nv + 1
+    agg = local.agg(
+        F.sum(F.col("__ca") * midrank2).alias("__r2a"),
+        F.sum(nv * nv * nv - nv).alias("__ties"),
+    )
+    # U_a = R_a - n_a(n_a+1)/2, in half units: U2 = R2a - n_a(n_a+1)
+    u2 = F.col("__r2a") - F.lit(n_a * (n_a + 1))
+    mu2 = F.lit(n_a * n_b)  # 2 * n_a n_b / 2
+    # var = (n_a n_b / 12) * ((n+1) - ties/(n(n-1)))
+    var = (
+        F.lit(n_a * n_b / 12.0)
+        * (F.lit(float(n + 1)) - F.col("__ties") / F.lit(float(n * (n - 1))))
+    )
+    # continuity correction 0.5 (1.0 in half units), toward the mean
+    diff2 = u2 - mu2
+    cc2 = F.when(diff2 > 0, diff2 - 1).when(diff2 < 0, diff2 + 1).otherwise(
+        F.lit(0)
+    )
+    z = F.when(var > 0, cc2.cast("double") / (F.lit(2.0) * F.sqrt(var)))
+    az = F.abs(z)
+    # Abramowitz-Stegun 7.1.26: 1 - Phi(|z|), absolute error < 7.5e-8
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        F.lit(0.319381530) * t
+        - F.lit(0.356563782) * t * t
+        + F.lit(1.781477937) * t * t * t
+        - F.lit(1.821255978) * t * t * t * t
+        + F.lit(1.330274429) * t * t * t * t * t
+    )
+    phi = F.exp(F.lit(-0.5) * az * az) / F.lit(2.5066282746310002)
+    p = F.least(F.lit(1.0), F.lit(2.0) * phi * poly)
+    return agg.select(
+        (u2.cast("double") / 2).alias("u_stat"),
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def _poisson1_thresholds(max_w: int = 6) -> list[str]:
+    """Cumulative Poisson(1) CDF mapped to 32-hex-digit md5 string
+    thresholds: a uniform md5 hex string compares < threshold[w] with
+    probability CDF(w).  String comparison is engine-identical, so
+    the replicate weights need no float arithmetic anywhere."""
+    import math
+
+    cdf, acc = [], 0.0
+    for w in range(max_w):
+        acc += math.exp(-1.0) / math.factorial(w)
+        cdf.append(acc)
+    return [format(int(c * 16**32), "032x") for c in cdf]
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col``: ``n_boot`` Poisson(1) resamples (the standard
+    streaming/distributed bootstrap — per-row multiplicities instead
+    of materialized resamples), deterministic from
+    ``md5(seed:id:replicate)``.  Returns one row ``(mean, ci_lo,
+    ci_hi, n, n_boot)`` at the ``alpha`` level.  NULL values drop.
+
+    Determinism: replicate weights come from comparing the md5 hex
+    string against precomputed Poisson-CDF hex thresholds — pure
+    string comparisons, identical in any engine; per-replicate sums
+    accumulate 6-dp-quantized values as exact DECIMALs, so every
+    replicate mean (and the percentile fences over them) is
+    engine-portable.
+
+    Scale design: the replicate dimension explodes map-side
+    (``n_boot`` copies per row) and collapses immediately into the
+    per-replicate partial aggregate — the shuffle carries
+    ``n_boot x partitions`` rows, never ``n_boot x data``; the
+    replicate-mean table is ``n_boot`` rows, so the final percentile
+    is driver-trivial.  Cost is one pass over the data amplified by
+    the CASE-chain weight lookup (no Python, no RNG state).
+    """
+    if n_boot < 10:
+        raise ValueError(f"bootstrap_ci_mean: n_boot must be >= 10, got {n_boot}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"bootstrap_ci_mean: alpha must be in (0,1), got {alpha}")
+    thresholds = _poisson1_thresholds()
+    v6 = F.col(value_col).cast("decimal(28,6)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), v6.alias("__v")
+    )
+    rep = base.select(
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
+        F.col("__id"),
+    ).withColumn(
+        "__h",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("__id").cast("string"),
+                F.col("__b").cast("string"),
+            )
+        ),
+    )
+    w = F.lit(len(thresholds))
+    for i in reversed(range(len(thresholds))):
+        w = F.when(F.col("__h") < F.lit(thresholds[i]), F.lit(i)).otherwise(w)
+    # both sums are exact (decimal / integer); the single
+    # double-by-double division is correctly rounded and therefore
+    # engine-identical — decimal DIVISION rules are not portable, so
+    # never divide decimals directly
+    means = (
+        rep.withColumn("__w", w)
+        .groupBy("__b")
+        .agg(
+            (
+                F.sum(F.col("__w") * F.col("__v")).cast("double")
+                / F.sum(F.col("__w")).cast("double")
+            ).alias("__m")
+        )
+    )
+    fences = means.agg(
+        F.round(F.percentile("__m", F.lit(alpha / 2)), 6).alias("ci_lo"),
+        F.round(F.percentile("__m", F.lit(1 - alpha / 2)), 6).alias("ci_hi"),
+    )
+    overall = base.agg(
+        F.round(
+            F.sum("__v").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return overall.crossJoin(F.broadcast(fences)).select(
+        "mean",
+        "ci_lo",
+        "ci_hi",
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
+    )

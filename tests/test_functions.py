@@ -2133,3 +2133,68 @@ def test_mmr_rerank_k1_is_pure_relevance(spark):
     assert {(r["query_id"], r["vec_id"]) for r in got} == {
         ("q", "a"), ("q2", "z")
     }
+
+
+def test_mann_whitney_u_no_ties_hand_computed(spark):
+    """U, z (continuity-corrected), and the A&S-polynomial p match a
+    hand computation on a tie-free example."""
+    import math
+
+    from networkframe_spark.functions.stats import mann_whitney_u
+
+    a, b = [1.0, 2.0, 3.0, 10.0], [4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # U_a = #{(i,j): a_i > b_j} = 3 (only 10 beats each of 4,5,6)
+    assert got["u_stat"] == 3.0
+    assert (got["n_a"], got["n_b"]) == (4, 3)
+    mu, var = 4 * 3 / 2, 4 * 3 * (7 + 1) / 12
+    z = (3 - mu + 0.5) / math.sqrt(var)  # cc toward the mean
+    assert abs(got["z"] - z) < 2e-6
+    t = 1 / (1 + 0.2316419 * abs(z))
+    poly = (
+        0.319381530 * t - 0.356563782 * t**2 + 1.781477937 * t**3
+        - 1.821255978 * t**4 + 1.330274429 * t**5
+    )
+    p = min(1.0, 2 * math.exp(-0.5 * z * z) / math.sqrt(2 * math.pi) * poly)
+    assert abs(got["p_value"] - p) < 2e-6
+
+
+def test_mann_whitney_u_ties_use_midranks(spark):
+    """Tied values share midranks and shrink the null variance via
+    the tie-correction term."""
+    from networkframe_spark.functions.stats import mann_whitney_u
+
+    # a = [1, 2, 2], b = [2, 3]: sorted 1,(2,2,2),3 — the three 2s
+    # share midrank 3; R_a = 1 + 3 + 3 = 7, U_a = 7 - 3*4/2 = 1
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert got["u_stat"] == 1.0
+    assert (got["n_a"], got["n_b"]) == (3, 2)
+
+
+def test_bootstrap_ci_mean_brackets_mean_and_is_deterministic(spark):
+    from networkframe_spark.functions.stats import bootstrap_ci_mean
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    r1 = bootstrap_ci_mean(df, "v", "id", n_boot=50).collect()[0]
+    r2 = bootstrap_ci_mean(df, "v", "id", n_boot=50).collect()[0]
+    assert r1 == r2  # RNG-free: identical on re-run
+    assert r1["mean"] == 49.5
+    assert r1["ci_lo"] < 49.5 < r1["ci_hi"]
+    assert 40.0 < r1["ci_lo"] and r1["ci_hi"] < 60.0  # sane width
+    assert (r1["n"], r1["n_boot"]) == (100, 50)
+
+
+def test_bootstrap_ci_constant_data_degenerate_interval(spark):
+    from networkframe_spark.functions.stats import bootstrap_ci_mean
+
+    df = spark.createDataFrame(
+        [(i, 7.25) for i in range(40)], "id long, v double"
+    )
+    r = bootstrap_ci_mean(df, "v", "id", n_boot=20).collect()[0]
+    assert r["mean"] == r["ci_lo"] == r["ci_hi"] == 7.25
