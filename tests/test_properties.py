@@ -742,3 +742,68 @@ def test_exact_substring_pigeonhole_guarantee(spark, offset, window, stride_extr
         corpus, ev, window=window, stride=stride
     ).collect()
     assert [r["doc_id"] for r in flagged] == [1]
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),
+        ),
+        min_size=4,
+        max_size=24,
+    ).filter(
+        lambda vs: {g for g, _ in vs} == {"a", "b"}
+    )
+)
+@_settings
+def test_mann_whitney_invariant_under_monotone_transform(spark, vals):
+    """U, z, and p depend only on ranks: applying a strictly
+    increasing transform (3x + 7) to every value leaves the whole
+    result row unchanged."""
+    from networkframe_spark.functions.stats import mann_whitney_u
+
+    raw = spark.createDataFrame(
+        [(g, float(v)) for g, v in vals], "g string, v double"
+    )
+    txf = spark.createDataFrame(
+        [(g, float(3 * v + 7)) for g, v in vals], "g string, v double"
+    )
+    r1 = mann_whitney_u(raw, "v", "g", "a", "b").collect()[0]
+    r2 = mann_whitney_u(txf, "v", "g", "a", "b").collect()[0]
+    assert r1 == r2
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        min_size=2,
+        max_size=30,
+    )
+)
+@_settings
+def test_chi2_matches_numpy_contingency(spark, rows):
+    """chi2/dof agree with the dense NumPy formula on arbitrary
+    small contingency tables (including 1xK and Kx1 edge shapes)."""
+    import numpy as np
+
+    from networkframe_spark.functions.stats import chi2_independence
+
+    df = spark.createDataFrame(
+        [(f"a{a}", f"b{b}") for a, b in rows], "x string, y string"
+    )
+    got = chi2_independence(df, "x", "y").collect()[0]
+    xs = sorted({f"a{a}" for a, _ in rows})
+    ys = sorted({f"b{b}" for _, b in rows})
+    o = np.zeros((len(xs), len(ys)))
+    for a, b in rows:
+        o[xs.index(f"a{a}"), ys.index(f"b{b}")] += 1
+    n = o.sum()
+    e = np.outer(o.sum(1), o.sum(0)) / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chi2 = np.nansum(
+            np.where(e > 0, (o - e) ** 2 / e, 0.0)
+        )
+    assert got["dof"] == (len(xs) - 1) * (len(ys) - 1)
+    assert abs(got["chi2"] - chi2) < 5e-6
+    assert got["n"] == len(rows)
