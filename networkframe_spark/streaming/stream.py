@@ -460,3 +460,133 @@ def stream_upsert_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_anomaly_zscore(
+    events: DataFrame,
+    n_rows: int = 20,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+):
+    """Streaming twin of
+    :func:`networkframe_spark.functions.temporal.anomaly_zscore`:
+    per-entity trailing z-score flags computed as events arrive, with
+    the last ``n_rows`` (ts, id, value) per user in state-store-backed
+    per-key state via ``applyInPandasWithState`` — the live-alerting
+    form of the batch detector.
+
+    Semantics contract: scores equal the batch op exactly when each
+    user's events arrive in (ts, id) order across micro-batches (the
+    equivalence test feeds chronological files); a late event is
+    scored against the state AS OF its arrival — trailing windows are
+    not retroactively repaired (standard streaming caveat, same class
+    as the sequence builder).
+
+    Numerics match the batch twin bit-for-bit on ordered input:
+    values quantize to 1e-6 integer units (Spark's DECIMAL(18,6)
+    half-up cast, via ``Decimal(repr(v))`` — the same shortest-string
+    convention ``F.round`` uses), both moments are exact integer
+    sums, and z rounds HALF_UP at 6 dp.
+
+    Scale design: state per key is ``n_rows`` scalars (bounded — a
+    hub user costs the same as anyone); one state-store shuffle on
+    the entity key per micro-batch, Arrow-batched Python.
+    """
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    MICRO = 10**6
+    PICO = 10**12
+    Q6 = decimal.Decimal("0.000001")
+
+    def _q6(x: float) -> int:
+        return int(
+            decimal.Decimal(repr(x)).quantize(
+                Q6, rounding=decimal.ROUND_HALF_UP
+            )
+            * MICRO
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        # state mirrors the batch ROWS frame: the last n_rows ROWS
+        # (null-valued ones included, masked out of the moments —
+        # exactly F.count(v)/F.sum(v) over a rowsBetween(-n, -1)
+        # frame that spans null rows)
+        if state.exists:
+            tss, ids, us, mk = (list(c) for c in state.get)
+        else:
+            tss, ids, us, mk = [], [], [], []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, v in zip(
+                pdf["ts"].astype("int64"),
+                pdf["event_id"],
+                pdf["value"],
+            ):
+                vals = [u for u, m in zip(us, mk) if m]
+                n = len(vals)
+                z = None
+                v_null = pd.isna(v)
+                if n >= min_periods and not v_null:
+                    s1 = sum(vals) / MICRO
+                    s2 = sum(u * u for u in vals) / PICO
+                    var = (n * s2 - s1 * s1) / (n * (n - 1))
+                    if var > 0:
+                        raw = (float(v) - s1 / n) / var**0.5
+                        z = float(
+                            decimal.Decimal(repr(raw)).quantize(
+                                Q6, rounding=decimal.ROUND_HALF_UP
+                            )
+                        )
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": int(eid),
+                        "value": None if v_null else float(v),
+                        "n_window": n,
+                        "z": z,
+                        "is_anomaly": (
+                            z is not None and abs(z) >= threshold
+                        ),
+                    }
+                )
+                tss.append(int(ts))
+                ids.append(int(eid))
+                us.append(0 if v_null else _q6(float(v)))
+                mk.append(not v_null)
+                if len(us) > n_rows:
+                    tss, ids, us, mk = (
+                        tss[-n_rows:],
+                        ids[-n_rows:],
+                        us[-n_rows:],
+                        mk[-n_rows:],
+                    )
+        state.update((tss, ids, us, mk))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_id",
+                "value",
+                "n_window",
+                "z",
+                "is_anomaly",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, event_id long, value double,"
+            " n_window long, z double, is_anomaly boolean"
+        ),
+        stateStructType=(
+            "tss array<long>, ids array<long>, us array<long>,"
+            " mk array<boolean>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

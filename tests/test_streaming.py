@@ -755,3 +755,75 @@ def test_stream_upsert_parquet_latest_wins(spark, tmp_path):
         assert spark.read.parquet(target).count() == 3
     finally:
         q.stop()
+
+
+def test_stream_anomaly_zscore_matches_batch(spark, tmp_path):
+    """Chronologically-fed stream produces bit-identical trailing
+    z-scores to the batch op — including NULL-value rows occupying
+    window slots and a planted spike flagged in both."""
+    import time as _time
+
+    from networkframe_spark.functions.temporal import anomaly_zscore
+    from networkframe_spark.streaming.stream import stream_anomaly_zscore
+
+    rows = []
+    eid = 0
+    for step in range(14):
+        for uid in (1, 2):
+            eid += 1
+            if uid == 1 and step == 9:
+                v = 500.0  # planted spike
+            elif uid == 2 and step == 6:
+                v = None  # NULL occupies a window slot
+            else:
+                v = float(10 + step + uid) + 0.123456
+            rows.append((eid, uid, _ts(step * 4), "view", v))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    )
+    src = str(tmp_path / "events_anom_src")
+    # three chronological thirds, written sequentially so the file
+    # source replays them in event-time order
+    parts = [rows[:10], rows[10:20], rows[20:]]
+    for p in parts:
+        spark.createDataFrame(p, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream_anomaly_zscore(stream, n_rows=5, threshold=3.0, min_periods=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_anom")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (
+                r["user_id"], r["value"], r["n_window"], r["z"],
+                r["is_anomaly"],
+            )
+            for r in spark.table("t_stream_anom").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["event_id"]: (
+            r["user_id"], r["value"], r["n_window"], r["z"],
+            r["is_anomaly"],
+        )
+        for r in anomaly_zscore(
+            ev, n_rows=5, threshold=3.0, min_periods=3
+        ).collect()
+    }
+    assert got == want
+    assert any(v[4] for v in got.values())  # the spike was flagged
