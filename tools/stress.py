@@ -201,6 +201,32 @@ def events_stress(n_events: int = 10_000_000, n_users: int = 100_000) -> None:
             direction="nearest",
         ),
     )
+    # round-7 session-2 stats ops
+    from networkframe_spark.functions.stats import (
+        bootstrap_ci_mean,
+        chi2_independence,
+        ks_test_2samp,
+        mann_whitney_u,
+        psi_drift,
+    )
+
+    run("chi2_type_x_user_bucket", lambda: chi2_independence(
+        base.withColumn("ub", F.pmod("user_id", F.lit(20))),
+        "event_type", "ub",
+    ))
+    run("ks_view_vs_buy", lambda: ks_test_2samp(
+        base, "value", "event_type", "view", "buy"
+    ))
+    run("mann_whitney_view_vs_buy", lambda: mann_whitney_u(
+        base, "value", "event_type", "view", "buy"
+    ))
+    run("psi_view_vs_buy", lambda: psi_drift(
+        views, base.filter("event_type = 'buy'"), "value", bins=10,
+        approx=True,
+    ))
+    run("bootstrap_ci_50", lambda: bootstrap_ci_mean(
+        base, "value", "event_id", n_boot=50
+    ))
     print(
         json.dumps(
             {
