@@ -2196,16 +2196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregated_edges", "apply_edges_max", "largest_component",
         "strong_components", "khop_pairs", "frame_validation",
         "adjacency_dense", "n_components",
-        # rotated in — round-5/6 ops that never had driver-grade checks
-        "betweenness_approx", "hits_scores", "random_walks",
-        "harmonic_centrality", "core_numbers", "k_truss", "pagerank",
-        "triangle_count", "shortest_paths", "rolling_stats", "ewma",
-        "fill_gaps", "resample_events", "retention_cohorts", "asof_join",
-        "range_join", "pq_search", "semantic_dedup_arrow",
-        "fuzzy_decontaminate", "ivf_index_search", "cosine_topk_lsh",
-        # round-7 additions land directly in the window
-        "exact_substring_decontaminate", "node2vec_walks",
-        "label_propagation_weighted", "stream_condense_twin",
+        # round-8 rotation: the round-5/6 block above was driver-hashed
+        # in r7 (CORRECTNESS_r07.json) and drops back to replay-only;
+        # this block pulls in 25 never-driver-hashed ops, prioritizing
+        # (a) ops whose semantics CHANGED this round (asof/range micro-
+        # second precision, winsorize null-safe groups, MIS symmetrize,
+        # negative-edge bigint ranks) and (b) the round-7 stats /
+        # retrieval / graph families that only have replay evidence.
+        "asof_join", "range_join",  # kept from r7: semantics changed r8
+        "winsorize", "asof_join_forward", "asof_join_nearest",
+        "sample_negative_edges", "maximal_independent_set",
+        "chi2_independence", "ks_test_2samp", "psi_drift",
+        "mann_whitney_u", "bootstrap_ci_mean", "mmr_rerank",
+        "retrieval_metrics", "rrf_fusion", "topological_levels",
+        "anomaly_zscore", "dup_ngram_fraction", "pagerank_personalized",
+        "link_prediction", "local_clustering", "k_core",
+        # round-8 additions land directly in the window
+        "modularity_refine", "stream_neardup_twin",
+        "pagerank_personalized_batch",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -3204,8 +3212,9 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
     # nearest asof: both directional ASOF matches joined back per
-    # click; integer-second deltas, exact ties prefer backward, the
-    # 86400 s tolerance bounds |dt| on both sides
+    # click; MICROSECOND deltas (epoch_us — the precision the engine
+    # compares on), exact ties prefer backward, the 86400 s tolerance
+    # bounds |dt| on both sides
     o["asof_join_nearest"] = """
 WITH clicks AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
@@ -3227,13 +3236,11 @@ j AS (
   SELECT b.user_id, b.event_id,
          bv, bts, fv, fts,
          bts IS NOT NULL
-           AND abs(floor(epoch(b.ts))::BIGINT - floor(epoch(bts))::BIGINT)
-               <= 86400 AS mb,
+           AND abs(epoch_us(b.ts) - epoch_us(bts)) <= 86400000000 AS mb,
          fts IS NOT NULL
-           AND abs(floor(epoch(b.ts))::BIGINT - floor(epoch(fts))::BIGINT)
-               <= 86400 AS mf,
-         floor(epoch(b.ts))::BIGINT - floor(epoch(bts))::BIGINT AS bdt,
-         floor(epoch(fts))::BIGINT - floor(epoch(b.ts))::BIGINT AS fdt
+           AND abs(epoch_us(b.ts) - epoch_us(fts)) <= 86400000000 AS mf,
+         epoch_us(b.ts) - epoch_us(bts) AS bdt,
+         epoch_us(fts) - epoch_us(b.ts) AS fdt
   FROM b JOIN f USING (user_id, event_id)
 )
 SELECT user_id, event_id,
@@ -3249,8 +3256,8 @@ SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
 FROM events c JOIN events e
   ON c.user_id = e.user_id
  AND c.event_type = 'click' AND e.event_type = 'error'
- AND floor(epoch(e.ts)) >= floor(epoch(c.ts))
- AND floor(epoch(e.ts)) - floor(epoch(c.ts)) <= 600
+ AND epoch_us(e.ts) >= epoch_us(c.ts)
+ AND epoch_us(e.ts) - epoch_us(c.ts) <= 600000000
 """
 
     o["events_sliding_window"] = """

@@ -637,6 +637,13 @@ def _dense_rank_distributed(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if acc > 2**31 - 1:
+        raise ValueError(
+            f"_dense_rank_distributed: {acc} rows exceeds the int32 rank "
+            "range (2^31-1); downstream consumers expose the rank as int — "
+            "shard the input or widen out_col to bigint before scaling past "
+            "2 billion rows"
+        )
     off_expr = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
@@ -2301,8 +2308,13 @@ def maximal_independent_set(
     neighbor — the classic symmetry-breaking primitive behind
     distributed scheduling, graph coloring, and conflict-free
     sampling of training nodes.  Returns ``(id, in_mis)`` for every
-    node.  ``directed=False`` (default) symmetrizes edges first;
-    self-loops never block a node.
+    node.  Adjacency is inherently symmetric for independence — "no
+    two selected nodes are adjacent" ignores edge direction — so the
+    edge table is ALWAYS symmetrized regardless of ``directed`` (the
+    parameter is kept for signature parity but does not change the
+    result; a one-sided blocking test would let both endpoints of a
+    directed edge win the same round and break the invariant).
+    Self-loops never block a node.
 
     Luby round, derandomized: each node's priority is
     ``md5(seed:id)`` (unique per node, no RNG state — identical on
@@ -2320,7 +2332,7 @@ def maximal_independent_set(
     hash-partitioned once.
     """
     sym = (
-        _edge_pairs(frame, directed)
+        _edge_pairs(frame, False)
         .filter(F.col("source") != F.col("target"))
         .repartition("source")
         .cache()
@@ -2398,7 +2410,9 @@ def sample_negative_edges(
     candidate table is ``N * per_node`` rows flowing through one
     rank-keyed join (the index used twice) and one anti-join against
     the distinct edge pairs.  All keys uniform by construction.
-    Node-rank arithmetic stays in bigint: safe for N up to ~7e9 nodes.
+    Candidate-rank arithmetic stays in bigint end-to-end (no int32
+    truncation of the pmod hash); the dense index itself raises loudly
+    past 2^31 nodes — the int rank range — rather than wrapping.
     """
     if per_node < 1:
         raise ValueError("sample_negative_edges: per_node >= 1")
@@ -2425,11 +2439,12 @@ def sample_negative_edges(
                 + F.col("rep") * F.lit(B)
                 + F.lit(seed),
                 F.lit(n),
-            ).cast("int"),
+            ),
         )
         .join(
             idx.select(
-                F.col("id").alias("target"), F.col("__rk").alias("__trk")
+                F.col("id").alias("target"),
+                F.col("__rk").cast("bigint").alias("__trk"),
             ),
             on="__trk",
         )

@@ -536,14 +536,37 @@ class NetworkFrame:
         return self.n_connected_components(directed=directed, connection=connection) == 1
 
     def connected_components(
-        self, directed: bool = True, connection: str = "weak"
+        self, directed: bool = True, connection: str = "weak",
+        max_components: int = 100_000,
     ) -> Iterable["NetworkFrame"]:
         """Generator of per-component frames (reference:
         networkframe.py:785-819).  Labels computed once; each component
-        extracted lazily by semi-join."""
+        extracted lazily by semi-join.
+
+        The iterator API forces enumerating every component id on the
+        driver, so it is size-guarded (same convention as the dense
+        exports, ``exports._MAX_DENSE_NODES``): more than
+        ``max_components`` components raises loudly — on a graph with
+        billions of singleton components an unguarded collect is a
+        driver OOM.  For the distributed form use
+        :meth:`label_nodes_by_component` / :meth:`component_labels`,
+        which keep the labels as a DataFrame."""
         labels = self.component_labels(directed=directed, connection=connection)
         labels = labels.cache()
-        comp_ids = [r[0] for r in labels.select("component").distinct().orderBy("component").collect()]
+        # limit(cap+1) plans as TakeOrderedAndProject — the driver never
+        # receives more than cap+1 ids no matter the component count
+        comp_ids = [
+            r[0]
+            for r in labels.select("component").distinct()
+            .orderBy("component").limit(max_components + 1).collect()
+        ]
+        if len(comp_ids) > max_components:
+            raise ValueError(
+                f"connected_components: more than {max_components} components"
+                " — enumerating them driver-side would not scale; use "
+                "label_nodes_by_component()/component_labels() for the "
+                "distributed labeling, or raise max_components explicitly"
+            )
         for cid in comp_ids:
             ids = labels.filter(F.col("component") == F.lit(cid)).select("id")
             nodes = self._nodes.join(ids, on="id", how="left_semi")

@@ -462,7 +462,8 @@ def winsorize(
     Adds ``out_col`` (default ``{col}_wins``) plus a ``was_clamped``
     flag, keeping the raw column — the standard heavy-tail taming
     step before scaling/normalizing features.  NULL values stay NULL
-    and are never flagged.  Fences round to 6 dp before clamping so
+    and are never flagged; a NULL ``group_col`` key forms its own
+    group (null-safe fence join) rather than dropping the rows.  Fences round to 6 dp before clamping so
     both engines gate on the identical boundary (same convention as
     :func:`robust_outliers`).
 
@@ -486,11 +487,16 @@ def winsorize(
         F.round(pf(v, lower), 6).alias("__lo"),
         F.round(pf(v, upper), 6).alias("__hi"),
     )
-    joined = (
-        df.join(F.broadcast(fences), on=gcols)
-        if gcols
-        else df.crossJoin(F.broadcast(fences))
-    )
+    if gcols:
+        # eqNullSafe so rows whose group key IS NULL winsorize within
+        # their own NULL group instead of silently vanishing from the
+        # output (same convention as pipeline.group_rare_categories)
+        joined = df.join(
+            F.broadcast(fences.withColumnRenamed(group_col, "__g")),
+            on=F.col(group_col).eqNullSafe(F.col("__g")),
+        ).drop("__g")
+    else:
+        joined = df.crossJoin(F.broadcast(fences))
     clamped = (
         F.when(v < F.col("__lo"), F.col("__lo"))
         .when(v > F.col("__hi"), F.col("__hi"))

@@ -40,6 +40,15 @@ def _epoch_s(col) -> "F.Column":
     return _ts(col).cast("long")
 
 
+def _epoch_us(col) -> "F.Column":
+    """Microsecond epoch — the precision Spark timestamps actually
+    carry.  The as-of nearest/tolerance decisions compare on this
+    (a whole-second cast decides ties and bounds on TRUNCATED deltas
+    and can pick the strictly farther match when events have
+    sub-second timestamps)."""
+    return F.unix_micros(_ts(col))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -141,8 +150,8 @@ def asof_join(
     def _matched(tag: str):
         m = F.col(f"__{tag}_ts").isNotNull()
         if tolerance_seconds is not None:
-            dt = _epoch_s(ts_col) - _epoch_s(f"__{tag}_ts")
-            m = m & (F.abs(dt) <= tolerance_seconds)
+            dt = _epoch_us(ts_col) - _epoch_us(f"__{tag}_ts")
+            m = m & (F.abs(dt) <= F.lit(int(tolerance_seconds) * 1_000_000))
         return m
 
     if direction in ("backward", "forward"):
@@ -154,8 +163,8 @@ def asof_join(
         ] + [F.when(matched, F.col(f"__{tag}_ts")).alias(f"{ts_col}{suffix}")]
     else:
         mb, mf = _matched("b"), _matched("f")
-        bdt = _epoch_s(ts_col) - _epoch_s("__b_ts")
-        fdt = _epoch_s("__f_ts") - _epoch_s(ts_col)
+        bdt = _epoch_us(ts_col) - _epoch_us("__b_ts")
+        fdt = _epoch_us("__f_ts") - _epoch_us(ts_col)
         use_b = mb & (~mf | (bdt <= fdt))  # tie -> backward
         picks = [
             F.when(use_b, F.col(f"__b_{c}"))
@@ -192,9 +201,11 @@ def range_join(
         F.col(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != on],
     )
-    lt = _epoch_s(ts_col)
-    rt = _epoch_s(f"{ts_col}{suffix}")
-    return left.join(r, on=on).filter((rt >= lt) & (rt - lt <= window_seconds))
+    lt = _epoch_us(ts_col)
+    rt = _epoch_us(f"{ts_col}{suffix}")
+    return left.join(r, on=on).filter(
+        (rt >= lt) & (rt - lt <= F.lit(int(window_seconds) * 1_000_000))
+    )
 
 
 def inter_event_stats(

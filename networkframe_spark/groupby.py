@@ -44,17 +44,37 @@ class NodeGroupBy:
             raise ValueError("Induced groupby requires axis='both'")
 
     # -- group metadata (reference: groupby.py:37-62, 147-161) ----------
-    @property
-    def source_group_names(self) -> list:
+    # The *_group_names properties enumerate distinct group keys on the
+    # driver — fine for a categorical `by`, a driver OOM for a
+    # high-cardinality one — so they share a loud size guard (same
+    # convention as exports._MAX_DENSE_NODES).  The distributed form is
+    # the `source_groups` / `target_groups` DataFrames.
+    _MAX_GROUP_NAMES = 100_000
+
+    def _group_names(self, nodes) -> list:
         by = self.by if isinstance(self.by, list) else [self.by]
-        rows = self._frame.source_nodes.select(*by).distinct().orderBy(*by).collect()
+        cap = self._MAX_GROUP_NAMES
+        # limit(cap+1) plans as TakeOrderedAndProject: the driver never
+        # receives more than cap+1 keys regardless of cardinality
+        rows = (
+            nodes.select(*by).distinct().orderBy(*by).limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"group_names: more than {cap} distinct group keys for "
+                f"by={self.by!r} — enumerating them driver-side would not "
+                "scale; use the source_groups/target_groups DataFrames, or "
+                "raise NodeGroupBy._MAX_GROUP_NAMES explicitly"
+            )
         return [r[0] if len(by) == 1 else tuple(r) for r in rows]
 
     @property
+    def source_group_names(self) -> list:
+        return self._group_names(self._frame.source_nodes)
+
+    @property
     def target_group_names(self) -> list:
-        by = self.by if isinstance(self.by, list) else [self.by]
-        rows = self._frame.target_nodes.select(*by).distinct().orderBy(*by).collect()
-        return [r[0] if len(by) == 1 else tuple(r) for r in rows]
+        return self._group_names(self._frame.target_nodes)
 
     @property
     def has_source_groups(self) -> bool:

@@ -519,8 +519,19 @@ def stream_anomaly_zscore(
         else:
             tss, ids, us, mk = [], [], [], []
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Materialize ALL Arrow chunks and sort ONCE: the groupBy
+        # shuffle does not preserve arrival order, and a key whose
+        # micro-batch rows span multiple chunks would otherwise be
+        # scored out of (ts, id) order, breaking the documented
+        # batch-equivalence.  Per-key micro-batch data is bounded, so
+        # the concat is safe.
+        chunks = [c for c in pdfs]
+        merged = (
+            [pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])]
+            if chunks
+            else []
+        )
+        for pdf in merged:
             for ts, eid, v in zip(
                 pdf["ts"].astype("int64"),
                 pdf["event_id"],

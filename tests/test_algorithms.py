@@ -1128,3 +1128,48 @@ def test_maximal_independent_set_raises_without_convergence(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "did not decide" in str(e)
+
+
+def test_maximal_independent_set_symmetrizes_directed_edges(spark):
+    """Regression (round-8 advice): with directed=True and edge u->v
+    where priority(u) < priority(v), source-side-only blocking let
+    BOTH endpoints win the same round.  Independence ignores edge
+    direction, so the adjacency must be symmetrized regardless of the
+    flag: exactly one endpoint of every edge may be selected."""
+    from networkframe_spark import NetworkFrame
+
+    # md5("42:1") < md5("42:0"), so the edge 1 -> 0 is exactly the
+    # failing shape: priority(source) < priority(target)
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(1, 0)], "source long, target long")
+    nf = NetworkFrame(nodes, edges)
+    got = {
+        r["id"]: r["in_mis"]
+        for r in nf.maximal_independent_set(directed=True, seed=42).collect()
+    }
+    assert got == {1: True, 0: False}  # not both True
+    # and identical to the undirected call — direction never matters
+    und = {
+        r["id"]: r["in_mis"]
+        for r in nf.maximal_independent_set(directed=False, seed=42).collect()
+    }
+    assert got == und
+
+
+def test_connected_components_guard_raises_on_too_many(spark):
+    """The component iterator enumerates component ids driver-side, so
+    it is size-guarded: more components than max_components raises
+    loudly with a pointer to the distributed labeling."""
+    import pytest
+
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    with pytest.raises(ValueError, match="label_nodes_by_component"):
+        list(nf.connected_components(max_components=2))
+    # at the cap it still works
+    assert len(list(nf.connected_components(max_components=3))) == 3

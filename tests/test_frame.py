@@ -279,3 +279,19 @@ def test_graph_parquet_partitioned_roundtrip(spark, letter_frame, tmp_path):
         for r in letter_frame.edges.collect()
     )
     assert got == want
+
+
+def test_group_names_guard_raises_on_high_cardinality(letter_frame, monkeypatch):
+    """source/target_group_names enumerate distinct keys driver-side;
+    above the cap they must fail loudly and point at the DataFrame
+    form instead of OOMing the driver."""
+    import pytest
+
+    from networkframe_spark.groupby import NodeGroupBy
+
+    gb = letter_frame.groupby_nodes("color")
+    monkeypatch.setattr(NodeGroupBy, "_MAX_GROUP_NAMES", 1)
+    with pytest.raises(ValueError, match="source_groups"):
+        gb.source_group_names
+    monkeypatch.setattr(NodeGroupBy, "_MAX_GROUP_NAMES", 2)
+    assert sorted(gb.source_group_names) == ["blue", "red"]

@@ -2198,3 +2198,24 @@ def test_bootstrap_ci_constant_data_degenerate_interval(spark):
     )
     r = bootstrap_ci_mean(df, "v", "id", n_boot=20).collect()[0]
     assert r["mean"] == r["ci_lo"] == r["ci_hi"] == 7.25
+
+
+def test_winsorize_null_group_forms_its_own_group(spark):
+    """Regression (round-8 advice): rows whose group key IS NULL were
+    silently dropped by the inner fence join.  With the null-safe
+    join they winsorize within their own NULL group."""
+    from networkframe_spark.functions.stats import winsorize
+
+    rows = [(i, None, float(i)) for i in range(1, 50)] + [
+        (50, None, 10_000.0),
+        (51, "a", 1.0),
+        (52, "a", 2.0),
+        (53, "a", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = winsorize(df, "v", 0.05, 0.95, group_col="grp")
+    got = {r["id"]: (r["v_wins"], r["was_clamped"]) for r in out.collect()}
+    assert len(got) == len(rows)  # nothing dropped
+    assert got[50][1] and got[50][0] < 10_000.0  # NULL-group spike clamped
+    assert got[25] == (25.0, False)  # NULL-group mid-range untouched
+    assert got[52] == (2.0, False)  # named group unaffected

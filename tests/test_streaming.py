@@ -827,3 +827,70 @@ def test_stream_anomaly_zscore_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(v[4] for v in got.values())  # the spike was flagged
+
+
+def test_asof_nearest_decides_on_microseconds(spark):
+    """Regression (round-8 advice): nearest/tolerance compared on
+    whole-second-truncated epochs, so sub-second deltas were decided
+    on the wrong values — backward 0.3 s away truncated to 1 s while
+    forward 0.8 s away truncated to 0 s, picking the strictly farther
+    match.  Comparisons now run on microsecond epochs."""
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import asof_join
+
+    def ts(s, us=0):
+        return dt.datetime(2026, 1, 1, 12, 0, s, us, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(9, 700_000), 1.0),   # 0.3 s BEFORE — the true nearest
+            (1, ts(10, 800_000), 2.0),  # 0.8 s after
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["value"], direction="nearest"
+    ).collect()
+    assert out[0]["value_right"] == 1.0
+    # tolerance is a microsecond bound too: 0.25 s excludes both sides
+    out = asof_join(
+        left, right, on="user_id", right_cols=["value"],
+        direction="nearest", tolerance_seconds=0,
+    ).collect()
+    assert out[0]["value_right"] is None
+
+
+def test_range_join_band_is_microsecond_exact(spark):
+    """Regression (round-8): the band predicate truncated to whole
+    seconds, admitting a right event that happened BEFORE the left
+    one within the same second, and events up to window+0.999 s out.
+    The band is now exact to the microsecond."""
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import range_join
+
+    def ts(s, us=0):
+        return dt.datetime(2026, 1, 1, 12, 0, s, us, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, ts(10, 900_000), 100)], "user_id long, ts timestamp, click_id long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10, 100_000), 200),      # same second but BEFORE left
+            (1, ts(11, 0), 201),            # 0.1 s after — in window
+            (1, ts(20, 950_000), 202),      # 10.05 s after — out (window 10 s)
+        ],
+        "user_id long, ts timestamp, error_id long",
+    )
+    got = sorted(
+        r["error_id_right"]
+        for r in range_join(
+            left, right, on="user_id", window_seconds=10
+        ).collect()
+    )
+    assert got == [201]
