@@ -1465,6 +1465,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["label_propagation"] = q_label_propagation
 
+    def q_modularity_refine(spark, sf):
+        # same doc-clique graph, but seeded with an adversarial
+        # (id % 3) partition that slices every clique three ways —
+        # one exact-integer local-move round pulls nodes toward their
+        # clique's dominant slice; the round-level accept test (exact
+        # scaled modularity, DECIMAL) is part of the oracled contract
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        bad = ids.select("id", (F.col("id") % 3).alias("community"))
+        return NetworkFrame(ids, pairs).modularity_refine(bad, n_rounds=1)
+
+    q["modularity_refine"] = q_modularity_refine
+
     def q_label_propagation_weighted(spark, sf):
         # weighted voting over the customer-supplier multigraph:
         # parallel order edges accumulate into exact decimal vote sums
@@ -4170,6 +4189,89 @@ WHERE round(list_dot_product(a.emb, b.emb)
     o["label_propagation"] = (
         "WITH " + ", ".join(_lp) + " SELECT id, community FROM l2"
     )
+
+    # one unrolled Louvain local-move round on the doc-clique graph
+    # seeded with the adversarial id%3 partition: the EXACT integer
+    # gain test 2m(k_vb-k_va) - deg(vol_b-vol_a+deg) > 0 (HUGEINT),
+    # smallest-community tie-break, then the round-level accept
+    # comparing exact scaled modularity 2m*internal_ordered - sum vol^2
+    o["modularity_refine"] = """
+WITH eg AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+  JOIN documents b ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 450 AND b.doc_id < 450
+),
+sym AS (SELECT u AS source, v AS target FROM eg UNION SELECT v, u FROM eg),
+l0 AS (SELECT doc_id AS id, doc_id % 3 AS community FROM documents),
+deg AS (SELECT source AS id, count(*) AS deg FROM sym GROUP BY 1),
+m2 AS (SELECT count(*) AS m2 FROM sym),
+vol AS (
+  SELECT l0.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l0 LEFT JOIN deg ON l0.id = deg.id GROUP BY 1
+),
+kvc AS (
+  SELECT s.target AS id, l0.community AS nc, count(*) AS k
+  FROM sym s JOIN l0 ON s.source = l0.id GROUP BY 1, 2
+),
+base AS (
+  SELECT l0.id, l0.community, coalesce(deg.deg, 0) AS deg,
+         coalesce(ka.k, 0) AS ka, va.vol AS vola
+  FROM l0
+  LEFT JOIN deg ON l0.id = deg.id
+  LEFT JOIN kvc ka ON ka.id = l0.id AND ka.nc = l0.community
+  JOIN vol va ON va.community = l0.community
+),
+cand AS (
+  SELECT b.id, k.nc,
+         CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
+           - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
+  FROM base b
+  JOIN kvc k ON k.id = b.id AND k.nc <> b.community
+  JOIN vol vb ON vb.community = k.nc
+  CROSS JOIN m2
+),
+moves AS (
+  SELECT id, nc FROM (
+    SELECT id, nc, row_number()
+      OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand WHERE gain > 0
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT l0.id, coalesce(m.nc, l0.community) AS community
+  FROM l0 LEFT JOIN moves m ON l0.id = m.id
+),
+int0 AS (
+  SELECT count(*) AS c FROM sym s
+  JOIN l0 a ON s.source = a.id JOIN l0 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q0 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int0.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol)
+         AS q
+  FROM m2, int0
+),
+vol1 AS (
+  SELECT l1.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l1 LEFT JOIN deg ON l1.id = deg.id GROUP BY 1
+),
+int1 AS (
+  SELECT count(*) AS c FROM sym s
+  JOIN l1 a ON s.source = a.id JOIN l1 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q1 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int1.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol1)
+         AS q
+  FROM m2, int1
+)
+SELECT l1.id,
+       CASE WHEN q1.q >= q0.q THEN l1.community ELSE l0.community END
+         AS community
+FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
+"""
 
     # weighted LPA: same unrolled round shape, votes are exact
     # DECIMAL(28,6) weight sums over the symmetrized simple pairs

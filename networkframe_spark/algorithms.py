@@ -2713,6 +2713,175 @@ def community_quality(
     )
 
 
+def modularity_refine(
+    frame,
+    labels: DataFrame,
+    label_col: str = "community",
+    n_rounds: int = 1,
+) -> DataFrame:
+    """Louvain-style local-move refinement of a community assignment
+    (Blondel et al. 2008, phase-1 move step, synchronized): each round
+    every node considers moving to the neighboring community with the
+    best Newman-modularity gain and moves iff the gain is strictly
+    positive; the whole round is then accepted only if the partition's
+    exact modularity did not decrease — so the returned labels satisfy
+    ``Q(out) >= Q(in)`` BY CONSTRUCTION, not by luck (synchronous
+    moves can conflict — two adjacent nodes swapping simultaneously —
+    and an unchecked round could lower Q; a rejected round also ends
+    the loop since replaying it would produce the same moves).  The
+    natural upstream is :func:`label_propagation`, which maximizes
+    nothing — this is the standard next step when its partition needs
+    an actual quality objective.  Returns ``(id, community)``.
+
+    Determinism / oracle-exactness: the per-node gain test is the
+    EXACT integer comparison ``2m·(k_vb - k_va) - deg_v·(vol_b -
+    vol_a + deg_v) > 0`` (the closed-form ΔQ multiplied by the
+    positive constant 2m²) over the undirected simple projection —
+    integer edge counts, degrees, and community volumes only, no
+    floating point; ties break to the smallest community id, and the
+    round-level accept compares the exact scaled modularity
+    ``Q·4m² = 2m·(ordered internal pairs) - Σ vol_c²`` as
+    DECIMAL(38,0) (vol² sums overflow bigint near 10^10 edges).  A
+    fixed-``n_rounds`` unrolled SQL twin therefore reproduces the
+    result bit-for-bit.
+
+    Scale design: per round, one label decoration of the cached
+    symmetric edge table (keyed join), one (node, neighbor-community)
+    hash aggregate for the ``k_vc`` counts, one community-sized volume
+    aggregate joined back broadcast-or-shuffle by AQE, and a
+    deterministic ``min_by`` argmax — the identical uniform-shuffle
+    shape as a :func:`label_propagation` round plus two
+    community-sized side tables.  The accept test collects two scalar
+    rows; nothing else reaches the driver.
+    """
+    if n_rounds < 1:
+        raise ValueError("modularity_refine: n_rounds >= 1")
+    sym = (
+        _edge_pairs(frame, False)
+        .filter(F.col("source") != F.col("target"))
+        .repartition("source")
+        .cache()
+    )
+    deg = sym.groupBy(F.col("source").alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    m2_row = sym.agg(F.count(F.lit(1)).alias("m2")).first()
+    m2 = int(m2_row["m2"])  # = 2m ordered pairs
+    cur = (
+        frame.nodes.select("id")
+        .join(labels.select("id", F.col(label_col).alias("community")), on="id", how="left")
+        .select("id", F.coalesce("community", F.col("id")).alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    if m2 == 0:
+        sym.unpersist()
+        return cur
+
+    def _q_scaled(lab: DataFrame):
+        """Exact Q·4m² = 2m·(ordered internal pairs) − Σ vol_c² as a
+        1-row DECIMAL(38,0) scalar (bounded collect)."""
+        tagged = sym.join(
+            lab.select(F.col("id").alias("source"), F.col("community").alias("__la")),
+            on="source",
+        ).join(
+            lab.select(F.col("id").alias("target"), F.col("community").alias("__lb")),
+            on="target",
+        )
+        internal = tagged.filter(F.col("__la") == F.col("__lb")).count()
+        volsq = (
+            lab.join(deg, on="id", how="left")
+            .groupBy("community")
+            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+            .agg(
+                F.sum(
+                    F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
+                ).alias("v")
+            )
+            .first()["v"]
+        )
+        from decimal import Decimal
+
+        return Decimal(m2) * Decimal(internal) - (volsq or Decimal(0))
+
+    q_before = _q_scaled(cur)
+    for _ in range(n_rounds):
+        vol = (
+            cur.join(deg, on="id", how="left")
+            .groupBy("community")
+            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+        )
+        # k_vc: edges from each node into each neighboring community
+        kvc = (
+            sym.join(
+                cur.select(
+                    F.col("id").alias("source"),
+                    F.col("community").alias("__nc"),
+                ),
+                on="source",
+            )
+            .groupBy(F.col("target").alias("id"), "__nc")
+            .agg(F.count(F.lit(1)).alias("__k"))
+        )
+        base = (
+            cur.join(deg, on="id", how="left")
+            .select("id", "community", F.coalesce("__deg", F.lit(0)).alias("__deg"))
+            .join(
+                kvc.select(
+                    "id",
+                    F.col("__nc").alias("community"),
+                    F.col("__k").alias("__ka"),
+                ),
+                on=["id", "community"],
+                how="left",
+            )
+            .select(
+                "id",
+                "community",
+                "__deg",
+                F.coalesce("__ka", F.lit(0)).alias("__ka"),
+            )
+            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
+        )
+        cand = (
+            base.join(kvc, on="id")
+            .filter(F.col("__nc") != F.col("community"))
+            .join(
+                vol.select(
+                    F.col("community").alias("__nc"),
+                    F.col("__vol").alias("__volb"),
+                ),
+                on="__nc",
+            )
+            .withColumn(
+                "__gain",
+                F.lit(m2).cast("decimal(38,0)")
+                * (F.col("__k") - F.col("__ka"))
+                - F.col("__deg").cast("decimal(38,0)")
+                * (F.col("__volb") - F.col("__vola") + F.col("__deg")),
+            )
+            .filter(F.col("__gain") > 0)
+        )
+        moves = cand.groupBy("id").agg(
+            F.expr("min_by(__nc, struct(-__gain, __nc))").alias("__new")
+        )
+        nxt = (
+            cur.join(moves, on="id", how="left")
+            .select("id", F.coalesce("__new", "community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        q_after = _q_scaled(nxt)
+        if q_after < q_before:
+            # conflicting synchronous moves lowered Q — reject the
+            # round and stop (replaying would repeat the same moves)
+            break
+        if q_after == q_before:
+            cur = nxt
+            break
+        cur, q_before = nxt, q_after
+    sym.unpersist()
+    return cur
+
+
 def neighbor_sample(
     frame,
     seeds: list,

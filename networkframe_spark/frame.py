@@ -818,6 +818,22 @@ class NetworkFrame:
             self_weight=self_weight,
         )
 
+    def modularity_refine(
+        self,
+        labels: DataFrame,
+        label_col: str = "community",
+        n_rounds: int = 1,
+    ) -> DataFrame:
+        """Louvain-style local-move refinement of a community
+        assignment, exact-integer gain test, round-level accept so
+        modularity never decreases; see
+        :func:`networkframe_spark.algorithms.modularity_refine`."""
+        from .algorithms import modularity_refine
+
+        return modularity_refine(
+            self, labels, label_col=label_col, n_rounds=n_rounds
+        )
+
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None
     ) -> DataFrame:

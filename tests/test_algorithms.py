@@ -1173,3 +1173,65 @@ def test_connected_components_guard_raises_on_too_many(spark):
         list(nf.connected_components(max_components=2))
     # at the cap it still works
     assert len(list(nf.connected_components(max_components=3))) == 3
+
+
+def test_modularity_refine_moves_mislabeled_bridge_node(spark):
+    """Two triangles joined by a bridge, node 2 mislabeled into the
+    far community: the exact-integer gain test (hand-computed
+    gain = 2m(k_vb - k_va) - deg(vol_b - vol_a + deg) = 23 > 0)
+    moves it home and nothing else moves; Q strictly increases."""
+    from networkframe_spark import NetworkFrame
+    from networkframe_spark.algorithms import modularity_refine
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 3), (3, 3), (4, 3), (5, 3)],
+        "id long, community long",
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in modularity_refine(nf, labels).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_modularity_refine_never_decreases_q(spark):
+    """On a pseudo-random graph with an adversarial (id % 3) initial
+    partition, refined modularity (exact community_quality sum) is
+    >= the input partition's, and already-converged input is a
+    fixed point."""
+    from networkframe_spark import NetworkFrame
+    from networkframe_spark.algorithms import (
+        community_quality,
+        modularity_refine,
+    )
+    from pyspark.sql import functions as F
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    rows = [
+        (i, (i * 11 + j * 17) % n) for i in range(n) for j in range(3)
+    ]
+    edges = spark.createDataFrame(
+        [(s, t) for s, t in rows if s != t], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    bad = nodes.select("id", (F.col("id") % 3).alias("community"))
+
+    def q(lab):
+        return (
+            community_quality(nf, lab)
+            .agg(F.sum("modularity_part").alias("q"))
+            .first()["q"]
+        )
+
+    ref = modularity_refine(nf, bad, n_rounds=2)
+    assert q(ref) >= q(bad)
+    # fixed point: refining the refinement changes nothing further
+    again = modularity_refine(nf, ref, n_rounds=1)
+    assert ref.exceptAll(again).isEmpty() and again.exceptAll(ref).isEmpty()
