@@ -974,6 +974,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_condense_twin"] = q_stream_condense_twin
 
+    # batch twin of streaming/stream.stream_neardup_parquet: the
+    # documents table folded through neardup_increment in three
+    # micro-batch slices (doc_id % 3) — the converged pair table must
+    # equal batch MinHash-LSH over the whole corpus, so the oracle is
+    # the full-corpus SQL: a driver-hashed stream≡batch equivalence
+    def q_stream_neardup_twin(spark, sf):
+        from networkframe_spark.streaming.ops import neardup_increment
+
+        docs = read_table(spark, sf, "documents").select("doc_id", "text")
+        state = (None, None, None)
+        for i in range(3):
+            sl = docs.filter(F.col("doc_id") % 3 == i)
+            state = neardup_increment(
+                sl, *state, n_perm=N_PERM, n_bands=2, shingle_n=3,
+                threshold=0.5,
+            )
+            # keep the fold's plan bounded the way the parquet-backed
+            # streaming sink does (its overwrite is a materialization)
+            state = tuple(s.localCheckpoint(eager=True) for s in state)
+        return state[2]
+
+    q["stream_neardup_twin"] = q_stream_neardup_twin
+
     def q_anomaly_zscore(spark, sf):
         from networkframe_spark.functions.temporal import anomaly_zscore
 
@@ -3020,6 +3043,10 @@ JOIN sizes sa ON s.id_a = sa.id
 JOIN sizes sb ON s.id_b = sb.id
 WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
 """
+
+    # stream≡batch: the incremental three-slice fold must equal the
+    # full-corpus MinHash — same SQL as minhash_lsh_dedup
+    o["stream_neardup_twin"] = o["minhash_lsh_dedup"]
 
     o["multimodal_features"] = """
 SELECT doc_id AS media_id,

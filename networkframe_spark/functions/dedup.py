@@ -261,6 +261,83 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """LSH band-bucket table ``(id, band, key)``: the MinHash signature
+    split into ``bands`` bands of ``n_perm // bands`` rows, each band's
+    values concatenated into a string bucket key.  Two documents are
+    near-dup CANDIDATES iff they share a (band, key) bucket.  This is
+    the unit of incremental state for the streaming near-dup path
+    (:func:`networkframe_spark.streaming.ops.neardup_increment`): band
+    rows are a pure per-document function, so they can be computed for
+    a micro-batch alone and unioned into a persisted band table.
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n, max_df=max_df)
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                   for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def jaccard_verify(
+    cand: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs
+    ``(id_a, id_b)`` against the corpus ``df``: returns the pairs with
+    ``jaccard >= threshold`` as ``(id_a, id_b, jaccard)`` (6 dp).
+    Pair scores depend only on the two documents' own shingle sets, so
+    verification over any superset corpus gives identical results —
+    the property the incremental streaming path relies on.
+    """
+    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on=[cand.id_b == sh_b.id_b, F.col("sh") == sh_b.sh_b])
+        .groupBy("id_a", cand.id_b.alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -282,25 +359,9 @@ def minhash_lsh_duplicates(
     the signature and the verification shingle tables (corpus-scale
     skew control; default off = exact).
     """
-    rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n, max_df=max_df)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                   for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_band_table(
+        df, text_col, id_col, n_perm, bands, shingle_n, max_df=max_df
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "key"])
@@ -310,27 +371,9 @@ def minhash_lsh_duplicates(
     )
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = (
-        cand.join(sh_a, on="id_a")
-        .join(sh_b, on=[cand.id_b == sh_b.id_b, F.col("sh") == sh_b.sh_b])
-        .groupBy("id_a", cand.id_b.alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    return jaccard_verify(
+        cand, df, text_col, id_col, shingle_n, threshold, max_df=max_df
     )
-    out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,75 @@ def user_event_sequences(
             ).alias("sequence"),
         )
     )
+
+
+def neardup_increment(
+    batch: DataFrame,
+    docs: DataFrame | None,
+    bands: DataFrame | None,
+    pairs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One incremental MinHash-LSH near-dup step: fold a micro-batch of
+    documents into the three-state tuple ``(docs, bands, pairs)`` and
+    return the new state.  ``docs`` is the corpus so far (first arrival
+    of an id wins — band rows are a pure function of the text, so a
+    replayed id contributes nothing new), ``bands`` the accumulated LSH
+    band-bucket table (:func:`~networkframe_spark.functions.dedup.
+    minhash_band_table`), ``pairs`` the verified near-dup pairs emitted
+    so far.  Pass ``None`` for the empty initial state.
+
+    Equivalence contract (tested): folding any partition of a corpus
+    through this function in any order yields exactly
+    :func:`~networkframe_spark.functions.dedup.minhash_lsh_duplicates`
+    of the whole corpus (verify=True, ``max_df=None`` — a document-
+    frequency cap would depend on the corpus-so-far and break
+    order-independence, so it is deliberately not exposed here).  A
+    pair is discovered in the step where its LATER document arrives:
+    the new band rows join the merged band table, covering (new, old)
+    and (new, new) collisions; (old, old) pairs were emitted earlier.
+    Jaccard depends only on the two documents' own shingle sets, so
+    verifying against the corpus-so-far equals verifying against the
+    final corpus.  Replay-idempotent: the id anti-join drops redelivered
+    docs, the pair anti-join drops rediscovered pairs.
+
+    Scale design: per batch, band computation touches batch rows only;
+    the candidate join is (batch band rows) x (band table) on the
+    uniform (band, key) bucket key — never corpus x corpus; Jaccard
+    verification explodes only candidate pairs' shingles.  State lives
+    in the returned DataFrames — the streaming wrapper
+    (:func:`~networkframe_spark.streaming.stream.stream_neardup_parquet`)
+    persists them as parquet tables, so executor state is zero.
+    """
+    from ..functions.dedup import jaccard_verify, minhash_band_table
+
+    new_docs = batch.select(id_col, text_col).dropDuplicates([id_col])
+    if docs is not None:
+        new_docs = new_docs.join(docs.select(id_col), on=id_col, how="left_anti")
+    docs2 = new_docs if docs is None else docs.unionByName(new_docs)
+    nb = minhash_band_table(
+        new_docs, text_col, id_col, n_perm, n_bands, shingle_n
+    )
+    bands2 = nb if bands is None else bands.unionByName(nb)
+    cand = (
+        nb.alias("a")
+        .join(bands2.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    if pairs is not None:
+        cand = cand.join(pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti")
+    new_pairs = jaccard_verify(
+        cand, docs2, text_col, id_col, shingle_n, threshold
+    )
+    pairs2 = new_pairs if pairs is None else pairs.unionByName(new_pairs)
+    return docs2, bands2, pairs2

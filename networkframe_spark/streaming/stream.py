@@ -601,3 +601,90 @@ def stream_anomaly_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_neardup_parquet(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    query_name: str = "neardup",
+):
+    """Streaming MinHash-LSH near-duplicate detection: each micro-batch
+    folds through :func:`~networkframe_spark.streaming.ops.
+    neardup_increment` and the three state tables persist as parquet
+    under ``out_dir`` (``docs/`` corpus-so-far, ``bands/`` LSH band
+    buckets, ``pairs/`` verified near-dup pairs) — the streaming twin
+    of :func:`~networkframe_spark.functions.dedup.
+    minhash_lsh_duplicates`: once the stream drains, ``pairs/`` equals
+    the batch op on the full corpus (equivalence-tested).
+
+    State lives in the TABLES (same design as
+    :func:`stream_upsert_parquet`): readable by any batch scan
+    mid-stream, survives restarts, zero state-store bytes.  Replay
+    after a crash is absorbed by ``neardup_increment``'s two
+    anti-joins (redelivered ids and rediscovered pairs no-op), so the
+    tables converge to exactly-once content under foreachBatch's
+    at-least-once contract.
+
+    Scale note: each micro-batch rewrites the three tables (read +
+    fold + eager-checkpoint + overwrite).  The rewrite is the price of
+    Delta-less persistence — on a real deployment the band and pair
+    tables would be append-only partitions instead; the candidate join
+    itself is batch-rows x band-table on the bucket key, so per-batch
+    cost scales with arrivals, not corpus size.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    import os
+
+    from .ops import neardup_increment
+
+    paths = {k: os.path.join(out_dir, k) for k in ("docs", "bands", "pairs")}
+
+    def _read(spark, key: str) -> DataFrame | None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(paths[key])
+        if not hpath.getFileSystem(hconf).exists(hpath):
+            return None
+        return spark.read.parquet(paths[key])
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        state = {k: _read(spark, k) for k in paths}
+        docs2, bands2, pairs2 = neardup_increment(
+            batch_df,
+            state["docs"],
+            state["bands"],
+            state["pairs"],
+            text_col=text_col,
+            id_col=id_col,
+            n_perm=n_perm,
+            n_bands=n_bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
+        # materialize BEFORE overwrite: the plans reference the files
+        # the writes are about to delete (same rule as stream_upsert)
+        out = {
+            "docs": docs2.localCheckpoint(eager=True),
+            "bands": bands2.localCheckpoint(eager=True),
+            "pairs": pairs2.localCheckpoint(eager=True),
+        }
+        for k, df_ in out.items():
+            df_.write.mode("overwrite").parquet(paths[k])
+
+    return (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

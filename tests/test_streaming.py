@@ -894,3 +894,79 @@ def test_range_join_band_is_microsecond_exact(spark):
         ).collect()
     )
     assert got == [201]
+
+
+def test_stream_neardup_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: three micro-batches of docs
+    (near-dup pairs within AND across batches) converge to exactly
+    the batch minhash_lsh_duplicates pairs — same ids, same exact
+    jaccard — and a replayed doc id changes nothing."""
+    from networkframe_spark.functions.dedup import minhash_lsh_duplicates
+    from networkframe_spark.streaming.stream import stream_neardup_parquet
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b2 = (
+        "completely different words about spark catalyst tungsten"
+        " engine optimizer"
+    )
+    docs = [
+        (1, base),
+        (2, base + " " + base),  # near-dup of 1 (j=0.83)
+        (3, b2),
+        (4, base),               # exact dup of 1, later batch
+        (5, b2 + " plans"),      # near-dup of 3 (j=0.875)
+        (6, "unrelated text mentioning nothing shared with others here"),
+        (7, b2),                 # exact dup of 3, last batch
+    ]
+    slices = [docs[:2], docs[2:4], docs[4:]]
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "neardup")
+    ckpt = str(tmp_path / "neardup_ckpt")
+    schema = "doc_id long, text string"
+    params = dict(n_perm=4, n_bands=2, shingle_n=3, threshold=0.3)
+
+    import pathlib
+
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_neardup_parquet(stream, out, ckpt, **params)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(out + "/pairs").collect()
+    }
+    full = spark.createDataFrame(docs, schema)
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_duplicates(
+            full, n_perm=4, bands=2, shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    # non-trivial fixture: within-batch, cross-batch, exact and
+    # fuzzy pairs all present
+    assert got == want and len(want) == 6
+    # replay: redeliver batch 1 — anti-joins absorb it completely
+    spark.createDataFrame(docs[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q2 = stream_neardup_parquet(stream2, out, str(tmp_path / "ck2"), **params)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(out + "/pairs").collect()
+    }
+    assert again == want
