@@ -1349,6 +1349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_personalized"] = q_ppr
 
+    def q_ppr_batch(spark, sf):
+        # same three seeds as q_ppr, but as three INDEPENDENT restart
+        # vectors computed in one set of rounds (sparse (seed, id)
+        # state); oracle unrolls the identical scaled-long arithmetic
+        nf = _graph(spark, sf)
+        return nf.pagerank_personalized_batch(
+            [1, 2, 3], damping=0.85, n_iter=PAGERANK_ITERS
+        )
+
+    q["pagerank_personalized_batch"] = q_ppr_batch
+
     def q_embedding_gram(spark, sf):
         emb = read_embeddings(spark, sf)
         return embedding_gram(emb, method="explode")
@@ -3893,6 +3904,34 @@ ppr{i} AS (
 )"""
         for i in range(1, PAGERANK_ITERS + 1)
     )
+    pprb_iters = "".join(
+        f""",
+bc{i} AS (
+  SELECT p.seed, e.target AS id,
+         SUM(floor(p.pr / d.w_out * 1e18)::BIGINT) AS s
+  FROM edges e
+  JOIN pprb{i - 1} p ON e.source = p.id
+  JOIN deg d ON e.source = d.source
+  GROUP BY p.seed, e.target
+),
+pprb{i} AS (
+  SELECT seed, id, round(sum(v), 12) AS pr FROM (
+    SELECT seed, id, 0.85 * (s / 1e18) AS v FROM bc{i}
+    UNION ALL
+    SELECT id AS seed, id, 0.15 AS v FROM nodes WHERE id IN (1, 2, 3)
+  ) GROUP BY seed, id
+  HAVING round(sum(v), 12) > 0
+)"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    o["pagerank_personalized_batch"] = f"""
+WITH {GRAPH_CTE},
+deg AS (SELECT source, count(*) AS w_out FROM edges GROUP BY source),
+pprb0 AS (SELECT id AS seed, id, 1.0 AS pr FROM nodes WHERE id IN (1, 2, 3))
+{pprb_iters}
+SELECT seed, id, round(pr, 6) AS pagerank FROM pprb{PAGERANK_ITERS}
+"""
+
     o["pagerank_personalized"] = f"""
 WITH {GRAPH_CTE},
 deg AS (SELECT source, count(*) AS w_out FROM edges GROUP BY source),

@@ -1740,6 +1740,94 @@ def approx_diameter(
     )
 
 
+def pagerank_personalized_batch(
+    frame,
+    seeds: list,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Batched single-seed personalized PageRank (random walk with
+    restart): ONE set of rounds computes an independent PPR vector per
+    seed — the similarity ranking behind "related nodes" served for
+    many query nodes at once, where looping :func:`pagerank` with
+    ``personalize=[s]`` per seed would re-shuffle the edge table k
+    times.  Returns the sparse ``(seed, id, pagerank)`` table of
+    strictly-positive ranks (6 dp); per seed the rows equal
+    ``pagerank(frame, personalize=[seed])`` filtered to rank > 0
+    (equivalence-tested).  Seeds absent from the node table are
+    ignored; duplicates collapse.
+
+    Determinism: identical arithmetic to :func:`pagerank` — shares
+    from an exact DECIMAL(28,6) out-weight normalizer, contributions
+    floored to 1e-18-scaled longs and integer-summed (order-
+    independent inside whole-stage codegen), every round rounded to
+    12 dp; per (seed, node) the round update adds at most two doubles
+    (restart base + damped contribution), so results are
+    bit-reproducible at any parallelism and a fixed-round unrolled
+    SQL twin is exact.
+
+    Scale design: state is the SPARSE (seed, id, pr) table — k x
+    |reachable| rows, grown frontier-wise, never k x N dense; each
+    round is one keyed join (edges x state on ``source``, the same
+    uniform shuffle as :func:`pagerank`) and one (seed, target) hash
+    aggregate with map-side partials.  The share table is
+    checkpointed once; round lineage is cut lazily.  Hub seeds cost
+    what their reachable set costs — there is no per-seed driver
+    loop anywhere.
+    """
+    if not seeds:
+        raise ValueError("pagerank_personalized_batch: empty seed list")
+    nodes = frame.nodes.select("id")
+    w = (
+        F.col(weight_col).cast("decimal(28,6)").cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    edges = frame.edges.select("source", "target", w.alias("w"))
+    out_w = edges.groupBy("source").agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_out")
+    )
+    e = (
+        edges.join(out_w, on="source")
+        .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = (
+        nodes.filter(F.col("id").isin(list(set(seeds))))
+        .select(F.col("id").alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = seed_rows.select(
+        "seed", F.col("seed").alias("id"), F.lit(1.0 - damping).alias("v")
+    )
+    pr = seed_rows.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.withColumnRenamed("id", "source"), on="source")
+            .select(
+                "seed",
+                F.col("target").alias("id"),
+                F.floor(F.col("pr") * F.col("share") * F.lit(1e18)).alias("c"),
+            )
+            .groupBy("seed", "id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            contrib.select(
+                "seed",
+                "id",
+                (F.lit(damping) * (F.col("s") / F.lit(1e18))).alias("v"),
+            )
+            .unionByName(base)
+            .groupBy("seed", "id")
+            .agg(F.round(F.sum("v"), 12).alias("pr"))
+            .filter(F.col("pr") > 0)
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("seed", "id", F.round("pr", 6).alias("pagerank"))
+
+
 def hits(frame, n_iter: int = 3, directed: bool = True) -> DataFrame:
     """HITS hub/authority scores (Kleinberg 1999), fixed-iteration with
     L1 normalization: each round ``a'(v) = sum(h(u) for u -> v)`` then

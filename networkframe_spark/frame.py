@@ -717,6 +717,26 @@ class NetworkFrame:
             personalize=personalize,
         )
 
+    def pagerank_personalized_batch(
+        self,
+        seeds: list,
+        damping: float = 0.85,
+        n_iter: int = 10,
+        weight_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Batched per-seed personalized PageRank ``(seed, id,
+        pagerank)`` — k restart vectors in one set of rounds; see
+        :func:`networkframe_spark.algorithms.pagerank_personalized_batch`."""
+        from .algorithms import pagerank_personalized_batch
+
+        return pagerank_personalized_batch(
+            self,
+            seeds,
+            damping=damping,
+            n_iter=n_iter,
+            weight_col=weight_col,
+        )
+
     def triangle_counts(self) -> DataFrame:
         """Per-node triangle counts ``(id, triangles)`` over the
         undirected simple projection; see

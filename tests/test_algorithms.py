@@ -1235,3 +1235,38 @@ def test_modularity_refine_never_decreases_q(spark):
     # fixed point: refining the refinement changes nothing further
     again = modularity_refine(nf, ref, n_rounds=1)
     assert ref.exceptAll(again).isEmpty() and again.exceptAll(ref).isEmpty()
+
+
+def test_pagerank_personalized_batch_equals_per_seed_calls(spark):
+    """The batched multi-seed PPR equals k independent
+    pagerank(personalize=[s]) runs filtered to rank > 0 — same ids,
+    bit-identical ranks — and seeds absent from the graph are
+    ignored."""
+    from networkframe_spark import NetworkFrame
+    from networkframe_spark.algorithms import pagerank_personalized_batch
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (i, (i * 5 + j * 3 + 1) % n)
+            for i in range(n)
+            for j in range(2)
+            if i != (i * 5 + j * 3 + 1) % n
+        ],
+        "source long, target long",
+    )
+    nf = NetworkFrame(nodes, edges)
+    seeds = [0, 7, 13]
+    got = {
+        (r["seed"], r["id"]): r["pagerank"]
+        for r in pagerank_personalized_batch(
+            nf, seeds + [999], n_iter=4
+        ).collect()  # 999 not a node: ignored
+    }
+    want = {}
+    for s in seeds:
+        for r in nf.pagerank(personalize=[s], n_iter=4).collect():
+            if r["pagerank"] > 0:
+                want[(s, r["id"])] = r["pagerank"]
+    assert got == want and len(want) > 3 * 5  # non-trivial spread
