@@ -152,6 +152,9 @@ HEADLINE = [
     "mmr_rerank",            # integer-scored greedy diversification (r7)
     "mann_whitney_u",        # exact-midrank rank-sum test (r7)
     "bootstrap_ci_mean",     # hex-threshold Poisson bootstrap (r7)
+    "modularity_refine",     # integer-gain Louvain local moves (r8)
+    "stream_neardup_twin",   # incremental MinHash-LSH fold (r8)
+    "pagerank_personalized_batch",  # sparse multi-seed RWR (r8)
 ]
 
 

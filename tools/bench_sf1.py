@@ -1,0 +1,70 @@
+"""Common-18 scaling sweep at the synthetic sf1 (tools/make_sfscale.py):
+records BENCH_SF1.json with per-query sf1 timings, the sf0.1 timings
+from BENCH_LOCAL.json, and the scaling exponent
+log10(t_sf1 / t_sf0.1) — 1.0 = linear in data volume, > 1 superlinear.
+
+Usage: python tools/bench_sf1.py [sf1_dir] [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from bench import COMMON18
+from networkframe_spark.session import get_spark
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark("bench_sf1")
+    qs = entry_mod.queries()
+    spark.read.parquet(os.path.join(sf1_dir, "region.parquet")).count()
+    base = {}
+    blp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_LOCAL.json")
+    if os.path.exists(blp):
+        base = json.load(open(blp)).get("queries", {})
+    timings = {}
+    for name in COMMON18:
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
+        b = base.get(name)
+        exp = round(math.log10(best / b), 3) if b and b > 0 else None
+        print(f"SF1 {name}: {best:.2f}s  (sf0.1 {b}s, exponent {exp})", flush=True)
+    payload = {
+        "metric": "common18_sf1_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf01_reference": {k: base.get(k) for k in COMMON18},
+        "exponents": {
+            k: (round(math.log10(timings[k] / base[k]), 3)
+                if base.get(k) else None)
+            for k in COMMON18
+        },
+        "sf": 1.0,
+        "note": "synthetic sf1 = key-shifted 10x replication of sf0.1 (tools/make_sfscale.py)",
+    }
+    with open("/root/repo/BENCH_SF1.json", "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"total": payload["value"], "n": len(timings)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
