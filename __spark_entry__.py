@@ -2231,6 +2231,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bootstrap_ci_mean"] = q_bootstrap_ci
 
+    # hard-sigmoid quality classifier: 4 exact-integer GD iterations
+    # over 6 codegen'd text features; the weak label (n_chars > 300)
+    # is learnable from the length features, so the trained accuracy
+    # (0.9+) vs the 0.51 base rate proves training actually moved.
+    # Every quantity is a scaled integer -> the oracle replays the
+    # whole training loop bit-for-bit (HUGEINT // == Spark div).
+    def q_train_quality_classifier(spark, sf):
+        from networkframe_spark.functions.classifier import (
+            train_quality_classifier,
+        )
+
+        docs = read_table(spark, sf, "documents").withColumn(
+            "y", (F.col("n_chars") > 300).cast("int")
+        )
+        return train_quality_classifier(docs, "y", n_iter=4, lr_num=4, lr_den=1)
+
+    q["train_quality_classifier"] = q_train_quality_classifier
+
+    # ANN evaluation with REAL pruning under exact evidence: the
+    # cosine-cell search probes 2 of 8 cells (genuinely skipping 3/4
+    # of the corpus per query — unlike the exhaustive-probe oracle
+    # modes of cosine_topk_ivf/lsh), and the report measures its
+    # recall@5 against brute-force truth per query.
+    def q_ann_recall(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            ann_recall_report,
+            cell_pruned_top_k,
+        )
+
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        approx = cell_pruned_top_k(emb, qs, k=5, n_cells=8, n_probe=2)
+        return ann_recall_report(emb, qs, approx, k=5)
+
+    q["ann_recall_cell_pruned"] = q_ann_recall
+
+    # leakage-safe temporal split: 4/5 time-range cutoff + 1h embargo
+    def q_time_split(spark, sf):
+        from networkframe_spark.functions.pipeline import time_split
+
+        events = read_events(spark, sf)
+        return time_split(
+            events, "ts", train_frac_num=4, train_frac_den=5,
+            embargo_seconds=3600,
+        ).select("event_id", "split")
+
+    q["time_split"] = q_time_split
+
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
     # this dict.  Registration order above is historical (oldest first),
@@ -2263,10 +2311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_u", "bootstrap_ci_mean", "mmr_rerank",
         "retrieval_metrics", "rrf_fusion", "topological_levels",
         "anomaly_zscore", "dup_ngram_fraction", "pagerank_personalized",
-        "link_prediction", "local_clustering", "k_core",
-        # round-8 additions land directly in the window
+        # round-8 additions land directly in the window (the three
+        # already-driver-hashed graph ops they displace —
+        # link_prediction, local_clustering, k_core — drop back to
+        # replay-only evidence)
         "modularity_refine", "stream_neardup_twin",
         "pagerank_personalized_batch",
+        "train_quality_classifier", "ann_recall_cell_pruned",
+        "time_split",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -6687,6 +6739,171 @@ SELECT qs.query_id,
        round(CASE WHEN idcg > 0 THEN coalesce(dcg, 0.0) / idcg END, 6)
          AS ndcg
 FROM qs LEFT JOIN perq USING (query_id) LEFT JOIN ideal USING (query_id)
+"""
+
+    # hard-sigmoid classifier: replay the ENTIRE training loop in SQL.
+    # Every quantity is an exact scaled integer (features 1e-6,
+    # weights/probabilities 1e-9), and DuckDB HUGEINT `//` truncates
+    # toward zero exactly like Spark `div`, so the unrolled CTE chain
+    # reproduces training bit-for-bit.
+    def _clf_oracle(n_iter: int, lr_num: int, lr_den: int) -> str:
+        u, wu = 1_000_000, 1_000_000_000
+        n_chars = "GREATEST(length(text), 1)"
+        n_words = (
+            "GREATEST(length(string_split_regex(trim(text), '\\s+')), 1)"
+        )
+        feats = f"""f AS (
+  SELECT CAST((n_chars > 300) AS BIGINT) AS y,
+         CAST({u} AS HUGEINT) AS x0,
+         CAST((LEAST({n_words}, 200) * {u}) // 200 AS HUGEINT) AS x1,
+         CAST((length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               * {u}) // {n_chars} AS HUGEINT) AS x2,
+         CAST((length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               * {u}) // {n_chars} AS HUGEINT) AS x3,
+         CAST((LEAST(length(text) // {n_words}, 20) * {u}) // 20
+              AS HUGEINT) AS x4,
+         CAST((length(regexp_replace(text, '[^ ]', '', 'g')) * {u})
+              // {n_chars} AS HUGEINT) AS x5
+  FROM documents
+)"""
+
+        def p_expr() -> str:
+            z = " + ".join(f"wt.w{j} * f.x{j}" for j in range(6))
+            return (
+                f"LEAST(GREATEST(CAST(500000000 AS HUGEINT)"
+                f" + (({z}) // {4 * u}), CAST(0 AS HUGEINT)),"
+                f" CAST({wu} AS HUGEINT))"
+            )
+
+        ctes = [feats]
+        ctes.append(
+            "w_0 AS (SELECT "
+            + ", ".join(f"CAST(0 AS HUGEINT) AS w{j}" for j in range(6))
+            + ")"
+        )
+        for it in range(1, n_iter + 1):
+            p = p_expr()
+            gsums = ", ".join(
+                f"SUM(({p} - CAST(f.y AS HUGEINT) * {wu}) * f.x{j}) AS g{j}"
+                for j in range(6)
+            )
+            ctes.append(
+                f"g_{it} AS (SELECT {gsums}, COUNT(*) AS n"
+                f" FROM f CROSS JOIN w_{it - 1} wt)"
+            )
+            upds = ", ".join(
+                f"wt.w{j} - (({lr_num} * g.g{j})"
+                f" // ({lr_den} * CAST(g.n AS HUGEINT) * {u})) AS w{j}"
+                for j in range(6)
+            )
+            ctes.append(
+                f"w_{it} AS (SELECT {upds}"
+                f" FROM w_{it - 1} wt CROSS JOIN g_{it} g)"
+            )
+        p = p_expr()
+        fin = (
+            f"fin AS (SELECT COUNT(*) AS n,"
+            f" SUM(CASE WHEN (CASE WHEN {p} >= 500000000 THEN 1 ELSE 0 END)"
+            f" = f.y THEN 1 ELSE 0 END) AS correct,"
+            f" SUM({p}) AS psum FROM f CROSS JOIN w_{n_iter} wt)"
+        )
+        ctes.append(fin)
+        wouts = ", ".join(
+            f"CAST(wt.w{j} AS DOUBLE) / {wu} AS w{j}" for j in range(6)
+        )
+        return (
+            "WITH " + ",\n".join(ctes) + "\n"
+            "SELECT CAST(fin.n AS BIGINT) AS n,"
+            " round(fin.correct / fin.n, 6) AS accuracy,"
+            f" round(CAST(fin.psum AS DOUBLE) / (CAST(fin.n AS DOUBLE) * {wu}.0), 6)"
+            " AS mean_p, "
+            + wouts
+            + f"\nFROM fin CROSS JOIN w_{n_iter} wt"
+        )
+
+    o["train_quality_classifier"] = _clf_oracle(4, 4, 1)
+
+    # cosine-cell pruned ANN search + recall@5 vs brute-force truth:
+    # seeds = 8 smallest-id vectors (the embedding_clusters first_ids
+    # convention), corpus cell = argmax 6-dp cosine (ties -> lowest
+    # seed id), queries probe their 2 nearest cells; recall joins the
+    # pruned top-5 against exact top-5.
+    o["ann_recall_cell_pruned"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT vec_id AS sid, emb AS semb FROM e ORDER BY vec_id LIMIT 8
+),
+casg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, s.sid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, s.semb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(s.semb, s.semb))), 6) DESC,
+             s.sid ASC) AS rn
+    FROM e, seeds s
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.vec_id AS query_id, q.emb AS q_emb, s.sid AS cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.emb, s.semb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(s.semb, s.semb))), 6) DESC,
+             s.sid ASC) AS rn
+    FROM e q, seeds s WHERE q.vec_id < 10
+  ) WHERE rn <= 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             round(list_dot_product(p.q_emb, c.emb)
+               / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM probes p JOIN casg c ON c.cell = p.cell
+    WHERE c.vec_id <> p.query_id
+  ) WHERE rk <= 5
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 5
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM truth t JOIN approx a USING (query_id, vec_id)
+  GROUP BY 1
+),
+perq AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # temporal split: integer-microsecond time-range cutoff at 4/5
+    # plus a 3600 s embargo band (truncating div on nonnegative span)
+    o["time_split"] = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+),
+c AS (SELECT mn + ((mx - mn) * 4) // 5 AS cutoff FROM b)
+SELECT e.event_id,
+       CASE WHEN e.ts IS NULL THEN NULL
+            WHEN epoch_us(e.ts) <= c.cutoff THEN 'train'
+            WHEN epoch_us(e.ts) <= c.cutoff + 3600000000 THEN 'embargo'
+            ELSE 'test' END AS split
+FROM events e CROSS JOIN c
 """
 
     return o

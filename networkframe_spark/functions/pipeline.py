@@ -1556,3 +1556,62 @@ def json_key_profile(
     return keys.crossJoin(F.broadcast(total)).select(
         "key", "n", F.round(F.col("n") / F.col("__t"), 6).alias("frac")
     )
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac_num: int = 4,
+    train_frac_den: int = 5,
+    embargo_seconds: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap —
+    the backtest-correct alternative to a random split for any
+    time-dependent corpus (events, market data, user logs): the
+    model must never train on information from after the evaluation
+    horizon, and ``embargo_seconds`` excises a buffer after the
+    cutoff so trailing-window features built ON train rows cannot
+    bleed into test (the "purged" split of de Prado's backtesting
+    methodology).
+
+    Scale-extension operator (no reference counterpart).
+
+    The cutoff is a TIME-RANGE fraction, not a row fraction:
+    ``cutoff = min_ts + (max_ts - min_ts) * frac`` in exact integer
+    microseconds (truncating div — deterministic, engine-portable,
+    and independent of row distribution, so adding rows never moves
+    an existing row between splits within a fixed time range).
+    Labels: ``train`` (ts <= cutoff), ``embargo`` (cutoff < ts <=
+    cutoff + embargo), ``test`` (beyond); NULL timestamps get NULL.
+
+    Scale design: ONE min/max aggregate (map-side combinable, 1-row
+    result) broadcast back via crossJoin; the labeling itself is a
+    pure map-side comparison that rides the scan — no shuffle of the
+    fact table at any corpus size.
+    """
+    if not (0 <= train_frac_num <= train_frac_den) or train_frac_den <= 0:
+        raise ValueError("train fraction must be a rational in [0, 1]")
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    from .temporal import _epoch_us
+
+    us = _epoch_us(ts_col)
+    bounds = df.agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    )
+    cutoff = F.col("__mn") + F.expr(
+        f"(__mx - __mn) * {int(train_frac_num)} div {int(train_frac_den)}"
+    )
+    emb_end = cutoff + F.lit(int(embargo_seconds) * 1_000_000)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(us.isNull(), F.lit(None).cast("string"))
+            .when(us <= cutoff, F.lit("train"))
+            .when(us <= emb_end, F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__mn", "__mx")
+    )

@@ -1516,3 +1516,170 @@ def mmr_rerank(
         (F.col("__mmr").cast("double") / F.lit(1e8)).alias("mmr_score"),
         "mmr_rank",
     )
+
+
+def cell_pruned_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Cosine-cell IVF-flat top-k with REAL pruning that stays
+    SQL-oracle-exact: cells are the ``n_cells`` smallest-id corpus
+    vectors (``first_ids`` seeds, the convention
+    :func:`embedding_clusters` established), assignment is argmax of
+    the 6-dp cosine (ties to the lowest seed id), and each query
+    probes only its ``n_probe`` nearest cells by the same rounded
+    cosine.  Unlike :func:`ivf_top_k`'s exhaustive-probe oracle mode,
+    ``n_probe < n_cells`` here genuinely skips corpus cells — this is
+    the op that puts a *pruned* approximate search under exact
+    cross-engine evidence (its recall is then measured by
+    :func:`ann_recall_report`).
+
+    Scale notes: the seed table is a broadcast manifest; corpus cell
+    assignment uses the expression path (corpus x n_cells candidate
+    rows through one keyed window) for bit-exact portability — the
+    production-scale assignment is :func:`build_ivf_index`'s Arrow
+    argmax + ``PARTITIONED BY list_id`` layout, which this op
+    deliberately trades away for oracle-exactness of the *evaluation*.
+    Candidate scoring joins on the cell key only (n_probe/n_cells of
+    the corpus per query).
+    Returns ``(query_id, vec_id, cosine, rank)``.
+    """
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(id_col, emb_col)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [
+            (int(r[id_col]), [float(x) for x in r[emb_col]])
+            for r in seed_rows
+        ],
+        schema="sid bigint, s_emb array<double>",
+    ).withColumn("s_norm", norm_expr(F.col("s_emb")))
+
+    def assign(
+        df: DataFrame, idc: str, out_id: str, keep_rank: int
+    ) -> DataFrame:
+        scored = (
+            df.select(
+                F.col(idc).alias(out_id),
+                F.col(emb_col).alias("__emb"),
+                norm_expr(F.col(emb_col)).alias("__norm"),
+            )
+            .crossJoin(F.broadcast(seeds))
+            .withColumn(
+                "__sim",
+                F.round(
+                    dot_expr(F.col("__emb"), F.col("s_emb"))
+                    / (F.col("__norm") * F.col("s_norm")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("__sim"), F.asc("sid")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep_rank)
+            .select(out_id, "__emb", "__norm", F.col("sid").alias("cell"))
+        )
+
+    cells = assign(corpus, id_col, "vec_id", 1)
+    probes = assign(queries, query_id_col, "query_id", n_probe)
+
+    cand = cells.join(
+        probes.withColumnRenamed("__emb", "q_emb").withColumnRenamed(
+            "__norm", "q_norm"
+        ),
+        on="cell",
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("__emb"))
+            / (F.col("q_norm") * F.col("__norm")),
+            6,
+        ),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Recall@k of ANY approximate top-k result against brute-force
+    ground truth — the standard ANN index evaluation (the number a
+    100 TB pipeline must watch when it swaps brute-force for
+    LSH/IVF/PQ).  ``approx`` is a ``(query_id, vec_id[, rank])``
+    DataFrame as produced by :func:`lsh_top_k`, :func:`ivf_top_k`,
+    :func:`pq_search`, :func:`cell_pruned_top_k`, or
+    :func:`ivf_index_search`; rows with ``rank > k`` are ignored when
+    a ``rank`` column is present.
+
+    Returns one row per query: ``(query_id, n_truth, n_hit, recall)``
+    with ``recall = n_hit / n_truth`` at 6 dp (``n_truth = min(k,
+    candidates)`` from the exact search; queries absent from
+    ``approx`` get ``n_hit = 0``).
+
+    Scale: truth is the brute-force pass over (corpus x queries) —
+    the evaluation is meant to run on a SAMPLE of queries (queries
+    broadcast, corpus scanned once); the comparison itself is one
+    equi-join on (query, id) + a query-keyed aggregate.
+    """
+    truth = brute_force_top_k(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        emb_col=emb_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    ).select("query_id", "vec_id")
+    pred = approx
+    if "rank" in pred.columns:
+        pred = pred.filter(F.col("rank") <= k)
+    pred = pred.select("query_id", "vec_id").dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    hits = truth.join(pred, on=["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    return (
+        per_q.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )

@@ -308,3 +308,139 @@ def test_describe_empty_edges(spark):
     assert row["n_edges"] == 0 and row["n_self_loops"] == 0
     assert row["max_out_degree"] == 0 and row["max_in_degree"] == 0
     assert row["n_isolated"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 8: quality classifier / ANN recall / temporal split
+# ---------------------------------------------------------------------------
+def test_train_quality_classifier_learns_and_is_deterministic(spark):
+    from networkframe_spark.functions.classifier import (
+        train_quality_classifier,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("y", (F.col("n_chars") > 300).cast("int"))
+    base = docs.agg(F.avg("y")).collect()[0][0]
+    base = max(base, 1 - base)
+    r1 = train_quality_classifier(docs, "y").collect()[0]
+    r2 = train_quality_classifier(docs, "y").collect()[0]
+    # trained accuracy beats the majority-class base rate
+    assert r1["accuracy"] > base + 0.1
+    # exact-integer training: bit-identical across runs
+    assert r1 == r2
+    assert r1["n"] == docs.count()
+
+
+def test_train_quality_classifier_matches_local_replay(spark):
+    """Replay the integer GD loop in plain Python on the collected
+    feature table — the training must match bit-for-bit."""
+    from networkframe_spark.functions.classifier import (
+        FEATURE_UNIT,
+        N_FEATURES,
+        WEIGHT_UNIT,
+        _tdiv_int,
+        feature_sql_exprs,
+        train_quality_classifier,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("y", (F.col("n_chars") > 250).cast("int"))
+    feats = docs.selectExpr("CAST(y AS BIGINT) AS y", *feature_sql_exprs()).collect()
+    n = len(feats)
+    w = [0] * N_FEATURES
+    for _ in range(3):
+        g = [0] * N_FEATURES
+        for r in feats:
+            z = sum(w[j] * r[f"x{j}"] for j in range(N_FEATURES))
+            p = min(max(5 * 10**8 + _tdiv_int(z, 4 * FEATURE_UNIT), 0), WEIGHT_UNIT)
+            resid = p - r["y"] * WEIGHT_UNIT
+            for j in range(N_FEATURES):
+                g[j] += resid * r[f"x{j}"]
+        for j in range(N_FEATURES):
+            w[j] -= _tdiv_int(2 * g[j], n * FEATURE_UNIT)
+    got = train_quality_classifier(docs, "y", n_iter=3, lr_num=2, lr_den=1).collect()[0]
+    for j in range(N_FEATURES):
+        assert got[f"w{j}"] == w[j] / WEIGHT_UNIT, (j, got[f"w{j}"], w[j])
+
+
+def test_score_quality_classifier_monotone_in_length_weight(spark):
+    from networkframe_spark.functions.classifier import (
+        score_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, " ".join(["word"] * 300))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["quality_p"]
+        for r in score_quality_classifier(
+            docs, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+        ).collect()
+    }
+    # positive weight on the length feature -> longer doc scores higher
+    assert out[2] > out[1]
+    assert 0.0 <= out[1] <= 1.0 and 0.0 <= out[2] <= 1.0
+
+
+def test_cell_pruned_top_k_subset_of_brute_and_recall(spark):
+    from networkframe_spark.functions.similarity import (
+        ann_recall_report,
+        brute_force_top_k,
+        cell_pruned_top_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 5")
+    approx = cell_pruned_top_k(emb, qs, k=5, n_cells=8, n_probe=2)
+    # pruned search scores a strict subset of pairs -> each returned
+    # cosine must equal the brute-force cosine for that same pair
+    brute = brute_force_top_k(emb, qs, k=10**6)
+    joined = approx.join(
+        brute.select("query_id", "vec_id", brute["cosine"].alias("bc")),
+        on=["query_id", "vec_id"],
+    )
+    assert joined.count() == approx.count()
+    assert joined.filter("cosine <> bc").count() == 0
+    rep = ann_recall_report(emb, qs, approx, k=5)
+    rows = rep.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_truth"] <= 5
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_truth"], 6)) < 1e-12
+    # probing every cell makes the pruned search exact -> recall 1.0
+    full = cell_pruned_top_k(emb, qs, k=5, n_cells=8, n_probe=8)
+    rep_full = ann_recall_report(emb, qs, full, k=5)
+    assert all(r["recall"] == 1.0 for r in rep_full.collect())
+
+
+def test_time_split_boundaries_and_embargo(spark):
+    from networkframe_spark.functions.pipeline import time_split
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=10 * i)) for i in range(11)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    # span = 100 min; cutoff = 80 min (4/5); embargo = 600 s -> (80, 90]
+    out = {r["event_id"]: r["split"] for r in
+           time_split(df, "ts", 4, 5, embargo_seconds=600).collect()}
+    assert all(out[i] == "train" for i in range(9))
+    assert out[9] == "embargo"
+    assert out[10] == "test"
+    assert out[99] is None
+
+
+def test_time_split_validation(spark):
+    import pytest as _pytest
+    from networkframe_spark.functions.pipeline import time_split
+
+    df = spark.createDataFrame([(1,)], "event_id long").selectExpr(
+        "event_id", "CAST('2024-01-01' AS TIMESTAMP) AS ts"
+    )
+    with _pytest.raises(ValueError):
+        time_split(df, "ts", 6, 5)
+    with _pytest.raises(ValueError):
+        time_split(df, "ts", embargo_seconds=-1)
