@@ -1518,6 +1518,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["modularity_refine"] = q_modularity_refine
 
+    # full two-level Louvain from singletons on the same doc-clique
+    # graph (7 disjoint ~64-cliques + isolated ids >= 450): level 1
+    # moves nodes onto min-id neighbors, aggregation collapses each
+    # clique to 2 supernodes, level 2 merges them — the whole
+    # phase/aggregate/phase pipeline is exact-integer, so the oracle
+    # unrolls both levels including the weighted self-loop supergraph
+    def q_louvain(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(F.col("a.id").alias("source"), F.col("b.id").alias("target"))
+        )
+        return NetworkFrame(ids, pairs).louvain_communities(
+            n_levels=2, n_rounds=1
+        )
+
+    q["louvain_communities"] = q_louvain
+
     def q_label_propagation_weighted(spark, sf):
         # weighted voting over the customer-supplier multigraph:
         # parallel order edges accumulate into exact decimal vote sums
@@ -2296,7 +2317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_neighborhood", "reachable_from", "weak_components",
         "aggregated_edges", "apply_edges_max", "largest_component",
         "strong_components", "khop_pairs", "frame_validation",
-        "adjacency_dense", "n_components",
+        "adjacency_dense",
+        # n_components (1-row, driver-hashed in all 7 prior rounds)
+        # cedes its core slot to the round-8 flagship graph op
+        "louvain_communities",
         # round-8 rotation: the round-5/6 block above was driver-hashed
         # in r7 (CORRECTNESS_r07.json) and drops back to replay-only;
         # this block pulls in 25 never-driver-hashed ops, prioritizing
@@ -4389,6 +4413,171 @@ SELECT l1.id,
        CASE WHEN q1.q >= q0.q THEN l1.community ELSE l0.community END
          AS community
 FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
+"""
+
+    # two-level Louvain, fully unrolled: phase 1 (w=1, singleton init,
+    # one move round + exact-Q accept), aggregation into a weighted
+    # supergraph WITH self-loop rows (internal ordered pairs), phase 2
+    # (weighted round + accept), label composition.  All HUGEINT.
+    o["louvain_communities"] = """
+WITH eg AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+  JOIN documents b ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 450 AND b.doc_id < 450
+),
+sym AS (SELECT u AS source, v AS target FROM eg UNION SELECT v, u FROM eg),
+m2 AS (SELECT count(*) AS m2 FROM sym),
+l0 AS (SELECT doc_id AS id, doc_id AS community FROM documents),
+deg AS (SELECT source AS id, count(*) AS deg FROM sym GROUP BY 1),
+vol0 AS (
+  SELECT l0.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l0 LEFT JOIN deg ON l0.id = deg.id GROUP BY 1
+),
+kvc AS (
+  SELECT s.target AS id, l0.community AS nc, count(*) AS k
+  FROM sym s JOIN l0 ON s.source = l0.id GROUP BY 1, 2
+),
+base AS (
+  SELECT l0.id, l0.community, coalesce(deg.deg, 0) AS deg,
+         coalesce(ka.k, 0) AS ka, va.vol AS vola
+  FROM l0
+  LEFT JOIN deg ON l0.id = deg.id
+  LEFT JOIN kvc ka ON ka.id = l0.id AND ka.nc = l0.community
+  JOIN vol0 va ON va.community = l0.community
+),
+cand AS (
+  SELECT b.id, k.nc,
+         CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
+           - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
+  FROM base b
+  JOIN kvc k ON k.id = b.id AND k.nc <> b.community
+  JOIN vol0 vb ON vb.community = k.nc
+  CROSS JOIN m2
+),
+moves AS (
+  SELECT id, nc FROM (
+    SELECT id, nc, row_number()
+      OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand WHERE gain > 0
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT l0.id, coalesce(m.nc, l0.community) AS community
+  FROM l0 LEFT JOIN moves m ON l0.id = m.id
+),
+int0 AS (
+  SELECT count(*) AS c FROM sym s
+  JOIN l0 a ON s.source = a.id JOIN l0 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q0 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int0.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol0)
+         AS q
+  FROM m2, int0
+),
+vol1 AS (
+  SELECT l1.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l1 LEFT JOIN deg ON l1.id = deg.id GROUP BY 1
+),
+int1 AS (
+  SELECT count(*) AS c FROM sym s
+  JOIN l1 a ON s.source = a.id JOIN l1 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q1 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int1.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol1)
+         AS q
+  FROM m2, int1
+),
+a1 AS (
+  SELECT l1.id,
+         CASE WHEN q1.q >= q0.q THEN l1.community ELSE l0.community END
+           AS community
+  FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
+),
+w2 AS (
+  SELECT a.community AS source, b.community AS target,
+         CAST(count(*) AS HUGEINT) AS w
+  FROM sym s
+  JOIN a1 a ON s.source = a.id JOIN a1 b ON s.target = b.id
+  GROUP BY 1, 2
+),
+n2 AS (SELECT DISTINCT community AS id FROM a1),
+l20 AS (SELECT id, id AS community FROM n2),
+deg2 AS (SELECT source AS id, sum(w) AS deg FROM w2 GROUP BY 1),
+cross2 AS (SELECT source, target, w FROM w2 WHERE source <> target),
+vol20 AS (
+  SELECT l20.community, coalesce(sum(deg2.deg), 0) AS vol
+  FROM l20 LEFT JOIN deg2 ON l20.id = deg2.id GROUP BY 1
+),
+kvc2 AS (
+  SELECT s.target AS id, l20.community AS nc, sum(s.w) AS k
+  FROM cross2 s JOIN l20 ON s.source = l20.id GROUP BY 1, 2
+),
+base2 AS (
+  SELECT l20.id, l20.community, coalesce(deg2.deg, 0) AS deg,
+         coalesce(ka.k, 0) AS ka, va.vol AS vola
+  FROM l20
+  LEFT JOIN deg2 ON l20.id = deg2.id
+  LEFT JOIN kvc2 ka ON ka.id = l20.id AND ka.nc = l20.community
+  JOIN vol20 va ON va.community = l20.community
+),
+cand2 AS (
+  SELECT b.id, k.nc,
+         CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
+           - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
+  FROM base2 b
+  JOIN kvc2 k ON k.id = b.id AND k.nc <> b.community
+  JOIN vol20 vb ON vb.community = k.nc
+  CROSS JOIN m2
+),
+moves2 AS (
+  SELECT id, nc FROM (
+    SELECT id, nc, row_number()
+      OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand2 WHERE gain > 0
+  ) WHERE rn = 1
+),
+l21 AS (
+  SELECT l20.id, coalesce(m.nc, l20.community) AS community
+  FROM l20 LEFT JOIN moves2 m ON l20.id = m.id
+),
+int20 AS (
+  SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
+  JOIN l20 a ON s.source = a.id JOIN l20 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q20 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int20.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol20)
+         AS q
+  FROM m2, int20
+),
+vol21 AS (
+  SELECT l21.community, coalesce(sum(deg2.deg), 0) AS vol
+  FROM l21 LEFT JOIN deg2 ON l21.id = deg2.id GROUP BY 1
+),
+int21 AS (
+  SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
+  JOIN l21 a ON s.source = a.id JOIN l21 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q21 AS (
+  SELECT CAST(m2.m2 AS HUGEINT) * int21.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol21)
+         AS q
+  FROM m2, int21
+),
+a2 AS (
+  SELECT l21.id,
+         CASE WHEN q21.q >= q20.q THEN l21.community ELSE l20.community END
+           AS community
+  FROM l21 JOIN l20 ON l21.id = l20.id CROSS JOIN q20 CROSS JOIN q21
+)
+SELECT a1.id, a2.community
+FROM a1 JOIN a2 ON a1.community = a2.id
 """
 
     # weighted LPA: same unrolled round shape, votes are exact

@@ -2970,6 +2970,224 @@ def modularity_refine(
     return cur
 
 
+def _louvain_phase(
+    nodes: DataFrame, wedges: DataFrame, m2: int, n_rounds: int
+) -> DataFrame:
+    """One Louvain phase (Blondel et al. 2008 phase 1) on an integer-
+    WEIGHTED ordered-pair graph, starting from singletons: up to
+    ``n_rounds`` synchronous local-move rounds with the exact integer
+    gain test ``2m·(k_vb − k_va) − deg_v·(vol_b − vol_a + deg_v) > 0``
+    and the round-level exact-Q accept (same contract as
+    :func:`modularity_refine`, generalized to weights).
+
+    ``wedges`` is ``(source, target, w)`` with BOTH directions present
+    for source ≠ target and optional self rows (source == target)
+    carrying a supernode's internal ordered-pair weight: self weight
+    counts toward degree/volume/internal pairs but is never a move
+    candidate (it moves with the node, so it is constant w.r.t. the
+    argmax and cancels in every gain comparison).
+    """
+    from decimal import Decimal
+
+    deg = wedges.groupBy(F.col("source").alias("id")).agg(
+        F.sum("w").alias("__deg")
+    )
+    cross = wedges.filter(F.col("source") != F.col("target"))
+    cur = nodes.select("id", F.col("id").alias("community")).localCheckpoint(
+        eager=True
+    )
+
+    def _q_scaled(lab: DataFrame):
+        internal = (
+            wedges.join(
+                lab.select(
+                    F.col("id").alias("source"), F.col("community").alias("__la")
+                ),
+                on="source",
+            )
+            .join(
+                lab.select(
+                    F.col("id").alias("target"), F.col("community").alias("__lb")
+                ),
+                on="target",
+            )
+            .filter(F.col("__la") == F.col("__lb"))
+            .agg(F.sum("w").alias("s"))
+            .first()["s"]
+        ) or 0
+        volsq = (
+            lab.join(deg, on="id", how="left")
+            .groupBy("community")
+            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+            .agg(
+                F.sum(
+                    F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
+                ).alias("v")
+            )
+            .first()["v"]
+        )
+        return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
+
+    q_before = _q_scaled(cur)
+    for _ in range(n_rounds):
+        vol = (
+            cur.join(deg, on="id", how="left")
+            .groupBy("community")
+            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+        )
+        kvc = (
+            cross.join(
+                cur.select(
+                    F.col("id").alias("source"), F.col("community").alias("__nc")
+                ),
+                on="source",
+            )
+            .groupBy(F.col("target").alias("id"), "__nc")
+            .agg(F.sum("w").alias("__k"))
+        )
+        base = (
+            cur.join(deg, on="id", how="left")
+            .select(
+                "id", "community", F.coalesce("__deg", F.lit(0)).alias("__deg")
+            )
+            .join(
+                kvc.select(
+                    "id",
+                    F.col("__nc").alias("community"),
+                    F.col("__k").alias("__ka"),
+                ),
+                on=["id", "community"],
+                how="left",
+            )
+            .select(
+                "id",
+                "community",
+                "__deg",
+                F.coalesce("__ka", F.lit(0)).alias("__ka"),
+            )
+            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
+        )
+        cand = (
+            base.join(kvc, on="id")
+            .filter(F.col("__nc") != F.col("community"))
+            .join(
+                vol.select(
+                    F.col("community").alias("__nc"),
+                    F.col("__vol").alias("__volb"),
+                ),
+                on="__nc",
+            )
+            .withColumn(
+                "__gain",
+                F.lit(m2).cast("decimal(38,0)")
+                * (F.col("__k") - F.col("__ka"))
+                - F.col("__deg").cast("decimal(38,0)")
+                * (F.col("__volb") - F.col("__vola") + F.col("__deg")),
+            )
+            .filter(F.col("__gain") > 0)
+        )
+        moves = cand.groupBy("id").agg(
+            F.expr("min_by(__nc, struct(-__gain, __nc))").alias("__new")
+        )
+        nxt = (
+            cur.join(moves, on="id", how="left")
+            .select("id", F.coalesce("__new", "community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        q_after = _q_scaled(nxt)
+        if q_after < q_before:
+            break
+        if q_after == q_before:
+            cur = nxt
+            break
+        cur, q_before = nxt, q_after
+    return cur
+
+
+def louvain_communities(
+    frame,
+    n_levels: int = 2,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Full multi-level Louvain community detection (Blondel et al.
+    2008): alternate a local-move phase (:func:`_louvain_phase`) with
+    graph AGGREGATION — communities become supernodes, inter-community
+    ordered-pair counts become integer edge weights, internal pairs
+    become self-loop weights — for up to ``n_levels`` levels, then
+    project the coarsest labels back to the original nodes.  This is
+    the modularity-OPTIMIZING step :func:`modularity_refine` (one
+    phase on a given partition) and ``label_propagation`` (no
+    objective at all) both stop short of.  Returns ``(id,
+    community)``; community ids are original node ids (each level's
+    labels are previous-level supernode ids, rooted in node ids).
+
+    Determinism / oracle-exactness: every quantity at every level is
+    an exact integer — weights are ordered-pair counts, gains integer
+    comparisons, the accept an exact scaled-modularity DECIMAL — with
+    min-id tie-breaks, so a fixed (n_levels, n_rounds) unrolled SQL
+    twin reproduces the result bit-for-bit.  ``Q(out) >= Q(singleton)``
+    by construction: phases only accept non-decreasing rounds, and
+    aggregation leaves Q unchanged (standard Louvain invariant).
+
+    Scale design: each phase round is the :func:`modularity_refine`
+    shape (one keyed join + two hash aggregates + community-sized
+    side tables over the weighted pair table); aggregation is ONE
+    label decoration + hash aggregate, and the graph SHRINKS per
+    level (supernode count = community count), so level cost is
+    strictly decreasing; the level-0 pair table is the only
+    edge-scale state.  Converges early (skips remaining levels) when
+    a phase makes zero moves.
+    """
+    if n_levels < 1 or n_rounds < 1:
+        raise ValueError("louvain_communities: n_levels and n_rounds >= 1")
+    wedges = (
+        _edge_pairs(frame, False)
+        .filter(F.col("source") != F.col("target"))
+        .select("source", "target", F.lit(1).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = frame.nodes.select("id")
+    mapping = nodes.select("id", F.col("id").alias("node"))
+    m2_row = wedges.agg(F.sum("w").alias("m2")).first()
+    m2 = int(m2_row["m2"] or 0)
+    if m2 == 0:
+        return mapping.select("id", F.col("node").alias("community"))
+
+    for level in range(int(n_levels)):
+        labels = _louvain_phase(nodes, wedges, m2, n_rounds)
+        moved = labels.filter(F.col("id") != F.col("community")).count()
+        mapping = (
+            mapping.join(labels.withColumnRenamed("id", "node"), on="node")
+            .select("id", F.col("community").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if moved == 0 or level == int(n_levels) - 1:
+            break
+        wedges = (
+            wedges.join(
+                labels.select(
+                    F.col("id").alias("source"), F.col("community").alias("__ca")
+                ),
+                on="source",
+            )
+            .join(
+                labels.select(
+                    F.col("id").alias("target"), F.col("community").alias("__cb")
+                ),
+                on="target",
+            )
+            .groupBy(
+                F.col("__ca").alias("source"), F.col("__cb").alias("target")
+            )
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        nodes = labels.select(
+            F.col("community").alias("id")
+        ).distinct().localCheckpoint(eager=True)
+    return mapping.select("id", F.col("node").alias("community"))
+
+
 def neighbor_sample(
     frame,
     seeds: list,

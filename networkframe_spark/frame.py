@@ -854,6 +854,17 @@ class NetworkFrame:
             self, labels, label_col=label_col, n_rounds=n_rounds
         )
 
+    def louvain_communities(
+        self, n_levels: int = 2, n_rounds: int = 2
+    ) -> DataFrame:
+        """Full multi-level Louvain community detection: local-move
+        phases alternated with graph aggregation, all-exact-integer
+        arithmetic; see
+        :func:`networkframe_spark.algorithms.louvain_communities`."""
+        from .algorithms import louvain_communities
+
+        return louvain_communities(self, n_levels=n_levels, n_rounds=n_rounds)
+
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None
     ) -> DataFrame:

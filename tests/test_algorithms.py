@@ -1270,3 +1270,89 @@ def test_pagerank_personalized_batch_equals_per_seed_calls(spark):
             if r["pagerank"] > 0:
                 want[(s, r["id"])] = r["pagerank"]
     assert got == want and len(want) > 3 * 5  # non-trivial spread
+
+
+# ---------------------------------------------------------------------------
+# round 8: full multi-level Louvain
+# ---------------------------------------------------------------------------
+def _three_clique_frame(spark):
+    from networkframe_spark import NetworkFrame
+
+    edges = []
+    for base in (0, 10, 20):
+        edges += [
+            (base + i, base + j) for i in range(5) for j in range(i + 1, 5)
+        ]
+    edges += [(4, 10), (14, 20)]
+    nodes = spark.createDataFrame(
+        [(i,) for b in (0, 10, 20) for i in range(b, b + 5)], "id long"
+    )
+    e = spark.createDataFrame(edges, "source long, target long")
+    return NetworkFrame(nodes, e)
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    nf = _three_clique_frame(spark)
+    out = nf.louvain_communities(n_levels=2, n_rounds=2)
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["community"], set()).add(r["id"])
+    assert sorted(map(frozenset, groups.values()), key=min) == [
+        frozenset(range(0, 5)),
+        frozenset(range(10, 15)),
+        frozenset(range(20, 25)),
+    ]
+
+
+def test_louvain_modularity_not_below_singleton_and_refine(spark):
+    """Q(louvain) >= Q(singleton) by construction; on the planted
+    graph the full two-level pipeline must also reach at least the
+    single-phase refine's modularity from the same singleton start."""
+    from networkframe_spark.algorithms import community_quality
+    import pyspark.sql.functions as F
+
+    nf = _three_clique_frame(spark)
+
+    def modularity(labels):
+        rep = community_quality(nf, labels, label_col="community")
+        return rep.agg(F.sum("modularity_part")).collect()[0][0]
+
+    singles = nf.nodes.select("id", F.col("id").alias("community"))
+    q_single = modularity(singles)
+    q_refine = modularity(nf.modularity_refine(singles, n_rounds=2))
+    q_louvain = modularity(nf.louvain_communities(n_levels=2, n_rounds=2))
+    assert q_louvain >= q_single
+    assert q_louvain >= q_refine - 1e-12
+    assert q_louvain > 0.5  # planted cliques: strong structure found
+
+
+def test_louvain_isolated_nodes_stay_singleton(spark):
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "source long, target long"
+    )
+    out = {
+        r["id"]: r["community"]
+        for r in NetworkFrame(nodes, edges)
+        .louvain_communities(n_levels=2, n_rounds=2)
+        .collect()
+    }
+    # 3,4,5 are isolated: their community is themselves
+    assert out[3] == 3 and out[4] == 4 and out[5] == 5
+    # the triangle collapses to one community
+    assert out[0] == out[1] == out[2]
+
+
+def test_louvain_deterministic_and_validates(spark):
+    import pytest as _pytest
+
+    nf = _three_clique_frame(spark)
+    a = sorted(map(tuple, nf.louvain_communities(2, 2).collect()))
+    b = sorted(map(tuple, nf.louvain_communities(2, 2).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        nf.louvain_communities(n_levels=0)
+    with _pytest.raises(ValueError):
+        nf.louvain_communities(n_rounds=0)
