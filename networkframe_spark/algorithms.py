@@ -2208,10 +2208,18 @@ def node2vec_walks(
         .repartition("source")
         .localCheckpoint(eager=True)
     )
-    nbr = ranked.select(
-        F.col("source").alias("__ps"),
-        F.col("target").alias("__pt"),
-        F.lit(1).alias("__nb"),
+    # dist-1 side table: neighbor SETS as sorted arrays, node-sized.
+    # Joining this on `prev` alone (broadcastable when the node table
+    # fits; one single-key exchange otherwise) replaces the previous
+    # (prev, target) pair join that re-shuffled the |E|-row edge table
+    # every step; `array_contains` yields the identical membership
+    # bit.  Hub rows carry deg-sized arrays — the usual skew note:
+    # the array is only materialized once, and the per-step join key
+    # is `prev`, which AQE can split.
+    nbr_arr = (
+        ranked.groupBy(F.col("source").alias("__ps"))
+        .agg(F.sort_array(F.collect_list("target")).alias("__nbrs"))
+        .localCheckpoint(eager=True)
     )
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))
@@ -2275,12 +2283,7 @@ def node2vec_walks(
             cand = (
                 cur.join(ranked, cur["id"] == ranked["source"])
                 .select("start_id", "rep", "prev", "id", "target", "rank")
-                .join(
-                    nbr,
-                    (F.col("prev") == F.col("__ps"))
-                    & (F.col("target") == F.col("__pt")),
-                    how="left",
-                )
+                .join(nbr_arr, F.col("prev") == F.col("__ps"), how="left")
                 .select(
                     "start_id",
                     "rep",
@@ -2289,7 +2292,10 @@ def node2vec_walks(
                     "target",
                     "rank",
                     F.when(F.col("target") == F.col("prev"), F.lit(w_ret))
-                    .when(F.col("__nb").isNotNull(), F.lit(w_nbr))
+                    .when(
+                        F.array_contains(F.col("__nbrs"), F.col("target")),
+                        F.lit(w_nbr),
+                    )
                     .otherwise(F.lit(w_out))
                     .cast("bigint")
                     .alias("__wt"),
