@@ -2300,6 +2300,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["time_split"] = q_time_split
 
+    # classifier evaluation pair: score docs with a FIXED literal
+    # weight vector (so the oracle replays the hard-sigmoid scoring
+    # without the training loop), then confusion counts / reliability
+    # bins against the same weak label
+    _CLF_EVAL_W = [0.2, 4.0, 0.0, -2.0, 0.0, 0.0]
+
+    def q_classification_report(spark, sf):
+        from networkframe_spark.functions.classifier import (
+            classification_report,
+            score_quality_classifier,
+        )
+
+        docs = read_table(spark, sf, "documents").withColumn(
+            "y", (F.col("n_chars") > 300).cast("int")
+        )
+        scored = score_quality_classifier(docs, _CLF_EVAL_W)
+        scored = scored.withColumn(
+            "pred", (F.col("quality_p") >= 0.5).cast("int")
+        )
+        return classification_report(scored, "y", "pred")
+
+    q["classification_report"] = q_classification_report
+
+    def q_calibration_bins(spark, sf):
+        from networkframe_spark.functions.classifier import (
+            calibration_bins,
+            score_quality_classifier,
+        )
+
+        docs = read_table(spark, sf, "documents").withColumn(
+            "y", (F.col("n_chars") > 300).cast("int")
+        )
+        scored = score_quality_classifier(docs, _CLF_EVAL_W)
+        return calibration_bins(scored, "quality_p", "y", n_bins=10)
+
+    q["calibration_bins"] = q_calibration_bins
+
+    # rolling-origin CV: 3 expanding-window folds over the event range
+    def q_rolling_origin(spark, sf):
+        from networkframe_spark.functions.pipeline import (
+            rolling_origin_splits,
+        )
+
+        events = read_events(spark, sf)
+        return rolling_origin_splits(events, "ts", n_folds=3).select(
+            "fold", "event_id", "role"
+        )
+
+    q["rolling_origin_splits"] = q_rolling_origin
+
     # -- driver-window rotation -----------------------------------------
     # The driver's correctness gate hashes only the FIRST 50 entries of
     # this dict.  Registration order above is historical (oldest first),
@@ -7011,6 +7061,94 @@ FROM qs LEFT JOIN perq USING (query_id) LEFT JOIN ideal USING (query_id)
         )
 
     o["train_quality_classifier"] = _clf_oracle(4, 4, 1)
+
+    # fixed-weight hard-sigmoid scoring (same feature map, literal
+    # integer weights) shared by the two classifier-eval oracles
+    def _clf_score_sql(weights_1e9: list[int]) -> str:
+        u = 1_000_000
+        n_chars = "GREATEST(length(text), 1)"
+        n_words = (
+            "GREATEST(length(string_split_regex(trim(text), '\\s+')), 1)"
+        )
+        xs = [
+            f"CAST({u} AS HUGEINT)",
+            f"CAST((LEAST({n_words}, 200) * {u}) // 200 AS HUGEINT)",
+            f"CAST((length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+            f" * {u}) // {n_chars} AS HUGEINT)",
+            f"CAST((length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+            f" * {u}) // {n_chars} AS HUGEINT)",
+            f"CAST((LEAST(length(text) // {n_words}, 20) * {u}) // 20"
+            " AS HUGEINT)",
+            f"CAST((length(regexp_replace(text, '[^ ]', '', 'g')) * {u})"
+            f" // {n_chars} AS HUGEINT)",
+        ]
+        z = " + ".join(
+            f"CAST({int(w)} AS HUGEINT) * ({x})"
+            for w, x in zip(weights_1e9, xs)
+        )
+        return (
+            f"LEAST(GREATEST(CAST(500000000 AS HUGEINT) + (({z}) // {4 * u}),"
+            " CAST(0 AS HUGEINT)), CAST(1000000000 AS HUGEINT))"
+        )
+
+    _w9 = [200000000, 4000000000, 0, -2000000000, 0, 0]
+    _pint = _clf_score_sql(_w9)
+
+    o["classification_report"] = f"""
+WITH s AS (
+  SELECT CAST((n_chars > 300) AS BIGINT) AS y,
+         CASE WHEN {_pint} >= 500000000 THEN 1 ELSE 0 END AS pred
+  FROM documents
+),
+agg AS (
+  SELECT count(*) AS n,
+         SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(tn AS BIGINT) AS tn,
+       round((tp + tn) / n, 6) AS accuracy,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM agg
+"""
+
+    o["calibration_bins"] = f"""
+WITH s AS (
+  SELECT CAST((n_chars > 300) AS BIGINT) AS y,
+         CAST({_pint} AS DOUBLE) / 1000000000.0 AS p
+  FROM documents
+)
+SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+       count(*)::BIGINT AS n,
+       round(CAST(SUM(CAST(p AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+         AS mean_p,
+       round(SUM(y) / count(*), 6) AS pos_rate
+FROM s GROUP BY 1
+"""
+
+    o["rolling_origin_splits"] = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+),
+folds AS (SELECT UNNEST([1, 2, 3]) AS fold)
+SELECT f.fold, e.event_id,
+       CASE WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * f.fold) // 4
+              THEN 'train'
+            WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * (f.fold + 1)) // 4
+              THEN 'test' END AS role
+FROM events e CROSS JOIN b CROSS JOIN folds f
+WHERE CASE WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * f.fold) // 4
+             THEN 'train'
+           WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * (f.fold + 1)) // 4
+             THEN 'test' END IS NOT NULL
+"""
 
     # cosine-cell pruned ANN search + recall@5 vs brute-force truth:
     # seeds = 8 smallest-id vectors (the embedding_clusters first_ids

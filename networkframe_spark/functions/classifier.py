@@ -197,3 +197,102 @@ def score_quality_classifier(
         .cast("decimal(19,9)")
         .cast("double"),
     ).drop(*[f"x{j}" for j in range(N_FEATURES)])
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Binary-classification evaluation: ONE row ``(n, tp, fp, fn, tn,
+    accuracy, precision, recall, f1)`` from 0/1 ``label_col`` vs 0/1
+    ``pred_col`` (rows with a NULL in either are dropped) — the
+    counterpart every trained quality filter needs before it gates a
+    corpus.  Counts are exact integers from a single conditional
+    aggregate; the ratios are the only floats (6 dp), each NULL when
+    its denominator is zero.
+
+    Scale: one map-side-combinable aggregate over the fact table —
+    no shuffle beyond the 1-row combine.
+    """
+    y = F.col(label_col).cast("bigint")
+    p = F.col(pred_col).cast("bigint")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = (
+        df.filter(y.isNotNull() & p.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cnt((y == 1) & (p == 1)).alias("tp"),
+            cnt((y == 0) & (p == 1)).alias("fp"),
+            cnt((y == 1) & (p == 0)).alias("fn"),
+            cnt((y == 0) & (p == 0)).alias("tn"),
+        )
+    )
+    prec_den = F.col("tp") + F.col("fp")
+    rec_den = F.col("tp") + F.col("fn")
+    f1_den = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6).alias("accuracy"),
+        F.when(
+            prec_den > 0, F.round(F.col("tp") / prec_den, 6)
+        ).alias("precision"),
+        F.when(rec_den > 0, F.round(F.col("tp") / rec_den, 6)).alias("recall"),
+        F.when(
+            f1_den > 0, F.round(2 * F.col("tp") / f1_den, 6)
+        ).alias("f1"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    p_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability column: per bin
+    ``(bin, n, mean_p, pos_rate)`` where ``bin = floor(p * n_bins)``
+    clamped to ``n_bins - 1`` — the standard "is the quality score
+    calibrated?" check before thresholding a corpus on it.
+
+    Determinism: probabilities are summed as DECIMAL(28,9) (exact,
+    order-independent — a double sum would drift with partitioning),
+    so ``mean_p`` is engine-portable; ``pos_rate`` is a ratio of
+    exact integers.  Empty bins are absent (the output is the
+    observed support).
+
+    Scale: one hash aggregate on the bin key (≤ n_bins groups,
+    map-side combinable).
+    """
+    if n_bins < 1:
+        raise ValueError("calibration_bins: n_bins >= 1")
+    p = F.col(p_col)
+    y = F.col(label_col).cast("bigint")
+    b = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    return (
+        df.filter(p.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p.cast("decimal(28,9)")).alias("__psum"),
+            F.sum(y).alias("__pos"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            # the DECIMAL sum is exact; the division happens in double
+            # (identical operands -> identical IEEE quotient in every
+            # engine, unlike decimal division whose result scale is
+            # engine-defined)
+            F.round(F.col("__psum").cast("double") / F.col("n"), 6).alias(
+                "mean_p"
+            ),
+            F.round(F.col("__pos") / F.col("n"), 6).alias("pos_rate"),
+        )
+    )

@@ -1615,3 +1615,55 @@ def time_split(
         )
         .drop("__mn", "__mx")
     )
+
+
+def rolling_origin_splits(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 3,
+    out_col: str = "role",
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    temporal data — the CV that respects time where k-fold would leak:
+    fold ``i`` (1-based) trains on everything up to cutoff ``i`` and
+    tests on the window between cutoffs ``i`` and ``i + 1``, with the
+    time range cut into ``n_folds + 1`` equal spans (exact integer
+    microseconds, truncating div — same arithmetic as
+    :func:`time_split`).  Returns one row per (fold, input row) with
+    ``fold`` and ``out_col`` in ``('train', 'test')``; rows after the
+    fold's test window (or with NULL timestamps) are omitted from
+    that fold.
+
+    Scale design: one 1-row min/max aggregate broadcast back; folds
+    materialize via a crossJoin with an ``n_folds``-row literal table
+    — a deliberate ≤ n_folds× row amplification that keeps the plan
+    fully declarative (a per-fold filter pushes down when a single
+    fold is selected downstream, which is how a 100 TB run consumes
+    it: one fold per training job, never all folds at once).
+    """
+    if n_folds < 1:
+        raise ValueError("rolling_origin_splits: n_folds >= 1")
+    from .temporal import _epoch_us
+
+    us = _epoch_us(ts_col)
+    bounds = df.agg(F.min(us).alias("__mn"), F.max(us).alias("__mx"))
+    spark = df.sparkSession
+    folds = spark.range(1, int(n_folds) + 1).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    k1 = int(n_folds) + 1
+    cut = F.col("__mn") + F.expr(f"(__mx - __mn) * fold div {k1}")
+    nxt = F.col("__mn") + F.expr(f"(__mx - __mn) * (fold + 1) div {k1}")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(folds))
+        .withColumn(
+            out_col,
+            F.when(us.isNull(), F.lit(None).cast("string"))
+            .when(us <= cut, F.lit("train"))
+            .when(us <= nxt, F.lit("test"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .filter(F.col(out_col).isNotNull())
+        .drop("__mn", "__mx")
+    )

@@ -444,3 +444,76 @@ def test_time_split_validation(spark):
         time_split(df, "ts", 6, 5)
     with _pytest.raises(ValueError):
         time_split(df, "ts", embargo_seconds=-1)
+
+
+def test_classification_report_hand_counts(spark):
+    from networkframe_spark.functions.classifier import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0), (1, 1), (0, 0), (1, None)],
+        "y int, pred int",
+    )
+    r = classification_report(df, "y", "pred").collect()[0]
+    assert (r["n"], r["tp"], r["fp"], r["fn"], r["tn"]) == (6, 2, 1, 1, 2)
+    assert r["accuracy"] == round(4 / 6, 6)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(4 / 6, 6)
+
+
+def test_classification_report_zero_denominators_null(spark):
+    from networkframe_spark.functions.classifier import (
+        classification_report,
+    )
+
+    # no positive predictions and no positive labels
+    df = spark.createDataFrame([(0, 0), (0, 0)], "y int, pred int")
+    r = classification_report(df, "y", "pred").collect()[0]
+    assert r["precision"] is None and r["recall"] is None and r["f1"] is None
+    assert r["accuracy"] == 1.0
+
+
+def test_calibration_bins_exact_means(spark):
+    from networkframe_spark.functions.classifier import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 0), (0.12, 1), (0.95, 1), (1.0, 1)],
+        "p double, y int",
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[1]["n"] == 2 and rows[1]["mean_p"] == round((0.15 + 0.12) / 2, 6)
+    assert rows[1]["pos_rate"] == 0.5
+    # p == 1.0 clamps into the top bin
+    assert rows[9]["n"] == 2 and rows[9]["pos_rate"] == 1.0
+
+
+def test_rolling_origin_splits_expanding_windows(spark):
+    import datetime as dt
+
+    from networkframe_spark.functions.pipeline import rolling_origin_splits
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i)) for i in range(9)],
+        "event_id long, ts timestamp",
+    )
+    # span 8h cut into 4 -> cutoffs at 2h, 4h, 6h
+    out = rolling_origin_splits(df, "ts", n_folds=3)
+    got = {
+        (r["fold"], r["event_id"]): r["role"] for r in out.collect()
+    }
+    # fold 1: train <= 2h, test (2h, 4h]
+    assert got[(1, 0)] == got[(1, 2)] == "train"
+    assert got[(1, 3)] == got[(1, 4)] == "test"
+    assert (1, 5) not in got
+    # fold 3: train <= 6h, test (6h, 8h]
+    assert got[(3, 6)] == "train" and got[(3, 8)] == "test"
+    # each fold's train set expands
+    train_sizes = [
+        sum(1 for (f, _), role in got.items() if f == k and role == "train")
+        for k in (1, 2, 3)
+    ]
+    assert train_sizes == sorted(train_sizes) and train_sizes[0] < train_sizes[-1]
