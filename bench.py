@@ -155,6 +155,10 @@ HEADLINE = [
     "modularity_refine",     # integer-gain Louvain local moves (r8)
     "stream_neardup_twin",   # incremental MinHash-LSH fold (r8)
     "pagerank_personalized_batch",  # sparse multi-seed RWR (r8)
+    "louvain_communities",   # full two-level Louvain (r8s2)
+    "train_quality_classifier",  # exact-integer GD training (r8s2)
+    "ann_recall_cell_pruned",    # pruned ANN + recall eval (r8s2)
+    "time_split",            # embargoed temporal split (r8s2)
 ]
 
 
