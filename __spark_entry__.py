@@ -4500,7 +4500,7 @@ cand AS (
          CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
            - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
   FROM base b
-  JOIN kvc k ON k.id = b.id AND k.nc <> b.community
+  JOIN kvc k ON k.id = b.id AND k.nc < b.community
   JOIN vol0 vb ON vb.community = k.nc
   CROSS JOIN m2
 ),
@@ -4579,7 +4579,7 @@ cand2 AS (
          CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
            - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
   FROM base2 b
-  JOIN kvc2 k ON k.id = b.id AND k.nc <> b.community
+  JOIN kvc2 k ON k.id = b.id AND k.nc < b.community
   JOIN vol20 vb ON vb.community = k.nc
   CROSS JOIN m2
 ),

@@ -2976,6 +2976,31 @@ def modularity_refine(
     return cur
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """localCheckpoint + REBUILD without preserved plan statistics.
+
+    ``localCheckpoint`` keeps the optimized plan's statistics on the
+    resulting LogicalRDD, and Catalyst's join size estimate is the
+    PRODUCT of the children's sizeInBytes — so in an iterative
+    algorithm whose round plan references the previous state m times,
+    the preserved estimate's digit count multiplies by m every round
+    (double-exponential value growth).  By round ~12 of a
+    6-references-per-round loop the driver spends MINUTES in
+    BigInteger multiplies inside SizeInBytesOnlyStatsPlanVisitor
+    (measured: a 4-level Louvain run went 424 s, ~5 min of it stats
+    math).  Rebuilding the DataFrame from the checkpointed RDD via the
+    public ``createDataFrame(JavaRDD[Row], schema)`` drops the origin
+    stats: the leaf reverts to ``defaultSizeInBytes`` and every
+    round's stats stay ~19 digits.  Cost: one JVM-side row re-encode
+    pass over the (node-sized) state — no Python boundary.
+    """
+    cp = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    jdf = cp._jdf
+    jnew = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
+    return DataFrame(jnew, spark)
+
+
 def _louvain_phase(
     nodes: DataFrame, wedges: DataFrame, m2: int, n_rounds: int
 ) -> DataFrame:
@@ -2999,9 +3024,7 @@ def _louvain_phase(
         F.sum("w").alias("__deg")
     )
     cross = wedges.filter(F.col("source") != F.col("target"))
-    cur = nodes.select("id", F.col("id").alias("community")).localCheckpoint(
-        eager=True
-    )
+    cur = _cut_lineage(nodes.select("id", F.col("id").alias("community")))
 
     def _q_scaled(lab: DataFrame):
         internal = (
@@ -3035,7 +3058,7 @@ def _louvain_phase(
         return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
 
     q_before = _q_scaled(cur)
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
         vol = (
             cur.join(deg, on="id", how="left")
             .groupBy("community")
@@ -3073,9 +3096,29 @@ def _louvain_phase(
             )
             .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
         )
+        direction = (
+            (F.col("__nc") < F.col("community"))
+            if rnd % 2 == 0
+            else (F.col("__nc") > F.col("community"))
+        )
         cand = (
             base.join(kvc, on="id")
-            .filter(F.col("__nc") != F.col("community"))
+            # ALTERNATE-DIRECTION rounds: even rounds move only toward
+            # strictly SMALLER community ids, odd rounds toward
+            # strictly LARGER.  A free-for-all synchronous round
+            # deadlocks at scale (mutual-best pairs SWAP labels,
+            # cyclic label chases cancel, Q drops, the accept rejects
+            # the whole round — measured: the 5M-edge supergraph phase
+            # no-opped entirely), while one-directional-only merging
+            # FREEZES early mistakes (a node can never leave a
+            # smaller-id community it joined by a noise edge —
+            # measured: Q plateaued at 0.39 on a 0.89-planted graph).
+            # Alternating keeps every round swap- and cycle-free (all
+            # moves point one way in id order) yet lets any node
+            # escape in the next round.  (Total-order staging is the
+            # standard parallel-Louvain conflict fix; alternating it
+            # restores bidirectional mobility.)
+            .filter(direction)
             .join(
                 vol.select(
                     F.col("community").alias("__nc"),
@@ -3095,18 +3138,17 @@ def _louvain_phase(
         moves = cand.groupBy("id").agg(
             F.expr("min_by(__nc, struct(-__gain, __nc))").alias("__new")
         )
-        nxt = (
+        nxt = _cut_lineage(
             cur.join(moves, on="id", how="left")
             .select("id", F.coalesce("__new", "community").alias("community"))
-            .localCheckpoint(eager=True)
         )
         q_after = _q_scaled(nxt)
-        if q_after < q_before:
-            break
-        if q_after == q_before:
-            cur = nxt
-            break
-        cur, q_before = nxt, q_after
+        # accept-or-revert per round, NO early break: a rejected round
+        # is not a fixed point here — the next round's direction flips,
+        # so different moves become available (unlike modularity_refine
+        # where replaying an identical rejected round is futile)
+        if q_after >= q_before:
+            cur, q_before = nxt, q_after
     return cur
 
 
@@ -3146,11 +3188,10 @@ def louvain_communities(
     """
     if n_levels < 1 or n_rounds < 1:
         raise ValueError("louvain_communities: n_levels and n_rounds >= 1")
-    wedges = (
+    wedges = _cut_lineage(
         _edge_pairs(frame, False)
         .filter(F.col("source") != F.col("target"))
         .select("source", "target", F.lit(1).cast("bigint").alias("w"))
-        .localCheckpoint(eager=True)
     )
     nodes = frame.nodes.select("id")
     mapping = nodes.select("id", F.col("id").alias("node"))
@@ -3162,10 +3203,9 @@ def louvain_communities(
     for level in range(int(n_levels)):
         labels = _louvain_phase(nodes, wedges, m2, n_rounds)
         moved = labels.filter(F.col("id") != F.col("community")).count()
-        mapping = (
+        mapping = _cut_lineage(
             mapping.join(labels.withColumnRenamed("id", "node"), on="node")
             .select("id", F.col("community").alias("node"))
-            .localCheckpoint(eager=True)
         )
         if moved == 0 or level == int(n_levels) - 1:
             break
@@ -3186,11 +3226,11 @@ def louvain_communities(
                 F.col("__ca").alias("source"), F.col("__cb").alias("target")
             )
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
         )
-        nodes = labels.select(
-            F.col("community").alias("id")
-        ).distinct().localCheckpoint(eager=True)
+        wedges = _cut_lineage(wedges)
+        nodes = _cut_lineage(
+            labels.select(F.col("community").alias("id")).distinct()
+        )
     return mapping.select("id", F.col("node").alias("community"))
 
 
