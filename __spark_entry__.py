@@ -1539,6 +1539,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_communities"] = q_louvain
 
+    # weighted twin: same clique graph, integer edge weights 1..5 from
+    # the endpoint ids; weight_col quantizes at 1e-6 units so every
+    # phase quantity stays an exact integer (oracle scales identically)
+    def q_louvain_weighted(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.id % 7 = b.id % 7 AND a.id < b.id"))
+            .filter("a.id < 450 AND b.id < 450")
+            .select(
+                F.col("a.id").alias("source"),
+                F.col("b.id").alias("target"),
+                ((F.col("a.id") + F.col("b.id")) % 5 + 1).alias("weight"),
+            )
+        )
+        return NetworkFrame(ids, pairs).louvain_communities(
+            n_levels=2, n_rounds=1, weight_col="weight"
+        )
+
+    q["louvain_weighted"] = q_louvain_weighted
+
     def q_label_propagation_weighted(spark, sf):
         # weighted voting over the customer-supplier multigraph:
         # parallel order edges accumulate into exact decimal vote sums
@@ -4388,24 +4410,24 @@ WHERE round(list_dot_product(a.emb, b.emb)
     # smallest-community tie-break, then the round-level accept
     # comparing exact scaled modularity 2m*internal_ordered - sum vol^2
     o["modularity_refine"] = """
-WITH eg AS (
+WITH eg AS MATERIALIZED (
   SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
   JOIN documents b ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
   WHERE a.doc_id < 450 AND b.doc_id < 450
 ),
-sym AS (SELECT u AS source, v AS target FROM eg UNION SELECT v, u FROM eg),
-l0 AS (SELECT doc_id AS id, doc_id % 3 AS community FROM documents),
-deg AS (SELECT source AS id, count(*) AS deg FROM sym GROUP BY 1),
-m2 AS (SELECT count(*) AS m2 FROM sym),
-vol AS (
+sym AS MATERIALIZED (SELECT u AS source, v AS target FROM eg UNION SELECT v, u FROM eg),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id % 3 AS community FROM documents),
+deg AS MATERIALIZED (SELECT source AS id, count(*) AS deg FROM sym GROUP BY 1),
+m2 AS MATERIALIZED (SELECT count(*) AS m2 FROM sym),
+vol AS MATERIALIZED (
   SELECT l0.community, coalesce(sum(deg.deg), 0) AS vol
   FROM l0 LEFT JOIN deg ON l0.id = deg.id GROUP BY 1
 ),
-kvc AS (
+kvc AS MATERIALIZED (
   SELECT s.target AS id, l0.community AS nc, count(*) AS k
   FROM sym s JOIN l0 ON s.source = l0.id GROUP BY 1, 2
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT l0.id, l0.community, coalesce(deg.deg, 0) AS deg,
          coalesce(ka.k, 0) AS ka, va.vol AS vola
   FROM l0
@@ -4413,7 +4435,7 @@ base AS (
   LEFT JOIN kvc ka ON ka.id = l0.id AND ka.nc = l0.community
   JOIN vol va ON va.community = l0.community
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT b.id, k.nc,
          CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
            - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
@@ -4422,38 +4444,38 @@ cand AS (
   JOIN vol vb ON vb.community = k.nc
   CROSS JOIN m2
 ),
-moves AS (
+moves AS MATERIALIZED (
   SELECT id, nc FROM (
     SELECT id, nc, row_number()
       OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
     FROM cand WHERE gain > 0
   ) WHERE rn = 1
 ),
-l1 AS (
+l1 AS MATERIALIZED (
   SELECT l0.id, coalesce(m.nc, l0.community) AS community
   FROM l0 LEFT JOIN moves m ON l0.id = m.id
 ),
-int0 AS (
+int0 AS MATERIALIZED (
   SELECT count(*) AS c FROM sym s
   JOIN l0 a ON s.source = a.id JOIN l0 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q0 AS (
+q0 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int0.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol)
          AS q
   FROM m2, int0
 ),
-vol1 AS (
+vol1 AS MATERIALIZED (
   SELECT l1.community, coalesce(sum(deg.deg), 0) AS vol
   FROM l1 LEFT JOIN deg ON l1.id = deg.id GROUP BY 1
 ),
-int1 AS (
+int1 AS MATERIALIZED (
   SELECT count(*) AS c FROM sym s
   JOIN l1 a ON s.source = a.id JOIN l1 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q1 AS (
+q1 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int1.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol1)
          AS q
@@ -4465,29 +4487,32 @@ SELECT l1.id,
 FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
 """
 
-    # two-level Louvain, fully unrolled: phase 1 (w=1, singleton init,
-    # one move round + exact-Q accept), aggregation into a weighted
-    # supergraph WITH self-loop rows (internal ordered pairs), phase 2
-    # (weighted round + accept), label composition.  All HUGEINT.
-    o["louvain_communities"] = """
+    # two-level Louvain, fully unrolled and parametrized by the
+    # level-1 edge-weight expression (unweighted = literal 1;
+    # weighted = 1e-6-quantized integer units, mirroring the Spark
+    # quantization): phase 1, aggregation into a weighted supergraph
+    # WITH self-loop rows, phase 2, label composition.  All HUGEINT.
+    def _louvain_oracle(wexpr: str) -> str:
+        return """
 WITH eg AS (
-  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+  SELECT a.doc_id AS u, b.doc_id AS v, {wexpr} AS w FROM documents a
   JOIN documents b ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
   WHERE a.doc_id < 450 AND b.doc_id < 450
 ),
-sym AS (SELECT u AS source, v AS target FROM eg UNION SELECT v, u FROM eg),
-m2 AS (SELECT count(*) AS m2 FROM sym),
-l0 AS (SELECT doc_id AS id, doc_id AS community FROM documents),
-deg AS (SELECT source AS id, count(*) AS deg FROM sym GROUP BY 1),
-vol0 AS (
+sym AS MATERIALIZED (SELECT u AS source, v AS target, w FROM eg
+       UNION SELECT v, u, w FROM eg),
+m2 AS MATERIALIZED (SELECT sum(w) AS m2 FROM sym),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS community FROM documents),
+deg AS MATERIALIZED (SELECT source AS id, sum(w) AS deg FROM sym GROUP BY 1),
+vol0 AS MATERIALIZED (
   SELECT l0.community, coalesce(sum(deg.deg), 0) AS vol
   FROM l0 LEFT JOIN deg ON l0.id = deg.id GROUP BY 1
 ),
-kvc AS (
-  SELECT s.target AS id, l0.community AS nc, count(*) AS k
+kvc AS MATERIALIZED (
+  SELECT s.target AS id, l0.community AS nc, sum(s.w) AS k
   FROM sym s JOIN l0 ON s.source = l0.id GROUP BY 1, 2
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT l0.id, l0.community, coalesce(deg.deg, 0) AS deg,
          coalesce(ka.k, 0) AS ka, va.vol AS vola
   FROM l0
@@ -4495,7 +4520,7 @@ base AS (
   LEFT JOIN kvc ka ON ka.id = l0.id AND ka.nc = l0.community
   JOIN vol0 va ON va.community = l0.community
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT b.id, k.nc,
          CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
            - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
@@ -4504,69 +4529,69 @@ cand AS (
   JOIN vol0 vb ON vb.community = k.nc
   CROSS JOIN m2
 ),
-moves AS (
+moves AS MATERIALIZED (
   SELECT id, nc FROM (
     SELECT id, nc, row_number()
       OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
     FROM cand WHERE gain > 0
   ) WHERE rn = 1
 ),
-l1 AS (
+l1 AS MATERIALIZED (
   SELECT l0.id, coalesce(m.nc, l0.community) AS community
   FROM l0 LEFT JOIN moves m ON l0.id = m.id
 ),
-int0 AS (
-  SELECT count(*) AS c FROM sym s
+int0 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM sym s
   JOIN l0 a ON s.source = a.id JOIN l0 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q0 AS (
+q0 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int0.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol0)
          AS q
   FROM m2, int0
 ),
-vol1 AS (
+vol1 AS MATERIALIZED (
   SELECT l1.community, coalesce(sum(deg.deg), 0) AS vol
   FROM l1 LEFT JOIN deg ON l1.id = deg.id GROUP BY 1
 ),
-int1 AS (
-  SELECT count(*) AS c FROM sym s
+int1 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM sym s
   JOIN l1 a ON s.source = a.id JOIN l1 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q1 AS (
+q1 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int1.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol1)
          AS q
   FROM m2, int1
 ),
-a1 AS (
+a1 AS MATERIALIZED (
   SELECT l1.id,
          CASE WHEN q1.q >= q0.q THEN l1.community ELSE l0.community END
            AS community
   FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
 ),
-w2 AS (
+w2 AS MATERIALIZED (
   SELECT a.community AS source, b.community AS target,
-         CAST(count(*) AS HUGEINT) AS w
+         CAST(sum(s.w) AS HUGEINT) AS w
   FROM sym s
   JOIN a1 a ON s.source = a.id JOIN a1 b ON s.target = b.id
   GROUP BY 1, 2
 ),
-n2 AS (SELECT DISTINCT community AS id FROM a1),
-l20 AS (SELECT id, id AS community FROM n2),
-deg2 AS (SELECT source AS id, sum(w) AS deg FROM w2 GROUP BY 1),
-cross2 AS (SELECT source, target, w FROM w2 WHERE source <> target),
-vol20 AS (
+n2 AS MATERIALIZED (SELECT DISTINCT community AS id FROM a1),
+l20 AS MATERIALIZED (SELECT id, id AS community FROM n2),
+deg2 AS MATERIALIZED (SELECT source AS id, sum(w) AS deg FROM w2 GROUP BY 1),
+cross2 AS MATERIALIZED (SELECT source, target, w FROM w2 WHERE source <> target),
+vol20 AS MATERIALIZED (
   SELECT l20.community, coalesce(sum(deg2.deg), 0) AS vol
   FROM l20 LEFT JOIN deg2 ON l20.id = deg2.id GROUP BY 1
 ),
-kvc2 AS (
+kvc2 AS MATERIALIZED (
   SELECT s.target AS id, l20.community AS nc, sum(s.w) AS k
   FROM cross2 s JOIN l20 ON s.source = l20.id GROUP BY 1, 2
 ),
-base2 AS (
+base2 AS MATERIALIZED (
   SELECT l20.id, l20.community, coalesce(deg2.deg, 0) AS deg,
          coalesce(ka.k, 0) AS ka, va.vol AS vola
   FROM l20
@@ -4574,7 +4599,7 @@ base2 AS (
   LEFT JOIN kvc2 ka ON ka.id = l20.id AND ka.nc = l20.community
   JOIN vol20 va ON va.community = l20.community
 ),
-cand2 AS (
+cand2 AS MATERIALIZED (
   SELECT b.id, k.nc,
          CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
            - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
@@ -4583,44 +4608,44 @@ cand2 AS (
   JOIN vol20 vb ON vb.community = k.nc
   CROSS JOIN m2
 ),
-moves2 AS (
+moves2 AS MATERIALIZED (
   SELECT id, nc FROM (
     SELECT id, nc, row_number()
       OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
     FROM cand2 WHERE gain > 0
   ) WHERE rn = 1
 ),
-l21 AS (
+l21 AS MATERIALIZED (
   SELECT l20.id, coalesce(m.nc, l20.community) AS community
   FROM l20 LEFT JOIN moves2 m ON l20.id = m.id
 ),
-int20 AS (
+int20 AS MATERIALIZED (
   SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
   JOIN l20 a ON s.source = a.id JOIN l20 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q20 AS (
+q20 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int20.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol20)
          AS q
   FROM m2, int20
 ),
-vol21 AS (
+vol21 AS MATERIALIZED (
   SELECT l21.community, coalesce(sum(deg2.deg), 0) AS vol
   FROM l21 LEFT JOIN deg2 ON l21.id = deg2.id GROUP BY 1
 ),
-int21 AS (
+int21 AS MATERIALIZED (
   SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
   JOIN l21 a ON s.source = a.id JOIN l21 b ON s.target = b.id
   WHERE a.community = b.community
 ),
-q21 AS (
+q21 AS MATERIALIZED (
   SELECT CAST(m2.m2 AS HUGEINT) * int21.c
          - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol21)
          AS q
   FROM m2, int21
 ),
-a2 AS (
+a2 AS MATERIALIZED (
   SELECT l21.id,
          CASE WHEN q21.q >= q20.q THEN l21.community ELSE l20.community END
            AS community
@@ -4628,7 +4653,14 @@ a2 AS (
 )
 SELECT a1.id, a2.community
 FROM a1 JOIN a2 ON a1.community = a2.id
-"""
+""".format(wexpr=wexpr)
+
+    o["louvain_communities"] = _louvain_oracle("CAST(1 AS HUGEINT)")
+    # weighted twin: integer weights 1..5 from the endpoint ids,
+    # scaled by 1e6 exactly as louvain_communities(weight_col=...)
+    o["louvain_weighted"] = _louvain_oracle(
+        "CAST(((a.doc_id + b.doc_id) % 5 + 1) * 1000000 AS HUGEINT)"
+    )
 
     # weighted LPA: same unrolled round shape, votes are exact
     # DECIMAL(28,6) weight sums over the symmetrized simple pairs

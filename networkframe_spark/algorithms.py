@@ -3156,6 +3156,7 @@ def louvain_communities(
     frame,
     n_levels: int = 2,
     n_rounds: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Full multi-level Louvain community detection (Blondel et al.
     2008): alternate a local-move phase (:func:`_louvain_phase`) with
@@ -3188,11 +3189,30 @@ def louvain_communities(
     """
     if n_levels < 1 or n_rounds < 1:
         raise ValueError("louvain_communities: n_levels and n_rounds >= 1")
-    wedges = _cut_lineage(
-        _edge_pairs(frame, False)
-        .filter(F.col("source") != F.col("target"))
-        .select("source", "target", F.lit(1).cast("bigint").alias("w"))
-    )
+    if weight_col is None:
+        pairs = (
+            _edge_pairs(frame, False)
+            .filter(F.col("source") != F.col("target"))
+            .select("source", "target", F.lit(1).cast("bigint").alias("w"))
+        )
+    else:
+        # weighted mode: parallel-edge-collapsed DECIMAL(28,6) weights
+        # quantized to 1e-6 integer units — every downstream quantity
+        # (degrees, volumes, gains, scaled Q) stays an exact integer,
+        # exactly as in the unweighted path, just in finer units.
+        # Edges whose collapsed weight is not positive are dropped
+        # (negative-weight modularity is undefined).
+        pairs = (
+            _weighted_pairs(frame, False, weight_col)
+            .filter(F.col("source") != F.col("target"))
+            .select(
+                "source",
+                "target",
+                (F.col("w") * 1_000_000).cast("bigint").alias("w"),
+            )
+            .filter(F.col("w") > 0)
+        )
+    wedges = _cut_lineage(pairs)
     nodes = frame.nodes.select("id")
     mapping = nodes.select("id", F.col("id").alias("node"))
     m2_row = wedges.agg(F.sum("w").alias("m2")).first()

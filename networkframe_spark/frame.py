@@ -855,15 +855,21 @@ class NetworkFrame:
         )
 
     def louvain_communities(
-        self, n_levels: int = 2, n_rounds: int = 2
+        self,
+        n_levels: int = 2,
+        n_rounds: int = 2,
+        weight_col: Optional[str] = None,
     ) -> DataFrame:
         """Full multi-level Louvain community detection: local-move
         phases alternated with graph aggregation, all-exact-integer
-        arithmetic; see
+        arithmetic (weights quantized to 1e-6 units when
+        ``weight_col`` is given); see
         :func:`networkframe_spark.algorithms.louvain_communities`."""
         from .algorithms import louvain_communities
 
-        return louvain_communities(self, n_levels=n_levels, n_rounds=n_rounds)
+        return louvain_communities(
+            self, n_levels=n_levels, n_rounds=n_rounds, weight_col=weight_col
+        )
 
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None

@@ -1356,3 +1356,26 @@ def test_louvain_deterministic_and_validates(spark):
         nf.louvain_communities(n_levels=0)
     with _pytest.raises(ValueError):
         nf.louvain_communities(n_rounds=0)
+
+
+def test_louvain_weighted_weights_steer_merges(spark):
+    """Two heavy triangles {0,1,2} and {3,4,5} (weight 10) joined by a
+    light complete bipartite mesh (weight 0.1): by edge COUNT the
+    graph is near-complete (unweighted Louvain sees little structure),
+    but by weight the triangles dominate — weighted Louvain must
+    recover exactly the two heavy cliques."""
+    from networkframe_spark import NetworkFrame
+
+    heavy = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)]
+    light = [(a, b) for a in range(3) for b in range(3, 6)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(a, b, 10.0) for a, b in heavy] + [(a, b, 0.1) for a, b in light],
+        "source long, target long, weight double",
+    )
+    nf = NetworkFrame(nodes, edges)
+    wgt = {r["id"]: r["community"]
+           for r in nf.louvain_communities(2, 4, weight_col="weight").collect()}
+    assert wgt[0] == wgt[1] == wgt[2]
+    assert wgt[3] == wgt[4] == wgt[5]
+    assert wgt[0] != wgt[3]
