@@ -803,6 +803,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_index_search"] = q_ivf_index_search
 
+    # incremental index maintenance: build on the even half, APPEND
+    # the odd half against the stored centroids, then exhaustive-probe
+    # — cell membership depends only on the centroid manifest, so the
+    # post-add search must equal brute force over the full corpus
+    # (same oracle trick as ivf_index_search)
+    def q_ivf_index_add(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import ivf_index_add
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivf_add_{_os.path.basename(sf.rstrip('/'))}",
+        )
+        build_ivf_index(
+            emb.filter("vec_id % 2 = 0"), path, n_lists=8, n_iter=2,
+            mode="overwrite",
+        )
+        ivf_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
+        qs = emb.filter("vec_id < 10")
+        return ivf_index_search(spark, path, qs, k=3, n_probe=8)
+
+    q["ivf_index_add_search"] = q_ivf_index_add
+
     # int8 storage quantization: codes joined to one string so the
     # engines compare a scalar column, not array-repr formatting
     def q_quantize_embeddings(spark, sf):
@@ -3274,6 +3300,9 @@ FROM ranked WHERE rank <= 3
     # exhaustive probe (n_probe == n_lists) of the persisted index ==
     # brute force: same oracle again
     o["ivf_index_search"] = o["cosine_topk"]
+    # build-on-half + append-other-half + exhaustive probe == brute
+    # force over the union: same oracle once more
+    o["ivf_index_add_search"] = o["cosine_topk"]
 
     o["quantize_embeddings"] = """
 WITH e AS (

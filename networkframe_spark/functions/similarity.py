@@ -602,6 +602,52 @@ def build_ivf_index(
     return centroids
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign ``new_vectors`` to
+    the index's STORED centroids and append them to the partitioned
+    cell store — the standard way a deployed ANN index absorbs a new
+    corpus batch without an offline rebuild (centroids stay fixed;
+    rebuild via :func:`build_ivf_index` when
+    :func:`embedding_drift` says the distribution moved).
+
+    Searching after an add is IDENTICAL to searching an index built
+    over the union with the same centroids, because cell membership
+    depends only on the stored centroid manifest (test-pinned).
+
+    Scale: one broadcast-centroid Arrow argmax pass over the new
+    batch + an append of only the new files into the partition
+    directories — nothing existing is rewritten or read.  Appends are
+    NOT replay-idempotent (a retried batch double-inserts); dedupe
+    upstream by id or rebuild periodically.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    cells = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("c_emb"),
+            norm_expr(F.col(emb_col)).alias("c_norm"),
+        ),
+        centroids,
+        emb_col="c_emb",
+    )
+    cells.write.mode("append").partitionBy("list_id").parquet(
+        _os.path.join(path, "cells")
+    )
+
+
 def ivf_index_search(
     spark,
     path: str,

