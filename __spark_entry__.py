@@ -829,6 +829,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_index_add_search"] = q_ivf_index_add
 
+    # semantic decontamination (the paraphrase leg of the triad):
+    # eval = every 20th vector, train = the rest; brute mode is exact.
+    # threshold 0.42 sits at the synthetic corpus's cross-pair tail
+    # (max cross cosine 0.49) so the result set is non-empty
+    def q_semantic_decontaminate(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = read_embeddings(spark, sf)
+        ev = emb.filter("vec_id % 20 = 0")
+        tr = emb.filter("vec_id % 20 <> 0")
+        return semantic_decontaminate(tr, ev, threshold=0.42)
+
+    q["semantic_decontaminate"] = q_semantic_decontaminate
+
     # int8 storage quantization: codes joined to one string so the
     # engines compare a scalar column, not array-repr formatting
     def q_quantize_embeddings(spark, sf):
@@ -3303,6 +3319,20 @@ FROM ranked WHERE rank <= 3
     # build-on-half + append-other-half + exhaustive probe == brute
     # force over the union: same oracle once more
     o["ivf_index_add_search"] = o["cosine_topk"]
+
+    o["semantic_decontaminate"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, emb AS e_emb FROM e WHERE vec_id % 20 = 0),
+tr AS (SELECT vec_id AS train_id, emb AS t_emb FROM e WHERE vec_id % 20 <> 0)
+SELECT train_id, eval_id,
+       round(list_dot_product(t_emb, e_emb)
+         / (sqrt(list_dot_product(t_emb, t_emb))
+            * sqrt(list_dot_product(e_emb, e_emb))), 6) AS cosine
+FROM tr, ev
+WHERE round(list_dot_product(t_emb, e_emb)
+        / (sqrt(list_dot_product(t_emb, t_emb))
+           * sqrt(list_dot_product(e_emb, e_emb))), 6) >= 0.42
+"""
 
     o["quantize_embeddings"] = """
 WITH e AS (

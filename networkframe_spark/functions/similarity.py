@@ -602,6 +602,102 @@ def build_ivf_index(
     return centroids
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    method: str = "brute",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination: training rows whose
+    embedding cosine with any eval row reaches ``threshold``.  The
+    third leg of the decontamination triad — ``exact_substring_
+    decontaminate`` catches verbatim leakage, ``fuzzy_decontaminate``
+    lexical near-copies, and this one catches PARAPHRASES that share
+    no surface n-grams at all (the failure mode both lexical checks
+    are blind to).  Returns ``(train_id, eval_id, cosine)`` — one row
+    per contaminated (train, eval) pair at 6-dp cosine; drop matched
+    train ids with a left-anti join.
+
+    ``method="brute"`` broadcasts the (typically tiny) eval side and
+    scores every train row against it map-side — exact, so
+    SQL-oracle-checkable, and the right default whenever the eval
+    benchmark fits in a broadcast (it almost always does).
+    ``method="lsh"`` routes through the hyperplane band join
+    (:func:`lsh_top_k` machinery) for the eval-side-too-big case;
+    recall rises with ``n_tables`` (probabilistic — gated by the LSH
+    recall unit tests, not an oracle).
+
+    Scale design (brute): the train corpus is never shuffled — one
+    codegen'd projection against the broadcast eval batch, then a
+    map-side threshold filter; output is contamination-sized.
+    """
+    te = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(emb_col).alias("t_emb"),
+        norm_expr(F.col(emb_col)).alias("t_norm"),
+    )
+    ee = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(emb_col).alias("e_emb"),
+        norm_expr(F.col(emb_col)).alias("e_norm"),
+    )
+    if method == "brute":
+        n_part = int(
+            train.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        scored = te.repartition(n_part).join(F.broadcast(ee))
+    elif method == "lsh":
+        first = train.select(F.size(F.col(emb_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+        tables = [
+            _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
+            for t in range(n_tables)
+        ]
+
+        def banded(df: DataFrame, embc: str) -> DataFrame:
+            return df.select(
+                "*",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("table"),
+                                signature_col(
+                                    F.col(embc), tables[t]
+                                ).alias("bucket"),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select("*", F.col("tb.table").alias("table"),
+                     F.col("tb.bucket").alias("bucket")).drop("tb")
+
+        scored = (
+            banded(te, "t_emb")
+            .join(banded(ee, "e_emb"), on=["table", "bucket"])
+            .dropDuplicates(["train_id", "eval_id"])
+        )
+    else:
+        raise ValueError("method must be 'brute' or 'lsh'")
+    return (
+        scored.withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("t_emb"), F.col("e_emb"))
+                / (F.col("t_norm") * F.col("e_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
 def ivf_index_add(
     spark,
     path: str,

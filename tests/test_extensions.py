@@ -549,3 +549,40 @@ def test_ivf_index_add_equals_full_rebuild_search(spark, tmp_path):
     cells = spark.read.parquet(p_add + "/cells")
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_semantic_decontaminate_brute_and_lsh(spark):
+    """A planted paraphrase (same direction, different norm) must be
+    flagged; orthogonal vectors must not.  Degenerate 0-plane LSH ==
+    brute (the established exhaustive-mode equivalence)."""
+    from networkframe_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # same direction as eval 100
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [0.9, 0.1, 0.0]),   # close to eval 100
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["cosine"]
+        for r in semantic_decontaminate(train, ev, threshold=0.9).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (3, 100) in got and got[(3, 100)] > 0.9
+    assert (2, 100) not in got
+    brute = sorted(map(tuple, semantic_decontaminate(
+        train, ev, threshold=0.5).collect()))
+    lsh = sorted(map(tuple, semantic_decontaminate(
+        train, ev, threshold=0.5, method="lsh", n_planes=0, n_tables=1
+    ).collect()))
+    assert brute == lsh
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        semantic_decontaminate(train, ev, method="nope")
