@@ -2352,6 +2352,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall_cell_pruned"] = q_ann_recall
 
+    # LSH under REAL pruning with measured evidence: 2 tables x 4
+    # Rademacher hyperplanes over the 500-vector sf0.01 corpus means
+    # ~16 buckets/table (~60 candidates/query, ~88% of the corpus
+    # genuinely skipped), and the report records the recall@5 price
+    # against brute-force truth.  The planes are deterministic
+    # (md5-seeded +-1), so the oracle inlines them as SQL literals and
+    # replays the banding exactly — the same trick the cell-pruned
+    # oracle uses for its first-8-ids seeds.
+    def q_lsh_recall(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            ann_recall_report,
+            lsh_top_k,
+        )
+
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        approx = lsh_top_k(emb, qs, k=5, n_planes=4, n_tables=2)
+        return ann_recall_report(emb, qs, approx, k=5)
+
+    q["lsh_recall_report"] = q_lsh_recall
+
     # leakage-safe temporal split: 4/5 time-range cutoff + 1h embargo
     def q_time_split(spark, sf):
         from networkframe_spark.functions.pipeline import time_split
@@ -2435,28 +2456,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_components (1-row, driver-hashed in all 7 prior rounds)
         # cedes its core slot to the round-8 flagship graph op
         "louvain_communities",
-        # round-8 rotation: the round-5/6 block above was driver-hashed
-        # in r7 (CORRECTNESS_r07.json) and drops back to replay-only;
-        # this block pulls in 25 never-driver-hashed ops, prioritizing
-        # (a) ops whose semantics CHANGED this round (asof/range micro-
-        # second precision, winsorize null-safe groups, MIS symmetrize,
-        # negative-edge bigint ranks) and (b) the round-7 stats /
-        # retrieval / graph families that only have replay evidence.
-        "asof_join", "range_join",  # kept from r7: semantics changed r8
-        "winsorize", "asof_join_forward", "asof_join_nearest",
-        "sample_negative_edges", "maximal_independent_set",
-        "chi2_independence", "ks_test_2samp", "psi_drift",
-        "mann_whitney_u", "bootstrap_ci_mean", "mmr_rerank",
-        "retrieval_metrics", "rrf_fusion", "topological_levels",
-        "anomaly_zscore", "dup_ngram_fraction", "pagerank_personalized",
-        # round-8 additions land directly in the window (the three
-        # already-driver-hashed graph ops they displace —
-        # link_prediction, local_clustering, k_core — drop back to
-        # replay-only evidence)
-        "modularity_refine", "stream_neardup_twin",
-        "pagerank_personalized_batch",
-        "train_quality_classifier", "ann_recall_cell_pruned",
-        "time_split",
+        # round-9 rotation: the round-8 block (asof/range/winsorize/
+        # stats/retrieval/classifier) went driver-hash-green in
+        # CORRECTNESS_r08.json and drops back to replay-only.  This
+        # block pulls in 24 never-driver-hashed ops — the round-8
+        # additions first (newest code = highest mismatch risk), then
+        # the oldest never-sampled core families — plus
+        # dup_ngram_fraction, kept in-window to prove the r8 driver-red
+        # (oracle HUGEINT dtype, fixed with CAST AS BIGINT) goes green.
+        "dup_ngram_fraction",
+        "semantic_decontaminate", "ivf_index_add_search",
+        "classification_report", "calibration_bins",
+        "rolling_origin_splits", "louvain_weighted",
+        "bm25_search", "hop_distances", "k_core", "link_prediction",
+        "label_propagation", "semantic_dedup", "dedup_corpus",
+        "pagerank_weighted", "knn_graph", "pairwise_corr",
+        "bpe_train", "unigram_logprob", "dedup_chunks", "dedup_lines",
+        "containment_dedup", "cap_per_group", "inter_event_stats",
+        "kfold_split",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -4074,7 +4091,7 @@ agg AS (
          SUM(CASE WHEN dfreq.df >= 2 THEN tf.c ELSE 0 END) AS dup
   FROM tf JOIN dfreq USING (gram) GROUP BY tf.doc_id
 )
-SELECT d.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+SELECT d.doc_id, CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
        round(agg.dup / agg.n_grams, 6) AS dup_frac
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
@@ -7283,6 +7300,78 @@ approx AS (
              c.vec_id ASC) AS rk
     FROM probes p JOIN casg c ON c.cell = p.cell
     WHERE c.vec_id <> p.query_id
+  ) WHERE rk <= 5
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 5
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM truth t JOIN approx a USING (query_id, vec_id)
+  GROUP BY 1
+),
+perq AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # LSH recall report: replay the 2-table x 4-plane banding with
+    # the SAME deterministic md5-seeded Rademacher planes inlined as
+    # +-1.0 literal arrays (signature_col computes dot(signs, emb)
+    # left-to-right exactly like list_dot_product), bucket = sum of
+    # (1<<j) sign bits, candidates = same-bucket pairs in any table,
+    # then cosine top-5 and recall vs the brute-force truth.
+    from networkframe_spark.functions.similarity import _hyperplane_signs
+
+    def _plane_lit(row):
+        return "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+
+    def _bucket_expr(planes):
+        return " + ".join(
+            f"CASE WHEN list_dot_product(emb, {_plane_lit(row)}) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+            for j, row in enumerate(planes)
+        )
+
+    _lsh_tables = [
+        _hyperplane_signs(4, 64, seed=42 + 1000 * t) for t in range(2)
+    ]
+    _banded_cte = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS tbl, {_bucket_expr(planes)} AS bucket"
+        " FROM e"
+        for t, planes in enumerate(_lsh_tables)
+    )
+    o["lsh_recall_report"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cb AS ({_banded_cte}),
+qb AS (SELECT * FROM cb WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE c.vec_id <> q.vec_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT cand.query_id, cand.vec_id,
+           row_number() OVER (PARTITION BY cand.query_id ORDER BY
+             round(list_dot_product(qe.emb, ce.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb))
+                  * sqrt(list_dot_product(ce.emb, ce.emb))), 6) DESC,
+             cand.vec_id ASC) AS rk
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.vec_id
   ) WHERE rk <= 5
 ),
 truth AS (

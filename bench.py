@@ -162,23 +162,16 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-    spark = get_spark("bench")
-    qs = entry_mod.queries()
+def run_set(spark, qs, names, sf_dir, reps: int = 3) -> dict[str, float]:
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         best = None
-        # best-of-3: the fixture host shows multi-second interference
+        # best-of-N: the fixture host shows multi-second interference
         # spikes that can span two consecutive attempts (r5's condense_sum
         # read 3.66s in-suite but 1.7s solo); min-of-N is standard
         # micro-benchmark methodology and 3 samples shed 2-sample spikes
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -187,14 +180,45 @@ def main() -> None:
             spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    qs = entry_mod.queries()
+
+    # Phase 1 — the round-over-round comparable: common-18 in a FRESH
+    # session with nothing else run before it.  By round 8 the full
+    # suite had grown to 117 queries in one shared SparkContext and
+    # session interference (JIT/code-cache churn, GC pressure,
+    # accumulated broadcast cleanup) inflated the in-suite common-18
+    # +23% with zero real regressions (VERDICT r8).  The isolated run
+    # is directly comparable to the solo numbers in SCALE.md.
+    spark = get_spark("bench_common18")
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    c18_timings = run_set(spark, qs, COMMON18, sf_dir)
+    spark.stop()
+    common18 = round(sum(c18_timings.values()), 3)
+
+    # Phase 2 — the full headline suite in its own session.
+    spark = get_spark("bench")
+    # warm the new context's parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    timings = run_set(spark, qs, HEADLINE, sf_dir)
     total = round(sum(timings.values()), 3)
-    common18 = round(sum(timings[n] for n in COMMON18 if n in timings), 3)
+    common18_in_suite = round(
+        sum(timings[n] for n in COMMON18 if n in timings), 3
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "common18_total": common18,
+        "common18_isolated_queries": c18_timings,
+        "common18_in_suite": common18_in_suite,
         "sf": sf,
     }
     # the full per-query map outgrew the driver's tail capture in r6
@@ -219,6 +243,7 @@ def main() -> None:
                 "queries": worst5,
                 "n_queries": len(timings),
                 "common18_total": common18,
+                "common18_in_suite": common18_in_suite,
                 "sf": sf,
                 "full_artifact": "BENCH_LOCAL.json",
             }

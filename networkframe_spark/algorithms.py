@@ -2611,11 +2611,24 @@ def betweenness_approx(
     ]
     prev_ids, prev2_ids = levels[0].select("seed", "id"), None
     visited = prev_ids
+    # the frontier's out-edge expansion (level ⋈ edges) is needed
+    # TWICE — forward round lvl+1 sums sigma over it, backward round
+    # lvl distributes dependencies over the very same rows — so
+    # checkpoint each expansion once and reuse it, saving one
+    # edge-table join + its frontier shuffle per backward round
+    # (storage is frontier-incident-edge-sized, the same rows the
+    # forward shuffle already moves)
+    expansions: list[DataFrame] = []
     for lvl in range(1, max_hops + 1):
-        agg = (
+        exp = (
             levels[-1]
             .join(e.withColumnRenamed("source", "id"), on="id")
-            .select("seed", F.col("target").alias("id"), "sigma")
+            .select("seed", "id", "sigma", F.col("target").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        expansions.append(exp)
+        agg = (
+            exp.select("seed", F.col("w").alias("id"), "sigma")
             .groupBy("seed", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
@@ -2653,9 +2666,7 @@ def betweenness_approx(
             )
         )
         terms = (
-            levels[lvl]
-            .join(e.withColumnRenamed("source", "id"), on="id")
-            .select("seed", "id", "sigma", F.col("target").alias("w"))
+            expansions[lvl]  # reused forward expansion of levels[lvl]
             .join(sig_w, on=["seed", "w"])
             .select(
                 "seed",
@@ -2996,6 +3007,12 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     """
     cp = df.localCheckpoint(eager=True)
     spark = df.sparkSession
+    if not hasattr(cp, "_jdf") or not hasattr(spark, "_jsparkSession"):
+        # Spark Connect: no JVM handles.  Fall back to the plain
+        # checkpoint — iteration still converges, only the stats-growth
+        # mitigation is lost (acceptable: Connect plans are re-analyzed
+        # server-side and the blowup is a classic-session artifact).
+        return cp
     jdf = cp._jdf
     jnew = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
     return DataFrame(jnew, spark)

@@ -704,6 +704,7 @@ def ivf_index_add(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dedupe: bool = True,
 ) -> None:
     """Incremental IVF index maintenance: assign ``new_vectors`` to
     the index's STORED centroids and append them to the partitioned
@@ -718,9 +719,17 @@ def ivf_index_add(
 
     Scale: one broadcast-centroid Arrow argmax pass over the new
     batch + an append of only the new files into the partition
-    directories — nothing existing is rewritten or read.  Appends are
-    NOT replay-idempotent (a retried batch double-inserts); dedupe
-    upstream by id or rebuild periodically.
+    directories — nothing existing is rewritten.
+
+    Durability under at-least-once retries: with ``dedupe=True``
+    (default) the batch is anti-joined against the ids ALREADY in the
+    cells it would land in, so a replayed/retried add is a no-op —
+    the same convergence contract as ``stream_upsert_parquet``.  The
+    anti-join scan is partition-pruned to only the touched ``list_id``
+    directories and reads only the ``vec_id`` column, so its cost
+    scales with the cells the batch touches, not the index.  Pass
+    ``dedupe=False`` only when the caller guarantees ids are fresh
+    (saves the pruned scan).
     """
     import json as _json
     import os as _os
@@ -739,9 +748,26 @@ def ivf_index_add(
         centroids,
         emb_col="c_emb",
     )
-    cells.write.mode("append").partitionBy("list_id").parquet(
-        _os.path.join(path, "cells")
-    )
+    cells_path = _os.path.join(path, "cells")
+    if dedupe:
+        # Partition-pruned retry guard: list the cells this batch
+        # touches (bounded by n_cells — a small manifest collect),
+        # scan ONLY those partition dirs' vec_id column, and drop
+        # already-present ids.  A full replay of a committed batch
+        # appends zero rows.
+        touched = [
+            r["list_id"]
+            for r in cells.select("list_id").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("list_id").isin(touched))
+            .select("vec_id")
+        )
+        cells = cells.join(existing, on="vec_id", how="left_anti")
+        # materialize before writing into the directory the plan reads
+        cells = cells.localCheckpoint(eager=True)
+    cells.write.mode("append").partitionBy("list_id").parquet(cells_path)
 
 
 def ivf_index_search(

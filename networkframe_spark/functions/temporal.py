@@ -55,7 +55,7 @@ def asof_join(
     on: str,
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
     suffix: str = "_right",
     direction: str = "backward",
 ) -> DataFrame:
@@ -151,7 +151,10 @@ def asof_join(
         m = F.col(f"__{tag}_ts").isNotNull()
         if tolerance_seconds is not None:
             dt = _epoch_us(ts_col) - _epoch_us(f"__{tag}_ts")
-            m = m & (F.abs(dt) <= F.lit(int(tolerance_seconds) * 1_000_000))
+            # multiply BEFORE int(): comparisons run at microsecond
+            # precision, so fractional tolerances (0.5 s -> 500_000 us)
+            # must survive the conversion
+            m = m & (F.abs(dt) <= F.lit(int(tolerance_seconds * 1_000_000)))
         return m
 
     if direction in ("backward", "forward"):
@@ -189,7 +192,7 @@ def range_join(
     right: DataFrame,
     on: str,
     ts_col: str = "ts",
-    window_seconds: int = 300,
+    window_seconds: float = 300,
     suffix: str = "_right",
 ) -> DataFrame:
     """Pairs (left, right) sharing ``on`` with
@@ -204,7 +207,7 @@ def range_join(
     lt = _epoch_us(ts_col)
     rt = _epoch_us(f"{ts_col}{suffix}")
     return left.join(r, on=on).filter(
-        (rt >= lt) & (rt - lt <= F.lit(int(window_seconds) * 1_000_000))
+        (rt >= lt) & (rt - lt <= F.lit(int(window_seconds * 1_000_000)))
     )
 
 

@@ -630,7 +630,11 @@ def stream_neardup_parquet(
     after a crash is absorbed by ``neardup_increment``'s two
     anti-joins (redelivered ids and rediscovered pairs no-op), so the
     tables converge to exactly-once content under foreachBatch's
-    at-least-once contract.
+    at-least-once contract — provided the per-batch writes complete
+    through the final (docs) table.  Parquet overwrite is not atomic;
+    the fold writes bands and pairs BEFORE docs so that a crash
+    mid-batch leaves the batch fully replayable (docs absent => the
+    anti-join does not absorb it) rather than silently half-absorbed.
 
     Scale note: each micro-batch rewrites the three tables (read +
     fold + eager-checkpoint + overwrite).  The rewrite is the price of
@@ -679,8 +683,21 @@ def stream_neardup_parquet(
             "bands": bands2.localCheckpoint(eager=True),
             "pairs": pairs2.localCheckpoint(eager=True),
         }
-        for k, df_ in out.items():
-            df_.write.mode("overwrite").parquet(paths[k])
+        # Write order matters for crash recovery: docs LAST.  The
+        # doc-id anti-join in neardup_increment absorbs a replayed
+        # micro-batch entirely once its ids are in the docs table — so
+        # if docs were written first and the job died before bands,
+        # the replay would skip band computation for those documents
+        # forever (silently lost near-dup pairs).  Writing bands and
+        # pairs first is safe the other way around: a replay after a
+        # partial write recomputes and re-overwrites them, and any
+        # duplicate band rows from the torn state are harmless
+        # (candidates are distinct()-ed, pairs anti-joined).  Parquet
+        # overwrite is not atomic, so this ordering narrows — not
+        # closes — the window; state converges under at-least-once
+        # replay provided the docs write is the last to complete.
+        for k in ("bands", "pairs", "docs"):
+            out[k].write.mode("overwrite").parquet(paths[k])
 
     return (
         docs.writeStream.foreachBatch(_fold)

@@ -970,3 +970,77 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out + "/pairs").collect()
     }
     assert again == want
+
+
+def test_asof_join_fractional_tolerance(spark):
+    """Sub-second tolerances are honored at microsecond precision
+    (a 0.5 s tolerance must not truncate to 0)."""
+    import datetime as dt
+
+    from networkframe_spark.functions.temporal import asof_join
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(milliseconds=400), "near"),
+         (2, base + dt.timedelta(milliseconds=600), "far")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base, 1.0), (2, base, 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: r["value_right"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["value"],
+            tolerance_seconds=0.5,
+        ).collect()
+    }
+    assert out["near"] == 1.0  # 400 ms <= 500 ms tolerance
+    assert out["far"] is None  # 600 ms > 500 ms tolerance
+
+
+def test_ivf_index_add_retry_idempotent(spark, tmp_path):
+    """Restart semantics for incremental index maintenance: an add
+    replayed after a (simulated) crash converges — re-appending the
+    same batch inserts zero rows and search results are unchanged,
+    the same at-least-once contract stream_upsert_parquet proves for
+    its table."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 3 = 0")
+    delta = emb.filter("vec_id % 3 = 1")
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_lists=4, n_iter=1, mode="overwrite")
+
+    ivf_index_add(spark, path, delta)
+    n_after_first = spark.read.parquet(path + "/cells").count()
+    assert n_after_first == base.count() + delta.count()
+    qs = emb.filter("vec_id < 5")
+    first = sorted(
+        map(tuple, ivf_index_search(spark, path, qs, k=4, n_probe=4).collect())
+    )
+
+    # full retry of the committed batch: a no-op
+    ivf_index_add(spark, path, delta)
+    assert spark.read.parquet(path + "/cells").count() == n_after_first
+    again = sorted(
+        map(tuple, ivf_index_search(spark, path, qs, k=4, n_probe=4).collect())
+    )
+    assert again == first
+
+    # partial-commit retry: half the batch already present (as if the
+    # append died between partition directories) — the replay tops the
+    # index up to exactly-once content
+    delta2 = emb.filter("vec_id % 3 = 2")
+    half = delta2.filter("vec_id % 2 = 0")
+    ivf_index_add(spark, path, half)
+    ivf_index_add(spark, path, delta2)  # replay of the "full" batch
+    cells = spark.read.parquet(path + "/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()

@@ -43,6 +43,20 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value hash is dtype-sensitive: an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB SUM(BIGINT)
+        # -> HUGEINT -> float64) hashes differently even when every
+        # value is numerically identical.  Flag the int-vs-float
+        # boundary instead of silently casting it away.
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        int_kinds, float_kinds = {"i", "u", "b"}, {"f"}
+        if (ak in int_kinds and bk in float_kinds) or (
+            ak in float_kinds and bk in int_kinds
+        ):
+            problems.append(
+                f"col {c}: dtype mismatch spark={av.dtype} vs oracle={bv.dtype}"
+                " (int-vs-float — driver hash would reject; cast the oracle)"
+            )
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 af = av.astype(float)
