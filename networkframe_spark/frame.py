@@ -871,6 +871,22 @@ class NetworkFrame:
             self, n_levels=n_levels, n_rounds=n_rounds, weight_col=weight_col
         )
 
+    def leiden_communities(
+        self,
+        n_levels: int = 2,
+        n_rounds: int = 2,
+        weight_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Leiden community detection (connectivity-guarantee form):
+        Louvain phases with a connected-component refinement after
+        each, so every output community induces a connected subgraph;
+        see :func:`networkframe_spark.algorithms.leiden_communities`."""
+        from .algorithms import leiden_communities
+
+        return leiden_communities(
+            self, n_levels=n_levels, n_rounds=n_rounds, weight_col=weight_col
+        )
+
     def link_prediction(
         self, min_common: int = 2, max_hub_degree: Optional[int] = None
     ) -> DataFrame:

@@ -1379,3 +1379,105 @@ def test_louvain_weighted_weights_steer_merges(spark):
     assert wgt[0] == wgt[1] == wgt[2]
     assert wgt[3] == wgt[4] == wgt[5]
     assert wgt[0] != wgt[3]
+
+
+def _bridge_gadget_frame(spark, bases=(0, 10)):
+    """Per base b: nodes b..b+3, edges (b,b+1),(b+1,b+2),(b+1,b+3) —
+    the textbook Louvain-defect gadget: in round 1 nodes b+2 and b+3
+    join b+1's community while b+1 itself leaves for b, stranding
+    {b+2, b+3} as a community with no internal edge."""
+    from networkframe_spark import NetworkFrame
+    import pyspark.sql.functions as F
+
+    nodes = spark.createDataFrame(
+        [(b + i,) for b in bases for i in range(4)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [
+            (b + s, b + t)
+            for b in bases
+            for s, t in ((0, 1), (1, 2), (1, 3))
+        ],
+        "source long, target long",
+    )
+    return NetworkFrame(nodes, edges)
+
+
+def _partition_sets(labels_df):
+    groups = {}
+    for r in labels_df.collect():
+        groups.setdefault(r["community"], set()).add(r["id"])
+    return groups
+
+
+def _is_connected(members, edge_set):
+    if len(members) <= 1:
+        return True
+    members = set(members)
+    seen = {min(members)}
+    frontier = set(seen)
+    while frontier:
+        nxt = {
+            b
+            for a in frontier
+            for (x, y) in edge_set
+            for b in ((y,) if x == a else (x,) if y == a else ())
+            if b in members and b not in seen
+        }
+        seen |= nxt
+        frontier = nxt
+    return seen == members
+
+
+def test_louvain_defect_and_leiden_connectivity(spark):
+    """Plain Louvain strands {b+2, b+3} as an edgeless community on
+    the bridge gadget (the documented defect); Leiden's refinement
+    splits it, so every Leiden community induces a connected
+    subgraph, and Q never drops."""
+    import pyspark.sql.functions as F
+    from networkframe_spark.algorithms import community_quality
+
+    nf = _bridge_gadget_frame(spark)
+    edge_set = {(r["source"], r["target"]) for r in nf.edges.collect()}
+
+    louv = _partition_sets(nf.louvain_communities(n_levels=1, n_rounds=1))
+    assert {2, 3} in louv.values()  # the defect is real on this graph
+    assert not _is_connected({2, 3}, edge_set)
+
+    leid = _partition_sets(nf.leiden_communities(n_levels=1, n_rounds=1))
+    for members in leid.values():
+        assert _is_connected(members, edge_set)
+
+    def modularity(labels):
+        rep = community_quality(nf, labels, label_col="community")
+        return rep.agg(F.sum("modularity_part")).collect()[0][0]
+
+    q_louv = modularity(nf.louvain_communities(n_levels=1, n_rounds=1))
+    q_leid = modularity(nf.leiden_communities(n_levels=1, n_rounds=1))
+    assert q_leid >= q_louv - 1e-12  # splitting disconnected never hurts
+
+
+def test_leiden_two_levels_merges_gadgets_connected(spark):
+    """Level 2 re-merges the refined singletons with their gadget —
+    the final partition is one connected community per gadget."""
+    nf = _bridge_gadget_frame(spark)
+    leid = _partition_sets(nf.leiden_communities(n_levels=2, n_rounds=1))
+    assert sorted(map(frozenset, leid.values()), key=min) == [
+        frozenset({0, 1, 2, 3}),
+        frozenset({10, 11, 12, 13}),
+    ]
+
+
+def test_leiden_matches_louvain_on_connected_communities(spark):
+    """On the planted-clique graph every Louvain community is already
+    connected, so refinement must be a partition no-op: Leiden and
+    Louvain find the same PARTITION (Leiden canonicalizes each label
+    to the min member id, so labels may differ)."""
+    nf = _three_clique_frame(spark)
+    a = _partition_sets(nf.louvain_communities(n_levels=2, n_rounds=2))
+    b = _partition_sets(nf.leiden_communities(n_levels=2, n_rounds=2))
+    assert sorted(map(frozenset, a.values()), key=min) == sorted(
+        map(frozenset, b.values()), key=min
+    )
+    # Leiden labels are canonical min-member ids
+    assert all(k == min(v) for k, v in b.items())
