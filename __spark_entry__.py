@@ -3429,7 +3429,7 @@ sess AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        max(ts_s) - min(ts_s) AS duration_s,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
@@ -3738,7 +3738,7 @@ cum AS (
            - n_tokens AS start_offset
   FROM d
 )
-SELECT doc_id, n_tokens, start_offset,
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        floor(start_offset / 2048)::BIGINT AS shard_id
 FROM cum
 """
@@ -3804,7 +3804,7 @@ SELECT
   (SELECT count(*) FROM nodes) AS n_nodes,
   (SELECT count(*) FROM edges) AS n_edges,
   (SELECT count(*) FROM (SELECT DISTINCT source, target FROM edges)) AS n_distinct_pairs,
-  (SELECT coalesce(sum(CASE WHEN source = target THEN 1 ELSE 0 END), 0) FROM edges) AS n_self_loops,
+  (SELECT CAST(coalesce(sum(CASE WHEN source = target THEN 1 ELSE 0 END), 0) AS BIGINT) FROM edges) AS n_self_loops,
   (SELECT coalesce(max(d), 0) FROM (SELECT count(*) AS d FROM edges GROUP BY source)) AS max_out_degree,
   (SELECT coalesce(max(d), 0) FROM (SELECT count(*) AS d FROM edges GROUP BY target)) AS max_in_degree,
   (SELECT count(*) FROM nodes n
@@ -4341,7 +4341,8 @@ SELECT n.doc_id,
          string_agg(CASE WHEN b.norm IS NULL THEN n.line END, ' '
                     ORDER BY n.pos), '') AS text,
        count(*) AS n_lines,
-       sum(CASE WHEN b.norm IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+       CAST(sum(CASE WHEN b.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
 FROM normed n LEFT JOIN boiler b ON n.norm = b.norm
 GROUP BY n.doc_id
 """
@@ -4795,7 +4796,8 @@ agg AS (
          round(sum(c * lp) / sum(c), 6) AS logprob
   FROM lp GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, agg.logprob
+SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       agg.logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
@@ -4925,7 +4927,7 @@ FROM nd, d
         )
     _bpe_union = "\nUNION ALL\n".join(
         f'SELECT {_r} AS merge_rank, l AS "left", r AS "right", '
-        f"c AS pair_count FROM best{_r}"
+        f"CAST(c AS BIGINT) AS pair_count FROM best{_r}"
         for _r in range(1, _bpe_rounds + 1)
     )
     o["bpe_train"] = "WITH " + ",\n".join(_bpe) + "\n" + _bpe_union
@@ -4948,8 +4950,8 @@ enc AS (
   FROM dwf JOIN sym{_bpe_rounds + 1} s9 ON s9.word = dwf.word
   GROUP BY dwf.doc_id)
 SELECT d.doc_id,
-       coalesce(enc.n_chars_in_words, 0) AS n_chars_in_words,
-       coalesce(enc.n_bpe_tokens, 0) AS n_bpe_tokens,
+       CAST(coalesce(enc.n_chars_in_words, 0) AS BIGINT) AS n_chars_in_words,
+       CAST(coalesce(enc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
        CASE WHEN enc.n_bpe_tokens > 0
             THEN round(CAST(enc.n_chars_in_words AS DOUBLE)
                        / enc.n_bpe_tokens, 6) END AS compression
@@ -5397,7 +5399,7 @@ sums AS (
   FROM (SELECT * FROM bterms UNION ALL SELECT * FROM fterms)
   GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens,
+SELECT d.doc_id, CAST(coalesce(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(sums.lpsum / nt.n_tokens, 6) AS logprob
 FROM documents d
 LEFT JOIN nt ON d.doc_id = nt.doc_id
