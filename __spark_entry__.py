@@ -1603,6 +1603,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_weighted"] = q_louvain_weighted
 
+    # Leiden on a "stranded-leaves" gadget graph built to EXERCISE the
+    # refinement step (not just re-run Louvain): per gadget of four
+    # ids 4g..4g+3 (doc_id < 400 -> 100 gadgets), hub 4g+1 has a
+    # strong edge (w=10) to 4g and weak edges (w=1) to 4g+2 / 4g+3.
+    # The simultaneous local-move phase sends the hub to 4g's
+    # community while both leaves chase the hub's OLD label, leaving
+    # community {4g+2, 4g+3} with no internal edge — the exact
+    # Louvain defect from Traag et al. 2019.  Refinement splits it
+    # into singletons before aggregation; level 2 then merges the
+    # whole gadget through the hub supernode.  doc_id >= 400 stay
+    # isolated singletons.  Oracle unrolls both levels including the
+    # per-level recursive-CTE connected-component refinement.
+    def q_leiden(spark, sf):
+        docs = read_table(spark, sf, "documents")
+        ids = docs.select(F.col("doc_id").alias("id"))
+        hubs = ids.filter("id < 400 AND id % 4 = 1").select(
+            F.col("id").alias("h")
+        )
+        pairs = (
+            hubs.select(
+                F.col("h").alias("source"),
+                (F.col("h") - 1).alias("target"),
+                F.lit(10).alias("weight"),
+            )
+            .unionByName(
+                hubs.select(
+                    F.col("h").alias("source"),
+                    (F.col("h") + 1).alias("target"),
+                    F.lit(1).alias("weight"),
+                )
+            )
+            .unionByName(
+                hubs.select(
+                    F.col("h").alias("source"),
+                    (F.col("h") + 2).alias("target"),
+                    F.lit(1).alias("weight"),
+                )
+            )
+        )
+        return NetworkFrame(ids, pairs).leiden_communities(
+            n_levels=2, n_rounds=1, weight_col="weight"
+        )
+
+    q["leiden_communities"] = q_leiden
+
     def q_label_propagation_weighted(spark, sf):
         # weighted voting over the customer-supplier multigraph:
         # parallel order edges accumulate into exact decimal vote sums
@@ -2456,24 +2501,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_components (1-row, driver-hashed in all 7 prior rounds)
         # cedes its core slot to the round-8 flagship graph op
         "louvain_communities",
-        # round-9 rotation: the round-8 block (asof/range/winsorize/
-        # stats/retrieval/classifier) went driver-hash-green in
-        # CORRECTNESS_r08.json and drops back to replay-only.  This
-        # block pulls in 24 never-driver-hashed ops — the round-8
-        # additions first (newest code = highest mismatch risk), then
-        # the oldest never-sampled core families — plus
-        # dup_ngram_fraction, kept in-window to prove the r8 driver-red
-        # (oracle HUGEINT dtype, fixed with CAST AS BIGINT) goes green.
-        "dup_ngram_fraction",
-        "semantic_decontaminate", "ivf_index_add_search",
-        "classification_report", "calibration_bins",
-        "rolling_origin_splits", "louvain_weighted",
-        "bm25_search", "hop_distances", "k_core", "link_prediction",
-        "label_propagation", "semantic_dedup", "dedup_corpus",
-        "pagerank_weighted", "knn_graph", "pairwise_corr",
-        "bpe_train", "unigram_logprob", "dedup_chunks", "dedup_lines",
-        "containment_dedup", "cap_per_group", "inter_event_stats",
-        "kfold_split",
+        # round-11 rotation: the round-9/10 block (bpe_train,
+        # unigram_logprob, dedup_*, semantic_*, ivf, classifier,
+        # retrieval, graph-ML anchors) is driver-hash-green in
+        # CORRECTNESS_r10.json and drops back to replay-only.  This
+        # block burns down the never-driver-hashed backlog (70 ops as
+        # of r10): leiden_communities first (registered this round,
+        # newest code), then the six ops whose oracles got the r10
+        # BIGINT casts but were never driver-sampled green (sessionize
+        # was sampled once in r1 and was RED then — back in to prove
+        # the fix under the driver's own hash), then lsh_recall_report
+        # (newest pre-r11 registration, never sampled), then the rest
+        # oldest-family-first.
+        "leiden_communities",
+        "sessionize", "pack_sequences", "graph_describe",
+        "perplexity_buckets", "bigram_logprob", "bpe_encode",
+        "lsh_recall_report", "mine_hard_negatives",
+        "quantize_embeddings", "merge_incremental", "approx_diameter",
+        "ngram_decontaminate", "local_clustering", "funnel",
+        "embedding_drift", "graph_metrics", "user_sequences",
+        "event_dedup", "global_shuffle", "split_by_cluster",
+        "chunk_documents", "pii_redact", "value_percentiles",
+        "top_k_per_group",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -4738,6 +4787,202 @@ FROM a1 JOIN a2 ON a1.community = a2.id
     o["louvain_weighted"] = _louvain_oracle(
         "CAST(((a.doc_id + b.doc_id) % 5 + 1) * 1000000 AS HUGEINT)"
     )
+
+    # Leiden on the stranded-leaves gadget graph: the Louvain
+    # two-level unroll (same phase CTE shapes as _louvain_oracle)
+    # with a connected-component REFINEMENT after each phase —
+    # intra-community edges only, min-member-id labels via a
+    # recursive reachability CTE (UNION dedup terminates it; min
+    # over reachable ids = component min because sym is
+    # symmetric).  Weights are pre-scaled by 1e6 exactly as
+    # leiden_communities(weight_col=...) quantizes.
+    o["leiden_communities"] = """
+WITH RECURSIVE
+hubs AS MATERIALIZED (
+  SELECT doc_id AS h FROM documents WHERE doc_id < 400 AND doc_id % 4 = 1
+),
+eg AS MATERIALIZED (
+  SELECT h AS u, h - 1 AS v, CAST(10000000 AS HUGEINT) AS w FROM hubs
+  UNION ALL SELECT h, h + 1, CAST(1000000 AS HUGEINT) FROM hubs
+  UNION ALL SELECT h, h + 2, CAST(1000000 AS HUGEINT) FROM hubs
+),
+sym AS MATERIALIZED (SELECT u AS source, v AS target, w FROM eg
+       UNION SELECT v, u, w FROM eg),
+m2 AS MATERIALIZED (SELECT sum(w) AS m2 FROM sym),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS community FROM documents),
+deg AS MATERIALIZED (SELECT source AS id, sum(w) AS deg FROM sym GROUP BY 1),
+vol0 AS MATERIALIZED (
+  SELECT l0.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l0 LEFT JOIN deg ON l0.id = deg.id GROUP BY 1
+),
+kvc AS MATERIALIZED (
+  SELECT s.target AS id, l0.community AS nc, sum(s.w) AS k
+  FROM sym s JOIN l0 ON s.source = l0.id GROUP BY 1, 2
+),
+base AS MATERIALIZED (
+  SELECT l0.id, l0.community, coalesce(deg.deg, 0) AS deg,
+         coalesce(ka.k, 0) AS ka, va.vol AS vola
+  FROM l0
+  LEFT JOIN deg ON l0.id = deg.id
+  LEFT JOIN kvc ka ON ka.id = l0.id AND ka.nc = l0.community
+  JOIN vol0 va ON va.community = l0.community
+),
+cand AS MATERIALIZED (
+  SELECT b.id, k.nc,
+         CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
+           - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
+  FROM base b
+  JOIN kvc k ON k.id = b.id AND k.nc < b.community
+  JOIN vol0 vb ON vb.community = k.nc
+  CROSS JOIN m2
+),
+moves AS MATERIALIZED (
+  SELECT id, nc FROM (
+    SELECT id, nc, row_number()
+      OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand WHERE gain > 0
+  ) WHERE rn = 1
+),
+l1 AS MATERIALIZED (
+  SELECT l0.id, coalesce(m.nc, l0.community) AS community
+  FROM l0 LEFT JOIN moves m ON l0.id = m.id
+),
+int0 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM sym s
+  JOIN l0 a ON s.source = a.id JOIN l0 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q0 AS MATERIALIZED (
+  SELECT CAST(m2.m2 AS HUGEINT) * int0.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol0)
+         AS q
+  FROM m2, int0
+),
+vol1 AS MATERIALIZED (
+  SELECT l1.community, coalesce(sum(deg.deg), 0) AS vol
+  FROM l1 LEFT JOIN deg ON l1.id = deg.id GROUP BY 1
+),
+int1 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM sym s
+  JOIN l1 a ON s.source = a.id JOIN l1 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q1 AS MATERIALIZED (
+  SELECT CAST(m2.m2 AS HUGEINT) * int1.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol1)
+         AS q
+  FROM m2, int1
+),
+a1 AS MATERIALIZED (
+  SELECT l1.id,
+         CASE WHEN q1.q >= q0.q THEN l1.community ELSE l0.community END
+           AS community
+  FROM l1 JOIN l0 ON l1.id = l0.id CROSS JOIN q0 CROSS JOIN q1
+),
+intra1 AS MATERIALIZED (
+  SELECT s.source, s.target FROM sym s
+  JOIN a1 x ON s.source = x.id JOIN a1 y ON s.target = y.id
+  WHERE x.community = y.community AND s.source <> s.target
+),
+reach1(id, lbl) AS (
+  SELECT id, id FROM a1
+  UNION
+  SELECT i.target, r.lbl FROM reach1 r JOIN intra1 i ON i.source = r.id
+),
+r1 AS MATERIALIZED (SELECT id, min(lbl) AS community FROM reach1 GROUP BY id),
+w2 AS MATERIALIZED (
+  SELECT a.community AS source, b.community AS target,
+         CAST(sum(s.w) AS HUGEINT) AS w
+  FROM sym s
+  JOIN r1 a ON s.source = a.id JOIN r1 b ON s.target = b.id
+  GROUP BY 1, 2
+),
+n2 AS MATERIALIZED (SELECT DISTINCT community AS id FROM r1),
+l20 AS MATERIALIZED (SELECT id, id AS community FROM n2),
+deg2 AS MATERIALIZED (SELECT source AS id, sum(w) AS deg FROM w2 GROUP BY 1),
+cross2 AS MATERIALIZED (SELECT source, target, w FROM w2 WHERE source <> target),
+vol20 AS MATERIALIZED (
+  SELECT l20.community, coalesce(sum(deg2.deg), 0) AS vol
+  FROM l20 LEFT JOIN deg2 ON l20.id = deg2.id GROUP BY 1
+),
+kvc2 AS MATERIALIZED (
+  SELECT s.target AS id, l20.community AS nc, sum(s.w) AS k
+  FROM cross2 s JOIN l20 ON s.source = l20.id GROUP BY 1, 2
+),
+base2 AS MATERIALIZED (
+  SELECT l20.id, l20.community, coalesce(deg2.deg, 0) AS deg,
+         coalesce(ka.k, 0) AS ka, va.vol AS vola
+  FROM l20
+  LEFT JOIN deg2 ON l20.id = deg2.id
+  LEFT JOIN kvc2 ka ON ka.id = l20.id AND ka.nc = l20.community
+  JOIN vol20 va ON va.community = l20.community
+),
+cand2 AS MATERIALIZED (
+  SELECT b.id, k.nc,
+         CAST(m2.m2 AS HUGEINT) * (k.k - b.ka)
+           - CAST(b.deg AS HUGEINT) * (vb.vol - b.vola + b.deg) AS gain
+  FROM base2 b
+  JOIN kvc2 k ON k.id = b.id AND k.nc < b.community
+  JOIN vol20 vb ON vb.community = k.nc
+  CROSS JOIN m2
+),
+moves2 AS MATERIALIZED (
+  SELECT id, nc FROM (
+    SELECT id, nc, row_number()
+      OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand2 WHERE gain > 0
+  ) WHERE rn = 1
+),
+l21 AS MATERIALIZED (
+  SELECT l20.id, coalesce(m.nc, l20.community) AS community
+  FROM l20 LEFT JOIN moves2 m ON l20.id = m.id
+),
+int20 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
+  JOIN l20 a ON s.source = a.id JOIN l20 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q20 AS MATERIALIZED (
+  SELECT CAST(m2.m2 AS HUGEINT) * int20.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol20)
+         AS q
+  FROM m2, int20
+),
+vol21 AS MATERIALIZED (
+  SELECT l21.community, coalesce(sum(deg2.deg), 0) AS vol
+  FROM l21 LEFT JOIN deg2 ON l21.id = deg2.id GROUP BY 1
+),
+int21 AS MATERIALIZED (
+  SELECT coalesce(sum(s.w), 0) AS c FROM w2 s
+  JOIN l21 a ON s.source = a.id JOIN l21 b ON s.target = b.id
+  WHERE a.community = b.community
+),
+q21 AS MATERIALIZED (
+  SELECT CAST(m2.m2 AS HUGEINT) * int21.c
+         - (SELECT coalesce(sum(CAST(vol AS HUGEINT) * vol), 0) FROM vol21)
+         AS q
+  FROM m2, int21
+),
+a2 AS MATERIALIZED (
+  SELECT l21.id,
+         CASE WHEN q21.q >= q20.q THEN l21.community ELSE l20.community END
+           AS community
+  FROM l21 JOIN l20 ON l21.id = l20.id CROSS JOIN q20 CROSS JOIN q21
+),
+intra2 AS MATERIALIZED (
+  SELECT s.source, s.target FROM cross2 s
+  JOIN a2 x ON s.source = x.id JOIN a2 y ON s.target = y.id
+  WHERE x.community = y.community
+),
+reach2(id, lbl) AS (
+  SELECT id, id FROM a2
+  UNION
+  SELECT i.target, r.lbl FROM reach2 r JOIN intra2 i ON i.source = r.id
+),
+r2 AS MATERIALIZED (SELECT id, min(lbl) AS community FROM reach2 GROUP BY id)
+SELECT r1.id, CAST(r2.community AS BIGINT) AS community
+FROM r1 JOIN r2 ON r1.community = r2.id
+"""
 
     # weighted LPA: same unrolled round shape, votes are exact
     # DECIMAL(28,6) weight sums over the symmetrized simple pairs

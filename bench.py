@@ -211,6 +211,13 @@ def main() -> None:
     common18_in_suite = round(
         sum(timings[n] for n in COMMON18 if n in timings), 3
     )
+    # key semantics (fixed names for cross-round comparability):
+    #   common18_total     = ISOLATED fresh-session sum (phase 1) —
+    #                        the number BASELINE/r3-era anchors use;
+    #   common18_in_suite  = same 18 re-timed inside the full-suite
+    #                        session (phase 2), subject to session
+    #                        interference — trend-only, never compared
+    #                        against the isolated anchor.
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,

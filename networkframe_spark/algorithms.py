@@ -2557,6 +2557,7 @@ def betweenness_approx(
     sources: list,
     directed: bool = False,
     max_hops: int = 3,
+    _reuse_expansions: bool = True,
 ) -> DataFrame:
     """Sampled betweenness centrality (Brandes 2001 accumulation from
     a seed sample — the standard estimator; exact betweenness is n
@@ -2617,15 +2618,19 @@ def betweenness_approx(
     # checkpoint each expansion once and reuse it, saving one
     # edge-table join + its frontier shuffle per backward round
     # (storage is frontier-incident-edge-sized, the same rows the
-    # forward shuffle already moves)
+    # forward shuffle already moves).  _reuse_expansions=False is the
+    # measurement baseline for this lever (tools/bench_betweenness.py):
+    # skip the checkpoint and let the backward phase re-derive each
+    # expansion join from the level table.
     expansions: list[DataFrame] = []
     for lvl in range(1, max_hops + 1):
         exp = (
             levels[-1]
             .join(e.withColumnRenamed("source", "id"), on="id")
             .select("seed", "id", "sigma", F.col("target").alias("w"))
-            .localCheckpoint(eager=False)
         )
+        if _reuse_expansions:
+            exp = exp.localCheckpoint(eager=False)
         expansions.append(exp)
         agg = (
             exp.select("seed", F.col("w").alias("id"), "sigma")
@@ -2665,8 +2670,18 @@ def betweenness_approx(
                 F.col("delta").alias("delta_w"),
             )
         )
+        if _reuse_expansions:
+            exp_lvl = expansions[lvl]  # reused forward expansion
+        else:
+            exp_lvl = (
+                levels[lvl]
+                .join(e.withColumnRenamed("source", "id"), on="id")
+                .select(
+                    "seed", "id", "sigma", F.col("target").alias("w")
+                )
+            )
         terms = (
-            expansions[lvl]  # reused forward expansion of levels[lvl]
+            exp_lvl
             .join(sig_w, on=["seed", "w"])
             .select(
                 "seed",

@@ -153,8 +153,11 @@ def asof_join(
             dt = _epoch_us(ts_col) - _epoch_us(f"__{tag}_ts")
             # multiply BEFORE int(): comparisons run at microsecond
             # precision, so fractional tolerances (0.5 s -> 500_000 us)
-            # must survive the conversion
-            m = m & (F.abs(dt) <= F.lit(int(tolerance_seconds * 1_000_000)))
+            # must survive the conversion; round() (not truncation)
+            # keeps nominal tolerances inclusive at the exact boundary
+            # (0.29 s float-represents as 289_999.999... us -- int()
+            # would silently exclude an exactly-0.29s-apart match)
+            m = m & (F.abs(dt) <= F.lit(int(round(tolerance_seconds * 1_000_000))))
         return m
 
     if direction in ("backward", "forward"):
@@ -207,7 +210,7 @@ def range_join(
     lt = _epoch_us(ts_col)
     rt = _epoch_us(f"{ts_col}{suffix}")
     return left.join(r, on=on).filter(
-        (rt >= lt) & (rt - lt <= F.lit(int(window_seconds * 1_000_000)))
+        (rt >= lt) & (rt - lt <= F.lit(int(round(window_seconds * 1_000_000))))
     )
 
 

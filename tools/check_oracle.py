@@ -96,6 +96,15 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
+    # gate step 0 — static dtype lint over the WHOLE oracle registry
+    # (even when replaying a subset): any uncast HUGEINT/UBIGINT
+    # output column is a latent driver-hash red (bit rounds 8 and 9);
+    # fail before spending a second of Spark time.
+    from lint_oracle import lint as _lint_oracles
+
+    lint_findings = _lint_oracles(sf_dir)
+    for lname, lcols in lint_findings.items():
+        print(f"FAIL  {lname}: oracle lint — uncast wide-int output {lcols}")
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -152,6 +161,7 @@ def main() -> int:
                 "spark_sec": round(t_spark, 1),
             }
     spark.stop()
+    failures += len(lint_findings)
     print(f"\n{failures} failures")
     if json_out:
         import json as _json
@@ -164,6 +174,7 @@ def main() -> int:
                     "n_queries": len(results),
                     "n_ok": ok,
                     "n_fail": failures,
+                    "lint_findings": lint_findings,
                     "results": results,
                 },
                 f,
