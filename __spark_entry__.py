@@ -845,6 +845,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_decontaminate"] = q_semantic_decontaminate
 
+    # recall of the LSH scale path of semantic decontamination vs its
+    # own brute-force truth, per eval doc: 2 tables x 4 deterministic
+    # hyperplanes over the same 1-in-20 eval split the brute query
+    # uses.  pred ⊆ truth by construction (the lsh path computes the
+    # same cosine on band-collision pairs only), so the report is the
+    # banding's true miss rate — the number SCALE.md's RECALL table
+    # tracks.  Oracle replays the banding with inlined plane literals
+    # (same trick as lsh_recall_report).
+    def q_semantic_decon_recall(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            pair_recall_report,
+            semantic_decontaminate,
+        )
+
+        emb = read_embeddings(spark, sf)
+        ev = emb.filter("vec_id % 20 = 0")
+        tr = emb.filter("vec_id % 20 <> 0")
+        truth = semantic_decontaminate(tr, ev, threshold=0.42)
+        pred = semantic_decontaminate(
+            tr, ev, threshold=0.42, method="lsh", n_planes=4, n_tables=2
+        )
+        return pair_recall_report(truth, pred)
+
+    q["semantic_decon_recall"] = q_semantic_decon_recall
+
     # int8 storage quantization: codes joined to one string so the
     # engines compare a scalar column, not array-repr formatting
     def q_quantize_embeddings(spark, sf):
@@ -7643,6 +7668,44 @@ SELECT perq.query_id,
        CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
        round(coalesce(n_hit, 0) / n_truth, 6) AS recall
 FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # semantic-decontamination LSH recall: truth = exhaustive
+    # train x eval cosine pairs at the 0.42 threshold; pred = the
+    # same pairs restricted to 2-table x 4-plane band collisions
+    # (planes inlined exactly as lsh_recall_report's); per-eval
+    # recall = kept / true contamination
+    _sdr_banded = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS tbl, {_bucket_expr(planes)} AS bucket"
+        " FROM e"
+        for t, planes in enumerate(_lsh_tables)
+    )
+    o["semantic_decon_recall"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+truth AS (
+  SELECT t.vec_id AS train_id, q.vec_id AS eval_id
+  FROM e t, e q
+  WHERE t.vec_id % 20 <> 0 AND q.vec_id % 20 = 0
+    AND round(list_dot_product(t.emb, q.emb)
+          / (sqrt(list_dot_product(t.emb, t.emb))
+             * sqrt(list_dot_product(q.emb, q.emb))), 6) >= 0.42
+),
+bb AS ({_sdr_banded}),
+cand AS (
+  SELECT DISTINCT t.vec_id AS train_id, q.vec_id AS eval_id
+  FROM bb t JOIN bb q ON t.tbl = q.tbl AND t.bucket = q.bucket
+  WHERE t.vec_id % 20 <> 0 AND q.vec_id % 20 = 0
+),
+pred AS (SELECT * FROM truth INNER JOIN cand USING (train_id, eval_id)),
+hits AS (
+  SELECT eval_id, count(*) AS n_hit FROM pred GROUP BY 1
+),
+perq AS (SELECT eval_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.eval_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (eval_id)
 """
 
     # temporal split: integer-microsecond time-range cutoff at 4/5

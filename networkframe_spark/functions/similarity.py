@@ -1851,3 +1851,42 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def pair_recall_report(
+    truth: DataFrame,
+    pred: DataFrame,
+    group_col: str = "eval_id",
+    pair_cols: tuple = ("train_id", "eval_id"),
+) -> DataFrame:
+    """Recall of an approximate PAIR-finder against exact truth —
+    the pair-level sibling of :func:`ann_recall_report` (which is
+    top-k-level).  Built for the decontamination / near-dup recall
+    contract: ``truth`` = the exhaustive method's matched pairs
+    (``semantic_decontaminate(method="brute")``,
+    ``fuzzy_decontaminate(bands=0)``), ``pred`` = the banded scale
+    path's pairs, and the report answers "what fraction of the true
+    contamination does the bucketed method keep?" per ``group_col``
+    (one row per eval/query doc: ``(group, n_truth, n_hit,
+    recall)``; rounds to 6 dp; groups with no truth pairs are
+    absent, matching ann_recall_report's truth-rooted shape).
+
+    Scale: both inputs are contamination-sized (already filtered),
+    so the comparison is one equi-join on the pair key + one keyed
+    aggregate — evaluation cost is output-sized, never corpus-sized.
+    """
+    keys = list(pair_cols)
+    t = truth.select(*keys).dropDuplicates(keys)
+    p = pred.select(*keys).dropDuplicates(keys)
+    hits = t.join(p, on=keys).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    perg = t.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_truth"))
+    return perg.join(hits, on=group_col, how="left").select(
+        group_col,
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+        ).alias("recall"),
+    )

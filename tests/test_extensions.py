@@ -586,3 +586,85 @@ def test_semantic_decontaminate_brute_and_lsh(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         semantic_decontaminate(train, ev, method="nope")
+
+
+def test_pair_recall_report_contract(spark):
+    from networkframe_spark.functions.similarity import (
+        pair_recall_report,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev = emb.filter("vec_id % 20 = 0")
+    tr = emb.filter("vec_id % 20 <> 0")
+    truth = semantic_decontaminate(tr, ev, threshold=0.42)
+    # lsh candidates are a subset of all pairs, so lsh matches must be
+    # a subset of brute matches at the same threshold
+    pred = semantic_decontaminate(
+        tr, ev, threshold=0.42, method="lsh", n_planes=4, n_tables=2
+    )
+    extra = pred.select("train_id", "eval_id").exceptAll(
+        truth.select("train_id", "eval_id")
+    )
+    assert extra.count() == 0
+    rep = pair_recall_report(truth, pred).collect()
+    assert len(rep) == truth.select("eval_id").distinct().count()
+    for r in rep:
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_truth"], 6)) < 1e-12
+    # identical pred -> perfect recall on every group
+    perfect = pair_recall_report(truth, truth).collect()
+    assert perfect and all(r["recall"] == 1.0 for r in perfect)
+
+
+def test_leiden_refinement_splits_stranded_community(spark):
+    """The stranded-leaves gadget from the registered query: the
+    local-move phase leaves {u, w} with no internal edge; Leiden's
+    refinement must split them while plain Louvain keeps them fused."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.frame import NetworkFrame
+
+    ids = spark.range(8).select(F.col("id"))
+    hubs = ids.filter("id % 4 = 1").select(F.col("id").alias("h"))
+    pairs = (
+        hubs.select(
+            F.col("h").alias("source"),
+            (F.col("h") - 1).alias("target"),
+            F.lit(10).alias("weight"),
+        )
+        .unionByName(
+            hubs.select(
+                F.col("h").alias("source"),
+                (F.col("h") + 1).alias("target"),
+                F.lit(1).alias("weight"),
+            )
+        )
+        .unionByName(
+            hubs.select(
+                F.col("h").alias("source"),
+                (F.col("h") + 2).alias("target"),
+                F.lit(1).alias("weight"),
+            )
+        )
+    )
+    nf = NetworkFrame(ids, pairs)
+    lei = {
+        r["id"]: r["community"]
+        for r in nf.leiden_communities(
+            n_levels=1, n_rounds=1, weight_col="weight"
+        ).collect()
+    }
+    lou = {
+        r["id"]: r["community"]
+        for r in nf.louvain_communities(
+            n_levels=1, n_rounds=1, weight_col="weight"
+        ).collect()
+    }
+    # louvain: leaves 2,3 chase the hub's old label and stay fused
+    assert lou[2] == lou[3]
+    # leiden: the {2,3} community has no internal edge -> refined into
+    # singletons rooted at their own ids
+    assert lei[2] == 2 and lei[3] == 3
+    # the hub joined its strong neighbor in both
+    assert lei[1] == lei[0] and lou[1] == lou[0]
