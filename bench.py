@@ -159,6 +159,10 @@ HEADLINE = [
     "train_quality_classifier",  # exact-integer GD training (r8s2)
     "ann_recall_cell_pruned",    # pruned ANN + recall eval (r8s2)
     "time_split",            # embargoed temporal split (r8s2)
+    "leiden_communities",    # Louvain + per-phase CC refinement (r11)
+    "semantic_decon_recall",  # banded-vs-brute decon recall (r11)
+    "fuzzy_decon_recall",    # minhash-banding decon recall (r11)
+    "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
 ]
 
 

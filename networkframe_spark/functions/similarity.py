@@ -310,6 +310,7 @@ def lsh_top_k(
     query_id_col: str | None = None,
     dim: int | None = None,
     exclude_self: bool = True,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH with
     ``n_tables`` independent hash tables of ``n_planes`` bits each.
@@ -320,18 +321,50 @@ def lsh_top_k(
     table instead of a full crossJoin.
     Returns ``(query_id, vec_id, cosine, rank)`` (rank <= k; fewer rows
     than k when buckets are sparse — the approximate contract).
+
+    ``n_probe_bits`` enables MULTI-PROBE LSH (Lv et al. 2007, "Multi-
+    probe LSH: efficient indexing for high-dimensional similarity
+    search"): each query additionally probes every bucket within
+    Hamming distance ``n_probe_bits`` of its own signature, in every
+    table.  A near neighbor that lands one sign-bit away (the most
+    likely miss — each plane flips independently with probability
+    θ/π) is recovered without touching the corpus side: the corpus is
+    still banded ONCE per table, so index size and the corpus shuffle
+    are unchanged — only the (tiny) query side fans out, by
+    ``1 + C(n_planes,1) + ... + C(n_planes,n_probe_bits)`` probes.
+    That is the 100 TB trade: query-side probes are nearly free,
+    extra tables re-shuffle the corpus.  ``n_probe_bits = n_planes``
+    probes every bucket and makes the search exhaustive (equal to
+    brute force) — the degenerate mode the contract tests pin.
     """
     query_id_col = query_id_col or id_col
     if dim is None:
         first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+    if not 0 <= n_probe_bits <= n_planes:
+        raise ValueError("lsh_top_k: 0 <= n_probe_bits <= n_planes")
     tables = [
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    # Hamming-ball XOR masks, distance 0..n_probe_bits (mask 0 = the
+    # home bucket); enumerated once on the driver — at most 2^n_planes
+    masks = [
+        m
+        for m in range(1 << n_planes)
+        if bin(m).count("1") <= n_probe_bits
     ]
 
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    def banded(df: DataFrame, idc: str, embc: str, out_id: str, out_emb: str) -> DataFrame:
+    def banded(
+        df: DataFrame,
+        idc: str,
+        embc: str,
+        out_id: str,
+        out_emb: str,
+        probe_masks: list[int] | None = None,
+    ) -> DataFrame:
+        pm = probe_masks or [0]
         return df.repartition(n_part).select(
             F.col(idc).alias(out_id),
             F.col(embc).alias(out_emb),
@@ -340,9 +373,12 @@ def lsh_top_k(
                     *[
                         F.struct(
                             F.lit(t).alias("table"),
-                            signature_col(F.col(embc), tables[t]).alias("bucket"),
+                            signature_col(F.col(embc), tables[t])
+                            .bitwiseXOR(F.lit(m))
+                            .alias("bucket"),
                         )
                         for t in range(n_tables)
+                        for m in pm
                     ]
                 )
             ).alias("tb"),
@@ -351,7 +387,9 @@ def lsh_top_k(
     cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb").withColumn(
         "c_norm", norm_expr(F.col("c_emb"))
     )
-    qb = banded(queries, query_id_col, emb_col, "query_id", "q_emb").withColumn(
+    qb = banded(
+        queries, query_id_col, emb_col, "query_id", "q_emb", probe_masks=masks
+    ).withColumn(
         "q_norm", norm_expr(F.col("q_emb"))
     )
     cand = (
@@ -611,6 +649,7 @@ def semantic_decontaminate(
     n_tables: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Cross-corpus SEMANTIC contamination: training rows whose
     embedding cosine with any eval row reaches ``threshold``.  The
@@ -628,8 +667,16 @@ def semantic_decontaminate(
     benchmark fits in a broadcast (it almost always does).
     ``method="lsh"`` routes through the hyperplane band join
     (:func:`lsh_top_k` machinery) for the eval-side-too-big case;
-    recall rises with ``n_tables`` (probabilistic — gated by the LSH
-    recall unit tests, not an oracle).
+    recall rises with ``n_tables``, and — far more cheaply — with
+    ``n_probe_bits`` (multi-probe, Lv et al. 2007): the EVAL side
+    additionally probes every bucket within that Hamming distance of
+    its signature, so recall climbs without re-banding the train
+    corpus (the train side's shuffle is the scale cost; eval fan-out
+    is noise).  SCALE.md's RECALL table has the measured curve;
+    ``n_probe_bits = n_planes`` probes every bucket and is provably
+    identical to brute.  The scale path is recall-gated by
+    ``semantic_decon_recall``'s driver oracle and the LSH unit
+    tests.
 
     Scale design (brute): the train corpus is never shuffled — one
     codegen'd projection against the broadcast eval batch, then a
@@ -653,12 +700,21 @@ def semantic_decontaminate(
     elif method == "lsh":
         first = train.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+        if not 0 <= n_probe_bits <= n_planes:
+            raise ValueError(
+                "semantic_decontaminate: 0 <= n_probe_bits <= n_planes"
+            )
+        probe_masks = [
+            m
+            for m in range(1 << n_planes)
+            if bin(m).count("1") <= n_probe_bits
+        ]
         tables = [
             _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
             for t in range(n_tables)
         ]
 
-        def banded(df: DataFrame, embc: str) -> DataFrame:
+        def banded(df: DataFrame, embc: str, masks=(0,)) -> DataFrame:
             return df.select(
                 "*",
                 F.explode(
@@ -666,11 +722,12 @@ def semantic_decontaminate(
                         *[
                             F.struct(
                                 F.lit(t).alias("table"),
-                                signature_col(
-                                    F.col(embc), tables[t]
-                                ).alias("bucket"),
+                                signature_col(F.col(embc), tables[t])
+                                .bitwiseXOR(F.lit(m))
+                                .alias("bucket"),
                             )
                             for t in range(n_tables)
+                            for m in masks
                         ]
                     )
                 ).alias("tb"),
@@ -679,7 +736,7 @@ def semantic_decontaminate(
 
         scored = (
             banded(te, "t_emb")
-            .join(banded(ee, "e_emb"), on=["table", "bucket"])
+            .join(banded(ee, "e_emb", masks=probe_masks), on=["table", "bucket"])
             .dropDuplicates(["train_id", "eval_id"])
         )
     else:

@@ -668,3 +668,45 @@ def test_leiden_refinement_splits_stranded_community(spark):
     assert lei[2] == 2 and lei[3] == 3
     # the hub joined its strong neighbor in both
     assert lei[1] == lei[0] and lou[1] == lou[0]
+
+
+def test_semantic_decontaminate_multiprobe_monotone_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.similarity import (
+        pair_recall_report,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ev = emb.filter("vec_id % 20 = 0")
+    tr = emb.filter("vec_id % 20 <> 0")
+    truth = semantic_decontaminate(tr, ev, threshold=0.42)
+
+    def hits(npb):
+        pred = semantic_decontaminate(
+            tr, ev, threshold=0.42, method="lsh",
+            n_planes=4, n_tables=2, n_probe_bits=npb,
+        )
+        r = (
+            pair_recall_report(truth, pred)
+            .agg(F.sum("n_hit").alias("h"))
+            .first()
+        )
+        return int(r["h"])
+
+    h0, h1, h4 = hits(0), hits(1), hits(4)
+    assert h0 <= h1 <= h4
+    # probing the full Hamming ball ≡ brute force, pair for pair
+    full = semantic_decontaminate(
+        tr, ev, threshold=0.42, method="lsh",
+        n_planes=4, n_tables=2, n_probe_bits=4,
+    )
+    assert full.exceptAll(truth).count() == 0
+    assert truth.exceptAll(full).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_decontaminate(
+            tr, ev, method="lsh", n_planes=4, n_probe_bits=9
+        )

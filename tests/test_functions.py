@@ -2219,3 +2219,45 @@ def test_winsorize_null_group_forms_its_own_group(spark):
     assert got[50][1] and got[50][0] < 10_000.0  # NULL-group spike clamped
     assert got[25] == (25.0, False)  # NULL-group mid-range untouched
     assert got[52] == (2.0, False)  # named group unaffected
+
+
+def test_lsh_top_k_multiprobe_monotone_and_degenerate(spark):
+    """Multi-probe LSH: widening the Hamming ball only adds candidate
+    pairs (recall is monotone in n_probe_bits), and probing the full
+    ball (n_probe_bits = n_planes) is bit-identical to brute force."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.similarity import (
+        ann_recall_report,
+        brute_force_top_k,
+        lsh_top_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 5")
+
+    def hits(npb):
+        approx = lsh_top_k(
+            emb, qs, k=5, n_planes=4, n_tables=2, n_probe_bits=npb
+        )
+        r = (
+            ann_recall_report(emb, qs, approx, k=5)
+            .agg(F.sum("n_hit").alias("h"))
+            .first()
+        )
+        return int(r["h"])
+
+    h0, h1, h4 = hits(0), hits(1), hits(4)
+    assert h0 <= h1 <= h4
+    full = lsh_top_k(
+        emb, qs, k=5, n_planes=4, n_tables=2, n_probe_bits=4
+    ).select("query_id", "vec_id", "cosine", "rank")
+    brute = brute_force_top_k(emb, qs, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+    assert full.exceptAll(brute).count() == 0
+    assert brute.exceptAll(full).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_top_k(emb, qs, n_planes=4, n_probe_bits=5)
