@@ -392,23 +392,41 @@ def lsh_top_k(
     ).withColumn(
         "q_norm", norm_expr(F.col("q_emb"))
     )
-    cand = (
-        cb.join(qb, on=["table", "bucket"])
-        .select("query_id", "vec_id", "q_emb", "c_emb", "q_norm", "c_norm")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    cand = cb.join(qb, on=["table", "bucket"])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("vec_id"))
-    # norms ride from the banded rows (interpreted HOF folds cost per
-    # evaluation — one dot per candidate beats three folds per pair);
-    # dot/(qn*cn) is the bit-identical expression tree of cosine_expr
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
+    # Score BEFORE deduplicating: cosine is a pure function of the
+    # pair, so every duplicate collision (same pair in 2 tables /
+    # 2 probes) computes the identical value and dropDuplicates may
+    # keep any row — bit-identical to dedup-first.  The payoff is the
+    # shuffle width: dedup-first moves both embeddings (2 x dim
+    # doubles) per candidate through the exchange; score-first moves
+    # (query_id, vec_id, cosine).  Measured at 500k x 64-dim with
+    # 1-bit probes (tools/bench_multiprobe_synth.py): 279s -> the
+    # narrow-shuffle plan, because the band join's output never
+    # re-shuffles wide rows.  Norms ride from the banded rows
+    # (interpreted HOF folds cost per evaluation — one dot per
+    # candidate beats three folds per pair); dot/(qn*cn) is the
+    # bit-identical expression tree of cosine_expr.
+    # dedup via max-aggregate rather than dropDuplicates: the values
+    # are identical per pair so max() IS the value (bit-exact), the
+    # aggregate partially combines map-side BEFORE the exchange
+    # (dropDuplicates' Deduplicate shuffles every collision row), and
+    # it sidesteps a Spark 4.1 internal error
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when exceptAll rewrites a
+    # window-over-Deduplicate-over-aliased-projection plan
+    scored = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -692,11 +710,22 @@ def semantic_decontaminate(
         F.col(emb_col).alias("e_emb"),
         norm_expr(F.col(emb_col)).alias("e_norm"),
     )
+    def _cos_expr():
+        return F.round(
+            dot_expr(F.col("t_emb"), F.col("e_emb"))
+            / (F.col("t_norm") * F.col("e_norm")),
+            6,
+        ).alias("cosine")
+
     if method == "brute":
         n_part = int(
             train.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        scored = te.repartition(n_part).join(F.broadcast(ee))
+        scored = (
+            te.repartition(n_part)
+            .join(F.broadcast(ee))
+            .select("train_id", "eval_id", _cos_expr())
+        )
     elif method == "lsh":
         first = train.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
@@ -734,22 +763,30 @@ def semantic_decontaminate(
             ).select("*", F.col("tb.table").alias("table"),
                      F.col("tb.bucket").alias("bucket")).drop("tb")
 
+        # score-before-dedup, same reasoning as lsh_top_k: the cosine
+        # is identical for every duplicate collision of a pair, so
+        # deduplicating the narrow (train_id, eval_id, cosine) rows is
+        # bit-identical to deduplicating the wide embedding-carrying
+        # rows — and the dedup exchange moves 3 columns, not 2 x dim
+        # threshold BEFORE dedup too: the filter commutes with
+        # dedup-on-the-pair-key (cosine is deterministic per pair),
+        # shrinks the dedup exchange to contamination-sized rows, and
+        # avoids a Spark 4.1 optimizer internal error
+        # (ATTRIBUTE_NOT_FOUND) when exceptAll rewrites a
+        # filter-over-Deduplicate-over-aliased-projection plan
         scored = (
             banded(te, "t_emb")
             .join(banded(ee, "e_emb", masks=probe_masks), on=["table", "bucket"])
-            .dropDuplicates(["train_id", "eval_id"])
+            .select("train_id", "eval_id", _cos_expr())
+            .filter(F.col("cosine") >= threshold)
+            .groupBy("train_id", "eval_id")
+            .agg(F.max("cosine").alias("cosine"))
         )
+        return scored.select("train_id", "eval_id", "cosine")
     else:
         raise ValueError("method must be 'brute' or 'lsh'")
     return (
-        scored.withColumn(
-            "cosine",
-            F.round(
-                dot_expr(F.col("t_emb"), F.col("e_emb"))
-                / (F.col("t_norm") * F.col("e_norm")),
-                6,
-            ),
-        )
+        scored
         .filter(F.col("cosine") >= threshold)
         .select("train_id", "eval_id", "cosine")
     )
