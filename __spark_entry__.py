@@ -2565,7 +2565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_size", "condense_sum", "khop_aggregation",
         "khop_neighborhood", "reachable_from", "weak_components",
         "aggregated_edges", "apply_edges_max", "largest_component",
-        "strong_components", "khop_pairs", "frame_validation",
+        "strong_components", "khop_pairs",
+        # frame_validation (1-row, driver-hashed r1-r10) cedes its slot
+        # so the rotated block fits the driver's 50-entry hash window
+        # exactly (51 entries would leave the last rotated op unsampled)
         "adjacency_dense",
         # n_components (1-row, driver-hashed in all 7 prior rounds)
         # cedes its core slot to the round-8 flagship graph op

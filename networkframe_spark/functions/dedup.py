@@ -620,22 +620,30 @@ def _embedding_duplicates_lsh(
         F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    cand = (
+    # Score BEFORE deduplicating (same plan shape as lsh_top_k,
+    # similarity.py): cosine is a pure function of the pair, so every
+    # multi-table collision computes the identical value and the
+    # max-aggregate IS the value (bit-exact).  Dedup-first would move
+    # both embeddings (2 x dim doubles) per candidate through the
+    # Deduplicate exchange; score-first + threshold-first shuffles
+    # only the (id_a, id_b, cosine) survivors, and the hash aggregate
+    # partially combines map-side.  The threshold filter commutes past
+    # the dedup because the per-pair value is deterministic.
+    return (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
-            "cosine",
+        .select(
+            "id_a",
+            "id_b",
             F.round(
                 dot_expr(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("norm_a") * F.col("norm_b")),
                 6,
-            ),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 

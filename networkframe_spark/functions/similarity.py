@@ -1868,14 +1868,26 @@ def cell_pruned_top_k(
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("q_emb"), F.col("__emb"))
-            / (F.col("q_norm") * F.col("__norm")),
-            6,
-        ),
-    ).dropDuplicates(["query_id", "vec_id"])
+    # Narrow the rows BEFORE the pair dedup: dropDuplicates keeps all
+    # columns, so deduplicating the scored rows directly would drag
+    # both embeddings through the Deduplicate exchange.  The per-pair
+    # cosine is deterministic, so max() over collisions (same pair via
+    # 2 probed cells) IS the value — bit-exact — and the hash
+    # aggregate partially combines map-side (same plan shape as
+    # lsh_top_k above).
+    scored = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("__emb"))
+                / (F.col("q_norm") * F.col("__norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
