@@ -720,6 +720,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dedup"] = q_embed_dups
 
+    # the banded 100 TB path, forced (auto would pick exact at the
+    # fixture's 500 rows): 4 planes x 2 tables over the 64-dim corpus
+    # so buckets are populated; the oracle replays the banding with
+    # the same inlined plane literals as lsh_recall_report, so the
+    # score-before-dedup rewrite sits under the driver hash, not just
+    # plan tests
+    def q_embed_dups_lsh(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return embedding_duplicates(
+            emb, threshold=0.42, mode="lsh", n_planes=4, n_tables=2
+        )
+
+    q["embedding_dedup_lsh"] = q_embed_dups_lsh
+
     def q_lsh_dedup(spark, sf):
         docs = read_table(spark, sf, "documents")
         return minhash_lsh_duplicates(
@@ -7817,6 +7831,31 @@ SELECT perq.query_id,
        CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
        round(coalesce(n_hit, 0) / n_truth, 6) AS recall
 FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # banded embedding near-dup: replay the 4-plane x 2-table banding
+    # (same inlined plane literals / seeds as lsh_recall_report),
+    # candidate pairs = same-(table, bucket) collisions with
+    # id_a < id_b, then exact 6-dp cosine with the threshold applied
+    # to the ROUNDED value — matching _embedding_duplicates_lsh,
+    # which scores before deduplicating and filters post-round
+    o["embedding_dedup_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cb AS ({_banded_cte}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b,
+         round(list_dot_product(ea.emb, eb.emb)
+           / (sqrt(list_dot_product(ea.emb, ea.emb))
+              * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+) WHERE cosine >= 0.42
 """
 
     # semantic-decontamination LSH recall: truth = exhaustive
