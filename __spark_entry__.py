@@ -2575,7 +2575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stable core — same 25 the window has carried since round 2
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "add_nodes", "remove_unused_nodes",
-        "reindex_nodes", "apply_node_features", "node_agreement",
+        "reindex_nodes", "apply_node_features",
+        # node_agreement (1-row, driver-hashed r1-r10) cedes its slot
+        # to embedding_dedup_lsh (registered this session — newest
+        # code = highest mismatch risk; covers the score-before-dedup
+        # rewrite of the banded near-dup path)
         "groupby_size", "condense_sum", "khop_aggregation",
         "khop_neighborhood", "reachable_from", "weak_components",
         "aggregated_edges", "apply_edges_max", "largest_component",
@@ -2603,7 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mismatch risk): leiden, then the two banded-recall reports
         "leiden_communities",
         "semantic_decon_recall", "fuzzy_decon_recall",
-        "lsh_multiprobe_recall",
+        "lsh_multiprobe_recall", "embedding_dedup_lsh",
         "sessionize", "pack_sequences", "graph_describe",
         "perplexity_buckets", "bigram_logprob", "bpe_encode",
         "lsh_recall_report", "mine_hard_negatives",

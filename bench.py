@@ -163,6 +163,7 @@ HEADLINE = [
     "semantic_decon_recall",  # banded-vs-brute decon recall (r11)
     "fuzzy_decon_recall",    # minhash-banding decon recall (r11)
     "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
+    "embedding_dedup_lsh",   # forced-LSH banded near-dup (r11)
 ]
 
 
