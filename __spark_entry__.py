@@ -866,6 +866,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_index_add_search"] = q_ivf_index_add
 
+    # IVF-PQ (similarity.py build_ivfpq_index/ivfpq_search): coarse
+    # cells store only PQ codes, probes partition-prune the code
+    # files.  No-residual variant, so the exhaustive probe
+    # (n_probe == n_lists) is bit-identical to pure ADC — the oracle
+    # IS pq_search's (same first_ids codebook, queries, k); genuine
+    # pruning is plan-guarded in test_ivfpq_index_search.
+    def q_ivfpq_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_ivfpq_index,
+            ivfpq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpq_{_os.path.basename(sf.rstrip('/'))}",
+        )
+        build_ivfpq_index(
+            emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
+            codebook_init="first_ids", mode="overwrite",
+        )
+        qs = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivfpq_search(spark, path, qs, k=5, n_probe=8)
+
+    q["ivfpq_search"] = q_ivfpq_search
+
     # semantic decontamination (the paraphrase leg of the triad):
     # eval = every 20th vector, train = the rest; brute mode is exact.
     # threshold 0.42 sits at the synthetic corpus's cross-pair tail
@@ -6740,6 +6771,12 @@ SELECT query_id, vec_id,
        approx_d2
 FROM scored QUALIFY rank <= 5
 """
+
+    # IVF-PQ with exhaustive probes == pure ADC over the same
+    # first_ids codebook: cell routing never changes a no-residual
+    # ADC score, so probing every cell IS pq_search — same oracle
+    # (the cosine_topk_ivf / ivf_index_search trick)
+    o["ivfpq_search"] = o["pq_search"]
 
     # kNN label vote: brute top-5 (self-excluded, 6-dp cosine ranks),
     # max-votes argmax with lowest-label ties

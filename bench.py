@@ -164,6 +164,7 @@ HEADLINE = [
     "fuzzy_decon_recall",    # minhash-banding decon recall (r11)
     "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
     "embedding_dedup_lsh",   # forced-LSH banded near-dup (r11)
+    "ivfpq_search",          # IVF-PQ codes-only pruned ADC (r11)
 ]
 
 

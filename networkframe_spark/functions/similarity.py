@@ -1318,33 +1318,19 @@ def pq_encode(
     return df.select(id_col, emb_col).mapInPandas(fn, out_schema)
 
 
-def pq_search(
-    codes_df: DataFrame,
-    codebook: list[list[list[float]]],
+def _pq_lut(
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    query_id_col: str = "query_id",
+    codebook: list[list[list[float]]],
+    query_id_col: str,
+    emb_col: str,
 ) -> DataFrame:
-    """Asymmetric-distance PQ search (ADC, Jégou et al. 2011): score
-    every encoded corpus vector against each query through a
-    per-query lookup table — ``approx_d2(q, x) = Σ_j ‖q_j −
-    codebook[j][code_j(x)]‖²`` — and return the top ``k`` per query
-    as ``(query_id, vec_id, rank, approx_d2)``.  Distances accumulate
-    as DECIMAL(18,6) from 6-dp-rounded per-subspace entries, so sums
-    are exact, order-independent, and engine-portable; ties break to
-    the lower corpus id.
-
-    Scale design: the lookup table is ``n_queries × m × k`` rows —
-    queries-sized, built by a broadcast join of the query subvectors
-    against the literal codebook table and broadcast again onto the
-    exploded corpus codes, so the corpus-side cost is one explode +
-    one keyed hash aggregate + one per-query top-k window; the corpus
-    embeddings themselves are never touched (that is the point of
-    PQ: search runs entirely on the m-byte codes).
-    """
-    spark = codes_df.sparkSession
+    """Per-query ADC lookup table ``(query_id, j, code, __d)``: the
+    6-dp-rounded squared L2 between each query subvector and every
+    codebook centroid, as DECIMAL(18,6) so downstream sums are exact
+    and order-independent.  n_queries × m × k rows — queries-sized,
+    always broadcastable.  Shared by :func:`pq_search` (full-corpus
+    ADC) and :func:`ivfpq_search` (cell-pruned ADC)."""
+    spark = queries.sparkSession
     m = len(codebook)
     kcent = len(codebook[0])
     sub = len(codebook[0][0])
@@ -1372,12 +1358,41 @@ def pq_search(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    lut = qsub.join(F.broadcast(cb), on="j").select(
+    return qsub.join(F.broadcast(cb), on="j").select(
         F.col(query_id_col),
         "j",
         "code",
         F.round(d2, 6).cast("decimal(18,6)").alias("__d"),
     )
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC, Jégou et al. 2011): score
+    every encoded corpus vector against each query through a
+    per-query lookup table — ``approx_d2(q, x) = Σ_j ‖q_j −
+    codebook[j][code_j(x)]‖²`` — and return the top ``k`` per query
+    as ``(query_id, vec_id, rank, approx_d2)``.  Distances accumulate
+    as DECIMAL(18,6) from 6-dp-rounded per-subspace entries, so sums
+    are exact, order-independent, and engine-portable; ties break to
+    the lower corpus id.
+
+    Scale design: the lookup table is ``n_queries × m × k`` rows —
+    queries-sized, built by a broadcast join of the query subvectors
+    against the literal codebook table and broadcast again onto the
+    exploded corpus codes, so the corpus-side cost is one explode +
+    one keyed hash aggregate + one per-query top-k window; the corpus
+    embeddings themselves are never touched (that is the point of
+    PQ: search runs entirely on the m-byte codes).
+    """
+    lut = _pq_lut(queries, codebook, query_id_col, emb_col)
     exploded = codes_df.select(
         F.col(id_col), F.posexplode("codes").alias("j", "code")
     )
@@ -1393,6 +1408,183 @@ def pq_search(
         scored.select(
             query_id_col,
             id_col,
+            F.row_number().over(w).alias("rank"),
+            "approx_d2",
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 3,
+    codebook_init: str = "kmeans",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "error",
+) -> dict:
+    """Build and persist an IVF-PQ index (Jégou et al. 2011, the
+    IVFADC layout): a coarse quantizer routes each vector to one of
+    ``n_lists`` cells, and each cell stores only the vector's ``m``
+    PQ codes — ``<path>/codes`` is parquet ``(vec_id, codes)``
+    PARTITIONED BY ``list_id``, with the centroid and codebook
+    manifests as tiny json under ``<path>/centroids`` /
+    ``<path>/codebook``.  This is the layout billion-scale ANN
+    actually deploys: the full-precision corpus is never read online —
+    probes scan ``n_probe`` code directories (bytes per vector, not
+    floats) and score through a per-query lookup table.
+
+    No-residual variant: classic IVFADC quantizes the residual
+    ``x - centroid[list]``; here codes quantize the RAW vector.  The
+    tradeoff is a little quantization accuracy for (a) an exact
+    contract — an exhaustive probe (``n_probe == n_lists``) is
+    bit-identical to :func:`pq_search` over the same codebook, which
+    is what the oracle checks — and (b) codes that stay valid if
+    cells are re-split or batches appended ivf_index_add-style,
+    because the code of a vector never depends on its cell.
+
+    Scale design: one Arrow argmax assignment pass and one
+    mapInPandas encode pass (both shuffle-free), one unique-key
+    equi-join to attach ``list_id`` to the codes (the build's only
+    shuffle — offline, amortized over every future query batch), a
+    partitioned write.  Both manifests are driver-sized by
+    construction (``n_lists × dim`` + ``m × k_codes × dim/m``
+    floats).  Returns ``{"centroids": ..., "codebook": ...}``.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = ivf_fit_centroids(
+        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+    )
+    codebook = pq_codebook(
+        corpus, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
+        id_col=id_col, emb_col=emb_col,
+    )
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("__emb")
+        ),
+        centroids,
+        emb_col="__emb",
+    ).select("vec_id", "list_id")
+    codes = pq_encode(corpus, codebook, id_col=id_col, emb_col=emb_col)
+    if id_col != "vec_id":
+        codes = codes.withColumnRenamed(id_col, "vec_id")
+    (
+        codes.join(assigned, on="vec_id")
+        .write.mode(mode)
+        .partitionBy("list_id")
+        .parquet(_os.path.join(path, "codes"))
+    )
+    spark = corpus.sparkSession
+    for name, obj in (("centroids", centroids), ("codebook", codebook)):
+        (
+            spark.createDataFrame([(_json.dumps(obj),)], f"{name} string")
+            .coalesce(1)
+            .write.mode(mode)
+            .json(_os.path.join(path, name))
+        )
+    return {"centroids": centroids, "codebook": codebook}
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (:func:`build_ivfpq_index`):
+    each query ADC-scores only the PQ codes in its ``n_probe``
+    nearest cells.  Returns ``(query_id, vec_id, rank, approx_d2)``
+    — the same schema and DECIMAL-exact scoring as :func:`pq_search`,
+    and with ``n_probe == n_lists`` the result is provably identical
+    to it (no residual encoding, so a vector's ADC score never
+    depends on which cell it lives in; probing every cell recovers
+    the full corpus).
+
+    Scale design: cell choice happens driver-side against the tiny
+    centroid manifest (exactly like :func:`ivf_index_search`); the
+    codes scan carries ``list_id IN (...)`` on the PARTITION column,
+    so pruning happens at file listing — ``.explain`` shows
+    ``PartitionFilters`` and the scan reads ``n_probe``/``n_lists``
+    of the code files.  The (query, list) probe pairs and the
+    ``n_queries × m × k`` lookup table both broadcast; the
+    corpus-side cost is one explode over the m codes, two broadcast
+    joins, one keyed hash aggregate, and a per-query top-k window —
+    the full-precision vectors are never touched online.
+    """
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    codebook = _json.loads(
+        spark.read.json(_os.path.join(path, "codebook")).collect()[0][
+            "codebook"
+        ]
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    ).toPandas()
+    probe_rows = []
+    wanted: set[int] = set()
+    for _, row in qpdf.iterrows():
+        x = np.asarray(row["q_emb"], dtype=np.float64)
+        d2 = c2 - 2.0 * (C @ x)
+        for li in np.argsort(d2, kind="stable")[:n_probe]:
+            wanted.add(int(li))
+            probe_rows.append((row["query_id"], int(li)))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    codes = spark.read.parquet(_os.path.join(path, "codes")).filter(
+        F.col("list_id").isin(sorted(wanted))
+    )
+    lut = _pq_lut(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(emb_col)
+        ),
+        codebook,
+        "query_id",
+        emb_col,
+    )
+    exploded = codes.select(
+        "vec_id", "list_id", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(probes), on="list_id")
+        .join(F.broadcast(lut), on=["query_id", "j", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").cast("double").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
             F.row_number().over(w).alias("rank"),
             "approx_d2",
         )

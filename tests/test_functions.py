@@ -549,6 +549,53 @@ def test_ivf_index_persisted_search(spark, tmp_path):
     assert partial.count() > 0
 
 
+def test_ivfpq_index_search(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_search: exhaustive probe is
+    bit-identical to pure ADC (pq_search over the same codebook —
+    the no-residual contract); a partial probe partition-prunes the
+    codes scan and scores only vectors from probed cells."""
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivfpq")
+    art = build_ivfpq_index(
+        emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
+        codebook_init="first_ids",
+    )
+    assert len(art["centroids"]) == 8 and len(art["codebook"]) == 4
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in ivfpq_search(spark, path, qs, k=5, n_probe=8).collect()
+    )
+    cb = pq_codebook(emb, m=4, k=16, init="first_ids")
+    codes = pq_encode(emb, cb)
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in pq_search(codes, cb, qs, k=5).collect()
+    )
+    assert got == want
+    # partial probe: plan prunes partitions; every scored pair's ADC
+    # value matches the exhaustive run's value for that pair
+    pruned = ivfpq_search(spark, path, qs, k=5, n_probe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    full_scores = {(q, v): d for q, _, v, d in want}
+    for r in pruned.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in full_scores:
+            assert r["approx_d2"] == full_scores[key]
+
+
 def test_embedding_clusters_modes(spark):
     """first_ids mode assigns each vector to its most-similar seed
     (ties to lowest seed id); kmeans mode groups identical vectors."""
