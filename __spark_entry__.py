@@ -2605,7 +2605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _window = [
         # stable core — same 25 the window has carried since round 2
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
-        "remove_nodes", "remove_edges", "add_nodes", "remove_unused_nodes",
+        "remove_nodes", "remove_edges", "remove_unused_nodes",
+        # add_nodes (driver-hashed green r1-r10) cedes its slot to
+        # ivfpq_search (registered this session; newest code)
         "reindex_nodes", "apply_node_features",
         # node_agreement (1-row, driver-hashed r1-r10) cedes its slot
         # to embedding_dedup_lsh (registered this session — newest
@@ -2638,7 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mismatch risk): leiden, then the two banded-recall reports
         "leiden_communities",
         "semantic_decon_recall", "fuzzy_decon_recall",
-        "lsh_multiprobe_recall", "embedding_dedup_lsh",
+        "lsh_multiprobe_recall", "embedding_dedup_lsh", "ivfpq_search",
         "sessionize", "pack_sequences", "graph_describe",
         "perplexity_buckets", "bigram_logprob", "bpe_encode",
         "lsh_recall_report", "mine_hard_negatives",
