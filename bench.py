@@ -164,7 +164,10 @@ HEADLINE = [
     "fuzzy_decon_recall",    # minhash-banding decon recall (r11)
     "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
     "embedding_dedup_lsh",   # forced-LSH banded near-dup (r11)
-    "ivfpq_search",          # IVF-PQ codes-only pruned ADC (r11)
+    # ivf_index_search / ivf_index_add_search / ivfpq_search are
+    # excluded on purpose: each run rebuilds and WRITES the on-disk
+    # index (an offline, amortized cost), so their wall time measures
+    # the build, not the probe.  Solo numbers live in SCALE.md.
 ]
 
 
