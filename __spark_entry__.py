@@ -832,7 +832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = read_embeddings(spark, sf)
         path = _os.path.join(
             _tempfile.gettempdir(),
-            f"nfspark_ivf_index_{_os.path.basename(sf.rstrip('/'))}",
+            # PID-suffixed: two concurrent replay/bench processes on the
+            # same sf dir must never share (and race on) one index dir
+            f"nfspark_ivf_index_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
         )
         build_ivf_index(emb, path, n_lists=8, n_iter=2, mode="overwrite")
         qs = emb.filter("vec_id < 10")
@@ -854,7 +857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = read_embeddings(spark, sf)
         path = _os.path.join(
             _tempfile.gettempdir(),
-            f"nfspark_ivf_add_{_os.path.basename(sf.rstrip('/'))}",
+            # PID-suffixed: two concurrent replay/bench processes on the
+            # same sf dir must never share (and race on) one index dir
+            f"nfspark_ivf_add_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
         )
         build_ivf_index(
             emb.filter("vec_id % 2 = 0"), path, n_lists=8, n_iter=2,
@@ -884,7 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = read_embeddings(spark, sf)
         path = _os.path.join(
             _tempfile.gettempdir(),
-            f"nfspark_ivfpq_{_os.path.basename(sf.rstrip('/'))}",
+            # PID-suffixed: two concurrent replay/bench processes on the
+            # same sf dir must never share (and race on) one index dir
+            f"nfspark_ivfpq_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
         )
         build_ivfpq_index(
             emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,

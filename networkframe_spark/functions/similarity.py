@@ -99,6 +99,68 @@ def brute_force_top_k(
     )
 
 
+def _hamming_ball_masks(n_planes: int, n_probe_bits: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance
+    ``n_probe_bits`` of a signature (mask 0 = the home bucket),
+    enumerated via ``itertools.combinations`` so the driver cost is
+    the ball size ``C(n_planes, 0..n_probe_bits)``, not
+    ``2^n_planes`` — a caller with ``n_planes=24`` and one probe bit
+    gets 25 masks instead of a 16M-iteration scan.  Sorted ascending,
+    the exact order the old full-range filter produced."""
+    import itertools
+
+    masks = [
+        sum(1 << j for j in combo)
+        for r in range(n_probe_bits + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
+    return sorted(masks)
+
+
+#: Hard cap on the driver-collected query batch for the persisted-index
+#: probe paths.  The ADC lookup table and the probe-pair broadcast are
+#: n_queries-sized BY DESIGN (queries << corpus is the ANN contract);
+#: a corpus-sized "query" set must be chunked by the caller — this
+#: guard makes that failure loud instead of a silent driver OOM.
+_MAX_QUERY_BATCH = 1_000_000
+
+
+def _probe_assign(queries, query_id_col: str, emb_col: str, C, n_probe: int):
+    """Driver-side coarse-cell choice for a query batch: ONE
+    ``Q @ C.T`` float64 GEMM assigns every query's ``n_probe``
+    nearest centroids at once (argmin of ``|q-c|^2`` == row-stable
+    argsort of ``|c|^2 - 2 q.c``; ties break to the lowest list id).
+    Returns ``(qpdf, order)`` where ``qpdf`` has columns
+    ``(query_id, q_emb)`` and ``order[i]`` is query i's probe lists.
+
+    Raises loudly past :data:`_MAX_QUERY_BATCH` rows — the collect is
+    bounded by ``limit(cap + 1)`` so the guard itself never
+    materializes an unbounded batch."""
+    import numpy as np
+
+    qpdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+        )
+        .limit(_MAX_QUERY_BATCH + 1)
+        .toPandas()
+    )
+    if len(qpdf) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"index probe: query batch exceeds {_MAX_QUERY_BATCH} rows; "
+            "the probe-pair and ADC-table broadcasts are query-sized by "
+            "design — chunk the query set and probe per chunk"
+        )
+    if not len(qpdf):
+        return qpdf, np.empty((0, 0), dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["q_emb"]])
+    c2 = (C * C).sum(axis=1)
+    d2 = c2[None, :] - 2.0 * (Q @ C.T)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    return qpdf, order
+
+
 def _hyperplane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     """Deterministic Rademacher hyperplanes: sign from md5(seed,j,d).
     Reproducible everywhere (no RNG state, no numpy dependency)."""
@@ -347,12 +409,8 @@ def lsh_top_k(
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
     ]
     # Hamming-ball XOR masks, distance 0..n_probe_bits (mask 0 = the
-    # home bucket); enumerated once on the driver — at most 2^n_planes
-    masks = [
-        m
-        for m in range(1 << n_planes)
-        if bin(m).count("1") <= n_probe_bits
-    ]
+    # home bucket); combinations-enumerated — ball-sized driver cost
+    masks = _hamming_ball_masks(n_planes, n_probe_bits)
 
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
@@ -733,11 +791,7 @@ def semantic_decontaminate(
             raise ValueError(
                 "semantic_decontaminate: 0 <= n_probe_bits <= n_planes"
             )
-        probe_masks = [
-            m
-            for m in range(1 << n_planes)
-            if bin(m).count("1") <= n_probe_bits
-        ]
+        probe_masks = _hamming_ball_masks(n_planes, n_probe_bits)
         tables = [
             _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
             for t in range(n_tables)
@@ -895,21 +949,19 @@ def ivf_index_search(
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
-    c2 = (C * C).sum(axis=1)
-    qpdf = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
-    ).toPandas()
+    # one GEMM assigns all queries at once; batch loudly size-guarded
+    qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
     probe_rows = []
     wanted: set[int] = set()
-    for _, row in qpdf.iterrows():
-        x = np.asarray(row["q_emb"], dtype=np.float64)
-        d2 = c2 - 2.0 * (C @ x)
-        order = np.argsort(d2, kind="stable")[:n_probe]
+    qids = qpdf["query_id"].tolist()
+    qembs = qpdf["q_emb"].tolist()
+    for i in range(len(qpdf)):
+        x = np.asarray(qembs[i], dtype=np.float64)
         qn = float(np.linalg.norm(x))
-        for li in order:
+        for li in order[i]:
             wanted.add(int(li))
             probe_rows.append(
-                (row["query_id"], list(map(float, x)), qn, int(li))
+                (qids[i], list(map(float, x)), qn, int(li))
             )
     from pyspark.sql import types as T
 
@@ -1539,18 +1591,15 @@ def ivfpq_search(
         ]
     )
     C = np.asarray(centroids, dtype=np.float64)
-    c2 = (C * C).sum(axis=1)
-    qpdf = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
-    ).toPandas()
+    # one GEMM assigns all queries at once; batch loudly size-guarded
+    qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
     probe_rows = []
     wanted: set[int] = set()
-    for _, row in qpdf.iterrows():
-        x = np.asarray(row["q_emb"], dtype=np.float64)
-        d2 = c2 - 2.0 * (C @ x)
-        for li in np.argsort(d2, kind="stable")[:n_probe]:
+    qids = qpdf["query_id"].tolist()
+    for i in range(len(qpdf)):
+        for li in order[i]:
             wanted.add(int(li))
-            probe_rows.append((row["query_id"], int(li)))
+            probe_rows.append((qids[i], int(li)))
     probe_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[query_id_col].dataType),

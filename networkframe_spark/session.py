@@ -36,6 +36,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Python workers must be able to import this package by name:
+    # cloudpickle serializes module-level helpers referenced from
+    # mapInPandas closures (e.g. round_half_up in pq_encode) BY
+    # REFERENCE, so a driver launched from any cwd other than the repo
+    # root used to die with ModuleNotFoundError in the worker.  Export
+    # the package's parent dir on PYTHONPATH before the JVM (and its
+    # python worker daemons) start; on a real cluster the package ships
+    # via --py-files / a wheel and this is a no-op addition.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

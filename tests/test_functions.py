@@ -596,6 +596,48 @@ def test_ivfpq_index_search(spark, tmp_path):
             assert r["approx_d2"] == full_scores[key]
 
 
+def test_probe_query_batch_guard(spark, tmp_path, monkeypatch):
+    """The persisted-index probe paths collect the query batch
+    driver-side (the ADC table / probe pairs broadcast by design) —
+    past the cap they must fail LOUDLY, not OOM the driver; the
+    pre-guard collect is itself bounded by limit(cap + 1)."""
+    import networkframe_spark.functions.similarity as sim
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    path = str(tmp_path / "ivfpq_guard")
+    sim.build_ivfpq_index(
+        emb, path, n_lists=4, m=4, k_codes=8, n_iter=1,
+        codebook_init="first_ids",
+    )
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    monkeypatch.setattr(sim, "_MAX_QUERY_BATCH", 10)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        sim.ivfpq_search(spark, path, qs, k=3, n_probe=2).collect()
+    ipath = str(tmp_path / "ivf_guard")
+    sim.build_ivf_index(emb, ipath, n_lists=4, n_iter=1)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        sim.ivf_index_search(
+            spark, ipath, qs, k=3, n_probe=2, query_id_col="query_id"
+        ).collect()
+
+
+def test_hamming_ball_masks():
+    """combinations enumeration == the old 2^n_planes range filter,
+    including order — and stays ball-sized at large n_planes."""
+    from networkframe_spark.functions.similarity import _hamming_ball_masks
+
+    for n_planes in (0, 1, 4, 8):
+        for r in range(n_planes + 1):
+            want = [
+                m for m in range(1 << n_planes)
+                if bin(m).count("1") <= r
+            ]
+            assert _hamming_ball_masks(n_planes, r) == want
+    # ball-sized, not 2^n: n_planes=40 would be a 10^12-iteration scan
+    assert _hamming_ball_masks(40, 1) == [0] + [1 << j for j in range(40)]
+
+
 def test_embedding_clusters_modes(spark):
     """first_ids mode assigns each vector to its most-similar seed
     (ties to lowest seed id); kmeans mode groups identical vectors."""

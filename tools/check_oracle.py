@@ -103,8 +103,31 @@ def main() -> int:
     from lint_oracle import lint as _lint_oracles
 
     lint_findings = _lint_oracles(sf_dir)
-    for lname, lcols in lint_findings.items():
-        print(f"FAIL  {lname}: oracle lint — uncast wide-int output {lcols}")
+    if lint_findings:
+        for lname, lcols in lint_findings.items():
+            print(
+                f"LINT  {lname}: oracle lint — uncast wide-int output {lcols}"
+            )
+        print(f"\n{len(lint_findings)} lint findings — replay skipped")
+        if json_out:
+            import json as _json
+
+            with open(json_out, "w") as f:
+                _json.dump(
+                    {
+                        "sf_dir": sf_dir,
+                        "n_queries": 0,
+                        "n_ok": 0,
+                        "n_fail": 0,
+                        "n_lint": len(lint_findings),
+                        "lint_findings": lint_findings,
+                        "results": {},
+                    },
+                    f,
+                    indent=1,
+                )
+            print(f"wrote {json_out}")
+        return 1
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -161,7 +184,6 @@ def main() -> int:
                 "spark_sec": round(t_spark, 1),
             }
     spark.stop()
-    failures += len(lint_findings)
     print(f"\n{failures} failures")
     if json_out:
         import json as _json
@@ -174,6 +196,7 @@ def main() -> int:
                     "n_queries": len(results),
                     "n_ok": ok,
                     "n_fail": failures,
+                    "n_lint": 0,
                     "lint_findings": lint_findings,
                     "results": results,
                 },
