@@ -906,6 +906,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_search"] = q_ivfpq_search
 
+    # IVF-PQ recall under GENUINE pruning (n_probe=2 of 8 cells) vs
+    # exact L2 truth — the quality counterweight to the codes-only
+    # index's size wins.  coarse_init/codebook_init="first_ids" make
+    # cell routing + codes fully SQL-replayable; the truth metric is
+    # L2 (what the index approximates), so the report isolates
+    # quantization + probe loss from cosine/L2 metric disagreement.
+    def q_ivfpq_recall(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            ann_recall_report,
+            build_ivfpq_index,
+            ivfpq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpqr_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivfpq_index(
+            emb, path, n_lists=8, m=4, k_codes=16,
+            codebook_init="first_ids", coarse_init="first_ids",
+            mode="overwrite",
+        )
+        qs = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = ivfpq_search(spark, path, qs, k=5, n_probe=2)
+        return ann_recall_report(
+            emb, qs, approx, k=5, query_id_col="query_id",
+            exclude_self=False, metric="l2",
+        )
+
+    q["ivfpq_recall"] = q_ivfpq_recall
+
+    # multilayer flatten (C9 — the reference class is an all-pass
+    # stub, reference multilayer.py:4-23; semantics are ours): two
+    # overlapping customer layers with layer-specific node attrs;
+    # flatten keeps the alphabetically-FIRST layer's attributes for
+    # shared nodes (tagged-union + groupBy-min dedup, no global
+    # window) and unions the edges with their layer tag — the result
+    # joins the deduped nodes with the flattened out-degree so both
+    # legs of flatten() land under one hash.
+    def q_multilayer_flatten(spark, sf):
+        from networkframe_spark.frame import NetworkFrame
+        from networkframe_spark.multilayer import MultilayerNetworkFrame
+
+        cust = read_table(spark, sf, "customer")
+
+        def layer(pred, score):
+            nodes = cust.filter(pred).select(
+                F.col("c_custkey").cast("long").alias("id"),
+                score.alias("score"),
+            )
+            edges = cust.filter(pred).select(
+                F.col("c_custkey").cast("long").alias("source"),
+                (F.col("c_custkey") % 100 + 1).cast("long").alias("target"),
+            )
+            return NetworkFrame(nodes, edges, directed=True)
+
+        ml = MultilayerNetworkFrame(
+            {
+                "east": layer(
+                    F.col("c_nationkey") < 12, F.round(F.col("c_acctbal"), 2)
+                ),
+                "west": layer(
+                    F.col("c_nationkey") >= 5,
+                    F.round(F.col("c_acctbal") * 2, 2),
+                ),
+            }
+        )
+        flat = ml.flatten()
+        deg = flat.edges.groupBy("source").agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        return (
+            flat.nodes.join(deg, on=flat.nodes["id"] == deg["source"], how="left")
+            .select(
+                "id",
+                "score",
+                F.coalesce(F.col("out_degree"), F.lit(0))
+                .cast("bigint")
+                .alias("out_degree"),
+            )
+        )
+
+    q["multilayer_flatten"] = q_multilayer_flatten
+
     # semantic decontamination (the paraphrase leg of the triad):
     # eval = every 20th vector, train = the rest; brute mode is exact.
     # threshold 0.42 sits at the synthetic corpus's cross-pair tail
@@ -6788,6 +6879,143 @@ FROM scored QUALIFY rank <= 5
     # ADC score, so probing every cell IS pq_search — same oracle
     # (the cosine_topk_ivf / ivf_index_search trick)
     o["ivfpq_search"] = o["pq_search"]
+
+    # IVF-PQ recall under genuine pruning: full pipeline replay —
+    # first_ids coarse routing (8 cells, ties to the lowest list),
+    # first_ids PQ codes (same CTEs as pq_search), each query probes
+    # its 2 nearest cells, ADC-scores only vectors assigned to probed
+    # cells, top-5 vs the exact 6-dp squared-L2 truth (self included:
+    # ivfpq_search does not self-exclude and neither does the report)
+    o["ivfpq_recall"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+coarse AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER)
+           AS list_id,
+         emb
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.emb, v.emb)
+             - 2 * list_dot_product(v.emb, c.emb)
+             + list_dot_product(c.emb, c.emb) ASC,
+             c.list_id ASC) AS rn
+    FROM e v, coarse c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.emb, q.emb)
+             - 2 * list_dot_product(q.emb, c.emb)
+             + list_dot_product(c.emb, c.emb) ASC,
+             c.list_id ASC) AS rn
+    FROM q, coarse c) WHERE rn <= 2
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS code,
+         emb
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 16)
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT vec_id, j, emb[j*16+1 : j*16+16] AS sv FROM e, js),
+cb AS (SELECT code, j, emb[j*16+1 : j*16+16] AS cv FROM seeds, js),
+d AS (
+  SELECT s.vec_id, s.j, c.code,
+         round(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+qsub AS (SELECT query_id, j, emb[j*16+1 : j*16+16] AS qv FROM q, js),
+lut AS (
+  SELECT qs.query_id, qs.j, c.code,
+         CAST(round(list_dot_product(qs.qv, qs.qv)
+                    - 2 * list_dot_product(qs.qv, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6)
+              AS DECIMAL(18,6)) AS dd
+  FROM qsub qs JOIN cb c ON c.j = qs.j
+),
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(SUM(l.dd) AS DOUBLE) AS approx_d2
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.code = cd.code
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= 5
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.emb, q.emb)
+               - 2 * list_dot_product(q.emb, c.emb)
+               + list_dot_product(c.emb, c.emb), 6) ASC,
+             c.vec_id ASC) AS rk
+    FROM q, e c) WHERE rk <= 5
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM truth t JOIN approx a USING (query_id, vec_id)
+  GROUP BY 1
+),
+perq AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # multilayer flatten: tagged union of the two customer layers,
+    # shared nodes keep min(layer)'s attrs, out-degree counts the
+    # UNIONED edges (overlap nodes emit one edge per layer — flatten
+    # dedups nodes, never edges)
+    o["multilayer_flatten"] = """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_nationkey, c_acctbal
+  FROM customer
+),
+east AS (
+  SELECT id, round(c_acctbal, 2) AS score FROM c WHERE c_nationkey < 12
+),
+west AS (
+  SELECT id, round(c_acctbal * 2, 2) AS score FROM c WHERE c_nationkey >= 5
+),
+tagged AS (
+  SELECT 'east' AS layer, id, score FROM east
+  UNION ALL
+  SELECT 'west' AS layer, id, score FROM west
+),
+keep AS (SELECT id, min(layer) AS layer FROM tagged GROUP BY id),
+nodes AS (
+  SELECT t.id, t.score
+  FROM tagged t JOIN keep k ON k.id = t.id AND k.layer = t.layer
+),
+srcs AS (
+  SELECT id AS source FROM east UNION ALL SELECT id AS source FROM west
+),
+deg AS (SELECT source, count(*) AS out_degree FROM srcs GROUP BY source)
+SELECT n.id, n.score,
+       CAST(coalesce(d.out_degree, 0) AS BIGINT) AS out_degree
+FROM nodes n LEFT JOIN deg d ON d.source = n.id
+"""
 
     # kNN label vote: brute top-5 (self-excluded, 6-dp cosine ranks),
     # max-votes argmax with lowest-label ties

@@ -58,44 +58,69 @@ def brute_force_top_k(
     emb_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k: for each query row, the k most similar
-    corpus rows.  Returns ``(query_id, vec_id, cosine, rank)``.
+    """Exact top-k: for each query row, the k most similar corpus
+    rows.  ``metric="cosine"`` (default) returns ``(query_id, vec_id,
+    cosine, rank)`` ranked by descending 6-dp cosine;
+    ``metric="l2"`` returns ``(query_id, vec_id, d2, rank)`` ranked
+    by ascending 6-dp squared L2 — the exact truth an L2 index
+    (IVF / PQ / IVF-PQ) must be evaluated against (cosine truth would
+    charge the index for metric disagreement, not quantization loss).
+    Ties break to the lower corpus id under both metrics.
 
     The query side is broadcast (queries << corpus is the normal
     shape); scoring is one codegen'd projection over the corpus —
     no shuffle until the per-query top-k aggregate.
     """
+    if metric not in ("cosine", "l2"):
+        raise ValueError("brute_force_top_k: metric must be 'cosine' or 'l2'")
     query_id_col = query_id_col or id_col
     # norms are per-row: compute once per side instead of per pair, and
     # spread the corpus so scoring parallelizes even from a single
     # parquet partition
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # per-side self-products: norm for cosine, squared norm for L2
+    # (computed directly — NOT norm^2 — so the expression tree matches
+    # the SQL twin's list_dot_product(v, v) term exactly)
+    q_self = (
+        norm_expr(F.col(emb_col))
+        if metric == "cosine"
+        else dot_expr(F.col(emb_col), F.col(emb_col))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        norm_expr(F.col(emb_col)).alias("q_norm"),
+        q_self.alias("q_self"),
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("c_emb"),
-        norm_expr(F.col(emb_col)).alias("c_norm"),
+        (
+            norm_expr(F.col(emb_col))
+            if metric == "cosine"
+            else dot_expr(F.col(emb_col), F.col(emb_col))
+        ).alias("c_self"),
     ).repartition(n_part)
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
-    )
+    dot = dot_expr(F.col("q_emb"), F.col("c_emb"))
+    if metric == "cosine":
+        score_col, score = "cosine", F.round(
+            dot / (F.col("q_self") * F.col("c_self")), 6
+        )
+        order = F.desc(score_col)
+    else:
+        score_col, score = "d2", F.round(
+            F.col("q_self") - 2.0 * dot + F.col("c_self"), 6
+        )
+        order = F.asc(score_col)
+    scored = c.join(F.broadcast(q)).withColumn(score_col, score)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", score_col, "rank")
     )
 
 
@@ -1475,6 +1500,7 @@ def build_ivfpq_index(
     k_codes: int = 16,
     n_iter: int = 3,
     codebook_init: str = "kmeans",
+    coarse_init: str = "kmeans",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     mode: str = "error",
@@ -1510,9 +1536,27 @@ def build_ivfpq_index(
     import json as _json
     import os as _os
 
-    centroids = ivf_fit_centroids(
-        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
-    )
+    if coarse_init not in ("first_ids", "kmeans"):
+        raise ValueError("coarse_init must be 'first_ids' or 'kmeans'")
+    if coarse_init == "first_ids":
+        # coarse cells seeded by the n_lists smallest-id vectors —
+        # fully SQL-expressible, the oracle-checkable routing mode
+        # (same trick as pq_codebook / embedding_clusters); kmeans
+        # stays the production default
+        centroids = [
+            list(map(float, r[emb_col]))
+            for r in corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .collect()
+        ]
+    else:
+        centroids = ivf_fit_centroids(
+            corpus,
+            n_lists=n_lists,
+            n_iter=n_iter,
+            id_col=id_col,
+            emb_col=emb_col,
+        )
     codebook = pq_codebook(
         corpus, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
         id_col=id_col, emb_col=emb_col,
@@ -2146,11 +2190,16 @@ def ann_recall_report(
     emb_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Recall@k of ANY approximate top-k result against brute-force
     ground truth — the standard ANN index evaluation (the number a
     100 TB pipeline must watch when it swaps brute-force for
-    LSH/IVF/PQ).  ``approx`` is a ``(query_id, vec_id[, rank])``
+    LSH/IVF/PQ).  ``metric`` selects the truth ranking: ``"cosine"``
+    for the LSH paths, ``"l2"`` for the L2-quantized indexes
+    (IVF/PQ/IVF-PQ) so the report isolates quantization + pruning
+    loss from metric disagreement.  ``approx`` is a
+    ``(query_id, vec_id[, rank])``
     DataFrame as produced by :func:`lsh_top_k`, :func:`ivf_top_k`,
     :func:`pq_search`, :func:`cell_pruned_top_k`, or
     :func:`ivf_index_search`; rows with ``rank > k`` are ignored when
@@ -2174,6 +2223,7 @@ def ann_recall_report(
         emb_col=emb_col,
         query_id_col=query_id_col,
         exclude_self=exclude_self,
+        metric=metric,
     ).select("query_id", "vec_id")
     pred = approx
     if "rank" in pred.columns:

@@ -622,6 +622,83 @@ def test_probe_query_batch_guard(spark, tmp_path, monkeypatch):
         ).collect()
 
 
+def test_brute_force_top_k_l2(spark):
+    """metric='l2' ranks by ascending 6-dp squared L2 (self at rank 1
+    when not excluded) — the truth an L2-quantized index is judged by;
+    cosine would rank the scaled copy first instead."""
+    from networkframe_spark.functions.similarity import brute_force_top_k
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),   # same direction, far in L2
+        (2, [1.0, 0.5]),   # nearer in L2, different direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id = 0")
+    got = [
+        (r["rank"], r["vec_id"], r["d2"])
+        for r in brute_force_top_k(
+            df, qs, k=3, exclude_self=False, metric="l2"
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(1, 0, 0.0), (2, 2, 0.25), (3, 1, 1.0)]
+    cos = [
+        r["vec_id"]
+        for r in brute_force_top_k(df, qs, k=2, metric="cosine")
+        .orderBy("rank").collect()
+    ]
+    assert cos[0] == 1  # cosine prefers the scaled copy
+
+
+def test_ivfpq_coarse_first_ids(spark, tmp_path):
+    """coarse_init='first_ids' routes cells by the n_lists smallest-id
+    vectors (the SQL-replayable mode ivfpq_recall's oracle unrolls);
+    exhaustive probe still equals pure ADC."""
+    import json as _json
+    import os as _os
+
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    path = str(tmp_path / "ivfpq_fi")
+    art = build_ivfpq_index(
+        emb, path, n_lists=4, m=4, k_codes=8,
+        codebook_init="first_ids", coarse_init="first_ids",
+    )
+    first4 = [
+        list(map(float, r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    stored = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    assert stored == first4
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivfpq_search(spark, path, qs, k=3, n_probe=4).collect()
+    )
+    cb = pq_codebook(emb, m=4, k=8, init="first_ids")
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq_search(pq_encode(emb, cb), cb, qs, k=3).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="coarse_init"):
+        build_ivfpq_index(emb, path + "2", coarse_init="nope")
+
+
 def test_hamming_ball_masks():
     """combinations enumeration == the old 2^n_planes range filter,
     including order — and stays ball-sized at large n_planes."""
