@@ -2724,31 +2724,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_components (1-row, driver-hashed in all 7 prior rounds)
         # cedes its core slot to the round-8 flagship graph op
         "louvain_communities",
-        # round-11 rotation: the round-9/10 block (bpe_train,
-        # unigram_logprob, dedup_*, semantic_*, ivf, classifier,
-        # retrieval, graph-ML anchors) is driver-hash-green in
-        # CORRECTNESS_r10.json and drops back to replay-only.  This
-        # block burns down the never-driver-hashed backlog (70 ops as
-        # of r10): leiden_communities first (registered this round,
-        # newest code), then the six ops whose oracles got the r10
-        # BIGINT casts but were never driver-sampled green (sessionize
-        # was sampled once in r1 and was RED then — back in to prove
-        # the fix under the driver's own hash), then lsh_recall_report
-        # (newest pre-r11 registration, never sampled), then the rest
-        # oldest-family-first.
-        # the three r11 registrations lead (newest code = highest
-        # mismatch risk): leiden, then the two banded-recall reports
-        "leiden_communities",
-        "semantic_decon_recall", "fuzzy_decon_recall",
-        "lsh_multiprobe_recall", "embedding_dedup_lsh", "ivfpq_search",
-        "sessionize", "pack_sequences", "graph_describe",
-        "perplexity_buckets", "bigram_logprob", "bpe_encode",
-        "lsh_recall_report", "mine_hard_negatives",
-        "quantize_embeddings", "merge_incremental", "approx_diameter",
-        "ngram_decontaminate", "local_clustering", "funnel",
-        "embedding_drift", "graph_metrics", "user_sequences",
-        "event_dedup", "global_shuffle", "split_by_cluster",
-        "chunk_documents", "pii_redact",
+        # round-12 rotation: the round-11 block (leiden, the recall
+        # reports, embedding_dedup_lsh, ivfpq_search, the text/pipeline
+        # anchors) is driver-hash-green in CORRECTNESS_r11.json and
+        # drops back to replay-only.  This block: the two r12
+        # registrations first (newest code = highest mismatch risk —
+        # ivfpq_recall also covers this round's residual/metric
+        # refactor of the shared ADC plumbing), then 26 of the 49
+        # never-driver-hashed ops, real engine paths before trivial
+        # profiles (VERDICT r11 task 2 list + embedding_outliers),
+        # leaving the never-hashed backlog at 23.
+        "ivfpq_recall", "multilayer_flatten",
+        "pq_encode", "truncate_embeddings", "knn_label_check",
+        "label_centroids", "embedding_clusters", "embedding_gram",
+        "dedup_clusters", "bipartite_project", "curriculum_order",
+        "top_k_per_group", "salted_join", "value_percentiles",
+        "table_diff", "extract_json", "json_key_profile",
+        "similar_strings", "hashed_tfidf", "zipf_fit", "build_vocab",
+        "pmi_bigrams", "robust_outliers", "numeric_histogram",
+        "ab_test_report", "rrf_fuse", "neighbor_sample",
+        "embedding_outliers",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():

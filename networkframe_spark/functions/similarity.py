@@ -1400,13 +1400,17 @@ def _pq_lut(
     codebook: list[list[list[float]]],
     query_id_col: str,
     emb_col: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """Per-query ADC lookup table ``(query_id, j, code, __d)``: the
-    6-dp-rounded squared L2 between each query subvector and every
-    codebook centroid, as DECIMAL(18,6) so downstream sums are exact
-    and order-independent.  n_queries × m × k rows — queries-sized,
-    always broadcastable.  Shared by :func:`pq_search` (full-corpus
-    ADC) and :func:`ivfpq_search` (cell-pruned ADC)."""
+    """Per-query ADC lookup table ``(query_id, *extra_cols, j, code,
+    __d)``: the 6-dp-rounded squared L2 between each query subvector
+    and every codebook centroid, as DECIMAL(18,6) so downstream sums
+    are exact and order-independent.  ``extra_cols`` ride through
+    untouched — the residual IVFADC path keys the table by
+    ``(query_id, list_id)`` because each probed cell sees a different
+    query residual.  n_queries × m × k rows (× n_probe for residual) —
+    queries-sized, always broadcastable.  Shared by :func:`pq_search`
+    (full-corpus ADC) and :func:`ivfpq_search` (cell-pruned ADC)."""
     spark = queries.sparkSession
     m = len(codebook)
     kcent = len(codebook[0])
@@ -1421,6 +1425,7 @@ def _pq_lut(
     )
     qsub = queries.select(
         F.col(query_id_col),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1437,6 +1442,7 @@ def _pq_lut(
     )
     return qsub.join(F.broadcast(cb), on="j").select(
         F.col(query_id_col),
+        *[F.col(c) for c in extra_cols],
         "j",
         "code",
         F.round(d2, 6).cast("decimal(18,6)").alias("__d"),
@@ -1501,6 +1507,7 @@ def build_ivfpq_index(
     n_iter: int = 3,
     codebook_init: str = "kmeans",
     coarse_init: str = "kmeans",
+    residual: bool = False,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     mode: str = "error",
@@ -1516,14 +1523,20 @@ def build_ivfpq_index(
     probes scan ``n_probe`` code directories (bytes per vector, not
     floats) and score through a per-query lookup table.
 
-    No-residual variant: classic IVFADC quantizes the residual
-    ``x - centroid[list]``; here codes quantize the RAW vector.  The
-    tradeoff is a little quantization accuracy for (a) an exact
-    contract — an exhaustive probe (``n_probe == n_lists``) is
-    bit-identical to :func:`pq_search` over the same codebook, which
-    is what the oracle checks — and (b) codes that stay valid if
-    cells are re-split or batches appended ivf_index_add-style,
-    because the code of a vector never depends on its cell.
+    ``residual=False`` (default) quantizes the RAW vector.  The
+    tradeoff is quantization accuracy for (a) an exact contract — an
+    exhaustive probe (``n_probe == n_lists``) is bit-identical to
+    :func:`pq_search` over the same codebook, which is what the
+    oracle checks — and (b) codes that stay valid if cells are
+    re-split or batches appended ivf_index_add-style, because the
+    code of a vector never depends on its cell.
+    ``residual=True`` is classic IVFADC (Jégou et al. 2011 §III):
+    codes quantize ``x − centroid[cell]``, so the codebook spends its
+    k_codes on the (much smaller) within-cell residual — measured
+    +57% recall@10 on the 500k uniform corpus (SCALE.md round-12) at
+    identical index size; the price is cell-dependent codes (no
+    re-splitting without re-encoding) and a per-(query, probed-cell)
+    ADC table at search time (still probe-pair-sized).
 
     Scale design: one Arrow argmax assignment pass and one
     mapInPandas encode pass (both shuffle-free), one unique-key
@@ -1557,35 +1570,68 @@ def build_ivfpq_index(
             id_col=id_col,
             emb_col=emb_col,
         )
-    codebook = pq_codebook(
-        corpus, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
-        id_col=id_col, emb_col=emb_col,
-    )
-    assigned = ivf_assign(
+    spark = corpus.sparkSession
+    assigned_full = ivf_assign(
         corpus.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("__emb")
         ),
         centroids,
         emb_col="__emb",
-    ).select("vec_id", "list_id")
-    codes = pq_encode(corpus, codebook, id_col=id_col, emb_col=emb_col)
-    if id_col != "vec_id":
-        codes = codes.withColumnRenamed(id_col, "vec_id")
+    )
+    if residual:
+        # classic IVFADC: codes quantize x − centroid[cell], so the
+        # codebook resolves the (much smaller) within-cell residual
+        # instead of the whole space — the recall fix for the raw-code
+        # ceiling (SCALE.md round-12).  The price: a vector's code now
+        # DEPENDS on its cell, so cells cannot be re-split and batches
+        # cannot be re-routed without re-encoding (the no-residual
+        # mode keeps that freedom and the pq_search oracle identity).
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id int, __c array<double>",
+        )
+        enc_src = assigned_full.join(F.broadcast(cent), on="list_id").select(
+            "vec_id",
+            "list_id",
+            F.zip_with(
+                F.col("__emb").cast("array<double>"),
+                F.col("__c"),
+                lambda x, y: x - y,
+            ).alias("__res"),
+        )
+        codebook = pq_codebook(
+            enc_src, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
+            id_col="vec_id", emb_col="__res",
+        )
+        codes = pq_encode(enc_src, codebook, id_col="vec_id", emb_col="__res")
+        codes = codes.join(enc_src.select("vec_id", "list_id"), on="vec_id")
+    else:
+        codebook = pq_codebook(
+            corpus, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
+            id_col=id_col, emb_col=emb_col,
+        )
+        codes = pq_encode(corpus, codebook, id_col=id_col, emb_col=emb_col)
+        if id_col != "vec_id":
+            codes = codes.withColumnRenamed(id_col, "vec_id")
+        codes = codes.join(assigned_full.select("vec_id", "list_id"), on="vec_id")
     (
-        codes.join(assigned, on="vec_id")
-        .write.mode(mode)
+        codes.write.mode(mode)
         .partitionBy("list_id")
         .parquet(_os.path.join(path, "codes"))
     )
-    spark = corpus.sparkSession
-    for name, obj in (("centroids", centroids), ("codebook", codebook)):
+    meta = {"residual": bool(residual), "m": m, "k_codes": k_codes}
+    for name, obj in (
+        ("centroids", centroids),
+        ("codebook", codebook),
+        ("meta", meta),
+    ):
         (
             spark.createDataFrame([(_json.dumps(obj),)], f"{name} string")
             .coalesce(1)
             .write.mode(mode)
             .json(_os.path.join(path, name))
         )
-    return {"centroids": centroids, "codebook": codebook}
+    return {"centroids": centroids, "codebook": codebook, "meta": meta}
 
 
 def ivfpq_search(
@@ -1634,43 +1680,85 @@ def ivfpq_search(
             "codebook"
         ]
     )
+    try:
+        meta = _json.loads(
+            spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
+        )
+    except Exception:  # pre-round-12 index layout: no meta manifest
+        meta = {"residual": False}
+    residual = bool(meta.get("residual", False))
     C = np.asarray(centroids, dtype=np.float64)
     # one GEMM assigns all queries at once; batch loudly size-guarded
     qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
-    probe_rows = []
     wanted: set[int] = set()
     qids = qpdf["query_id"].tolist()
-    for i in range(len(qpdf)):
-        for li in order[i]:
-            wanted.add(int(li))
-            probe_rows.append((qids[i], int(li)))
-    probe_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[query_id_col].dataType),
-            T.StructField("list_id", T.IntegerType()),
-        ]
-    )
-    probes = spark.createDataFrame(probe_rows, probe_schema)
+    qembs = qpdf["q_emb"].tolist()
+    if residual:
+        # IVFADC: each probed cell sees the query's residual against
+        # THAT cell's centroid, so the ADC table is keyed by
+        # (query_id, list_id) — n_queries × n_probe × m × k rows,
+        # still probe-pair-sized and broadcastable
+        pr_rows = []
+        for i in range(len(qpdf)):
+            x = np.asarray(qembs[i], dtype=np.float64)
+            for li in order[i]:
+                wanted.add(int(li))
+                pr_rows.append(
+                    (qids[i], int(li), [float(v) for v in x - C[li]])
+                )
+        pr_schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType
+                ),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("q_res", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        pr = spark.createDataFrame(pr_rows, pr_schema)
+        lut = _pq_lut(pr, codebook, "query_id", "q_res", extra_cols=("list_id",))
+    else:
+        probe_rows = []
+        for i in range(len(qpdf)):
+            for li in order[i]:
+                wanted.add(int(li))
+                probe_rows.append((qids[i], int(li)))
+        probe_schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType
+                ),
+                T.StructField("list_id", T.IntegerType()),
+            ]
+        )
+        probes = spark.createDataFrame(probe_rows, probe_schema)
+        lut = _pq_lut(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(emb_col)
+            ),
+            codebook,
+            "query_id",
+            emb_col,
+        )
     codes = spark.read.parquet(_os.path.join(path, "codes")).filter(
         F.col("list_id").isin(sorted(wanted))
-    )
-    lut = _pq_lut(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(emb_col)
-        ),
-        codebook,
-        "query_id",
-        emb_col,
     )
     exploded = codes.select(
         "vec_id", "list_id", F.posexplode("codes").alias("j", "code")
     )
-    scored = (
-        exploded.join(F.broadcast(probes), on="list_id")
-        .join(F.broadcast(lut), on=["query_id", "j", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("__d").cast("double").alias("approx_d2"))
-    )
+    if residual:
+        scored = (
+            exploded.join(F.broadcast(lut), on=["list_id", "j", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("__d").cast("double").alias("approx_d2"))
+        )
+    else:
+        scored = (
+            exploded.join(F.broadcast(probes), on="list_id")
+            .join(F.broadcast(lut), on=["query_id", "j", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("__d").cast("double").alias("approx_d2"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("vec_id").asc()
     )

@@ -699,6 +699,62 @@ def test_ivfpq_coarse_first_ids(spark, tmp_path):
         build_ivfpq_index(emb, path + "2", coarse_init="nope")
 
 
+def test_ivfpq_residual_single_cell(spark, tmp_path):
+    """IVFADC residual contract: with ONE cell, residual encoding is
+    exactly PQ over the centered corpus (x − c0) queried with centered
+    queries — bit-identical ADC scores.  Also pins that the meta
+    manifest routes the search into residual mode with no caller
+    flag."""
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    path = str(tmp_path / "ivfpq_res")
+    art = build_ivfpq_index(
+        emb, path, n_lists=1, m=4, k_codes=8,
+        codebook_init="first_ids", coarse_init="first_ids", residual=True,
+    )
+    assert art["meta"]["residual"] is True
+    c0 = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    c0_arr = F.array(*[F.lit(v) for v in c0])
+    centered = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            c0_arr,
+            lambda x, y: x - y,
+        ).alias("embedding"),
+    )
+    cb = pq_codebook(centered, m=4, k=8, init="first_ids")
+    assert cb == art["codebook"]
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in ivfpq_search(spark, path, qs, k=5, n_probe=1).collect()
+    )
+    qs_centered = centered.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in pq_search(
+            pq_encode(centered, cb), cb, qs_centered, k=5
+        ).collect()
+    )
+    assert got == want
+
+
 def test_hamming_ball_masks():
     """combinations enumeration == the old 2^n_planes range filter,
     including order — and stays ball-sized at large n_planes."""

@@ -151,6 +151,29 @@ def main() -> None:
             ivfpq_search(spark, idx_path, qs, k=k, n_probe=n_probe),
             f"ivfpq_search n_probe={n_probe}/64",
         )
+
+    # residual A/B (classic IVFADC): same lists/m/k, codes quantize
+    # x − centroid[cell]; search auto-detects via the meta manifest
+    res_path = f"/root/repo/.scratch/ivfpq_recall_res_{n_vecs}"
+    t0 = time.time()
+    build_ivfpq_index(
+        emb, res_path, n_lists=64, m=8, k_codes=256, n_iter=2,
+        residual=True, mode="overwrite",
+    )
+    print(
+        json.dumps(
+            {
+                "row": "ivfpq residual build 64/8/256",
+                "sec": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+    for n_probe in (4, 8, 16, 64):
+        recall_of(
+            ivfpq_search(spark, res_path, qs, k=k, n_probe=n_probe),
+            f"ivfpq_search residual n_probe={n_probe}/64",
+        )
     spark.stop()
 
 
