@@ -944,6 +944,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_recall"] = q_ivfpq_recall
 
+    # incremental IVF-PQ maintenance: build the codes index on the
+    # even half, APPEND the odd half against the STORED manifests
+    # (codes layer twin of ivf_index_add_search), exhaustive-probe.
+    # Codes quantize against the even-half first_ids codebook whether
+    # written by build or by add, so the post-add search is pq_search
+    # with that codebook over the FULL corpus — the oracle replays
+    # exactly that (seeds = 16 smallest EVEN ids).
+    def q_ivfpq_add_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_ivfpq_index,
+            ivfpq_index_add,
+            ivfpq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpqa_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), path, n_lists=8, m=4,
+            k_codes=16, codebook_init="first_ids",
+            coarse_init="first_ids", mode="overwrite",
+        )
+        ivfpq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
+        qs = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivfpq_search(spark, path, qs, k=5, n_probe=8)
+
+    q["ivfpq_add_search"] = q_ivfpq_add_search
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -6874,6 +6910,15 @@ FROM scored QUALIFY rank <= 5
     # ADC score, so probing every cell IS pq_search — same oracle
     # (the cosine_topk_ivf / ivf_index_search trick)
     o["ivfpq_search"] = o["pq_search"]
+
+    # post-add IVF-PQ ≡ pq_search with the even-half first_ids
+    # codebook over the full corpus (add encodes against the STORED
+    # manifests; exhaustive probe makes routing irrelevant)
+    o["ivfpq_add_search"] = o["pq_search"].replace(
+        "FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 16)",
+        "FROM (SELECT * FROM e WHERE vec_id % 2 = 0"
+        " ORDER BY vec_id ASC LIMIT 16)",
+    )
 
     # IVF-PQ recall under genuine pruning: full pipeline replay —
     # first_ids coarse routing (8 cells, ties to the lowest list),

@@ -164,10 +164,12 @@ HEADLINE = [
     "fuzzy_decon_recall",    # minhash-banding decon recall (r11)
     "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
     "embedding_dedup_lsh",   # forced-LSH banded near-dup (r11)
-    # ivf_index_search / ivf_index_add_search / ivfpq_search are
-    # excluded on purpose: each run rebuilds and WRITES the on-disk
-    # index (an offline, amortized cost), so their wall time measures
-    # the build, not the probe.  Solo numbers live in SCALE.md.
+    "multilayer_flatten",    # tagged-union + keep-first node dedup (r12)
+    # ivf_index_search / ivf_index_add_search / ivfpq_search /
+    # ivfpq_recall are excluded on purpose: each run rebuilds and
+    # WRITES the on-disk index (an offline, amortized cost), so their
+    # wall time measures the build, not the probe.  Solo numbers live
+    # in SCALE.md.
 ]
 
 
@@ -221,18 +223,28 @@ def main() -> None:
         sum(timings[n] for n in COMMON18 if n in timings), 3
     )
     # key semantics (fixed names for cross-round comparability):
-    #   common18_total     = ISOLATED fresh-session sum (phase 1) —
-    #                        the number BASELINE/r3-era anchors use;
+    #   value (metric=common18_total_wall) = ISOLATED fresh-session
+    #                        sum of the FIXED 18-query basket (phase 1)
+    #                        — the round-over-round comparable and the
+    #                        number BASELINE/r3-era anchors use.  The
+    #                        growing-suite total moved to a secondary
+    #                        field in round 12 because headline growth
+    #                        (5 new queries = +16s in r11) kept reading
+    #                        as regression when per-query diffs showed
+    #                        none;
+    #   suite_total        = the full (growing) headline suite (phase
+    #                        2) — coverage-weighted, NOT comparable
+    #                        across rounds without a per-query diff;
     #   common18_in_suite  = same 18 re-timed inside the full-suite
     #                        session (phase 2), subject to session
     #                        interference — trend-only, never compared
     #                        against the isolated anchor.
     payload = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
+        "metric": "common18_total_wall",
+        "value": common18,
         "unit": "sec",
         "queries": timings,
-        "common18_total": common18,
+        "suite_total": total,
         "common18_isolated_queries": c18_timings,
         "common18_in_suite": common18_in_suite,
         "sf": sf,
@@ -253,12 +265,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
+                "metric": "common18_total_wall",
+                "value": common18,
                 "unit": "sec",
                 "queries": worst5,
                 "n_queries": len(timings),
-                "common18_total": common18,
+                "suite_total": total,
                 "common18_in_suite": common18_in_suite,
                 "sf": sf,
                 "full_artifact": "BENCH_LOCAL.json",

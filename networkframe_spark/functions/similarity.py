@@ -1532,11 +1532,15 @@ def build_ivfpq_index(
     code of a vector never depends on its cell.
     ``residual=True`` is classic IVFADC (Jégou et al. 2011 §III):
     codes quantize ``x − centroid[cell]``, so the codebook spends its
-    k_codes on the (much smaller) within-cell residual — measured
-    +57% recall@10 on the 500k uniform corpus (SCALE.md round-12) at
-    identical index size; the price is cell-dependent codes (no
-    re-splitting without re-encoding) and a per-(query, probed-cell)
-    ADC table at search time (still probe-pair-sized).
+    k_codes on the within-cell residual.  The gain tracks how much of
+    the variance the coarse cells absorb: measured recall@10 on 500k
+    uniform vectors (PQ's worst case — cells absorb almost nothing)
+    moves only 0.20 → 0.21 at n_probe=4, while on the clustered 500k
+    corpus the A/B shows the real effect (SCALE.md round-12, both
+    tables).  The price is cell-dependent codes (no re-splitting
+    without re-encoding — appends via :func:`ivfpq_index_add` stay
+    valid) and a per-(query, probed-cell) ADC table at search time
+    (still probe-pair-sized).
 
     Scale design: one Arrow argmax assignment pass and one
     mapInPandas encode pass (both shuffle-free), one unique-key
@@ -1771,6 +1775,95 @@ def ivfpq_search(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dedupe: bool = True,
+) -> None:
+    """Incremental IVF-PQ index maintenance: route ``new_vectors``
+    through the index's STORED centroid manifest, encode them with the
+    STORED codebook, and append the codes into the partitioned code
+    store — the codes-layer twin of :func:`ivf_index_add` (same
+    at-least-once ``dedupe`` retry guard, same partition-pruned
+    anti-join, nothing existing rewritten).
+
+    Works in BOTH modes: no-residual codes never depend on the cell,
+    and residual codes stay valid too because the add never moves a
+    centroid — post-add search ≡ same-manifest full-rebuild search.
+    What neither mode survives is re-fitting/re-splitting cells; that
+    is a :func:`build_ivfpq_index` rebuild (gate it on
+    ``embedding_drift``, exactly like the IVF layer).
+
+    Scale: one broadcast-centroid Arrow argmax pass + one
+    ``mapInPandas`` encode pass over the new batch (both
+    shuffle-free), then an append of only the new files.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    codebook = _json.loads(
+        spark.read.json(_os.path.join(path, "codebook")).collect()[0][
+            "codebook"
+        ]
+    )
+    try:
+        meta = _json.loads(
+            spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
+        )
+    except Exception:  # pre-round-12 index layout: no meta manifest
+        meta = {"residual": False}
+    assigned = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("__emb")
+        ),
+        centroids,
+        emb_col="__emb",
+    )
+    if meta.get("residual", False):
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id int, __c array<double>",
+        )
+        enc_src = assigned.join(F.broadcast(cent), on="list_id").select(
+            "vec_id",
+            "list_id",
+            F.zip_with(
+                F.col("__emb").cast("array<double>"),
+                F.col("__c"),
+                lambda x, y: x - y,
+            ).alias("__enc"),
+        )
+    else:
+        enc_src = assigned.select(
+            "vec_id", "list_id", F.col("__emb").alias("__enc")
+        )
+    codes = pq_encode(enc_src, codebook, id_col="vec_id", emb_col="__enc")
+    codes = codes.join(enc_src.select("vec_id", "list_id"), on="vec_id")
+    codes_path = _os.path.join(path, "codes")
+    if dedupe:
+        touched = [
+            r["list_id"]
+            for r in codes.select("list_id").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(codes_path)
+            .filter(F.col("list_id").isin(touched))
+            .select("vec_id")
+        )
+        codes = codes.join(existing, on="vec_id", how="left_anti")
+        # materialize before writing into the directory the plan reads
+        codes = codes.localCheckpoint(eager=True)
+    codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
 
 
 def knn_label_check(

@@ -755,6 +755,62 @@ def test_ivfpq_residual_single_cell(spark, tmp_path):
     assert got == want
 
 
+def test_ivfpq_index_add(spark, tmp_path):
+    """Incremental codes append: build on the even half, add the odd
+    half against the STORED manifests — post-add exhaustive probe
+    equals pq_search with the even-half codebook over the FULL corpus
+    (no-residual), and a replayed add is a no-op (dedupe guard).
+    Residual mode appends stay consistent too (codes quantize against
+    the stored centroids, which the add never moves)."""
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_search,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    path = str(tmp_path / "ivfpq_add")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), path, n_lists=4, m=4, k_codes=8,
+        codebook_init="first_ids", coarse_init="first_ids",
+    )
+    ivfpq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in ivfpq_search(spark, path, qs, k=5, n_probe=4).collect()
+    )
+    cb = pq_codebook(emb.filter("vec_id % 2 = 0"), m=4, k=8, init="first_ids")
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in pq_search(pq_encode(emb, cb), cb, qs, k=5).collect()
+    )
+    assert got == want
+    # replayed add appends nothing
+    import os as _os
+
+    n_before = spark.read.parquet(_os.path.join(path, "codes")).count()
+    ivfpq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
+    assert spark.read.parquet(_os.path.join(path, "codes")).count() == n_before
+    # residual index: add works and the searcher still finds the
+    # appended vectors (meta routes the residual encode path)
+    rpath = str(tmp_path / "ivfpq_add_res")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), rpath, n_lists=4, m=4, k_codes=8,
+        codebook_init="first_ids", coarse_init="first_ids", residual=True,
+    )
+    ivfpq_index_add(spark, rpath, emb.filter("vec_id % 2 = 1"))
+    res = ivfpq_search(spark, rpath, qs, k=100, n_probe=4)
+    odd_hits = res.filter("vec_id % 2 = 1").count()
+    assert odd_hits > 0
+
+
 def test_hamming_ball_masks():
     """combinations enumeration == the old 2^n_planes range filter,
     including order — and stays ball-sized at large n_planes."""

@@ -54,24 +54,61 @@ def agg_recall(rep) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    clustered = "--clustered" in sys.argv
     n_vecs = int(args[0]) if args else 500_000
     n_q = int(args[1]) if len(args) > 1 else 200
     k = 10
     spark = get_spark("bench_ivfpq_recall")
-    path = f"{SCRATCH}_{n_vecs}"
-    if not os.path.exists(path):
-        (
-            spark.range(n_vecs)
-            .select(
-                F.col("id").alias("vec_id"),
+    if clustered:
+        # 256 Gaussian-ish clusters, sigma 0.1 vs unit-scale centers:
+        # the REALISTIC embedding shape (semantic embeddings cluster
+        # hard) and the case residual encoding exists for — coarse
+        # cells absorb the center offsets, codes resolve the noise.
+        # Uniform (the default corpus) is PQ's worst case: cells
+        # absorb almost nothing, so residual ≈ raw there.
+        path = f"{SCRATCH}_clustered_{n_vecs}"
+        if not os.path.exists(path):
+            centers = spark.range(256).select(
+                F.col("id").alias("cid"),
                 F.array(
-                    *[F.rand(seed=1000 + i) * 2 - 1 for i in range(64)]
-                ).alias("embedding"),
+                    *[F.rand(seed=77000 + i) * 2 - 1 for i in range(64)]
+                ).alias("center"),
             )
-            .repartition(32)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+            (
+                spark.range(n_vecs)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    (F.col("id") % 256).alias("cid"),
+                    F.array(
+                        *[F.rand(seed=88000 + i) * 2 - 1 for i in range(64)]
+                    ).alias("noise"),
+                )
+                .join(F.broadcast(centers), on="cid")
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        "center", "noise", lambda c, n: c + 0.1 * n
+                    ).alias("embedding"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+    else:
+        path = f"{SCRATCH}_{n_vecs}"
+        if not os.path.exists(path):
+            (
+                spark.range(n_vecs)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.array(
+                        *[F.rand(seed=1000 + i) * 2 - 1 for i in range(64)]
+                    ).alias("embedding"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
     emb = spark.read.parquet(path)
     emb.count()
     qs = emb.filter(F.col("vec_id") < n_q).select(
@@ -99,7 +136,8 @@ def main() -> None:
         flush=True,
     )
 
-    idx_path = f"/root/repo/.scratch/ivfpq_recall_{n_vecs}"
+    tag = "clustered_" if clustered else ""
+    idx_path = f"/root/repo/.scratch/ivfpq_recall_{tag}{n_vecs}"
     t0 = time.time()
     art = build_ivfpq_index(
         emb, idx_path, n_lists=64, m=8, k_codes=256, n_iter=2,
@@ -154,7 +192,7 @@ def main() -> None:
 
     # residual A/B (classic IVFADC): same lists/m/k, codes quantize
     # x − centroid[cell]; search auto-detects via the meta manifest
-    res_path = f"/root/repo/.scratch/ivfpq_recall_res_{n_vecs}"
+    res_path = f"/root/repo/.scratch/ivfpq_recall_res_{tag}{n_vecs}"
     t0 = time.time()
     build_ivfpq_index(
         emb, res_path, n_lists=64, m=8, k_codes=256, n_iter=2,

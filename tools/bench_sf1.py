@@ -20,6 +20,11 @@ import __spark_entry__ as entry_mod
 from bench import COMMON18
 from networkframe_spark.session import get_spark
 
+# round-12: the banded-LSH ops join the standing exponent sweep (the
+# graph family has bench_graph_sf1.py; these run fine on the replica
+# because banding cost is corpus-shuffle-shaped, not gadget-pinned)
+EXTRA_OPS = ["embedding_dedup_lsh", "lsh_multiprobe_recall"]
+
 
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
@@ -32,7 +37,8 @@ def main() -> None:
     if os.path.exists(blp):
         base = json.load(open(blp)).get("queries", {})
     timings = {}
-    for name in COMMON18:
+    sweep = COMMON18 + EXTRA_OPS
+    for name in sweep:
         best = None
         for _ in range(n_runs):
             t0 = time.time()
@@ -50,11 +56,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf01_reference": {k: base.get(k) for k in COMMON18},
+        "sf01_reference": {k: base.get(k) for k in sweep},
         "exponents": {
             k: (round(math.log10(timings[k] / base[k]), 3)
                 if base.get(k) else None)
-            for k in COMMON18
+            for k in sweep
         },
         "sf": 1.0,
         "note": "synthetic sf1 = key-shifted 10x replication of sf0.1 (tools/make_sfscale.py)",
