@@ -57,6 +57,11 @@ def main() -> None:
     clustered = "--clustered" in sys.argv
     n_vecs = int(args[0]) if args else 500_000
     n_q = int(args[1]) if len(args) > 1 else 200
+    # coarse cell count: the decisive knob on clustered data — when
+    # n_lists ~ the true cluster count, cells absorb the centers and
+    # residual codes only have to resolve the within-cluster noise
+    n_lists = int(args[2]) if len(args) > 2 else 64
+    probes = sorted({4, 16, n_lists})
     k = 10
     spark = get_spark("bench_ivfpq_recall")
     if clustered:
@@ -137,14 +142,17 @@ def main() -> None:
     )
 
     tag = "clustered_" if clustered else ""
-    idx_path = f"/root/repo/.scratch/ivfpq_recall_{tag}{n_vecs}"
+    idx_path = f"/root/repo/.scratch/ivfpq_recall_{tag}{n_vecs}_{n_lists}"
     t0 = time.time()
     art = build_ivfpq_index(
-        emb, idx_path, n_lists=64, m=8, k_codes=256, n_iter=2,
+        emb, idx_path, n_lists=n_lists, m=8, k_codes=256, n_iter=2,
         mode="overwrite",
     )
     t_build = round(time.time() - t0, 1)
-    print(json.dumps({"row": "ivfpq build 64/8/256", "sec": t_build}), flush=True)
+    print(
+        json.dumps({"row": f"ivfpq build {n_lists}/8/256", "sec": t_build}),
+        flush=True,
+    )
 
     def recall_of(approx_df, label: str) -> None:
         # same comparison as ann_recall_report, but against the ONE
@@ -184,33 +192,33 @@ def main() -> None:
         pq_search(codes, art["codebook"], qs, k=k),
         "pq_search m=8 k=256 (quantization ceiling)",
     )
-    for n_probe in (4, 8, 16, 64):
+    for n_probe in probes:
         recall_of(
             ivfpq_search(spark, idx_path, qs, k=k, n_probe=n_probe),
-            f"ivfpq_search n_probe={n_probe}/64",
+            f"ivfpq_search n_probe={n_probe}/{n_lists}",
         )
 
     # residual A/B (classic IVFADC): same lists/m/k, codes quantize
     # x − centroid[cell]; search auto-detects via the meta manifest
-    res_path = f"/root/repo/.scratch/ivfpq_recall_res_{tag}{n_vecs}"
+    res_path = f"/root/repo/.scratch/ivfpq_recall_res_{tag}{n_vecs}_{n_lists}"
     t0 = time.time()
     build_ivfpq_index(
-        emb, res_path, n_lists=64, m=8, k_codes=256, n_iter=2,
+        emb, res_path, n_lists=n_lists, m=8, k_codes=256, n_iter=2,
         residual=True, mode="overwrite",
     )
     print(
         json.dumps(
             {
-                "row": "ivfpq residual build 64/8/256",
+                "row": f"ivfpq residual build {n_lists}/8/256",
                 "sec": round(time.time() - t0, 1),
             }
         ),
         flush=True,
     )
-    for n_probe in (4, 8, 16, 64):
+    for n_probe in probes:
         recall_of(
             ivfpq_search(spark, res_path, qs, k=k, n_probe=n_probe),
-            f"ivfpq_search residual n_probe={n_probe}/64",
+            f"ivfpq_search residual n_probe={n_probe}/{n_lists}",
         )
     spark.stop()
 
