@@ -149,6 +149,14 @@ def _hamming_ball_masks(n_planes: int, n_probe_bits: int) -> list[int]:
 #: guard makes that failure loud instead of a silent driver OOM.
 _MAX_QUERY_BATCH = 1_000_000
 
+#: Hard cap on the residual-mode ADC table (n_queries × n_probe × m ×
+#: k_codes rows — the n_probe factor is the residual tax; no-residual
+#: tables skip it).  Past ~20M rows the BroadcastExchange collect
+#: trips spark.driver.maxResultSize mid-job (measured: 200 queries ×
+#: 256 exhaustive probes × 8 × 256 = 105M rows → 1038 MiB > the 1 GiB
+#: default); fail loudly up front with the fix spelled out instead.
+_MAX_RESIDUAL_LUT_ROWS = 20_000_000
+
 
 def _probe_assign(queries, query_id_col: str, emb_col: str, C, n_probe: int):
     """Driver-side coarse-cell choice for a query batch: ONE
@@ -1532,15 +1540,16 @@ def build_ivfpq_index(
     code of a vector never depends on its cell.
     ``residual=True`` is classic IVFADC (Jégou et al. 2011 §III):
     codes quantize ``x − centroid[cell]``, so the codebook spends its
-    k_codes on the within-cell residual.  The gain tracks how much of
-    the variance the coarse cells absorb: measured recall@10 on 500k
-    uniform vectors (PQ's worst case — cells absorb almost nothing)
-    moves only 0.20 → 0.21 at n_probe=4, while on the clustered 500k
-    corpus the A/B shows the real effect (SCALE.md round-12, both
-    tables).  The price is cell-dependent codes (no re-splitting
-    without re-encoding — appends via :func:`ivfpq_index_add` stay
-    valid) and a per-(query, probed-cell) ADC table at search time
-    (still probe-pair-sized).
+    k_codes on the within-cell residual.  The gain tracks how much
+    variance the coarse cells absorb — measured recall@10 at 500k
+    (SCALE.md round-12): on UNIFORM vectors (cells absorb nothing)
+    residual ≈ raw (0.21 vs 0.20 at n_probe=4); on the CLUSTERED
+    corpus with n_lists ≈ the cluster count it is **2.8×** (0.106 →
+    0.2925) at identical index size.  The price: cell-dependent codes
+    (no re-splitting without re-encoding — appends via
+    :func:`ivfpq_index_add` stay valid) and a per-(query, probed-cell)
+    ADC table at search time (n_probe× the no-residual table, guarded
+    by ``_MAX_RESIDUAL_LUT_ROWS``).
 
     Scale design: one Arrow argmax assignment pass and one
     mapInPandas encode pass (both shuffle-free), one unique-key
@@ -1702,6 +1711,16 @@ def ivfpq_search(
         # THAT cell's centroid, so the ADC table is keyed by
         # (query_id, list_id) — n_queries × n_probe × m × k rows,
         # still probe-pair-sized and broadcastable
+        lut_rows = len(qpdf) * n_probe * len(codebook) * len(codebook[0])
+        if lut_rows > _MAX_RESIDUAL_LUT_ROWS:
+            raise ValueError(
+                f"ivfpq_search: residual ADC table would be {lut_rows} "
+                f"rows (queries × n_probe × m × k_codes > "
+                f"{_MAX_RESIDUAL_LUT_ROWS}) and it must broadcast — "
+                "reduce n_probe or chunk the query batch (exhaustive "
+                "residual probing pays the n_probe factor the "
+                "no-residual mode doesn't)"
+            )
         pr_rows = []
         for i in range(len(qpdf)):
             x = np.asarray(qembs[i], dtype=np.float64)

@@ -620,6 +620,17 @@ def test_probe_query_batch_guard(spark, tmp_path, monkeypatch):
         sim.ivf_index_search(
             spark, ipath, qs, k=3, n_probe=2, query_id_col="query_id"
         ).collect()
+    # residual ADC table guard: n_q x n_probe x m x k must broadcast —
+    # fail loudly up front, not mid-BroadcastExchange (maxResultSize)
+    monkeypatch.setattr(sim, "_MAX_QUERY_BATCH", 1_000_000)
+    rpath = str(tmp_path / "ivfpq_res_guard")
+    sim.build_ivfpq_index(
+        emb, rpath, n_lists=4, m=4, k_codes=8, n_iter=1,
+        codebook_init="first_ids", residual=True,
+    )
+    monkeypatch.setattr(sim, "_MAX_RESIDUAL_LUT_ROWS", 10)
+    with pytest.raises(ValueError, match="residual ADC table"):
+        sim.ivfpq_search(spark, rpath, qs, k=3, n_probe=4).collect()
 
 
 def test_brute_force_top_k_l2(spark):

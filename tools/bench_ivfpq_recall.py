@@ -216,10 +216,19 @@ def main() -> None:
         flush=True,
     )
     for n_probe in probes:
-        recall_of(
-            ivfpq_search(spark, res_path, qs, k=k, n_probe=n_probe),
-            f"ivfpq_search residual n_probe={n_probe}/{n_lists}",
-        )
+        label = f"ivfpq_search residual n_probe={n_probe}/{n_lists}"
+        try:
+            recall_of(
+                ivfpq_search(spark, res_path, qs, k=k, n_probe=n_probe),
+                label,
+            )
+        except ValueError as e:
+            # the residual LUT guard (n_q x n_probe x m x k must
+            # broadcast) — record the boundary instead of crashing
+            print(
+                json.dumps({"row": label, "error": str(e)[:160]}),
+                flush=True,
+            )
     spark.stop()
 
 
