@@ -980,6 +980,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_add_search"] = q_ivfpq_add_search
 
+    # residual IVFADC under genuine pruning — the round-12 engine
+    # path under the driver's own hash: first_ids coarse routing +
+    # first_ids codebook TRAINED ON RESIDUALS (x − centroid[cell]),
+    # per-(query, probed-cell) ADC, top-5 vs exact-L2 truth.  The
+    # oracle replays the entire pipeline including the list-arithmetic
+    # residuals (DuckDB list_transform over generate_series).
+    def q_ivfpq_residual_recall(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            ann_recall_report,
+            build_ivfpq_index,
+            ivfpq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpqres_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivfpq_index(
+            emb, path, n_lists=8, m=4, k_codes=16,
+            codebook_init="first_ids", coarse_init="first_ids",
+            residual=True, mode="overwrite",
+        )
+        qs = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = ivfpq_search(spark, path, qs, k=5, n_probe=2)
+        return ann_recall_report(
+            emb, qs, approx, k=5, query_id_col="query_id",
+            exclude_self=False, metric="l2",
+        )
+
+    q["ivfpq_residual_recall"] = q_ivfpq_residual_recall
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -2765,12 +2803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchors) is driver-hash-green in CORRECTNESS_r11.json and
         # drops back to replay-only.  This block: the two r12
         # registrations first (newest code = highest mismatch risk —
-        # ivfpq_recall also covers this round's residual/metric
-        # refactor of the shared ADC plumbing), then 26 of the 49
-        # never-driver-hashed ops, real engine paths before trivial
-        # profiles (VERDICT r11 task 2 list + embedding_outliers),
-        # leaving the never-hashed backlog at 23.
-        "ivfpq_recall", "multilayer_flatten",
+        # ivfpq_recall covers the pruned-ADC pipeline and
+        # ivfpq_residual_recall the round-12 residual engine path —
+        # its oracle replays the full residual IVFADC in SQL), then
+        # 26 of the 49 never-driver-hashed ops, real engine paths
+        # before trivial profiles (VERDICT r11 task 2 list), leaving
+        # the never-hashed backlog at 24.
+        "ivfpq_recall", "ivfpq_residual_recall", "multilayer_flatten",
         "pq_encode", "truncate_embeddings", "knn_label_check",
         "label_centroids", "embedding_clusters", "embedding_gram",
         "dedup_clusters", "bipartite_project", "curriculum_order",
@@ -2779,7 +2818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_strings", "hashed_tfidf", "zipf_fit", "build_vocab",
         "pmi_bigrams", "robust_outliers", "numeric_histogram",
         "ab_test_report", "rrf_fuse", "neighbor_sample",
-        "embedding_outliers",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -6991,6 +7029,126 @@ scored AS (
   JOIN assign a ON a.vec_id = cd.vec_id
   JOIN probes p ON p.list_id = a.list_id
   JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.code = cd.code
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= 5
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.emb, q.emb)
+               - 2 * list_dot_product(q.emb, c.emb)
+               + list_dot_product(c.emb, c.emb), 6) ASC,
+             c.vec_id ASC) AS rk
+    FROM q, e c) WHERE rk <= 5
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM truth t JOIN approx a USING (query_id, vec_id)
+  GROUP BY 1
+),
+perq AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perq.query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perq LEFT JOIN hits USING (query_id)
+"""
+
+    # residual IVFADC recall: same shape as ivfpq_recall but codes
+    # and the ADC table are computed over RESIDUALS — corpus residual
+    # = emb − coarse[assigned cell], query residual = emb − coarse[
+    # probed cell] (one per probe), codebook seeds = the 16
+    # smallest-id residuals.  Element-wise list arithmetic via
+    # list_transform over generate_series.
+    o["ivfpq_residual_recall"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+coarse AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER)
+           AS list_id,
+         emb
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.emb, v.emb)
+             - 2 * list_dot_product(v.emb, c.emb)
+             + list_dot_product(c.emb, c.emb) ASC,
+             c.list_id ASC) AS rn
+    FROM e v, coarse c) WHERE rn = 1
+),
+resid AS (
+  SELECT v.vec_id, a.list_id,
+         list_transform(generate_series(1, 64),
+                        i -> v.emb[i] - c.emb[i]) AS emb
+  FROM e v
+  JOIN assign a ON a.vec_id = v.vec_id
+  JOIN coarse c ON c.list_id = a.list_id
+),
+cseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS code,
+         emb
+  FROM (SELECT * FROM resid ORDER BY vec_id ASC LIMIT 16)
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT vec_id, j, emb[j*16+1 : j*16+16] AS sv FROM resid, js),
+cb AS (SELECT code, j, emb[j*16+1 : j*16+16] AS cv FROM cseeds, js),
+d AS (
+  SELECT s.vec_id, s.j, c.code,
+         round(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.emb, q.emb)
+             - 2 * list_dot_product(q.emb, c.emb)
+             + list_dot_product(c.emb, c.emb) ASC,
+             c.list_id ASC) AS rn
+    FROM q, coarse c) WHERE rn <= 2
+),
+qres AS (
+  SELECT p.query_id, p.list_id,
+         list_transform(generate_series(1, 64),
+                        i -> q.emb[i] - c.emb[i]) AS emb
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN coarse c ON c.list_id = p.list_id
+),
+qsub AS (
+  SELECT query_id, list_id, j, emb[j*16+1 : j*16+16] AS qv FROM qres, js
+),
+lut AS (
+  SELECT qs.query_id, qs.list_id, qs.j, c.code,
+         CAST(round(list_dot_product(qs.qv, qs.qv)
+                    - 2 * list_dot_product(qs.qv, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6)
+              AS DECIMAL(18,6)) AS dd
+  FROM qsub qs JOIN cb c ON c.j = qs.j
+),
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(SUM(l.dd) AS DOUBLE) AS approx_d2
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN lut l ON l.list_id = a.list_id AND l.j = cd.j AND l.code = cd.code
   GROUP BY 1, 2
 ),
 approx AS (
