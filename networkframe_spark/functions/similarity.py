@@ -151,11 +151,12 @@ _MAX_QUERY_BATCH = 1_000_000
 
 #: Hard cap on the residual-mode ADC table (n_queries × n_probe × m ×
 #: k_codes rows — the n_probe factor is the residual tax; no-residual
-#: tables skip it).  Past ~20M rows the BroadcastExchange collect
-#: trips spark.driver.maxResultSize mid-job (measured: 200 queries ×
-#: 256 exhaustive probes × 8 × 256 = 105M rows → 1038 MiB > the 1 GiB
-#: default); fail loudly up front with the fix spelled out instead.
-_MAX_RESIDUAL_LUT_ROWS = 20_000_000
+#: tables skip it).  Measured boundary: 105M rows tripped
+#: spark.driver.maxResultSize mid-job (1038 MiB > the 1 GiB default)
+#: while 26M rows (~260 MiB) broadcast fine — 40M keeps a 2.6×
+#: safety margin below the measured failure and fails loudly up
+#: front with the fix spelled out.
+_MAX_RESIDUAL_LUT_ROWS = 40_000_000
 
 
 def _probe_assign(queries, query_id_col: str, emb_col: str, C, n_probe: int):

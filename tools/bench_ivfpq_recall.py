@@ -184,6 +184,31 @@ def main() -> None:
             flush=True,
         )
 
+    # int8 scalar quantization reference row: 8x compression, scored
+    # by exact brute force over the DEQUANTIZED corpus (asymmetric —
+    # queries stay full-precision, the standard storage trade).  The
+    # contrast with the m=8 PQ rows prices compression in recall:
+    # 8x (SQ) vs 64x (PQ codes) per vector.
+    from networkframe_spark.functions.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    sq = quantize_embeddings(emb)
+    deq = sq.select(
+        "vec_id",
+        dequantize_expr(F.col("qembedding"), F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    recall_of(
+        brute_force_top_k(
+            deq, qs, k=k, query_id_col="query_id", exclude_self=False,
+            metric="l2",
+        ),
+        "int8 scalar quantization (brute over dequantized)",
+    )
+
     # quantization-only ceiling: exhaustive ADC over all codes
     codes = spark.read.parquet(os.path.join(idx_path, "codes")).select(
         "vec_id", "codes"
