@@ -985,42 +985,60 @@ def ivf_index_search(
     C = np.asarray(centroids, dtype=np.float64)
     # one GEMM assigns all queries at once; batch loudly size-guarded
     qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
+    # two NARROW broadcasts instead of one wide one: the probe pairs
+    # (query_id, list_id) and the query vectors (query_id, q_emb,
+    # q_norm) broadcast separately, so each embedding ships ONCE
+    # instead of n_probe times — at 1M queries × 8 probes × 64-dim
+    # doubles that is the difference between a 4 GB and a 0.5 GB
+    # exchange.  Joining both onto the pruned cells reproduces the
+    # exact same scored rows (same cosine expression tree).
     probe_rows = []
     wanted: set[int] = set()
     qids = qpdf["query_id"].tolist()
     qembs = qpdf["q_emb"].tolist()
+    q_rows = []
     for i in range(len(qpdf)):
         x = np.asarray(qembs[i], dtype=np.float64)
-        qn = float(np.linalg.norm(x))
+        q_rows.append(
+            (qids[i], list(map(float, x)), float(np.linalg.norm(x)))
+        )
         for li in order[i]:
             wanted.add(int(li))
-            probe_rows.append(
-                (qids[i], list(map(float, x)), qn, int(li))
-            )
+            probe_rows.append((qids[i], int(li)))
     from pyspark.sql import types as T
 
     # query-id type follows the caller's column (string/int ids alike)
-    q_schema = T.StructType(
-        [
-            T.StructField(
-                "query_id", queries.schema[query_id_col].dataType
-            ),
-            T.StructField("q_emb", T.ArrayType(T.DoubleType())),
-            T.StructField("q_norm", T.DoubleType()),
-            T.StructField("list_id", T.IntegerType()),
-        ]
+    qid_field = T.StructField(
+        "query_id", queries.schema[query_id_col].dataType
     )
-    q = spark.createDataFrame(probe_rows, q_schema)
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType([qid_field, T.StructField("list_id", T.IntegerType())]),
+    )
+    q = spark.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                qid_field,
+                T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+                T.StructField("q_norm", T.DoubleType()),
+            ]
+        ),
+    )
     cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
         F.col("list_id").isin(sorted(wanted))
     )
-    scored = cells.join(F.broadcast(q), on="list_id").withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
+    scored = (
+        cells.join(F.broadcast(probes), on="list_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
