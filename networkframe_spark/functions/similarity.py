@@ -367,23 +367,29 @@ def ivf_top_k(
         )
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)
-    q = queries.select(
+    # two NARROW broadcasts (same rewrite as ivf_index_search): the
+    # (query_id, list_id) probe pairs explode WITHOUT the embedding,
+    # and the query vectors broadcast once — not once per probed cell
+    qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         norm_expr(F.col(emb_col)).alias("q_norm"),
-    ).select(
+    )
+    pairs = qbase.select(
         "query_id",
-        "q_emb",
-        "q_norm",
         F.explode(F.transform(probes, lambda s: s["i"])).alias("list_id"),
     )
-    scored = c.join(F.broadcast(q), on="list_id").withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
+    scored = (
+        c.join(F.broadcast(pairs), on="list_id")
+        .join(F.broadcast(qbase), on="query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
