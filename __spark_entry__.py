@@ -1018,6 +1018,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_residual_recall"] = q_ivfpq_residual_recall
 
+    # int8 scalar-quantized search (asymmetric: corpus stored as int8
+    # codes + per-vector scale, queries full-precision) — the 8x
+    # storage tier of the quantization family (SCALE.md r12 table:
+    # recall 0.99/0.95 at 500k vs PQ's 0.26/0.11).  Exact L2 ranks
+    # over the DEQUANTIZED corpus, so the whole code→score path is
+    # SQL-replayable.
+    def q_sq_topk(spark, sf):
+        from networkframe_spark.functions.similarity import (
+            brute_force_top_k,
+            dequantize_expr,
+            quantize_embeddings,
+        )
+
+        emb = read_embeddings(spark, sf)
+        sq = quantize_embeddings(emb)
+        deq = sq.select(
+            "vec_id",
+            dequantize_expr(F.col("qembedding"), F.col("scale")).alias(
+                "embedding"
+            ),
+        )
+        qs = emb.filter("vec_id < 10")
+        return brute_force_top_k(
+            deq, qs, k=5, exclude_self=False, metric="l2"
+        )
+
+    q["sq_topk"] = q_sq_topk
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -3754,6 +3782,38 @@ SELECT vec_id, round(scale, 9) AS scale,
                    list_transform(emb, x -> round(x / scale)::INT), ',')
        END AS codes
 FROM e
+"""
+
+    # int8-SQ asymmetric search: dequantize (round(x/scale) * scale,
+    # scale = max|x|/127 — the exact quantize_embeddings arithmetic),
+    # then exact 6-dp squared-L2 top-5, self included
+    o["sq_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> round(x / scale) * scale)
+         END AS demb
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10)
+SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.emb, q.emb)
+           - 2 * list_dot_product(q.emb, c.demb)
+           + list_dot_product(c.demb, c.demb), 6) AS d2,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           round(list_dot_product(q.emb, q.emb)
+             - 2 * list_dot_product(q.emb, c.demb)
+             + list_dot_product(c.demb, c.demb), 6) ASC,
+           c.vec_id ASC) AS rk
+  FROM q, deq c
+) WHERE rk <= 5
 """
 
     o["knn_graph"] = """

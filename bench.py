@@ -165,6 +165,7 @@ HEADLINE = [
     "lsh_multiprobe_recall",  # Hamming-1 probe ANN recall (r11)
     "embedding_dedup_lsh",   # forced-LSH banded near-dup (r11)
     "multilayer_flatten",    # tagged-union + keep-first node dedup (r12)
+    "sq_topk",               # int8-SQ asymmetric exact-L2 search (r12)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
     # ivfpq_recall are excluded on purpose: each run rebuilds and
     # WRITES the on-disk index (an offline, amortized cost), so their
