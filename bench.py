@@ -167,7 +167,8 @@ HEADLINE = [
     "multilayer_flatten",    # tagged-union + keep-first node dedup (r12)
     "sq_topk",               # int8-SQ asymmetric exact-L2 search (r12)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
-    # ivfpq_recall are excluded on purpose: each run rebuilds and
+    # ivfpq_recall / ivfpq_residual_recall / ivfpq_rerank /
+    # ivfpq_add_search are excluded on purpose: each run rebuilds and
     # WRITES the on-disk index (an offline, amortized cost), so their
     # wall time measures the build, not the probe.  Solo numbers live
     # in SCALE.md.

@@ -2512,3 +2512,83 @@ def pair_recall_report(
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
         ).alias("recall"),
     )
+
+
+def ann_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "l2",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact-distance re-ranking of an oversampled ANN candidate set
+    (Jegou et al. 2011, "Searching in one billion vectors: re-rank
+    with source coding" — the standard production fix for the
+    quantization recall cliff this module's 500k A/B measured:
+    codes PRUNE, the rerank RESTORES).  ``candidates`` is the
+    ``(query_id, vec_id, ...)`` output of any searcher in this
+    module (``ivfpq_search`` / ``pq_search`` / ``lsh_top_k`` /
+    ``ivf_top_k`` / ``sq`` candidates — they all emit that pair);
+    each pair is re-scored with the EXACT 6-dp metric of
+    :func:`brute_force_top_k` (same expression tree, so
+    rerank(exhaustive candidates) is bit-identical to brute force)
+    and the per-query top ``k`` survives.  Returns ``(query_id,
+    vec_id, cosine|d2, rank)`` — brute's schema, because the output
+    IS brute force restricted to the candidate set.
+
+    Scale design: the ONLY read of full-precision vectors is the
+    candidate join — ``corpus`` is probed with a broadcast hash join
+    on ``id_col`` (candidate pairs are two-id rows, n_queries x k'
+    of them; queries are driver-sized by this module's ANN
+    contract), so the 100 TB corpus scan stays in place, column-
+    pruned to (id, embedding), and never shuffles.  The query
+    embeddings broadcast as in brute force.  Per-query cost is k'
+    exact distances instead of a corpus scan — at the measured 500k
+    config, k'=100 reads 0.02% of the vectors a brute pass reads.
+    Pass ``broadcast_candidates=False`` only when the candidate set
+    itself is beyond driver size (e.g. corpus x corpus near-dup
+    rerank); the fallback is a plain shuffle hash join on the id.
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError("ann_rerank: metric must be 'cosine' or 'l2'")
+    pairs = candidates.select("query_id", "vec_id").dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    if broadcast_candidates:
+        pairs = F.broadcast(pairs)
+    self_of = (
+        (lambda c: norm_expr(c))
+        if metric == "cosine"
+        else (lambda c: dot_expr(c, c))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        self_of(F.col(emb_col)).alias("c_self"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        self_of(F.col(emb_col)).alias("q_self"),
+    )
+    scored = c.join(pairs, on="vec_id").join(F.broadcast(q), on="query_id")
+    dot = dot_expr(F.col("q_emb"), F.col("c_emb"))
+    if metric == "cosine":
+        score_col = "cosine"
+        score = F.round(dot / (F.col("q_self") * F.col("c_self")), 6)
+        order = F.desc(score_col)
+    else:
+        score_col = "d2"
+        score = F.round(F.col("q_self") - 2.0 * dot + F.col("c_self"), 6)
+        order = F.asc(score_col)
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
+    return (
+        scored.withColumn(score_col, score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_col, "rank")
+    )

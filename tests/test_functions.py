@@ -2550,3 +2550,115 @@ def test_lsh_top_k_multiprobe_monotone_and_degenerate(spark):
 
     with pytest.raises(ValueError):
         lsh_top_k(emb, qs, n_planes=4, n_probe_bits=5)
+
+
+def test_ann_rerank_exhaustive_equals_brute(spark):
+    """Contract: exact re-ranking of an EXHAUSTIVE candidate set is
+    bit-identical to brute_force_top_k under both metrics — the
+    rerank stage shares brute's 6-dp expression tree, so restoring
+    full candidates restores brute force exactly."""
+    from networkframe_spark.functions.similarity import (
+        ann_rerank,
+        brute_force_top_k,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(120)
+    qs = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allpairs = qs.select("query_id").crossJoin(emb.select("vec_id"))
+    for metric, score_col in (("l2", "d2"), ("cosine", "cosine")):
+        got = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r[score_col])
+            for r in ann_rerank(
+                allpairs, emb, qs, k=5, metric=metric
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r[score_col])
+            for r in brute_force_top_k(
+                emb, qs, k=5, query_id_col="query_id",
+                exclude_self=False, metric=metric,
+            ).collect()
+        )
+        assert got == want, metric
+
+
+def test_ann_rerank_restores_ivfpq_recall(spark, tmp_path):
+    """Oversampled IVF-PQ candidates + exact rerank: every rerank
+    score equals brute's exact d2 for that pair, and recall@k of
+    the reranked top-k is >= recall of the raw ADC top-k (any true
+    neighbor the candidate set retains MUST survive an exact
+    rerank, while ADC ranking can drop it)."""
+    from networkframe_spark.functions.similarity import (
+        ann_recall_report,
+        ann_rerank,
+        brute_force_top_k,
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivfpq_rr")
+    build_ivfpq_index(
+        emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
+        codebook_init="first_ids", coarse_init="first_ids",
+    )
+    qs = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = ivfpq_search(spark, path, qs, k=25, n_probe=2)
+    rer = ann_rerank(cand, emb, qs, k=5, metric="l2")
+    # exactness: rerank scores are brute's 6-dp d2 for those pairs
+    exact = {
+        (r["query_id"], r["vec_id"]): r["d2"]
+        for r in brute_force_top_k(
+            emb, qs, k=200, query_id_col="query_id",
+            exclude_self=False, metric="l2",
+        ).collect()
+    }
+    rows = rer.collect()
+    assert rows and all(
+        exact[(r["query_id"], r["vec_id"])] == r["d2"] for r in rows
+    )
+    # quality: rerank recall >= raw ADC-rank recall at the same k
+    def total_recall(pred):
+        rep = ann_recall_report(
+            emb, qs, pred, k=5, query_id_col="query_id",
+            exclude_self=False, metric="l2",
+        )
+        agg = rep.agg(
+            F.sum("n_hit").alias("h"), F.sum("n_truth").alias("t")
+        ).first()
+        return int(agg["h"]), int(agg["t"])
+
+    h_rerank, t1 = total_recall(rer)
+    h_raw, t2 = total_recall(cand.filter(F.col("rank") <= 5))
+    assert t1 == t2 and h_rerank >= h_raw
+
+
+def test_ann_rerank_plan_corpus_never_shuffles(spark):
+    """The rerank's corpus probe is a broadcast hash join on the id —
+    the full-precision scan must reach the join with NO Exchange on
+    the corpus side (the whole point at 100 TB: read candidate
+    vectors in place).  The only hash exchange in the plan is the
+    per-query top-k window."""
+    from networkframe_spark.functions.similarity import ann_rerank
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    qs = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = qs.select("query_id").crossJoin(
+        emb.filter("vec_id < 40").select("vec_id")
+    )
+    out = ann_rerank(cand, emb, qs, k=5, metric="l2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    # two hash exchanges only: the candidate-pair dedup (inside the
+    # broadcast subtree, candidate-sized) and the top-k window — the
+    # corpus FileScan feeds its BroadcastHashJoin directly
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -223,6 +223,20 @@ def main() -> None:
             f"ivfpq_search n_probe={n_probe}/{n_lists}",
         )
 
+    # exact rerank over oversampled ADC candidates (ann_rerank,
+    # Jegou et al. 2011 re-rank-with-source-coding): codes prune to
+    # k' candidates, full vectors are read ONLY for those pairs —
+    # the recall a production deployment actually ships at, priced
+    # against the raw-code rows above
+    from networkframe_spark.functions.similarity import ann_rerank
+
+    for kp in (20, 100):
+        cand = ivfpq_search(spark, idx_path, qs, k=kp, n_probe=4)
+        recall_of(
+            ann_rerank(cand, emb, qs, k=k, metric="l2"),
+            f"ivfpq n_probe=4/{n_lists} + exact rerank k'={kp}",
+        )
+
     # residual A/B (classic IVFADC): same lists/m/k, codes quantize
     # x − centroid[cell]; search auto-detects via the meta manifest
     res_path = f"/root/repo/.scratch/ivfpq_recall_res_{tag}{n_vecs}_{n_lists}"
@@ -254,6 +268,14 @@ def main() -> None:
                 json.dumps({"row": label, "error": str(e)[:160]}),
                 flush=True,
             )
+
+    # the full production stack: residual codes + pruning + exact
+    # rerank — what a real deployment ships
+    cand = ivfpq_search(spark, res_path, qs, k=100, n_probe=4)
+    recall_of(
+        ann_rerank(cand, emb, qs, k=k, metric="l2"),
+        f"ivfpq residual n_probe=4/{n_lists} + exact rerank k'=100",
+    )
     spark.stop()
 
 
