@@ -1083,6 +1083,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sq_topk"] = q_sq_topk
 
+    # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
+    # merge/purge): order-based blocking over a 12-char text prefix
+    # key — the classic ER complement to the hash-bucket near-dup
+    # families; global rank via the two-phase range scheme, pairing
+    # via ONE floor(rank/window) equi-join, O(n x window) candidates
+    def q_sorted_neighborhood(spark, sf):
+        from networkframe_spark.functions.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        return sorted_neighborhood_pairs(
+            docs, F.lower(F.substring("text", 1, 12)), window=4
+        )
+
+    q["sorted_neighborhood"] = q_sorted_neighborhood
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -3856,6 +3873,22 @@ SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
            c.vec_id ASC) AS rk
   FROM q, deq c
 ) WHERE rk <= 5
+"""
+
+    # sorted-neighborhood blocking: every pair within 4 positions of
+    # the global (prefix-key, id) order, id_a the earlier-sorted row
+    o["sorted_neighborhood"] = """
+WITH d AS (
+  SELECT doc_id, lower(substr(text, 1, 12)) AS k FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY k ASC, doc_id ASC) - 1 AS rn
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rn - a.rn AS INTEGER) AS gap
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4
 """
 
     o["knn_graph"] = """

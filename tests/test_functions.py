@@ -2662,3 +2662,46 @@ def test_ann_rerank_plan_corpus_never_shuffles(spark):
     # broadcast subtree, candidate-sized) and the top-k window — the
     # corpus FileScan feeds its BroadcastHashJoin directly
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_sorted_neighborhood_pairs_exact_semantics(spark):
+    """SNM candidates == every pair within `window` positions of the
+    global (key, id) sort order, each exactly once — verified against
+    an enumerated truth with duplicate keys (ties break by id)."""
+    from networkframe_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{i % 3}") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    w = 4
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, "k", window=w).collect()
+    )
+    order = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted(
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    )
+    assert got == want
+    n = len(rows)
+    assert len(got) == sum(n - g for g in range(1, w))
+
+
+def test_sorted_neighborhood_plan_no_cartesian(spark):
+    """The block-key trick keeps pairing an equi-join: O(n x window)
+    output, no CartesianProduct / NestedLoop anywhere in the plan."""
+    from networkframe_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = sorted_neighborhood_pairs(
+        docs, F.lower(F.substring("text", 1, 12)), window=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert out.count() > 0
