@@ -495,7 +495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nf = _graph(spark, sf)
         path = _os.path.join(
             _tempfile.gettempdir(),
-            f"nfspark_graph_rt_{_os.path.basename(sf.rstrip('/'))}",
+            # PID-suffixed: concurrent replay/bench processes on one
+            # sf dir must never race on a shared round-trip dir
+            f"nfspark_graph_rt_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
         )
         save_graph(nf, path, mode="overwrite", edge_buckets=8)
         back = load_graph(spark, path)
@@ -513,7 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         base = _os.path.join(
             _tempfile.gettempdir(),
-            f"nfspark_compact_{_os.path.basename(sf.rstrip('/'))}",
+            # PID-suffixed: same no-shared-tmp-dir rule as the index
+            # and graph round-trip queries
+            f"nfspark_compact_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
         )
         docs = read_table(spark, sf, "documents")
         docs.repartition(32).write.mode("overwrite").parquet(base + "_src")

@@ -2705,3 +2705,30 @@ def test_sorted_neighborhood_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert out.count() > 0
+
+
+def test_ann_rerank_shuffle_fallback_identical(spark):
+    """broadcast_candidates=False (the corpus x corpus escape hatch
+    for beyond-driver-size candidate sets) is result-identical to
+    the broadcast path — the join strategy is a physical choice,
+    never a semantic one."""
+    from networkframe_spark.functions.similarity import ann_rerank
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = qs.select("query_id").crossJoin(
+        emb.filter("vec_id % 3 = 0").select("vec_id")
+    )
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"]) for r in df.collect()
+    )
+    a = rows(ann_rerank(cand, emb, qs, k=4, metric="l2"))
+    b = rows(
+        ann_rerank(
+            cand, emb, qs, k=4, metric="l2", broadcast_candidates=False
+        )
+    )
+    assert a == b and len(a) > 0
