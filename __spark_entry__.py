@@ -1089,6 +1089,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sq_topk"] = q_sq_topk
 
+    # chunked offline ANN search (ann_search_batched): the residual
+    # ADC guard's "chunk the query batch" remedy as an operator —
+    # per-query independence makes chunked == one-shot bit-exactly,
+    # so exhaustive-probe batched search shares pq_search's oracle
+    def q_ivfpq_batched(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            ann_search_batched,
+            build_ivfpq_index,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpqb_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivfpq_index(
+            emb, path, n_lists=8, m=4, k_codes=16,
+            codebook_init="first_ids", mode="overwrite",
+        )
+        qs = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ann_search_batched(
+            spark, path, qs, batch_size=2, k=5, n_probe=8
+        )
+
+    q["ivfpq_batched"] = q_ivfpq_batched
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -7089,6 +7121,11 @@ FROM scored QUALIFY rank <= 5
     # ADC score, so probing every cell IS pq_search — same oracle
     # (the cosine_topk_ivf / ivf_index_search trick)
     o["ivfpq_search"] = o["pq_search"]
+
+    # chunked exhaustive-probe search: per-query independence makes
+    # the 2-query batches union to exactly the one-shot result, and
+    # exhaustive no-residual probing IS pq_search
+    o["ivfpq_batched"] = o["pq_search"]
 
     # post-add IVF-PQ ≡ pq_search with the even-half first_ids
     # codebook over the full corpus (add encodes against the STORED

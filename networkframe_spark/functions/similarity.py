@@ -2592,3 +2592,56 @@ def ann_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", score_col, "rank")
     )
+
+
+def ann_search_batched(
+    spark,
+    path: str,
+    queries: DataFrame,
+    batch_size: int = 10_000,
+    searcher=None,
+    query_id_col: str = "query_id",
+    **search_kwargs,
+) -> DataFrame:
+    """Drive a persisted-index searcher (:func:`ivfpq_search` by
+    default, or :func:`ivf_index_search`) over a query set LARGER
+    than one driver-sized batch: queries are split into
+    ``batch_size`` chunks by sorted id range and the searcher runs
+    once per chunk, results unioned.  Per-query results are
+    independent in every searcher in this module, so the batched
+    output is BIT-IDENTICAL to a single oversized call — this is the
+    "chunk the query batch" escape hatch the residual ADC guard
+    (``_MAX_RESIDUAL_LUT_ROWS``) and the probe-batch guard
+    (``_MAX_QUERY_BATCH``) point at, turned into an operator.
+
+    Scale design: the only whole-set driver cost is an ids-ONLY
+    collect to compute chunk boundaries (8 bytes/query — 10M offline
+    queries = one 80 MB id list, vs the dim x 8 bytes/query the
+    un-chunked searcher would broadcast); each chunk then filters by
+    id RANGE (pushes to the parquet scan, never an isin over
+    thousands of literals) and pays the searcher's normal
+    probe-pair/LUT broadcast at chunk size.  Chunks run as
+    sequential Spark jobs — an offline-batch trade (bounded memory,
+    same total work) rather than a latency one.
+    """
+    if searcher is None:
+        searcher = ivfpq_search
+    if batch_size < 1:
+        raise ValueError("ann_search_batched: batch_size must be >= 1")
+    ids = sorted(
+        r[0] for r in queries.select(query_id_col).distinct().collect()
+    )
+    if not ids:
+        return searcher(spark, path, queries, **search_kwargs)
+    out = None
+    for i in range(0, len(ids), batch_size):
+        lo, hi = ids[i], ids[min(i + batch_size, len(ids)) - 1]
+        sub = queries.filter(
+            (F.col(query_id_col) >= F.lit(lo))
+            & (F.col(query_id_col) <= F.lit(hi))
+        )
+        part = searcher(
+            spark, path, sub, query_id_col=query_id_col, **search_kwargs
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

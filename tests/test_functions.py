@@ -2732,3 +2732,47 @@ def test_ann_rerank_shuffle_fallback_identical(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_ann_search_batched_identical_and_guard_bypass(spark, tmp_path, monkeypatch):
+    """Chunked search == one-shot search bit-for-bit (per-query
+    independence), and a query set the residual ADC guard REJECTS
+    one-shot succeeds when batched — the guard's 'chunk the query
+    batch' remedy as an operator."""
+    from networkframe_spark.functions import similarity as sim
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivfpq_b")
+    sim.build_ivfpq_index(
+        emb, path, n_lists=8, m=4, k_codes=16,
+        codebook_init="first_ids", coarse_init="first_ids",
+        residual=True,
+    )
+    qs = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in df.collect()
+    )
+    want = rows(sim.ivfpq_search(spark, path, qs, k=3, n_probe=2))
+    got = rows(
+        sim.ann_search_batched(
+            spark, path, qs, batch_size=3, k=3, n_probe=2
+        )
+    )
+    assert got == want and len(got) > 0
+    # shrink the guard so 10 queries fail one-shot (10*2*4*16 = 1280)
+    # but 3-query chunks pass (3*2*4*16 = 384)
+    monkeypatch.setattr(sim, "_MAX_RESIDUAL_LUT_ROWS", 1000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk the query batch"):
+        sim.ivfpq_search(spark, path, qs, k=3, n_probe=2).collect()
+    got2 = rows(
+        sim.ann_search_batched(
+            spark, path, qs, batch_size=3, k=3, n_probe=2
+        )
+    )
+    assert got2 == want

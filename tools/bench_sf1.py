@@ -23,7 +23,14 @@ from networkframe_spark.session import get_spark
 # round-12: the banded-LSH ops join the standing exponent sweep (the
 # graph family has bench_graph_sf1.py; these run fine on the replica
 # because banding cost is corpus-shuffle-shaped, not gadget-pinned)
-EXTRA_OPS = ["embedding_dedup_lsh", "lsh_multiprobe_recall"]
+EXTRA_OPS = [
+    "embedding_dedup_lsh",
+    "lsh_multiprobe_recall",
+    # round-12: order-based blocking joins the sweep — its cost is one
+    # global range-sort + an O(n x window) block equi-join, so the
+    # exponent should track the sort exchange (~linear ceiling)
+    "sorted_neighborhood",
+]
 
 
 def main() -> None:
