@@ -1138,6 +1138,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_neighborhood"] = q_sorted_neighborhood
 
+    # SNM blocking verified with the family's exact shingle Jaccard:
+    # 16-char prefix key, window 8, threshold 0.5 — finds the
+    # fixture's seeded near-dup pairs (25 at sf0.01) without any
+    # shingle self-join
+    def q_snm_dedup(spark, sf):
+        from networkframe_spark.functions.dedup import snm_duplicates
+
+        docs = read_table(spark, sf, "documents")
+        return snm_duplicates(docs, window=8, threshold=0.5)
+
+    q["snm_dedup"] = q_snm_dedup
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -3927,6 +3939,41 @@ r AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(b.rn - a.rn AS INTEGER) AS gap
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4
+"""
+
+    # SNM candidates (16-char prefix key, window 8) verified with the
+    # exact shingle Jaccard — same shingle CTE and arithmetic as
+    # ngram_jaccard_dedup, candidates restricted by sort distance
+    o["snm_dedup"] = f"""
+WITH {SHINGLE_CTE},
+d AS (
+  SELECT doc_id, lower(substr(text, 1, 16)) AS k FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY k ASC, doc_id ASC) - 1 AS rn
+  FROM d
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6)
+         AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+WHERE round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.5
 """
 
     o["knn_graph"] = """

@@ -1329,3 +1329,78 @@ def sorted_neighborhood_pairs(
             (F.col("rn_b") - F.col("rn_a")).cast("int").alias("gap"),
         )
     )
+
+
+def snm_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | str | None = None,
+    window: int = 10,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Sorted-neighborhood near-duplicates: the
+    :func:`sorted_neighborhood_pairs` blocking pass (default key =
+    the lowercased 16-char text prefix) verified with the family's
+    exact word-``n``-gram Jaccard — the same
+    ``shared / (|A| + |B| - shared)`` arithmetic and 6-dp round as
+    :func:`ngram_jaccard_duplicates`, so thresholds are directly
+    comparable across generators.  Returns ``(id_a, id_b, jaccard)``
+    with ``id_a < id_b`` (family convention; the SNM sort order only
+    decides candidacy, not orientation).
+
+    Scale design: candidates are O(n_rows x window) from one block
+    equi-join (never the shingle self-join's sum-of-df^2 exposure —
+    SNM needs no ``max_df`` cap because no shingle bucket is ever
+    joined with itself); verification joins the candidate pairs to
+    the shingle table twice on uniform doc-id keys, so the verify
+    cost is candidate-pair-sized.  The trade is recall: only pairs
+    whose keys sort within ``window`` positions are examined, the
+    blocking assumption Hernandez & Stolfo 1995 names — measure it
+    with :func:`~networkframe_spark.functions.similarity.pair_recall_report`
+    against the exhaustive finder when tuning key/window.
+    """
+    k = key if key is not None else F.lower(
+        F.substring(F.col(text_col), 1, 16)
+    )
+    cand = sorted_neighborhood_pairs(df, k, id_col=id_col, window=window).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), "sh"), on="id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), "sh"), on=["id_b", "sh"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

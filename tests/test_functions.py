@@ -2776,3 +2776,25 @@ def test_ann_search_batched_identical_and_guard_bypass(spark, tmp_path, monkeypa
         )
     )
     assert got2 == want
+
+
+def test_snm_duplicates_exhaustive_window_equals_jaccard(spark):
+    """Contract: with window >= n_rows every pair is a candidate, so
+    snm_duplicates degenerates to ngram_jaccard_duplicates exactly
+    (same shingles, same 6-dp arithmetic, same orientation) — the
+    blocking pass only ever REMOVES candidates, never rescores."""
+    from networkframe_spark.functions.dedup import (
+        ngram_jaccard_duplicates,
+        snm_duplicates,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(
+        100
+    )
+    rows = lambda df: sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    got = rows(snm_duplicates(docs, window=101, threshold=0.5))
+    want = rows(ngram_jaccard_duplicates(docs, threshold=0.5))
+    assert got == want and len(got) > 0
