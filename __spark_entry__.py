@@ -2943,18 +2943,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the never-hashed backlog at 24.
         "ivfpq_recall", "ivfpq_residual_recall", "ivfpq_rerank",
         "multilayer_flatten",
+        # the four registrations from the round-12 closing session —
+        # newest engine paths = highest mismatch risk, so they take
+        # hash slots ahead of trivial single-aggregate profiles
+        # (zipf_fit / robust_outliers / numeric_histogram /
+        # ab_test_report cede; json_key_profile ceded earlier to
+        # ivfpq_rerank for the same reason)
+        "sorted_neighborhood", "snm_dedup", "ivfpq_batched", "sq_topk",
         "pq_encode", "truncate_embeddings", "knn_label_check",
         "label_centroids", "embedding_clusters", "embedding_gram",
         "dedup_clusters", "bipartite_project", "curriculum_order",
         "top_k_per_group", "salted_join", "value_percentiles",
         "table_diff", "extract_json",
-        # json_key_profile (trivial profile twin of extract_json)
-        # cedes its slot to ivfpq_rerank — the newest engine path
-        # (exact rerank over pruned-ADC candidates) takes the hash
-        # slot over a one-aggregate key census
-        "similar_strings", "hashed_tfidf", "zipf_fit", "build_vocab",
-        "pmi_bigrams", "robust_outliers", "numeric_histogram",
-        "ab_test_report", "rrf_fuse", "neighbor_sample",
+        "similar_strings", "hashed_tfidf", "build_vocab",
+        "pmi_bigrams", "rrf_fuse", "neighbor_sample",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
