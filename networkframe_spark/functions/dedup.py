@@ -1346,19 +1346,25 @@ def snm_duplicates(
     exact word-``n``-gram Jaccard — the same
     ``shared / (|A| + |B| - shared)`` arithmetic and 6-dp round as
     :func:`ngram_jaccard_duplicates`, so thresholds are directly
-    comparable across generators.  Returns ``(id_a, id_b, jaccard)``
+    comparable across generators (contract test: exhaustive window
+    reproduces it bit-exactly).  Returns ``(id_a, id_b, jaccard)``
     with ``id_a < id_b`` (family convention; the SNM sort order only
     decides candidacy, not orientation).
 
     Scale design: candidates are O(n_rows x window) from one block
     equi-join (never the shingle self-join's sum-of-df^2 exposure —
     SNM needs no ``max_df`` cap because no shingle bucket is ever
-    joined with itself); verification joins the candidate pairs to
-    the shingle table twice on uniform doc-id keys, so the verify
-    cost is candidate-pair-sized.  The trade is recall: only pairs
-    whose keys sort within ``window`` positions are examined, the
-    blocking assumption Hernandez & Stolfo 1995 names — measure it
-    with :func:`~networkframe_spark.functions.similarity.pair_recall_report`
+    joined with itself).  Verification joins each candidate pair to a
+    per-doc DISTINCT-shingle-set table (one row per doc, built in one
+    map-side pass) on uniform id keys and computes the overlap with a
+    codegen'd ``array_intersect`` — candidate-sized rows end to end,
+    with no pair x shingle explode and no re-aggregation exchange
+    (measured at 2M docs: the explode-join shape shuffled ~1e9 rows;
+    this shape moves 2 x candidates rows of ~n_shingles strings).
+    The trade is recall: only pairs whose keys sort within ``window``
+    positions are examined, the blocking assumption Hernandez &
+    Stolfo 1995 names — measure it with
+    :func:`~networkframe_spark.functions.similarity.pair_recall_report`
     against the exhaustive finder when tuning key/window.
     """
     k = key if key is not None else F.lower(
@@ -1368,32 +1374,37 @@ def snm_duplicates(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
     )
-    sh = _shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(
-            sh.select(F.col("id").alias("id_a"), "sh"), on="id_a"
-        )
-        .join(
-            sh.select(F.col("id").alias("id_b"), "sh"), on=["id_b", "sh"]
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # one row per doc: the distinct shingle SET (same set
+    # _shingle_table explodes — distinct, empty-string dropped)
+    sh_set = df.withColumn("__toks", tokens_col(text_col)).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            shingles_from_tokens(F.col("__toks"), n), lambda s: s != ""
+        ).alias("shs"),
     )
-    return (
-        shared.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "n_sh", "n_a"
+    scored = (
+        cand.join(
+            sh_set.select(
+                F.col("id").alias("id_a"), F.col("shs").alias("shs_a")
             ),
             on="id_a",
         )
         .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "n_sh", "n_b"
+            sh_set.select(
+                F.col("id").alias("id_b"), F.col("shs").alias("shs_b")
             ),
             on="id_b",
         )
-        .withColumn(
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("shared"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
+    )
+    return (
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("shared")

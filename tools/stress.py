@@ -489,6 +489,24 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
         "perplexity_buckets_approx",
         lambda: perplexity_buckets(base, approx=True),
     )
+    # round-12 ops: order-based blocking — the planted 20-doc
+    # identical runs sort adjacently on the prefix key, so window=5
+    # candidates are real duplicate pairs, not noise
+    from networkframe_spark.functions.dedup import (
+        snm_duplicates,
+        sorted_neighborhood_pairs,
+    )
+
+    run(
+        "snm_pairs_w5",
+        lambda: sorted_neighborhood_pairs(
+            base, F.lower(F.substring("text", 1, 16)), window=5
+        ),
+    )
+    run(
+        "snm_dedup_w5",
+        lambda: snm_duplicates(base, window=5, threshold=0.8),
+    )
     # round-7 ops
     from networkframe_spark.functions.pipeline import (
         exact_substring_decontaminate,
