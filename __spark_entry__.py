@@ -1150,6 +1150,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snm_dedup"] = q_snm_dedup
 
+    # SNM blocking recall vs the exhaustive shingle-Jaccard truth —
+    # the driver-visible twin of SCALE.md's 256/256 sf0.1 rows (same
+    # pattern as semantic_decon_recall / fuzzy_decon_recall: pred ⊆
+    # truth by construction because the verify is exact, so recall is
+    # the blocking assumption's true miss rate)
+    def q_snm_recall(spark, sf):
+        from networkframe_spark.functions.dedup import (
+            ngram_jaccard_duplicates,
+            snm_duplicates,
+        )
+        from networkframe_spark.functions.similarity import (
+            pair_recall_report,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        truth = ngram_jaccard_duplicates(docs, threshold=0.5)
+        pred = snm_duplicates(docs, window=8, threshold=0.5)
+        return pair_recall_report(
+            truth, pred, group_col="id_a", pair_cols=("id_a", "id_b")
+        )
+
+    q["snm_recall"] = q_snm_recall
+
     # multilayer flatten (C9 — the reference class is an all-pass
     # stub, reference multilayer.py:4-23; semantics are ours): two
     # overlapping customer layers with layer-specific node attrs;
@@ -3976,6 +3999,67 @@ FROM shared s
 JOIN sizes sa ON s.id_a = sa.id
 JOIN sizes sb ON s.id_b = sb.id
 WHERE round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.5
+"""
+
+    # SNM recall vs exhaustive truth: truth = all shingle-Jaccard
+    # >= 0.5 pairs (ngram_jaccard_dedup's CTEs at threshold 0.5),
+    # pred = the snm_dedup pipeline above; one pair equi-join + a
+    # per-id_a aggregate, groups with no truth pairs absent
+    o["snm_recall"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+allshared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+truth AS (
+  SELECT s.id_a, s.id_b
+  FROM allshared s
+  JOIN sizes sa ON s.id_a = sa.id
+  JOIN sizes sb ON s.id_b = sb.id
+  WHERE round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6)
+        >= 0.5
+),
+d AS (
+  SELECT doc_id, lower(substr(text, 1, 16)) AS k FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY k ASC, doc_id ASC) - 1 AS rn
+  FROM d
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+),
+candshared AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT s.id_a, s.id_b
+  FROM candshared s
+  JOIN sizes sa ON s.id_a = sa.id
+  JOIN sizes sb ON s.id_b = sb.id
+  WHERE round(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6)
+        >= 0.5
+),
+hits AS (
+  SELECT t.id_a, count(*) AS n_hit
+  FROM truth t JOIN pred p USING (id_a, id_b)
+  GROUP BY 1
+),
+perg AS (SELECT id_a, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT perg.id_a,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / n_truth, 6) AS recall
+FROM perg LEFT JOIN hits USING (id_a)
 """
 
     o["knn_graph"] = """

@@ -168,6 +168,7 @@ HEADLINE = [
     "sq_topk",               # int8-SQ asymmetric exact-L2 search (r12)
     "sorted_neighborhood",   # two-phase rank + block equi-join SNM (r12)
     "snm_dedup",             # SNM blocking + exact Jaccard verify (r12)
+    "snm_recall",            # SNM blocking recall vs exhaustive truth (r12)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
     # ivfpq_recall / ivfpq_residual_recall / ivfpq_rerank /
     # ivfpq_add_search are excluded on purpose: each run rebuilds and

@@ -1089,7 +1089,8 @@ def dedup_corpus(
 ) -> DataFrame:
     """End-to-end corpus deduplication — the one-call convenience a
     pipeline actually invokes: find near-duplicate pairs with
-    ``method`` (``"exact"`` | ``"minhash_lsh"`` | ``"ngram_jaccard"``),
+    ``method`` (``"exact"`` | ``"minhash_lsh"`` | ``"ngram_jaccard"``
+    | ``"snm"``),
     fold them into clusters (:func:`duplicate_clusters`), and KEEP one
     representative per cluster (the minimum id).  Returns the
     surviving rows of ``df`` unchanged, plus ``cluster_id`` so lineage
@@ -1114,9 +1115,16 @@ def dedup_corpus(
         pairs = ngram_jaccard_duplicates(
             df, threshold=threshold, id_col=id_col, text_col=text_col
         ).select(F.col("id_a"), F.col("id_b"))
+    elif method == "snm":
+        # order-based generator (r12): O(n x window) candidates, no
+        # shingle self-join anywhere — same exact-Jaccard verify
+        pairs = snm_duplicates(
+            df, threshold=threshold, id_col=id_col, text_col=text_col
+        ).select(F.col("id_a"), F.col("id_b"))
     else:
         raise ValueError(
-            "method must be 'exact', 'minhash_lsh', or 'ngram_jaccard'"
+            "method must be 'exact', 'minhash_lsh', 'ngram_jaccard', "
+            "or 'snm'"
         )
     clusters = duplicate_clusters(df, pairs, id_col=id_col)
     return df.join(

@@ -2798,3 +2798,18 @@ def test_snm_duplicates_exhaustive_window_equals_jaccard(spark):
     got = rows(snm_duplicates(docs, window=101, threshold=0.5))
     want = rows(ngram_jaccard_duplicates(docs, threshold=0.5))
     assert got == want and len(got) > 0
+
+
+def test_dedup_corpus_snm_method(spark):
+    """dedup_corpus(method='snm') folds SNM-verified pairs into
+    clusters and keeps min-id representatives — identical cluster
+    fold as the other generators, order-based candidates."""
+    from networkframe_spark.functions.dedup import dedup_corpus
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = dedup_corpus(docs, method="snm", threshold=0.5)
+    n_in, n_out = docs.count(), kept.count()
+    assert 0 < n_out < n_in  # the fixture's seeded near-dups collapse
+    # every survivor is its own cluster representative
+    assert kept.filter("doc_id != cluster_id").count() == 0
