@@ -1343,7 +1343,7 @@ def snm_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    key: Column | str | None = None,
+    key: Column | str | list | tuple | None = None,
     window: int = 10,
     n: int = 3,
     threshold: float = 0.8,
@@ -1373,15 +1373,31 @@ def snm_duplicates(
     positions are examined, the blocking assumption Hernandez &
     Stolfo 1995 names — measure it with
     :func:`~networkframe_spark.functions.similarity.pair_recall_report`
-    against the exhaustive finder when tuning key/window.
+    against the exhaustive finder when tuning key/window.  The
+    textbook production remedy is MULTI-PASS SNM: pass a LIST of
+    keys and each runs its own sort pass, candidate sets unioned
+    (deduped) before the single verify — a pair only needs to sort
+    adjacently under ONE key to be found, and verification cost
+    still scales with the (deduped) candidate count, not the pass
+    count.
     """
-    k = key if key is not None else F.lower(
-        F.substring(F.col(text_col), 1, 16)
-    )
-    cand = sorted_neighborhood_pairs(df, k, id_col=id_col, window=window).select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    )
+    if key is None:
+        keys = [F.lower(F.substring(F.col(text_col), 1, 16))]
+    elif isinstance(key, (list, tuple)):
+        keys = list(key)
+    else:
+        keys = [key]
+    cand = None
+    for k in keys:
+        c = sorted_neighborhood_pairs(
+            df, k, id_col=id_col, window=window
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    if len(keys) > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     # one row per doc: the distinct shingle SET (same set
     # _shingle_table explodes — distinct, empty-string dropped)
     sh_set = df.withColumn("__toks", tokens_col(text_col)).select(

@@ -2813,3 +2813,34 @@ def test_dedup_corpus_snm_method(spark):
     assert 0 < n_out < n_in  # the fixture's seeded near-dups collapse
     # every survivor is its own cluster representative
     assert kept.filter("doc_id != cluster_id").count() == 0
+
+
+def test_snm_duplicates_multipass_keys(spark):
+    """Multi-pass SNM: a near-dup pair whose PREFIX keys sort far
+    apart (first word differs) is missed by the single prefix pass
+    but found when a second sort key (text suffix) is added — and
+    multi-pass never loses a single-pass pair."""
+    from networkframe_spark.functions.dedup import snm_duplicates
+
+    body = " ".join(f"w{i}" for i in range(19))
+    rows = [(1, "aaa " + body), (2, "zzz " + body)]
+    rows += [(10 + i, f"m{i} " + " ".join(f"x{i}{j}" for j in range(19)))
+             for i in range(28)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = F.lower(F.substring("text", 1, 16))
+    suffix = F.substring("text", -16, 16)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in snm_duplicates(
+            docs, key=prefix, window=3, threshold=0.7
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in snm_duplicates(
+            docs, key=[prefix, suffix], window=3, threshold=0.7
+        ).collect()
+    }
+    assert (1, 2) not in single
+    assert (1, 2) in multi
+    assert single <= multi
