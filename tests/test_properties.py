@@ -807,3 +807,80 @@ def test_chi2_matches_numpy_contingency(spark, rows):
     assert got["dof"] == (len(xs) - 1) * (len(ys) - 1)
     assert abs(got["chi2"] - chi2) < 5e-6
     assert got["n"] == len(rows)
+
+
+_snm_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.text(alphabet="abc", max_size=4)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_snm_rows, window=st.integers(2, 6))
+@_settings
+def test_sorted_neighborhood_matches_enumeration(spark, rows, window):
+    """SNM candidates == the enumerated pair set within `window`
+    positions of the (key, id) sort order, for arbitrary duplicate
+    keys (including all-equal and all-empty)."""
+    from networkframe_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", window=window
+        ).collect()
+    )
+    order = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted(
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + window, len(order)))
+    )
+    assert got == want
+
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(-3, 3).map(float), min_size=3, max_size=3
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(vecs=_vecs, k=st.integers(1, 4))
+@_settings
+def test_ann_rerank_is_brute_on_full_candidates(spark, vecs, k):
+    """Law: rerank over the complete candidate set IS brute force,
+    for arbitrary small integer vectors (ties, zero vectors, dups)."""
+    from networkframe_spark.functions.similarity import (
+        ann_rerank,
+        brute_force_top_k,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    qs = emb.limit(2).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    allpairs = qs.select("query_id").crossJoin(emb.select("vec_id"))
+    fetch = lambda df, c: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r[c]) for r in df.collect()
+    )
+    got = fetch(ann_rerank(allpairs, emb, qs, k=k, metric="l2"), "d2")
+    want = fetch(
+        brute_force_top_k(
+            emb, qs, k=k, query_id_col="query_id",
+            exclude_self=False, metric="l2",
+        ),
+        "d2",
+    )
+    assert got == want
