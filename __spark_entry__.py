@@ -878,6 +878,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_index_add_search"] = q_ivf_index_add
 
+    # persisted LSH index (similarity.py build_lsh_index /
+    # lsh_index_search): the corpus banded ONCE offline, probes
+    # partition-prune the (table, bucket) dirs.  Exhaustive probing
+    # (n_probe_bits = n_planes) is provably brute force — the same
+    # oracle trick as ivf_index_search; genuine pruning is
+    # plan-guarded in test_lsh_index_search_plan_prunes_partitions.
+    def q_lsh_index_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_lsh_index,
+            lsh_index_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_lshidx_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_lsh_index(
+            emb, path, n_planes=4, n_tables=2, mode="overwrite"
+        )
+        qs = emb.filter("vec_id < 10")
+        return lsh_index_search(spark, path, qs, k=3, n_probe_bits=4)
+
+    q["lsh_index_search"] = q_lsh_index_search
+
     # IVF-PQ (similarity.py build_ivfpq_index/ivfpq_search): coarse
     # cells store only PQ codes, probes partition-prune the code
     # files.  No-residual variant, so the exhaustive probe
@@ -3884,6 +3913,11 @@ FROM ranked WHERE rank <= 3
     # exhaustive probe (n_probe == n_lists) of the persisted index ==
     # brute force: same oracle again
     o["ivf_index_search"] = o["cosine_topk"]
+
+    # persisted LSH with exhaustive probes: every bucket in the
+    # Hamming-n_planes ball is probed, so candidates = all pairs and
+    # the search IS brute cosine top-k (the ivf trick)
+    o["lsh_index_search"] = o["cosine_topk"]
     # build-on-half + append-other-half + exhaustive probe == brute
     # force over the union: same oracle once more
     o["ivf_index_add_search"] = o["cosine_topk"]

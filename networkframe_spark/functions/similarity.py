@@ -2645,3 +2645,300 @@ def ann_search_batched(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    mode: str = "error",
+) -> dict:
+    """Build and persist a random-hyperplane LSH index: the corpus is
+    banded ONCE per table (the same deterministic md5-seeded planes
+    :func:`lsh_top_k` uses) and written to ``<path>/bands`` as
+    parquet PARTITIONED BY ``(table, bucket)`` with precomputed
+    norms; ``<path>/meta`` records (n_planes, n_tables, dim).
+    Returns the meta dict.
+
+    This completes the persisted-index family (IVF and IVF-PQ have
+    had this shape since r10/r11): :func:`lsh_top_k` re-bands the
+    corpus on EVERY call — at 100 TB that is n_tables full-corpus
+    shuffles per query batch — while this index pays the banding once
+    offline and every online probe becomes a partition-pruned scan of
+    the touched ``(table, bucket)`` directories.  Index size is
+    n_tables x corpus rows (the inherent LSH table trade); partition
+    count is n_tables x 2^n_planes directories, so keep ``n_planes``
+    <= ~12 for a partitioned store (beyond that, band tables belong
+    inside a coarser layout).
+    """
+    import json as _json
+    import os as _os
+
+    if dim is None:
+        first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    tables = [
+        _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
+        for t in range(n_tables)
+    ]
+    banded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_expr(F.col(emb_col)).alias("c_norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        signature_col(F.col(emb_col), tables[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "c_emb",
+        "c_norm",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    banded.write.mode(mode).partitionBy("table", "bucket").parquet(
+        _os.path.join(path, "bands")
+    )
+    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim}
+    (
+        corpus.sparkSession.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .json(_os.path.join(path, "meta"))
+    )
+    return meta
+
+
+def _lsh_meta_tables(spark, path: str):
+    import json as _json
+    import os as _os
+
+    meta = _json.loads(
+        spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
+    )
+    tables = [
+        _hyperplane_signs(
+            int(meta["n_planes"]), int(meta["dim"]), seed=42 + 1000 * t
+        )
+        for t in range(int(meta["n_tables"]))
+    ]
+    return meta, tables
+
+
+def lsh_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dedupe: bool = True,
+) -> None:
+    """Incremental LSH index maintenance: band ``new_vectors`` with
+    the STORED plane manifest and append into the partition
+    directories — nothing existing is read or rewritten (mirror of
+    :func:`ivf_index_add`; bucket membership depends only on the
+    deterministic stored planes, so post-add search is identical to
+    a full rebuild over the union).  With ``dedupe=True`` the batch
+    is anti-joined against ids already present in the buckets it
+    would land in (partition-pruned, vec_id column only), so a
+    replayed/retried add appends zero rows.
+    """
+    import os as _os
+
+    meta, tables = _lsh_meta_tables(spark, path)
+    banded = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_expr(F.col(emb_col)).alias("c_norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        signature_col(F.col(emb_col), tables[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(int(meta["n_tables"]))
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "c_emb",
+        "c_norm",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    bands_path = _os.path.join(path, "bands")
+    if dedupe:
+        # table 0 membership is definitive (every vector appears in
+        # every table), so the retry guard prunes to table 0's
+        # touched buckets only
+        touched = [
+            r["bucket"]
+            for r in banded.filter(F.col("table") == 0)
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+        existing = (
+            spark.read.parquet(bands_path)
+            .filter((F.col("table") == 0) & F.col("bucket").isin(touched))
+            .select("vec_id")
+        )
+        banded = banded.join(existing, on="vec_id", how="left_anti")
+        banded = banded.localCheckpoint(eager=True)
+    banded.write.mode("append").partitionBy("table", "bucket").parquet(
+        bands_path
+    )
+
+
+def lsh_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe_bits: int = 0,
+    query_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a persisted LSH index (:func:`build_lsh_index`): each
+    query reads only the ``(table, bucket)`` partition directories in
+    the Hamming-``n_probe_bits`` ball of its signature, per table —
+    multi-probe (Lv et al. 2007) against a STORED banding, so recall
+    rises with zero change to the index.  Bit-identical to
+    :func:`lsh_top_k` with the same (n_planes, n_tables,
+    n_probe_bits) — contract-tested — and ``n_probe_bits = n_planes``
+    probes every bucket, making the search provably exhaustive
+    (equal to brute force: the oracle contract).
+
+    Scale design: query signatures are numpy sign-patterns over the
+    driver-sized batch (same loud ``_MAX_QUERY_BATCH`` guard as the
+    IVF probes); the bucket predicate lists LITERAL partition values,
+    so pruning happens at file listing (``PartitionFilters`` —
+    plan-guarded in tests); the probe pairs and the query embeddings
+    broadcast SEPARATELY (each embedding ships once, not once per
+    probe); scoring folds duplicate collisions with the map-side
+    combinable max-aggregate, moving only (ids, cosine) through the
+    exchange — the r11 narrow-shuffle plan, inherited.
+    """
+    import numpy as np
+
+    import os as _os
+
+    meta, tables = _lsh_meta_tables(spark, path)
+    n_planes = int(meta["n_planes"])
+    n_tables = int(meta["n_tables"])
+    if not 0 <= n_probe_bits <= n_planes:
+        raise ValueError(
+            "lsh_index_search: 0 <= n_probe_bits <= n_planes"
+        )
+    masks = _hamming_ball_masks(n_planes, n_probe_bits)
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    n_q = qdf.count()
+    if n_q > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"lsh_index_search: query batch has {n_q} rows "
+            f"(> {_MAX_QUERY_BATCH}); chunk the batch "
+            "(ann_search_batched) — probe assignment collects it"
+        )
+    qpdf = qdf.toPandas()
+    qids = qpdf["query_id"].tolist()
+    Q = np.asarray(qpdf["q_emb"].tolist(), dtype=np.float64)
+    probe_rows = []
+    wanted: dict[int, set[int]] = {t: set() for t in range(n_tables)}
+    for t in range(n_tables):
+        P = np.asarray(tables[t], dtype=np.float64)  # n_planes x dim
+        # signature_col's exact convention: bit j set iff
+        # dot(plane_j, v) >= 0, plane j at weight 1 << j
+        bits = (Q @ P.T) >= 0  # n_q x n_planes
+        weights = 1 << np.arange(n_planes)
+        sigs = bits @ weights
+        for i in range(len(qids)):
+            home = int(sigs[i])
+            for m in masks:
+                b = home ^ m
+                wanted[t].add(b)
+                probe_rows.append((qids[i], t, b))
+    from pyspark.sql import types as T
+
+    qid_field = T.StructField(
+        "query_id", queries.schema[query_id_col].dataType
+    )
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                qid_field,
+                T.StructField("table", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        ),
+    )
+    q_rows = [
+        (qids[i], [float(v) for v in Q[i]], float(np.linalg.norm(Q[i])))
+        for i in range(len(qids))
+    ]
+    q = spark.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                qid_field,
+                T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+                T.StructField("q_norm", T.DoubleType()),
+            ]
+        ),
+    )
+    pred = None
+    for t in range(n_tables):
+        leg = (F.col("table") == t) & F.col("bucket").isin(
+            sorted(wanted[t])
+        )
+        pred = leg if pred is None else (pred | leg)
+    bands = spark.read.parquet(_os.path.join(path, "bands")).filter(pred)
+    scored = (
+        bands.join(F.broadcast(probes), on=["table", "bucket"])
+        .join(F.broadcast(q), on="query_id")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    scored = (
+        scored.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

