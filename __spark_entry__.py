@@ -3002,10 +3002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ab_test_report cede; json_key_profile ceded earlier to
         # ivfpq_rerank for the same reason)
         "sorted_neighborhood", "snm_dedup", "ivfpq_batched", "sq_topk",
+        # lsh_index_search (persisted-LSH probe, the session's last
+        # registration) takes value_percentiles' slot — newest engine
+        # path over a single percentile aggregate
+        "lsh_index_search",
         "pq_encode", "truncate_embeddings", "knn_label_check",
         "label_centroids", "embedding_clusters", "embedding_gram",
         "dedup_clusters", "bipartite_project", "curriculum_order",
-        "top_k_per_group", "salted_join", "value_percentiles",
+        "top_k_per_group", "salted_join",
         "table_diff", "extract_json",
         "similar_strings", "hashed_tfidf", "build_vocab",
         "pmi_bigrams", "rrf_fuse", "neighbor_sample",

@@ -171,6 +171,7 @@ HEADLINE = [
     "snm_recall",            # SNM blocking recall vs exhaustive truth (r12)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
     # ivfpq_recall / ivfpq_residual_recall / ivfpq_rerank /
+    # ivfpq_batched / lsh_index_search /
     # ivfpq_add_search are excluded on purpose: each run rebuilds and
     # WRITES the on-disk index (an offline, amortized cost), so their
     # wall time measures the build, not the probe.  Solo numbers live
