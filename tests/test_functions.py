@@ -2932,3 +2932,39 @@ def test_lsh_index_add_equals_rebuild(spark, tmp_path):
     n_before = spark.read.parquet(inc + "/bands").count()
     lsh_index_add(spark, inc, emb.filter("vec_id % 2 = 1"))  # replay
     assert spark.read.parquet(inc + "/bands").count() == n_before
+
+
+def test_ann_search_batched_composes_with_lsh_index(spark, tmp_path):
+    """The chunked driver is searcher-generic: batched probing of the
+    persisted LSH index equals the one-shot call (per-query
+    independence holds across the whole index family)."""
+    from networkframe_spark.functions.similarity import (
+        ann_search_batched,
+        build_lsh_index,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    path = str(tmp_path / "lshb")
+    build_lsh_index(emb, path, n_planes=4, n_tables=2)
+    qs = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in df.collect()
+    )
+    want = rows(
+        lsh_index_search(
+            spark, path, qs, k=4, n_probe_bits=1,
+            query_id_col="query_id", exclude_self=False,
+        )
+    )
+    got = rows(
+        ann_search_batched(
+            spark, path, qs, batch_size=3, searcher=lsh_index_search,
+            k=4, n_probe_bits=1, exclude_self=False,
+        )
+    )
+    assert got == want and len(got) > 0
