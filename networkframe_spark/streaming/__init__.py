@@ -18,6 +18,7 @@ from .stream import (
     stream_deduplicate,
     stream_edge_condense,
     stream_events_windowed,
+    stream_index_add,
     stream_unique_users,
 )
 
@@ -30,4 +31,5 @@ __all__ = [
     "stream_edge_condense",
     "stream_deduplicate",
     "stream_unique_users",
+    "stream_index_add",
 ]

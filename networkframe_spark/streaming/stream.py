@@ -705,3 +705,73 @@ def stream_neardup_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_index_add(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    index: str = "lsh",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_name: str = "index_add",
+):
+    """Streaming ingestion into a persisted ANN index: every
+    micro-batch of ``(id, embedding)`` rows is absorbed by the
+    index family's incremental add (``index`` = ``"lsh"`` |
+    ``"ivf"`` | ``"ivfpq"`` — :func:`~networkframe_spark.functions.
+    similarity.lsh_index_add` and siblings), so the index a batch
+    search probes is always current without an offline rebuild.
+
+    Restart semantics: foreachBatch is at-least-once, but every add
+    carries the partition-pruned retry guard (the batch anti-joins
+    ids already present in the cells/buckets it would land in), so a
+    replayed micro-batch appends ZERO rows — the index converges to
+    exactly-once CONTENT, the same argument as
+    :func:`stream_upsert_parquet`, with keyed state living in the
+    INDEX, not the state store.
+
+    Scale note: per micro-batch cost is the add's — one
+    encode/assign pass over the batch plus an append of only new
+    files into the touched partition directories; nothing existing
+    is read beyond the pruned id columns, nothing is rewritten.
+    The index must exist (built offline via ``build_*_index``);
+    centroid/plane manifests stay fixed — rebuild when
+    :func:`~networkframe_spark.functions.similarity.embedding_drift`
+    says the distribution moved.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from ..functions.similarity import (
+        ivf_index_add,
+        ivfpq_index_add,
+        lsh_index_add,
+    )
+
+    adders = {
+        "lsh": lsh_index_add,
+        "ivf": ivf_index_add,
+        "ivfpq": ivfpq_index_add,
+    }
+    if index not in adders:
+        raise ValueError("stream_index_add: index must be lsh|ivf|ivfpq")
+    add = adders[index]
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            id_col=id_col,
+            emb_col=emb_col,
+            dedupe=True,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

@@ -1044,3 +1044,51 @@ def test_ivf_index_add_retry_idempotent(spark, tmp_path):
     cells = spark.read.parquet(path + "/cells")
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_stream_index_add_lsh_equals_rebuild(spark, tmp_path):
+    """Streaming micro-batches absorbed into a persisted LSH index:
+    after the stream drains, probing the incrementally-fed index is
+    bit-identical to a full offline rebuild over the union — and the
+    band store holds exactly one row per (vector, table) despite
+    foreachBatch's at-least-once replays (the add's retry guard)."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+    from networkframe_spark.streaming.stream import stream_index_add
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(120)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    build_lsh_index(
+        emb.filter("vec_id % 2 = 0"), inc, n_planes=4, n_tables=2
+    )
+    # two micro-batch files of the odd half
+    odd = emb.filter("vec_id % 2 = 1").select("vec_id", "embedding")
+    odd.filter("vec_id % 4 = 1").write.mode("append").parquet(src)
+    odd.filter("vec_id % 4 = 3").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index_add(stream, inc, ckpt, index="lsh")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_lsh_index(emb, full, n_planes=4, n_tables=2)
+    qs = emb.filter("vec_id < 6")
+    rows = lambda p: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in lsh_index_search(
+            spark, p, qs, k=4, n_probe_bits=1
+        ).collect()
+    )
+    assert rows(inc) == rows(full)
+    n_vec = emb.count()
+    assert spark.read.parquet(inc + "/bands").count() == 2 * n_vec
