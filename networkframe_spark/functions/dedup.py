@@ -1090,7 +1090,7 @@ def dedup_corpus(
     """End-to-end corpus deduplication — the one-call convenience a
     pipeline actually invokes: find near-duplicate pairs with
     ``method`` (``"exact"`` | ``"minhash_lsh"`` | ``"ngram_jaccard"``
-    | ``"snm"``),
+    | ``"snm"`` | ``"containment"``),
     fold them into clusters (:func:`duplicate_clusters`), and KEEP one
     representative per cluster (the minimum id).  Returns the
     surviving rows of ``df`` unchanged, plus ``cluster_id`` so lineage
@@ -1121,10 +1121,15 @@ def dedup_corpus(
         pairs = snm_duplicates(
             df, threshold=threshold, id_col=id_col, text_col=text_col
         ).select(F.col("id_a"), F.col("id_b"))
+    elif method == "containment":
+        # near-subset folding (quotes/boilerplate Jaccard misses)
+        pairs = containment_duplicates(
+            df, threshold=threshold, id_col=id_col, text_col=text_col
+        ).select(F.col("id_a"), F.col("id_b"))
     else:
         raise ValueError(
             "method must be 'exact', 'minhash_lsh', 'ngram_jaccard', "
-            "or 'snm'"
+            "'snm', or 'containment'"
         )
     clusters = duplicate_clusters(df, pairs, id_col=id_col)
     return df.join(

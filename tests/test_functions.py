@@ -2968,3 +2968,17 @@ def test_ann_search_batched_composes_with_lsh_index(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_corpus_containment_method(spark):
+    """dedup_corpus(method='containment') folds near-subset pairs —
+    the generator symmetric Jaccard structurally misses — through
+    the same cluster fold."""
+    from networkframe_spark.functions.dedup import dedup_corpus
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = dedup_corpus(docs, method="containment", threshold=0.8)
+    n_in, n_out = docs.count(), kept.count()
+    assert 0 < n_out < n_in
+    assert kept.filter("doc_id != cluster_id").count() == 0
