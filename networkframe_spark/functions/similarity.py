@@ -1637,6 +1637,11 @@ def build_ivfpq_index(
                 lambda x, y: x - y,
             ).alias("__res"),
         )
+        # enc_src feeds the codebook training, the encode, AND the
+        # list_id join — pin it once (lazy checkpoint materializes at
+        # the first training action) so the full-corpus assignment
+        # pass does not recompute three times per build
+        enc_src = enc_src.localCheckpoint(eager=False)
         codebook = pq_codebook(
             enc_src, m=m, k=k_codes, init=codebook_init, n_iter=n_iter,
             id_col="vec_id", emb_col="__res",
@@ -1670,6 +1675,32 @@ def build_ivfpq_index(
             .json(_os.path.join(path, name))
         )
     return {"centroids": centroids, "codebook": codebook, "meta": meta}
+
+
+def _read_ivfpq_meta(spark, path: str) -> dict:
+    """Read an IVF-PQ index's meta manifest.  ONLY a genuinely absent
+    ``<path>/meta`` directory (the pre-round-12 layout, which never
+    wrote one) falls back to the no-residual default — any other
+    failure (transient FS error, corrupted JSON, a build that died
+    between the codes and meta writes) re-raises, because silently
+    treating a residual index as raw-code would corrupt adds and
+    return garbage rankings with no error.  Existence is probed
+    through the Hadoop FileSystem API so s3://, hdfs://, file://
+    resolve the way the reader will.
+    """
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(path, "meta")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(mpath)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return {"residual": False}  # pre-round-12 layout: no manifest
+    return _json.loads(
+        spark.read.json(mpath).collect()[0]["meta"]
+    )
 
 
 def ivfpq_search(
@@ -1718,12 +1749,7 @@ def ivfpq_search(
             "codebook"
         ]
     )
-    try:
-        meta = _json.loads(
-            spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
-        )
-    except Exception:  # pre-round-12 index layout: no meta manifest
-        meta = {"residual": False}
+    meta = _read_ivfpq_meta(spark, path)
     residual = bool(meta.get("residual", False))
     C = np.asarray(centroids, dtype=np.float64)
     # one GEMM assigns all queries at once; batch loudly size-guarded
@@ -1860,12 +1886,7 @@ def ivfpq_index_add(
             "codebook"
         ]
     )
-    try:
-        meta = _json.loads(
-            spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
-        )
-    except Exception:  # pre-round-12 index layout: no meta manifest
-        meta = {"residual": False}
+    meta = _read_ivfpq_meta(spark, path)
     assigned = ivf_assign(
         new_vectors.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("__emb")
@@ -2632,7 +2653,10 @@ def ann_search_batched(
         r[0] for r in queries.select(query_id_col).distinct().collect()
     )
     if not ids:
-        return searcher(spark, path, queries, **search_kwargs)
+        return searcher(
+            spark, path, queries, query_id_col=query_id_col,
+            **search_kwargs,
+        )
     out = None
     for i in range(0, len(ids), batch_size):
         lo, hi = ids[i], ids[min(i + batch_size, len(ids)) - 1]
@@ -2645,6 +2669,36 @@ def ann_search_batched(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _band_rows(df, tables, id_col: str, emb_col: str):
+    """One banded row per (vector, table): (vec_id, c_emb, c_norm,
+    table, bucket) — the persisted-LSH storage layout, shared by
+    build and incremental add so the two can never drift."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_expr(F.col(emb_col)).alias("c_norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        signature_col(F.col(emb_col), tables[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(len(tables))
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "c_emb",
+        "c_norm",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
 
 
 def build_lsh_index(
@@ -2685,30 +2739,7 @@ def build_lsh_index(
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
         for t in range(n_tables)
     ]
-    banded = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm_expr(F.col(emb_col)).alias("c_norm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        signature_col(F.col(emb_col), tables[t]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id",
-        "c_emb",
-        "c_norm",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    banded = _band_rows(corpus, tables, id_col, emb_col)
     banded.write.mode(mode).partitionBy("table", "bucket").parquet(
         _os.path.join(path, "bands")
     )
@@ -2761,30 +2792,7 @@ def lsh_index_add(
     import os as _os
 
     meta, tables = _lsh_meta_tables(spark, path)
-    banded = new_vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm_expr(F.col(emb_col)).alias("c_norm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        signature_col(F.col(emb_col), tables[t]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(int(meta["n_tables"]))
-                ]
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id",
-        "c_emb",
-        "c_norm",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    banded = _band_rows(new_vectors, tables, id_col, emb_col)
     bands_path = _os.path.join(path, "bands")
     if dedupe:
         # table 0 membership is definitive (every vector appears in
@@ -2839,8 +2847,6 @@ def lsh_index_search(
     combinable max-aggregate, moving only (ids, cosine) through the
     exchange — the r11 narrow-shuffle plan, inherited.
     """
-    import numpy as np
-
     import os as _os
 
     meta, tables = _lsh_meta_tables(spark, path)
@@ -2851,28 +2857,38 @@ def lsh_index_search(
             "lsh_index_search: 0 <= n_probe_bits <= n_planes"
         )
     masks = _hamming_ball_masks(n_planes, n_probe_bits)
-    qdf = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
-    )
-    n_q = qdf.count()
-    if n_q > _MAX_QUERY_BATCH:
-        raise ValueError(
-            f"lsh_index_search: query batch has {n_q} rows "
-            f"(> {_MAX_QUERY_BATCH}); chunk the batch "
-            "(ann_search_batched) — probe assignment collects it"
+    # ONE bounded collect fetches ids, embeddings, norms AND the
+    # home signature of every table — computed with signature_col
+    # itself, so the query-side bucket is bit-identical to the
+    # stored banding by construction (a numpy re-implementation of
+    # the sign convention can disagree on dot==0 ULP boundaries and
+    # route a query away from its own stored bucket; the JVM
+    # expression cannot).  limit(cap+1) bounds the plan instead of a
+    # separate count() job — the _probe_assign pattern.
+    qpdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            norm_expr(F.col(emb_col)).alias("q_norm"),
+            *[
+                signature_col(F.col(emb_col), tables[t]).alias(f"sig_{t}")
+                for t in range(n_tables)
+            ],
         )
-    qpdf = qdf.toPandas()
+        .limit(_MAX_QUERY_BATCH + 1)
+        .toPandas()
+    )
+    if len(qpdf) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"lsh_index_search: query batch exceeds {_MAX_QUERY_BATCH} "
+            "rows; chunk the batch (ann_search_batched) — probe "
+            "assignment collects it"
+        )
     qids = qpdf["query_id"].tolist()
-    Q = np.asarray(qpdf["q_emb"].tolist(), dtype=np.float64)
     probe_rows = []
     wanted: dict[int, set[int]] = {t: set() for t in range(n_tables)}
     for t in range(n_tables):
-        P = np.asarray(tables[t], dtype=np.float64)  # n_planes x dim
-        # signature_col's exact convention: bit j set iff
-        # dot(plane_j, v) >= 0, plane j at weight 1 << j
-        bits = (Q @ P.T) >= 0  # n_q x n_planes
-        weights = 1 << np.arange(n_planes)
-        sigs = bits @ weights
+        sigs = qpdf[f"sig_{t}"].tolist()
         for i in range(len(qids)):
             home = int(sigs[i])
             for m in masks:
@@ -2895,7 +2911,11 @@ def lsh_index_search(
         ),
     )
     q_rows = [
-        (qids[i], [float(v) for v in Q[i]], float(np.linalg.norm(Q[i])))
+        (
+            qids[i],
+            [float(v) for v in qpdf["q_emb"].iloc[i]],
+            float(qpdf["q_norm"].iloc[i]),
+        )
         for i in range(len(qids))
     ]
     q = spark.createDataFrame(
@@ -2908,12 +2928,15 @@ def lsh_index_search(
             ]
         ),
     )
-    pred = None
+    # empty batch: probe nothing (lit(False) prunes every partition)
+    # and fall through to an empty result with the right schema
+    pred = F.lit(False)
     for t in range(n_tables):
-        leg = (F.col("table") == t) & F.col("bucket").isin(
-            sorted(wanted[t])
-        )
-        pred = leg if pred is None else (pred | leg)
+        if wanted[t]:
+            pred = pred | (
+                (F.col("table") == t)
+                & F.col("bucket").isin(sorted(wanted[t]))
+            )
     bands = spark.read.parquet(_os.path.join(path, "bands")).filter(pred)
     scored = (
         bands.join(F.broadcast(probes), on=["table", "bucket"])

@@ -2982,3 +2982,23 @@ def test_dedup_corpus_containment_method(spark):
     n_in, n_out = docs.count(), kept.count()
     assert 0 < n_out < n_in
     assert kept.filter("doc_id != cluster_id").count() == 0
+
+
+def test_lsh_index_search_empty_query_batch(spark, tmp_path):
+    """An empty query batch returns an empty result with the search
+    schema (probing nothing), matching the ivf/ivfpq probe paths —
+    not a numpy shape crash."""
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    path = str(tmp_path / "lshe")
+    build_lsh_index(emb, path, n_planes=4, n_tables=2)
+    out = lsh_index_search(
+        spark, path, emb.filter("vec_id < 0"), k=3, n_probe_bits=1
+    )
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
