@@ -932,7 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         build_ivfpq_index(
             emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
-            codebook_init="first_ids", mode="overwrite",
+            codebook_init="first_ids", residual=False, mode="overwrite",
         )
         qs = emb.filter("vec_id < 5").select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -966,7 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_ivfpq_index(
             emb, path, n_lists=8, m=4, k_codes=16,
             codebook_init="first_ids", coarse_init="first_ids",
-            mode="overwrite",
+            residual=False, mode="overwrite",
         )
         qs = emb.filter("vec_id < 10").select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -1005,7 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_ivfpq_index(
             emb.filter("vec_id % 2 = 0"), path, n_lists=8, m=4,
             k_codes=16, codebook_init="first_ids",
-            coarse_init="first_ids", mode="overwrite",
+            coarse_init="first_ids", residual=False, mode="overwrite",
         )
         ivfpq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
         qs = emb.filter("vec_id < 5").select(
@@ -1080,7 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_ivfpq_index(
             emb, path, n_lists=8, m=4, k_codes=16,
             codebook_init="first_ids", coarse_init="first_ids",
-            mode="overwrite",
+            residual=False, mode="overwrite",
         )
         qs = emb.filter("vec_id < 10").select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -1139,7 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         build_ivfpq_index(
             emb, path, n_lists=8, m=4, k_codes=16,
-            codebook_init="first_ids", mode="overwrite",
+            codebook_init="first_ids", residual=False, mode="overwrite",
         )
         qs = emb.filter("vec_id < 5").select(
             F.col("vec_id").alias("query_id"), "embedding"

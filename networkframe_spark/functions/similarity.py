@@ -158,6 +158,29 @@ _MAX_QUERY_BATCH = 1_000_000
 #: front with the fix spelled out.
 _MAX_RESIDUAL_LUT_ROWS = 40_000_000
 
+#: Hard cap on the driver-built probe-pair table — the PRODUCT that
+#: the plain query-count guard misses: ``lsh_index_search`` builds
+#: n_queries × n_tables × |Hamming ball| tuples and the IVF probes
+#: build n_queries × n_probe, so a legal 1M-query call with 4 tables
+#: and a 137-mask ball would construct ~548M driver tuples and OOM
+#: before ``_MAX_QUERY_BATCH`` ever fires.  Same 40M budget as the
+#: ADC-table guard (both ship through one spark.createDataFrame +
+#: broadcast); past it, chunk via ``ann_search_batched``.
+_MAX_PROBE_ROWS = 40_000_000
+
+
+def _guard_probe_rows(n_rows: int, where: str, detail: str) -> None:
+    """Loudly reject a driver-side probe-pair table bigger than
+    :data:`_MAX_PROBE_ROWS` (see that constant for why the composite
+    product needs its own guard)."""
+    if n_rows > _MAX_PROBE_ROWS:
+        raise ValueError(
+            f"{where}: probe-pair table would be {n_rows} rows "
+            f"({detail} > {_MAX_PROBE_ROWS}) and it is built on the "
+            "driver — reduce the probe width or chunk the query "
+            "batch (ann_search_batched)"
+        )
+
 
 def _probe_assign(queries, query_id_col: str, emb_col: str, C, n_probe: int):
     """Driver-side coarse-cell choice for a query batch: ONE
@@ -998,6 +1021,11 @@ def ivf_index_search(
     # doubles that is the difference between a 4 GB and a 0.5 GB
     # exchange.  Joining both onto the pruned cells reproduces the
     # exact same scored rows (same cosine expression tree).
+    _guard_probe_rows(
+        len(qpdf) * n_probe,
+        "ivf_index_search",
+        f"{len(qpdf)} queries × {n_probe} probes",
+    )
     probe_rows = []
     wanted: set[int] = set()
     qids = qpdf["query_id"].tolist()
@@ -1540,7 +1568,7 @@ def build_ivfpq_index(
     n_iter: int = 3,
     codebook_init: str = "kmeans",
     coarse_init: str = "kmeans",
-    residual: bool = False,
+    residual: bool = True,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     mode: str = "error",
@@ -1556,14 +1584,19 @@ def build_ivfpq_index(
     probes scan ``n_probe`` code directories (bytes per vector, not
     floats) and score through a per-query lookup table.
 
-    ``residual=False`` (default) quantizes the RAW vector.  The
+    ``residual=False`` quantizes the RAW vector.  The
     tradeoff is quantization accuracy for (a) an exact contract — an
     exhaustive probe (``n_probe == n_lists``) is bit-identical to
     :func:`pq_search` over the same codebook, which is what the
-    oracle checks — and (b) codes that stay valid if cells are
-    re-split or batches appended ivf_index_add-style, because the
-    code of a vector never depends on its cell.
-    ``residual=True`` is classic IVFADC (Jégou et al. 2011 §III):
+    oracle checks (the oracle registration pins ``residual=False``
+    explicitly for this reason) — and (b) codes that stay valid if
+    cells are re-split or batches appended ivf_index_add-style,
+    because the code of a vector never depends on its cell.
+    ``residual=True`` (the DEFAULT — SCALE.md round-12's production
+    rule is "never raw codes": raw 0.106 vs residual 0.293 recall@10
+    on clustered data, and the meta manifest routes search
+    automatically, so defaults should give the better recall) is
+    classic IVFADC (Jégou et al. 2011 §III):
     codes quantize ``x − centroid[cell]``, so the codebook spends its
     k_codes on the within-cell residual.  The gain tracks how much
     variance the coarse cells absorb — measured recall@10 at 500k
@@ -1792,6 +1825,11 @@ def ivfpq_search(
         pr = spark.createDataFrame(pr_rows, pr_schema)
         lut = _pq_lut(pr, codebook, "query_id", "q_res", extra_cols=("list_id",))
     else:
+        _guard_probe_rows(
+            len(qpdf) * n_probe,
+            "ivfpq_search",
+            f"{len(qpdf)} queries × {n_probe} probes",
+        )
         probe_rows = []
         for i in range(len(qpdf)):
             for li in order[i]:
@@ -2545,6 +2583,8 @@ def ann_rerank(
     query_id_col: str = "query_id",
     metric: str = "l2",
     broadcast_candidates: bool = True,
+    cand_query_col: str = "query_id",
+    cand_id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact-distance re-ranking of an oversampled ANN candidate set
     (Jegou et al. 2011, "Searching in one billion vectors: re-rank
@@ -2573,12 +2613,20 @@ def ann_rerank(
     Pass ``broadcast_candidates=False`` only when the candidate set
     itself is beyond driver size (e.g. corpus x corpus near-dup
     rerank); the fallback is a plain shuffle hash join on the id.
+
+    The candidate frame's pair columns default to the searcher-output
+    names ``("query_id", "vec_id")`` regardless of ``query_id_col`` /
+    ``id_col`` (those name columns in ``queries`` / ``corpus``, and
+    every searcher in this module emits the canonical pair names) —
+    override ``cand_query_col`` / ``cand_id_col`` for a hand-built
+    candidate frame that uses different names.
     """
     if metric not in ("cosine", "l2"):
         raise ValueError("ann_rerank: metric must be 'cosine' or 'l2'")
-    pairs = candidates.select("query_id", "vec_id").dropDuplicates(
-        ["query_id", "vec_id"]
-    )
+    pairs = candidates.select(
+        F.col(cand_query_col).alias("query_id"),
+        F.col(cand_id_col).alias("vec_id"),
+    ).dropDuplicates(["query_id", "vec_id"])
     if broadcast_candidates:
         pairs = F.broadcast(pairs)
     self_of = (
@@ -2622,6 +2670,7 @@ def ann_search_batched(
     batch_size: int = 10_000,
     searcher=None,
     query_id_col: str = "query_id",
+    spill_dir: str | None = None,
     **search_kwargs,
 ) -> DataFrame:
     """Drive a persisted-index searcher (:func:`ivfpq_search` by
@@ -2644,6 +2693,18 @@ def ann_search_batched(
     probe-pair/LUT broadcast at chunk size.  Chunks run as
     sequential Spark jobs — an offline-batch trade (bounded memory,
     same total work) rather than a latency one.
+
+    Each chunk is materialized EAGERLY before the next one builds —
+    a lazy union of every chunk's plan would keep every chunk's
+    driver-local probe/LUT LocalRelation and broadcast resident
+    until the caller's single action, re-aggregating exactly the
+    footprint the chunking exists to bound.  Default is
+    ``localCheckpoint(eager=True)`` (executor block storage, no
+    filesystem dependency; an executor loss during the final union
+    fails the job since lineage is truncated — rerun).  Pass
+    ``spill_dir`` to write each chunk to
+    ``<spill_dir>/chunk=<i>`` parquet instead and return one scan
+    over the spill — the durable choice for multi-hour offline runs.
     """
     if searcher is None:
         searcher = ivfpq_search
@@ -2657,7 +2718,9 @@ def ann_search_batched(
             spark, path, queries, query_id_col=query_id_col,
             **search_kwargs,
         )
-    out = None
+    import os as _os
+
+    parts = []
     for i in range(0, len(ids), batch_size):
         lo, hi = ids[i], ids[min(i + batch_size, len(ids)) - 1]
         sub = queries.filter(
@@ -2667,7 +2730,21 @@ def ann_search_batched(
         part = searcher(
             spark, path, sub, query_id_col=query_id_col, **search_kwargs
         )
-        out = part if out is None else out.unionByName(part)
+        if spill_dir is not None:
+            part.write.mode("overwrite").parquet(
+                _os.path.join(spill_dir, f"chunk={i // batch_size}")
+            )
+        else:
+            # runs the chunk's jobs NOW and frees its LocalRelations/
+            # broadcasts; the union below is over checkpointed blocks
+            parts.append(part.localCheckpoint(eager=True))
+    if spill_dir is not None:
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            spill_dir
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
     return out
 
 
@@ -2885,6 +2962,14 @@ def lsh_index_search(
             "assignment collects it"
         )
     qids = qpdf["query_id"].tolist()
+    # fanout-aware guard: the probe table is queries × tables × ball,
+    # not just queries — cap the PRODUCT (ADVICE r12)
+    _guard_probe_rows(
+        len(qids) * n_tables * len(masks),
+        "lsh_index_search",
+        f"{len(qids)} queries × {n_tables} tables × {len(masks)} "
+        "Hamming-ball masks",
+    )
     probe_rows = []
     wanted: dict[int, set[int]] = {t: set() for t in range(n_tables)}
     for t in range(n_tables):

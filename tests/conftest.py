@@ -21,6 +21,41 @@ def spark():
     spark.stop()
 
 
+def scan_partition_counts(df) -> list[dict]:
+    """Execute ``df`` and return each file-scan's SQL metrics (one
+    dict per FileSourceScan node, with ``numPartitions`` /
+    ``numFiles`` when partition pruning applied) — the real
+    partitions-READ count, so plan tests can assert
+    ``scanned < total`` instead of grepping for a 'PartitionFilters'
+    substring that an empty filter list would also satisfy."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node, acc):
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            m, it, vals = node.metrics(), None, {}
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            acc.append(vals)
+            return acc
+        # AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec)
+        # expose the materialized inner plan behind these getters
+        for attr in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, attr)(), acc)
+                return acc
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    return walk(plan, [])
+
+
 @pytest.fixture()
 def letter_frame(spark):
     """Reference unit-test fixture (FIXTURES.md §1): A→B, A→C, B→C, C→D."""

@@ -567,7 +567,7 @@ def test_ivfpq_index_search(spark, tmp_path):
     path = str(tmp_path / "ivfpq")
     art = build_ivfpq_index(
         emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
-        codebook_init="first_ids",
+        codebook_init="first_ids", residual=False,
     )
     assert len(art["centroids"]) == 8 and len(art["codebook"]) == 4
     qs = emb.filter("vec_id < 5").select(
@@ -608,7 +608,7 @@ def test_probe_query_batch_guard(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "ivfpq_guard")
     sim.build_ivfpq_index(
         emb, path, n_lists=4, m=4, k_codes=8, n_iter=1,
-        codebook_init="first_ids",
+        codebook_init="first_ids", residual=False,
     )
     qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     monkeypatch.setattr(sim, "_MAX_QUERY_BATCH", 10)
@@ -631,6 +631,53 @@ def test_probe_query_batch_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "_MAX_RESIDUAL_LUT_ROWS", 10)
     with pytest.raises(ValueError, match="residual ADC table"):
         sim.ivfpq_search(spark, rpath, qs, k=3, n_probe=4).collect()
+
+
+def test_probe_fanout_product_guard(spark, tmp_path, monkeypatch):
+    """The probe-pair guard caps the COMPOSITE product, not just the
+    query count: a batch that passes _MAX_QUERY_BATCH must still fail
+    loudly when queries x tables x Hamming-ball (LSH) or queries x
+    n_probe (IVF / IVF-PQ) exceeds the driver-table budget — the
+    r12-ADVICE OOM shape (1M queries x 4 tables x 137 masks = 548M
+    driver tuples) with the constants scaled down."""
+    import networkframe_spark.functions.similarity as sim
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    lpath = str(tmp_path / "lsh_fan")
+    sim.build_lsh_index(emb, lpath, n_planes=4, n_tables=2)
+    # 50 queries x 2 tables x 5 ball-1 masks = 500 probe rows
+    monkeypatch.setattr(sim, "_MAX_PROBE_ROWS", 499)
+    with pytest.raises(ValueError, match="probe-pair table"):
+        sim.lsh_index_search(
+            spark, lpath, qs, k=3, n_probe_bits=1, query_id_col="query_id"
+        ).collect()
+    # exactly at the boundary: allowed
+    monkeypatch.setattr(sim, "_MAX_PROBE_ROWS", 500)
+    assert (
+        sim.lsh_index_search(
+            spark, lpath, qs, k=3, n_probe_bits=1, query_id_col="query_id"
+        ).count()
+        > 0
+    )
+
+    ipath = str(tmp_path / "ivf_fan")
+    sim.build_ivf_index(emb, ipath, n_lists=4, n_iter=1)
+    monkeypatch.setattr(sim, "_MAX_PROBE_ROWS", 99)  # 50 x 2 = 100
+    with pytest.raises(ValueError, match="probe-pair table"):
+        sim.ivf_index_search(
+            spark, ipath, qs, k=3, n_probe=2, query_id_col="query_id"
+        ).collect()
+
+    ppath = str(tmp_path / "ivfpq_fan")
+    sim.build_ivfpq_index(
+        emb, ppath, n_lists=4, m=4, k_codes=8, n_iter=1,
+        codebook_init="first_ids", residual=False,
+    )
+    with pytest.raises(ValueError, match="probe-pair table"):
+        sim.ivfpq_search(spark, ppath, qs, k=3, n_probe=2).collect()
 
 
 def test_brute_force_top_k_l2(spark):
@@ -682,6 +729,7 @@ def test_ivfpq_coarse_first_ids(spark, tmp_path):
     art = build_ivfpq_index(
         emb, path, n_lists=4, m=4, k_codes=8,
         codebook_init="first_ids", coarse_init="first_ids",
+        residual=False,
     )
     first4 = [
         list(map(float, r["embedding"]))
@@ -788,6 +836,7 @@ def test_ivfpq_index_add(spark, tmp_path):
     build_ivfpq_index(
         emb.filter("vec_id % 2 = 0"), path, n_lists=4, m=4, k_codes=8,
         codebook_init="first_ids", coarse_init="first_ids",
+        residual=False,
     )
     ivfpq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
     qs = emb.filter("vec_id < 3").select(
@@ -2605,6 +2654,7 @@ def test_ann_rerank_restores_ivfpq_recall(spark, tmp_path):
     build_ivfpq_index(
         emb, path, n_lists=8, m=4, k_codes=16, n_iter=2,
         codebook_init="first_ids", coarse_init="first_ids",
+        residual=False,
     )
     qs = emb.filter("vec_id < 6").select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2776,6 +2826,48 @@ def test_ann_search_batched_identical_and_guard_bypass(spark, tmp_path, monkeypa
         )
     )
     assert got2 == want
+    # durable spill mode: chunks land as parquet, result is one scan
+    # over the spill dir — same rows, and the chunk files exist
+    import os as _os
+
+    spill = str(tmp_path / "spill")
+    got3 = rows(
+        sim.ann_search_batched(
+            spark, path, qs, batch_size=3, k=3, n_probe=2,
+            spill_dir=spill,
+        )
+    )
+    assert got3 == want
+    assert len([d for d in _os.listdir(spill) if d.startswith("chunk=")]) == 4
+
+
+def test_ann_rerank_custom_candidate_columns(spark):
+    """cand_query_col / cand_id_col resolve a hand-built candidate
+    frame whose pair columns aren't the searcher-output names —
+    same result as the canonical names (ADVICE r12: the params for
+    queries/corpus silently did NOT apply to candidates)."""
+    from networkframe_spark.functions.similarity import ann_rerank
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(60)
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pairs = qs.select("query_id").crossJoin(emb.select("vec_id"))
+    renamed = pairs.select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("cid")
+    )
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in df.collect()
+    )
+    want = rows(ann_rerank(pairs, emb, qs, k=4))
+    got = rows(
+        ann_rerank(
+            renamed, emb, qs, k=4, cand_query_col="qid", cand_id_col="cid"
+        )
+    )
+    assert got == want and len(got) > 0
 
 
 def test_snm_duplicates_exhaustive_window_equals_jaccard(spark):
@@ -2895,6 +2987,10 @@ def test_lsh_index_search_plan_prunes_partitions(spark, tmp_path):
     )
     from networkframe_spark.sources import read_embeddings
 
+    import os
+
+    from tests.conftest import scan_partition_counts
+
     emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
     path = str(tmp_path / "lshp")
     build_lsh_index(emb, path, n_planes=4, n_tables=2)
@@ -2902,7 +2998,20 @@ def test_lsh_index_search_plan_prunes_partitions(spark, tmp_path):
     out = lsh_index_search(spark, path, qs, k=3, n_probe_bits=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
-    assert out.count() >= 0
+    # the REAL pruning assertion: partitions actually read (scan
+    # metric) < (table, bucket) directories that exist on disk —
+    # 2 queries x 2 tables at ball-0 probe at most 4 of them
+    total = sum(
+        1
+        for tdir in os.listdir(os.path.join(path, "bands"))
+        if tdir.startswith("table=")
+        for bdir in os.listdir(os.path.join(path, "bands", tdir))
+        if bdir.startswith("bucket=")
+    )
+    scans = scan_partition_counts(out)
+    assert scans, "no FileSourceScan found in the executed plan"
+    scanned = max(s.get("numPartitions", 0) for s in scans)
+    assert 0 < scanned <= 4 < total, (scanned, total)
 
 
 def test_lsh_index_add_equals_rebuild(spark, tmp_path):

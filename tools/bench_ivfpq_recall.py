@@ -146,7 +146,7 @@ def main() -> None:
     t0 = time.time()
     art = build_ivfpq_index(
         emb, idx_path, n_lists=n_lists, m=8, k_codes=256, n_iter=2,
-        mode="overwrite",
+        residual=False, mode="overwrite",
     )
     t_build = round(time.time() - t0, 1)
     print(
