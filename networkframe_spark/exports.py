@@ -127,11 +127,47 @@ def to_networkx(frame, create_using=None):
     return g
 
 
+def torch_geometric_arrays(
+    frame, directed: bool = True, weight_col: Optional[str] = None
+):
+    """The Spark-side half of :func:`to_torch_geometric`, torch-free
+    so it is testable without torch installed: positional edge index
+    (2 x E int64), node-id order, zero-filled numeric feature matrix
+    (N x F float32), and the optional edge-weight vector.  Returns
+    ``(edge_index, x, edge_weight_or_None, ids)`` as numpy arrays —
+    :func:`to_torch_geometric` wraps these in tensors verbatim, so
+    asserting on them covers everything up to the tensor boundary
+    (reference semantics: networkframe.py:677-719)."""
+    import numpy as np
+
+    _guard(len(frame), "to_torch_geometric", limit=5_000_000)
+    ids = [r["id"] for r in frame.nodes.select("id").collect()]
+    pos = {v: i for i, v in enumerate(ids)}
+    edges_pdf = frame.edges.toPandas()
+    src = edges_pdf["source"].map(pos).to_numpy(dtype="int64")
+    dst = edges_pdf["target"].map(pos).to_numpy(dtype="int64")
+    if not directed:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    edge_index = np.stack([src, dst])
+    nodes_pdf = frame.nodes.toPandas().set_index("id").loc[ids]
+    num = nodes_pdf.select_dtypes("number").fillna(0)
+    x = num.to_numpy(dtype="float32")
+    edge_weight = None
+    if weight_col is not None:
+        w = edges_pdf[weight_col].to_numpy(dtype="float32")
+        edge_weight = np.concatenate([w, w]) if not directed else w
+    return edge_index, x, edge_weight, ids
+
+
 def to_torch_geometric(frame, directed: bool = True, weight_col: Optional[str] = None):
     """torch-geometric export (reference: networkframe.py:677-719).
     torch is not installed in this environment; the Spark-side work
     (positional edge index, optional undirected doubling, zero-filled
-    feature matrix) is done here and handed to torch if importable."""
+    feature matrix) is done in :func:`torch_geometric_arrays` — tested
+    torch-free — and handed to torch here if importable."""
+    edge_index, x, edge_weight, _ = torch_geometric_arrays(
+        frame, directed=directed, weight_col=weight_col
+    )
     try:
         import torch
         from torch_geometric.data import Data
@@ -140,24 +176,10 @@ def to_torch_geometric(frame, directed: bool = True, weight_col: Optional[str] =
             "torch_geometric is not available in this environment"
         ) from err
 
-    import numpy as np
-
-    _guard(len(frame), "to_torch_geometric", limit=5_000_000)
-    ids = [r["id"] for r in frame.nodes.select("id").collect()]
-    pos = {v: i for i, v in enumerate(ids)}
-    edges_pdf = frame.edges.toPandas()
-    src = edges_pdf["source"].map(pos).to_numpy()
-    dst = edges_pdf["target"].map(pos).to_numpy()
-    if not directed:
-        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-    edge_index = torch.tensor(np.stack([src, dst]), dtype=torch.long)
-    nodes_pdf = frame.nodes.toPandas().set_index("id").loc[ids]
-    num = nodes_pdf.select_dtypes("number").fillna(0)
-    x = torch.tensor(num.to_numpy(dtype="float32"))
-    data = Data(x=x, edge_index=edge_index)
-    if weight_col is not None:
-        w = edges_pdf[weight_col].to_numpy(dtype="float32")
-        if not directed:
-            w = np.concatenate([w, w])
-        data.edge_weight = torch.tensor(w)
+    data = Data(
+        x=torch.tensor(x),
+        edge_index=torch.tensor(edge_index, dtype=torch.long),
+    )
+    if edge_weight is not None:
+        data.edge_weight = torch.tensor(edge_weight)
     return data

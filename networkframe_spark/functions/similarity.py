@@ -1084,6 +1084,228 @@ def ivf_index_search(
     )
 
 
+def build_ivf_sq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "error",
+) -> list[list[float]]:
+    """Build and persist an int8 scalar-quantized IVF index: the
+    middle tier of the quantization family — :func:`build_ivf_index`
+    stores raw float64 cells (exact, 1× size) and
+    :func:`build_ivfpq_index` stores m-byte PQ codes (smallest, the
+    lowest-recall tier); this stores :func:`quantize_embeddings`
+    int8 codes + one double scale per vector, **8× smaller pruned
+    scans at the measured 0.99/0.95 recall@10** (SCALE.md
+    "Compression-vs-recall").  At 100 TB the cell scan IS the probe
+    cost, so the 8× byte cut is an 8× scan cut at near-exact quality.
+
+    Layout mirrors :func:`build_ivf_index`: ``<path>/cells`` is
+    parquet PARTITIONED BY ``list_id`` with ``(vec_id, qembedding
+    array<tinyint>, scale double)``; ``<path>/centroids`` holds the
+    k-means manifest (tagged ``quantize="sq8"``).  Cell assignment
+    happens on the FULL-PRECISION vectors (quantization only affects
+    what is stored, never routing), so recall loss is purely the int8
+    rounding that :func:`ivf_sq_search` scores through.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = ivf_fit_centroids(
+        corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias(emb_col)),
+        centroids,
+        emb_col=emb_col,
+    )
+    cells = quantize_embeddings(
+        assigned, id_col="vec_id", emb_col=emb_col, keep=("list_id",)
+    )
+    cells.write.mode(mode).partitionBy("list_id").parquet(
+        _os.path.join(path, "cells")
+    )
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame(
+            [(_json.dumps(centroids), "sq8")],
+            "centroids string, quantize string",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .json(_os.path.join(path, "centroids"))
+    )
+    return centroids
+
+
+def ivf_sq_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dedupe: bool = True,
+) -> None:
+    """Incremental maintenance for the int8 IVF index — the SQ twin
+    of :func:`ivf_index_add`: assign ``new_vectors`` to the STORED
+    centroids (full precision), quantize with the stored contract's
+    exact arithmetic, and append only new files into the touched
+    ``list_id`` directories.  ``dedupe=True`` anti-joins against ids
+    already present in the touched cells (partition-pruned, vec_id
+    column only), so a replayed/retried add appends zero rows —
+    post-add search is identical to a rebuild over the union.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    assigned = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias(emb_col)
+        ),
+        centroids,
+        emb_col=emb_col,
+    )
+    cells = quantize_embeddings(
+        assigned, id_col="vec_id", emb_col=emb_col, keep=("list_id",)
+    )
+    cells_path = _os.path.join(path, "cells")
+    if dedupe:
+        touched = [
+            r["list_id"]
+            for r in cells.select("list_id").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("list_id").isin(touched))
+            .select("vec_id")
+        )
+        cells = cells.join(existing, on="vec_id", how="left_anti")
+        cells = cells.localCheckpoint(eager=True)
+    cells.write.mode("append").partitionBy("list_id").parquet(cells_path)
+
+
+def ivf_sq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    metric: str = "l2",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a persisted int8 IVF index (:func:`build_ivf_sq_index`):
+    each query scores only its ``n_probe`` nearest cells, reading int8
+    codes (8× fewer bytes than the raw-cell index) and dequantizing
+    map-side inside the pruned scan's projection.
+
+    Scoring is ASYMMETRIC (full-precision query vs dequantized
+    corpus) with :func:`brute_force_top_k`'s exact expression tree
+    over ``code × scale`` arrays — so the exhaustive probe
+    (``n_probe >= n_lists``) is bit-identical to brute-force search
+    over the dequantized corpus (the ``sq_topk`` oracle arithmetic;
+    that is this operator's SQL contract).  ``metric="l2"`` (default —
+    what the quantizer's rounding is calibrated against) returns
+    ``(query_id, vec_id, d2, rank)`` ascending; ``"cosine"`` returns
+    6-dp cosine descending.  The cell filter is a partition-column
+    ``IN`` predicate, pruned at file listing (plan-guarded).
+    """
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError("ivf_sq_search: metric must be 'cosine' or 'l2'")
+    centroids = _json.loads(
+        spark.read.json(_os.path.join(path, "centroids")).collect()[0][
+            "centroids"
+        ]
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
+    _guard_probe_rows(
+        len(qpdf) * n_probe,
+        "ivf_sq_search",
+        f"{len(qpdf)} queries × {n_probe} probes",
+    )
+    from pyspark.sql import types as T
+
+    qid_field = T.StructField(
+        "query_id", queries.schema[query_id_col].dataType
+    )
+    probe_rows = []
+    wanted: set[int] = set()
+    qids = qpdf["query_id"].tolist()
+    qembs = qpdf["q_emb"].tolist()
+    q_rows = []
+    for i in range(len(qpdf)):
+        q_rows.append((qids[i], list(map(float, qembs[i]))))
+        for li in order[i]:
+            wanted.add(int(li))
+            probe_rows.append((qids[i], int(li)))
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType([qid_field, T.StructField("list_id", T.IntegerType())]),
+    )
+    # q_self computed as a Spark expression (not driver-side numpy) so
+    # the float summation order matches the SQL twin's sequential
+    # list_dot_product exactly — numpy's pairwise summation can differ
+    # in the 6th decimal on long vectors
+    q_self_expr = (
+        norm_expr(F.col("q_emb"))
+        if metric == "cosine"
+        else dot_expr(F.col("q_emb"), F.col("q_emb"))
+    )
+    q = spark.createDataFrame(
+        q_rows,
+        T.StructType(
+            [qid_field, T.StructField("q_emb", T.ArrayType(T.DoubleType()))]
+        ),
+    ).withColumn("q_self", q_self_expr)
+    cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
+        F.col("list_id").isin(sorted(wanted))
+    )
+    deq = F.transform(
+        F.col("qembedding"), lambda v: v.cast("double") * F.col("scale")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="list_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn("deq", deq)
+    )
+    dot = dot_expr(F.col("q_emb"), F.col("deq"))
+    if metric == "cosine":
+        score_col = "cosine"
+        score = F.round(dot / (F.col("q_self") * norm_expr(F.col("deq"))), 6)
+        order_by = F.desc(score_col)
+    else:
+        score_col = "d2"
+        score = F.round(
+            F.col("q_self") - 2.0 * dot + dot_expr(F.col("deq"), F.col("deq")),
+            6,
+        )
+        order_by = F.asc(score_col)
+    scored = scored.withColumn(score_col, score)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(order_by, F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_col, "rank")
+    )
+
+
 def embedding_clusters(
     df: DataFrame,
     n_clusters: int = 8,
@@ -1171,6 +1393,7 @@ def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization: ``scale =
     max(|x_i|) / 127``, ``q_i = round(x_i / scale)`` — returns
@@ -1185,6 +1408,11 @@ def quantize_embeddings(
     ``scale * (q . y)``.  Pure per-row column expressions — map-side
     only, no UDF; rounding is F.round (HALF_UP), matching the SQL
     oracle exactly.
+
+    ``keep`` carries extra columns (e.g. a precomputed ``list_id``)
+    through unchanged — :func:`build_ivf_sq_index` uses it so the
+    index cells quantize with EXACTLY this expression tree (no drift
+    between the standalone op and the persisted store).
     """
     e = F.col(emb_col).cast("array<double>")
     scale = (
@@ -1196,9 +1424,10 @@ def quantize_embeddings(
     ).otherwise(
         F.transform(e, lambda x: F.round(x / F.col("scale")).cast("tinyint"))
     )
+    kept = [F.col(c) for c in keep]
     return (
-        df.select(F.col(id_col), e.alias(emb_col), scale)
-        .select(F.col(id_col), q.alias("qembedding"), F.col("scale"))
+        df.select(F.col(id_col), e.alias(emb_col), scale, *kept)
+        .select(F.col(id_col), q.alias("qembedding"), F.col("scale"), *kept)
     )
 
 
@@ -3050,3 +3279,100 @@ def lsh_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+#: Persisted-index data stores and their partition columns — the
+#: directories :func:`index_compact` knows how to rewrite.
+_INDEX_DATA_LAYOUT = {
+    "cells": ("list_id",),        # build_ivf_index / build_ivf_sq_index
+    "codes": ("list_id",),        # build_ivfpq_index
+    "bands": ("table", "bucket"),  # build_lsh_index
+}
+
+
+def index_compact(
+    spark,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+) -> dict:
+    """Compact a persisted ANN index's partitioned data store in
+    place.  Every incremental add (:func:`ivf_index_add`,
+    :func:`ivf_sq_index_add`, :func:`ivfpq_index_add`,
+    :func:`lsh_index_add`) and every ``stream_index_add`` micro-batch
+    APPENDS files into the ``list_id`` / ``(table, bucket)``
+    directories — at streaming cadence each partition accumulates
+    thousands of KB-scale parquet files, and the file-listing prune
+    that justifies the whole partitioned-index design erodes (listing
+    time and per-file footer reads grow linearly with add count).
+    This is the maintenance job that restores it: rewrite each data
+    store to ~one file per partition directory, leaving search
+    results bit-identical (contract-tested).
+
+    Mechanics: detects which of the known stores (``cells`` /
+    ``codes`` / ``bands``) exist under ``path``, reads each, range-
+    repartitions on ``(partition_cols..., vec_id)`` into
+    ``ceil(rows / target_records_per_file)`` tasks — so an oversized
+    cell still parallelizes across writers instead of bottlenecking
+    one task, while small cells coalesce into a single file — writes
+    to a temp sibling, then atomically swaps directories.  Manifests
+    (centroids / codebook / meta json) are never touched, so the swap
+    is the only moment of mutation.
+
+    The swap is two renames on the store's Hadoop ``FileSystem`` —
+    atomic on HDFS and local filesystems.  On object stores without
+    atomic rename (S3A), run this under the same maintenance lock you
+    use for the adds; a concurrent search mid-swap may fail and
+    should simply retry.  Returns ``{store: {"files_before": b,
+    "files_after": a, "rows": n}}``.
+    """
+    import math as _math
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _count_files(p: str) -> int:
+        fs = HPath(p).getFileSystem(hconf)
+        it, n = fs.listFiles(HPath(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    report: dict = {}
+    for sub, part_cols in _INDEX_DATA_LAYOUT.items():
+        data = _os.path.join(path, sub)
+        fs = HPath(data).getFileSystem(hconf)
+        if not fs.exists(HPath(data)):
+            continue
+        before = _count_files(data)
+        df = spark.read.parquet(data)
+        n = df.count()
+        n_tasks = max(1, _math.ceil(n / target_records_per_file))
+        sort_cols = list(part_cols) + (
+            ["vec_id"] if "vec_id" in df.columns else []
+        )
+        tmp = data + ".__compact_tmp__"
+        old = data + ".__compact_old__"
+        (
+            df.repartitionByRange(n_tasks, *[F.col(c) for c in sort_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_records_per_file)
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+        if fs.exists(HPath(old)):
+            fs.delete(HPath(old), True)
+        if not fs.rename(HPath(data), HPath(old)):
+            raise IOError(f"index_compact: could not move {data} aside")
+        if not fs.rename(HPath(tmp), HPath(data)):
+            fs.rename(HPath(old), HPath(data))  # roll back, store intact
+            raise IOError(f"index_compact: swap failed for {data}")
+        fs.delete(HPath(old), True)
+        report[sub] = {
+            "files_before": before,
+            "files_after": _count_files(data),
+            "rows": n,
+        }
+    return report

@@ -3111,3 +3111,216 @@ def test_lsh_index_search_empty_query_batch(spark, tmp_path):
     )
     assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
     assert out.count() == 0
+
+
+def test_ivf_sq_search_exhaustive_matches_sq_brute(spark, tmp_path):
+    """build_ivf_sq_index + ivf_sq_search: the exhaustive probe is
+    bit-identical to brute-force L2 over the DEQUANTIZED corpus (the
+    sq_topk oracle arithmetic) — int8 cells lose only what the
+    quantizer rounds, never what the index routes."""
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        build_ivf_sq_index,
+        dequantize_expr,
+        ivf_sq_search,
+        quantize_embeddings,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivfsq")
+    cents = build_ivf_sq_index(emb, path, n_lists=8, n_iter=2)
+    assert len(cents) == 8
+    qs = emb.filter("vec_id < 5")
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in ivf_sq_search(
+            spark, path, qs, k=3, n_probe=8, exclude_self=False
+        ).collect()
+    )
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        dequantize_expr(F.col("qembedding"), F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in brute_force_top_k(
+            deq, qs, k=3, exclude_self=False, metric="l2"
+        ).collect()
+    )
+    assert got == want and len(got) == 15
+    # cosine metric path: bounded scores, same row shape
+    cos = ivf_sq_search(
+        spark, path, qs, k=3, n_probe=8, metric="cosine", exclude_self=False
+    ).collect()
+    assert len(cos) == 15 and all(-1.0 <= r["cosine"] <= 1.0 for r in cos)
+
+
+def test_ivf_sq_search_plan_prunes_partitions(spark, tmp_path):
+    """A partial probe reads only the probed list_id directories:
+    PartitionFilters present AND partitions actually read (scan
+    metric) < cell directories on disk."""
+    import os
+
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        ivf_sq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+    from tests.conftest import scan_partition_counts
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    path = str(tmp_path / "ivfsqp")
+    build_ivf_sq_index(emb, path, n_lists=8, n_iter=2)
+    qs = emb.filter("vec_id < 2")
+    out = ivf_sq_search(spark, path, qs, k=3, n_probe=2, exclude_self=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    total = sum(
+        1
+        for d in os.listdir(os.path.join(path, "cells"))
+        if d.startswith("list_id=")
+    )
+    scans = scan_partition_counts(out)
+    assert scans, "no FileSourceScan found in the executed plan"
+    scanned = max(s.get("numPartitions", 0) for s in scans)
+    # 2 queries x 2 probes touch at most 4 distinct cells
+    assert 0 < scanned <= 4 < total, (scanned, total)
+
+
+def test_ivf_sq_index_add_equals_rebuild(spark, tmp_path):
+    """Incremental SQ add against the stored centroids == full
+    rebuild over the union (assignment depends only on the manifest;
+    quantization is per-vector), and a replayed add appends zero
+    rows."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        ivf_sq_index_add,
+        ivf_sq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    even, odd = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    inc = str(tmp_path / "inc")
+    build_ivf_sq_index(even, inc, n_lists=4, n_iter=1)
+    ivf_sq_index_add(spark, inc, odd)
+    # rebuild-over-union twin: same centroids requires same seed set,
+    # so compare SEARCH results against brute over the dequantized
+    # union instead of a second index (centroid seeds would differ)
+    qs = emb.filter("vec_id < 6")
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in ivf_sq_search(
+            spark, inc, qs, k=4, n_probe=4, exclude_self=False
+        ).collect()
+    )
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        dequantize_expr(F.col("qembedding"), F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in brute_force_top_k(
+            deq, qs, k=4, exclude_self=False, metric="l2"
+        ).collect()
+    )
+    assert got == want
+    n_before = spark.read.parquet(inc + "/cells").count()
+    ivf_sq_index_add(spark, inc, odd)  # replay
+    assert spark.read.parquet(inc + "/cells").count() == n_before
+
+
+def test_index_compact_preserves_search(spark, tmp_path):
+    """index_compact: after N incremental adds the store holds many
+    small files per partition; compaction collapses them (~one file
+    per directory) and search is bit-identical pre/post — on BOTH
+    store layouts (bands: 2 partition cols; cells: 1)."""
+    import glob
+
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        build_lsh_index,
+        index_compact,
+        ivf_sq_index_add,
+        ivf_sq_search,
+        lsh_index_add,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    qs = emb.filter("vec_id < 4")
+
+    # -- LSH store ((table, bucket)-partitioned) -----------------------
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb.filter("vec_id % 4 = 0"), lsh, n_planes=4, n_tables=2)
+    for m in (1, 2, 3):
+        lsh_index_add(spark, lsh, emb.filter(f"vec_id % 4 = {m}"))
+    rows = lambda: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in lsh_index_search(
+            spark, lsh, qs, k=3, n_probe_bits=1
+        ).collect()
+    )
+    before_rows = rows()
+    n_dirs = len(glob.glob(lsh + "/bands/table=*/bucket=*"))
+    n_files_before = len(
+        glob.glob(lsh + "/bands/**/*.parquet", recursive=True)
+    )
+    rep = index_compact(spark, lsh)
+    n_files_after = len(
+        glob.glob(lsh + "/bands/**/*.parquet", recursive=True)
+    )
+    assert rep["bands"]["files_before"] == n_files_before
+    assert rep["bands"]["files_after"] == n_files_after
+    assert n_files_after < n_files_before
+    assert n_files_after <= n_dirs  # ~one file per partition dir
+    assert rows() == before_rows
+
+    # -- int8 IVF store (list_id-partitioned) --------------------------
+    sq = str(tmp_path / "sq")
+    build_ivf_sq_index(emb.filter("vec_id % 3 = 0"), sq, n_lists=4, n_iter=1)
+    for m in (1, 2):
+        ivf_sq_index_add(spark, sq, emb.filter(f"vec_id % 3 = {m}"))
+    sq_rows = lambda: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in ivf_sq_search(
+            spark, sq, qs, k=3, n_probe=4, exclude_self=False
+        ).collect()
+    )
+    before_sq = sq_rows()
+    b = len(glob.glob(sq + "/cells/**/*.parquet", recursive=True))
+    rep2 = index_compact(spark, sq)
+    a = len(glob.glob(sq + "/cells/**/*.parquet", recursive=True))
+    assert rep2["cells"]["files_after"] == a < b == rep2["cells"]["files_before"]
+    assert sq_rows() == before_sq
+    # nothing else under either root was touched or reported
+    assert set(rep) == {"bands"} and set(rep2) == {"cells"}
+
+
+def test_ivf_sq_probe_guard_is_fanout_aware(spark, tmp_path, monkeypatch):
+    """ivf_sq_search caps the queries x n_probe probe-pair product
+    (the composite the plain query-count guard misses)."""
+    import pytest
+
+    import networkframe_spark.functions.similarity as sim
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    path = str(tmp_path / "sqguard")
+    sim.build_ivf_sq_index(emb, path, n_lists=4, n_iter=1)
+    monkeypatch.setattr(sim, "_MAX_PROBE_ROWS", 10)
+    qs = emb.filter("vec_id < 6")  # 6 queries x 4 probes = 24 > 10
+    with pytest.raises(ValueError, match="probe-pair table"):
+        sim.ivf_sq_search(spark, path, qs, k=3, n_probe=4)
