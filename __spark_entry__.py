@@ -1150,6 +1150,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_batched"] = q_ivfpq_batched
 
+    # persisted int8 IVF index (similarity.py build_ivf_sq_index /
+    # ivf_sq_search): cells store quantize_embeddings codes + scale —
+    # 8x smaller pruned scans at the measured 0.99/0.95 recall
+    # (SCALE.md compression table).  Exhaustive probe is bit-identical
+    # to brute L2 over the DEQUANTIZED corpus (the sq_topk
+    # arithmetic); genuine pruning is plan-guarded in
+    # test_ivf_sq_search_plan_prunes_partitions.
+    def q_ivf_sq_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_ivf_sq_index,
+            ivf_sq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfsq_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivf_sq_index(emb, path, n_lists=8, n_iter=2, mode="overwrite")
+        qs = emb.filter("vec_id >= 10 and vec_id < 20")
+        return ivf_sq_search(
+            spark, path, qs, k=4, n_probe=8, exclude_self=False
+        )
+
+    q["ivf_sq_search"] = q_ivf_sq_search
+
+    # the index-maintenance duty cycle end-to-end: build the int8 IVF
+    # store on the even half, APPEND the odd half against the stored
+    # centroid manifest (ivf_sq_index_add), COMPACT the accumulated
+    # small files (index_compact — the atomic-swap rewrite), then
+    # exhaustive-probe.  Search is contract-identical across add and
+    # compaction, so the oracle is simply sq-brute over the FULL
+    # corpus — one hash pins all three operators.
+    def q_ivf_sq_compacted(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_ivf_sq_index,
+            index_compact,
+            ivf_sq_index_add,
+            ivf_sq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfsqc_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivf_sq_index(
+            emb.filter("vec_id % 2 = 0"), path, n_lists=4, n_iter=1,
+            mode="overwrite",
+        )
+        ivf_sq_index_add(spark, path, emb.filter("vec_id % 2 = 1"))
+        index_compact(spark, path)
+        qs = emb.filter("vec_id < 8")
+        return ivf_sq_search(
+            spark, path, qs, k=3, n_probe=4, exclude_self=False
+        )
+
+    q["ivf_sq_compacted"] = q_ivf_sq_compacted
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -2961,58 +3028,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by 25 rotated-in newer ops, then everything else in
     # registration order.  Every entry keeps its oracle either way.
     _window = [
-        # stable core — same 25 the window has carried since round 2
+        # round-13 rotation (VERDICT r12 task 1: burn the never-
+        # driver-hashed backlog to ZERO).  Layout: a 16-query stable
+        # core (cross-round comparability — the same frame/graph
+        # anchors every window has carried), the two r13 registrations
+        # (newest engine paths = highest mismatch risk), then ALL 32
+        # ops that have never appeared in any round's CORRECTNESS
+        # window (computed across CORRECTNESS_r01-r12; every one is
+        # green in the independent 220/220 replay, this window gives
+        # each its driver hash).  16 + 2 + 32 = 50 = the window size;
+        # after this round every registered op has been driver-hashed
+        # at least once.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
-        "remove_nodes", "remove_edges", "remove_unused_nodes",
-        # add_nodes (driver-hashed green r1-r10) cedes its slot to
-        # ivfpq_search (registered this session; newest code)
-        "reindex_nodes", "apply_node_features",
-        # node_agreement (1-row, driver-hashed r1-r10) cedes its slot
-        # to embedding_dedup_lsh (registered this session — newest
-        # code = highest mismatch risk; covers the score-before-dedup
-        # rewrite of the banded near-dup path)
-        "groupby_size", "condense_sum", "khop_aggregation",
-        "khop_neighborhood", "reachable_from", "weak_components",
-        "aggregated_edges", "apply_edges_max", "largest_component",
-        "strong_components", "khop_pairs",
-        # frame_validation (1-row, driver-hashed r1-r10) cedes its slot
-        # so the rotated block fits the driver's 50-entry hash window
-        # exactly (51 entries would leave the last rotated op unsampled)
-        "adjacency_dense",
-        # n_components (1-row, driver-hashed in all 7 prior rounds)
-        # cedes its core slot to the round-8 flagship graph op
-        "louvain_communities",
-        # round-12 rotation: the round-11 block (leiden, the recall
-        # reports, embedding_dedup_lsh, ivfpq_search, the text/pipeline
-        # anchors) is driver-hash-green in CORRECTNESS_r11.json and
-        # drops back to replay-only.  This block: the two r12
-        # registrations first (newest code = highest mismatch risk —
-        # ivfpq_recall covers the pruned-ADC pipeline and
-        # ivfpq_residual_recall the round-12 residual engine path —
-        # its oracle replays the full residual IVFADC in SQL), then
-        # 26 of the 49 never-driver-hashed ops, real engine paths
-        # before trivial profiles (VERDICT r11 task 2 list), leaving
-        # the never-hashed backlog at 24.
-        "ivfpq_recall", "ivfpq_residual_recall", "ivfpq_rerank",
-        "multilayer_flatten",
-        # the four registrations from the round-12 closing session —
-        # newest engine paths = highest mismatch risk, so they take
-        # hash slots ahead of trivial single-aggregate profiles
-        # (zipf_fit / robust_outliers / numeric_histogram /
-        # ab_test_report cede; json_key_profile ceded earlier to
-        # ivfpq_rerank for the same reason)
-        "sorted_neighborhood", "snm_dedup", "ivfpq_batched", "sq_topk",
-        # lsh_index_search (persisted-LSH probe, the session's last
-        # registration) takes value_percentiles' slot — newest engine
-        # path over a single percentile aggregate
-        "lsh_index_search",
-        "pq_encode", "truncate_embeddings", "knn_label_check",
-        "label_centroids", "embedding_clusters", "embedding_gram",
-        "dedup_clusters", "bipartite_project", "curriculum_order",
-        "top_k_per_group", "salted_join",
-        "table_diff", "extract_json",
-        "similar_strings", "hashed_tfidf", "build_vocab",
-        "pmi_bigrams", "rrf_fuse", "neighbor_sample",
+        "remove_nodes", "remove_edges", "reindex_nodes",
+        "apply_node_features", "groupby_size", "condense_sum",
+        "khop_aggregation", "weak_components", "aggregated_edges",
+        "largest_component", "strong_components", "adjacency_dense",
+        # r13 registrations: persisted int8 IVF search + the
+        # add-then-compact maintenance cycle
+        "ivf_sq_search", "ivf_sq_compacted",
+        # the 32-op backlog, engine paths first, profiles after
+        "ivfpq_add_search", "snm_recall", "embedding_outliers",
+        "edge_jaccard", "community_quality", "attribute_mixing",
+        "attribute_assortativity", "weighted_sample_k", "mix_domains",
+        "target_encoding", "filter_by_percentile",
+        "group_rare_categories", "top_event_paths", "funnel_steps",
+        "rfm_segments", "trend_slope", "lexical_diversity",
+        "script_profile", "sentence_stats", "char_entropy",
+        "zipf_fit", "corpus_describe", "degree_distribution",
+        "category_stats", "column_profile", "value_percentiles",
+        "numeric_histogram", "robust_outliers", "json_key_profile",
+        "join_skew_report", "time_profile", "ab_test_report",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -3986,6 +4032,73 @@ SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
            c.vec_id ASC) AS rk
   FROM q, deq c
 ) WHERE rk <= 5
+"""
+
+    # persisted int8 IVF, exhaustive probe == brute L2 over the
+    # dequantized corpus — the sq_topk arithmetic (scale = max|x|/127,
+    # codes = round(x/scale), deq = code * scale), queries 10..19,
+    # top-4, self included
+    o["ivf_sq_search"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> round(x / scale) * scale)
+         END AS demb
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, emb FROM e
+      WHERE vec_id >= 10 AND vec_id < 20)
+SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.emb, q.emb)
+           - 2 * list_dot_product(q.emb, c.demb)
+           + list_dot_product(c.demb, c.demb), 6) AS d2,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           round(list_dot_product(q.emb, q.emb)
+             - 2 * list_dot_product(q.emb, c.demb)
+             + list_dot_product(c.demb, c.demb), 6) ASC,
+           c.vec_id ASC) AS rk
+  FROM q, deq c
+) WHERE rk <= 4
+"""
+
+    # build-on-half + incremental add + compaction == the same index
+    # over the full corpus (adds are manifest-routed, compaction is a
+    # contract-identical rewrite), so the oracle is sq-brute over ALL
+    # rows: queries 0..7, top-3, self included
+    o["ivf_sq_compacted"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> round(x / scale) * scale)
+         END AS demb
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 8)
+SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.emb, q.emb)
+           - 2 * list_dot_product(q.emb, c.demb)
+           + list_dot_product(c.demb, c.demb), 6) AS d2,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           round(list_dot_product(q.emb, q.emb)
+             - 2 * list_dot_product(q.emb, c.demb)
+             + list_dot_product(c.demb, c.demb), 6) ASC,
+           c.vec_id ASC) AS rk
+  FROM q, deq c
+) WHERE rk <= 3
 """
 
     # sorted-neighborhood blocking: every pair within 4 positions of
