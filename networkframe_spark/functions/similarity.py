@@ -1788,6 +1788,122 @@ def pq_search(
     )
 
 
+def rotate_embeddings(
+    df: DataFrame,
+    rotation: list[list[float]],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Apply a dims×dims rotation map-side: ``x → x @ R`` per row via
+    one Arrow-batched matmul (the R matrix rides in the task closure —
+    no shuffle, no driver round-trip).  Used by the OPQ index path
+    (:func:`opq_rotation`); L2 distances are invariant under an
+    orthogonal R, so rotated-space search results rank identically to
+    unrotated exact search — only the PQ quantization error changes.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Rm = np.asarray(rotation, dtype=np.float64)
+    fields = [
+        T.StructField(f.name, T.ArrayType(T.DoubleType()), f.nullable)
+        if f.name == emb_col
+        else f
+        for f in df.schema.fields
+    ]
+    out_schema = T.StructType(fields)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            out = pdf.copy()
+            out[emb_col] = list(X @ Rm)
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    m: int,
+    k_codes: int = 256,
+    n_iter: int = 5,
+    kmeans_iter: int = 4,
+    sample_rows: int = 50_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Learn an OPQ rotation (Ge et al. 2013, "Optimized Product
+    Quantization", the non-parametric alternation): a dims×dims
+    ORTHOGONAL matrix R minimizing PQ reconstruction error of
+    ``X @ R``, found by alternating (a) train/encode a PQ codebook on
+    the rotated sample with (b) the Procrustes solve ``R = U Vᵀ`` of
+    ``svd(Xᵀ X̂)``.  Plain PQ slices dimensions into subspaces in
+    whatever order they arrive; when variance is unevenly spread
+    (embeddings after PCA-ish training almost always are), some
+    subspaces carry most of the signal and k_codes can't resolve
+    them — the rotation re-balances variance across subspaces before
+    slicing.
+
+    Scale shape: training happens DRIVER-SIDE on a bounded
+    deterministic sample (the ``sample_rows`` smallest-``xxhash64(id)``
+    rows — same no-RNG trick as :func:`ivf_fit_centroids`), because
+    the alternation is inherently iterative small-matrix algebra
+    (n×64 GEMMs + one 64×64 SVD per round); the EXPENSIVE part —
+    rotating and encoding the full corpus — stays in Spark
+    (:func:`rotate_embeddings` map-side matmul, then the normal build
+    path).  Pass the result as ``build_ivfpq_index(rotation=...)``.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(emb_col).alias("e"), F.xxhash64(F.col(id_col)).alias("h")
+        )
+        .orderBy("h")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(map(float, r["e"])) for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"opq_rotation: dim {d} not divisible by m={m}")
+    if n <= k_codes:
+        raise ValueError(
+            f"opq_rotation: sample ({n} rows) must exceed k_codes ({k_codes})"
+        )
+    sub = d // m
+    R = np.eye(d)
+    for _ in range(n_iter):
+        Xr = X @ R
+        Xhat = np.empty_like(Xr)
+        for j in range(m):
+            S = Xr[:, j * sub : (j + 1) * sub]
+            C = S[:k_codes].copy()  # deterministic init: hash order
+            for _ in range(kmeans_iter):
+                d2 = (
+                    (S * S).sum(1)[:, None]
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                for c in range(k_codes):
+                    mask = a == c
+                    if mask.any():
+                        C[c] = S[mask].mean(0)
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            Xhat[:, j * sub : (j + 1) * sub] = C[np.argmin(d2, axis=1)]
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    return [[float(v) for v in row] for row in R]
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -1798,6 +1914,7 @@ def build_ivfpq_index(
     codebook_init: str = "kmeans",
     coarse_init: str = "kmeans",
     residual: bool = True,
+    rotation: list[list[float]] | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     mode: str = "error",
@@ -1851,6 +1968,14 @@ def build_ivfpq_index(
 
     if coarse_init not in ("first_ids", "kmeans"):
         raise ValueError("coarse_init must be 'first_ids' or 'kmeans'")
+    if rotation is not None:
+        # OPQ: the whole index lives in rotated space — coarse cells,
+        # codebook, and codes are all trained/encoded on x @ R (L2 is
+        # rotation-invariant, so rankings against rotated queries are
+        # rankings against the originals); R persists in the meta
+        # manifest and ivfpq_search / ivfpq_index_add apply it
+        # automatically.
+        corpus = rotate_embeddings(corpus, rotation, emb_col=emb_col)
     if coarse_init == "first_ids":
         # coarse cells seeded by the n_lists smallest-id vectors —
         # fully SQL-expressible, the oracle-checkable routing mode
@@ -1925,6 +2050,8 @@ def build_ivfpq_index(
         .parquet(_os.path.join(path, "codes"))
     )
     meta = {"residual": bool(residual), "m": m, "k_codes": k_codes}
+    if rotation is not None:
+        meta["rotation"] = [[float(v) for v in row] for row in rotation]
     for name, obj in (
         ("centroids", centroids),
         ("codebook", codebook),
@@ -2013,6 +2140,13 @@ def ivfpq_search(
     )
     meta = _read_ivfpq_meta(spark, path)
     residual = bool(meta.get("residual", False))
+    if meta.get("rotation") is not None:
+        # OPQ index: the stored cells/codes live in rotated space, so
+        # queries rotate through the same map-side matmul before
+        # routing/ADC (L2-invariant — see build_ivfpq_index)
+        queries = rotate_embeddings(
+            queries, meta["rotation"], emb_col=emb_col
+        )
     C = np.asarray(centroids, dtype=np.float64)
     # one GEMM assigns all queries at once; batch loudly size-guarded
     qpdf, order = _probe_assign(queries, query_id_col, emb_col, C, n_probe)
@@ -2154,6 +2288,12 @@ def ivfpq_index_add(
         ]
     )
     meta = _read_ivfpq_meta(spark, path)
+    if meta.get("rotation") is not None:
+        # OPQ index: new vectors rotate into the stored index's space
+        # before routing/encoding, same as build and search
+        new_vectors = rotate_embeddings(
+            new_vectors, meta["rotation"], emb_col=emb_col
+        )
     assigned = ivf_assign(
         new_vectors.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("__emb")

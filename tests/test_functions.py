@@ -3324,3 +3324,124 @@ def test_ivf_sq_probe_guard_is_fanout_aware(spark, tmp_path, monkeypatch):
     qs = emb.filter("vec_id < 6")  # 6 queries x 4 probes = 24 > 10
     with pytest.raises(ValueError, match="probe-pair table"):
         sim.ivf_sq_search(spark, path, qs, k=3, n_probe=4)
+
+
+def test_opq_rotation_orthogonal_deterministic(spark):
+    """opq_rotation learns an ORTHOGONAL matrix (R R^T = I — the
+    Procrustes solve guarantees it) and is fully deterministic
+    (hash-ordered sample, fixed-init k-means, no RNG)."""
+    import numpy as np
+
+    from networkframe_spark.functions.similarity import opq_rotation
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    R1 = opq_rotation(emb, m=4, k_codes=8, n_iter=2, sample_rows=300)
+    R2 = opq_rotation(emb, m=4, k_codes=8, n_iter=2, sample_rows=300)
+    assert R1 == R2
+    R = np.asarray(R1)
+    d = R.shape[0]
+    assert R.shape == (d, d)
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-9)
+    # a real rotation, not a no-op
+    assert not np.allclose(R, np.eye(d))
+
+
+def test_ivfpq_identity_rotation_equals_plain(spark, tmp_path):
+    """rotation=identity must be bit-identical to no rotation at all
+    (the rotated-space machinery adds nothing but the matmul), so the
+    OPQ plumbing provably changes ONLY the space, never the
+    search/scoring semantics."""
+    import numpy as np
+
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    dim = len(emb.first()["embedding"])
+    eye = np.eye(dim).tolist()
+    plain, rot = str(tmp_path / "plain"), str(tmp_path / "rot")
+    kw = dict(
+        n_lists=4, m=4, k_codes=8, n_iter=1,
+        codebook_init="first_ids", coarse_init="first_ids",
+        residual=False,
+    )
+    build_ivfpq_index(emb, plain, **kw)
+    build_ivfpq_index(emb, rot, rotation=eye, **kw)
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lambda p: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in ivfpq_search(spark, p, qs, k=4, n_probe=4).collect()
+    )
+    assert rows(plain) == rows(rot)
+
+
+def test_ivfpq_opq_end_to_end(spark, tmp_path):
+    """A learned OPQ rotation composes with the whole index family:
+    exhaustive raw-code probe of the rotated index == pq_search over
+    the explicitly-rotated corpus (the rotated-space pq contract),
+    incremental add routes through the stored rotation, and residual
+    mode accepts a rotation."""
+    from networkframe_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_search,
+        opq_rotation,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+        rotate_embeddings,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    R = opq_rotation(emb, m=4, k_codes=8, n_iter=2, sample_rows=200)
+    path = str(tmp_path / "opq")
+    build_ivfpq_index(
+        emb, path, n_lists=4, m=4, k_codes=8, n_iter=1,
+        codebook_init="first_ids", coarse_init="first_ids",
+        residual=False, rotation=R,
+    )
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in ivfpq_search(spark, path, qs, k=4, n_probe=4).collect()
+    )
+    # the contract twin: everything rotated explicitly, then plain PQ
+    rot_emb = rotate_embeddings(emb, R)
+    cb = pq_codebook(rot_emb, m=4, k=8, init="first_ids")
+    codes = pq_encode(rot_emb, cb)
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["approx_d2"])
+        for r in pq_search(
+            codes, cb, rotate_embeddings(qs, R), k=4
+        ).collect()
+    )
+    assert got == want
+    # incremental add rotates through the stored manifest
+    inc = str(tmp_path / "opq_inc")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), inc, n_lists=4, m=4, k_codes=8,
+        n_iter=1, codebook_init="first_ids", coarse_init="first_ids",
+        residual=False, rotation=R,
+    )
+    ivfpq_index_add(spark, inc, emb.filter("vec_id % 2 = 1"))
+    n = spark.read.parquet(inc + "/codes").count()
+    assert n == emb.count()
+    ivfpq_index_add(spark, inc, emb.filter("vec_id % 2 = 1"))  # replay
+    assert spark.read.parquet(inc + "/codes").count() == n
+    # residual mode composes with rotation (search auto-routes both)
+    res = str(tmp_path / "opq_res")
+    build_ivfpq_index(
+        emb, res, n_lists=4, m=4, k_codes=8, n_iter=1,
+        residual=True, rotation=R,
+    )
+    out = ivfpq_search(spark, res, qs, k=4, n_probe=4)
+    assert out.groupBy("query_id").count().filter("count != 4").count() == 0

@@ -30,6 +30,17 @@ EXTRA_OPS = [
     # global range-sort + an O(n x window) block equi-join, so the
     # exponent should track the sort exchange (~linear ceiling)
     "sorted_neighborhood",
+    # round-13 (VERDICT r12 task 6): the persisted-index probe paths.
+    # Each registered query BUILDS its index then probes it, so the
+    # exponent blends offline build (≈linear: band/assign + partitioned
+    # write) with the online probe (sublinear: partition-pruned scan) —
+    # the honest end-to-end cost of the gadget at 10x data.  The two
+    # r13 int8 registrations ride along (ivf_sq_compacted adds the
+    # add + compact maintenance legs).
+    "lsh_index_search",
+    "ivfpq_search",
+    "ivf_sq_search",
+    "ivf_sq_compacted",
 ]
 
 
