@@ -276,6 +276,53 @@ def main() -> None:
         ann_rerank(cand, emb, qs, k=k, metric="l2"),
         f"ivfpq residual n_probe=4/{n_lists} + exact rerank k'=100",
     )
+
+    if "--opq" in sys.argv:
+        # round-13 (VERDICT r12 task 7): OPQ rotation A/B — same
+        # lists/m/k as the residual rows, rotation learned offline on
+        # a 50k hash-ordered sample, applied to BOTH variants so the
+        # read cost is identical to the unrotated rows above
+        from networkframe_spark.functions.similarity import opq_rotation
+
+        t0 = time.time()
+        R = opq_rotation(emb, m=8, k_codes=256, n_iter=4)
+        print(
+            json.dumps(
+                {"row": "opq_rotation train (50k sample, 4 iters)",
+                 "sec": round(time.time() - t0, 1)}
+            ),
+            flush=True,
+        )
+        for res_flag, tag2 in ((False, "raw"), (True, "residual")):
+            opq_path = (
+                f"/root/repo/.scratch/ivfpq_opq_{tag2}_{tag}{n_vecs}_{n_lists}"
+            )
+            build_ivfpq_index(
+                emb, opq_path, n_lists=n_lists, m=8, k_codes=256,
+                n_iter=2, residual=res_flag, rotation=R,
+                mode="overwrite",
+            )
+            for n_probe in (4, n_lists):
+                label = (
+                    f"ivfpq OPQ {tag2} n_probe={n_probe}/{n_lists}"
+                )
+                try:
+                    recall_of(
+                        ivfpq_search(
+                            spark, opq_path, qs, k=k, n_probe=n_probe
+                        ),
+                        label,
+                    )
+                except ValueError as e:
+                    print(
+                        json.dumps({"row": label, "error": str(e)[:160]}),
+                        flush=True,
+                    )
+            cand = ivfpq_search(spark, opq_path, qs, k=100, n_probe=4)
+            recall_of(
+                ann_rerank(cand, emb, qs, k=k, metric="l2"),
+                f"ivfpq OPQ {tag2} n_probe=4/{n_lists} + rerank k'=100",
+            )
     spark.stop()
 
 
