@@ -1092,3 +1092,72 @@ def test_stream_index_add_lsh_equals_rebuild(spark, tmp_path):
     assert rows(inc) == rows(full)
     n_vec = emb.count()
     assert spark.read.parquet(inc + "/bands").count() == 2 * n_vec
+
+def test_stream_index_add_ivf_sq_then_compact(spark, tmp_path):
+    """Streaming micro-batches absorbed into the int8 IVF store, then
+    the companion maintenance job: post-stream search == brute L2 over
+    the dequantized union (exhaustive probe), exactly one cell row per
+    vector despite at-least-once replays, and index_compact leaves the
+    search bit-identical with ~one file per cell directory."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        build_ivf_sq_index,
+        dequantize_expr,
+        index_compact,
+        ivf_sq_search,
+        quantize_embeddings,
+    )
+    from networkframe_spark.sources import read_embeddings
+    from networkframe_spark.streaming.stream import stream_index_add
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(120)
+    inc = str(tmp_path / "inc")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    build_ivf_sq_index(
+        emb.filter("vec_id % 2 = 0"), inc, n_lists=4, n_iter=1
+    )
+    odd = emb.filter("vec_id % 2 = 1").select("vec_id", "embedding")
+    odd.filter("vec_id % 4 = 1").write.mode("append").parquet(src)
+    odd.filter("vec_id % 4 = 3").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index_add(stream, inc, ckpt, index="ivf_sq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(inc + "/cells").count() == emb.count()
+    qs = emb.filter("vec_id < 6")
+    rows = lambda: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in ivf_sq_search(
+            spark, inc, qs, k=4, n_probe=4, exclude_self=False
+        ).collect()
+    )
+    got = rows()
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        dequantize_expr(F.col("qembedding"), F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"])
+        for r in brute_force_top_k(
+            deq, qs, k=4, exclude_self=False, metric="l2"
+        ).collect()
+    )
+    assert got == want
+    n_before = len(glob.glob(inc + "/cells/**/*.parquet", recursive=True))
+    rep = index_compact(spark, inc)
+    n_after = len(glob.glob(inc + "/cells/**/*.parquet", recursive=True))
+    assert n_after < n_before and n_after <= 4
+    assert rep["cells"]["files_after"] == n_after
+    assert rows() == got
