@@ -3573,3 +3573,55 @@ def index_compact(
             "rows": n,
         }
     return report
+
+
+def index_stats(spark, path: str) -> dict:
+    """Health report for a persisted ANN index's data stores — the
+    observability half of the maintenance loop (:func:`index_compact`
+    is the repair half): for each store under ``path`` returns
+    ``{"files": n, "bytes": b, "partitions": p,
+    "max_files_per_partition": m, "avg_files_per_partition": a}``.
+
+    Pure Hadoop FileSystem listing — no Spark job, no data read — so
+    it is cheap enough to run before every search batch or on a
+    scheduler tick.  Production rule (measured, SCALE.md round-13): a
+    store at ~933 files/partition probed 12.7× slower than its
+    compacted twin; compact when ``max_files_per_partition`` grows
+    past ~10× its post-build value.
+    """
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    report: dict = {}
+    for sub in _INDEX_DATA_LAYOUT:
+        data = _os.path.join(path, sub)
+        fs = HPath(data).getFileSystem(hconf)
+        if not fs.exists(HPath(data)):
+            continue
+        per_part: dict[str, int] = {}
+        n_files = n_bytes = 0
+        it = fs.listFiles(HPath(data), True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            n_files += 1
+            n_bytes += st.getLen()
+            # partition dir = path between the store root and the file
+            parent = st.getPath().getParent().toString()
+            per_part[parent] = per_part.get(parent, 0) + 1
+        n_parts = len(per_part)
+        report[sub] = {
+            "files": n_files,
+            "bytes": n_bytes,
+            "partitions": n_parts,
+            "max_files_per_partition": max(per_part.values(), default=0),
+            "avg_files_per_partition": (
+                round(n_files / n_parts, 2) if n_parts else 0.0
+            ),
+        }
+    return report

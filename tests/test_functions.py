@@ -3445,3 +3445,33 @@ def test_ivfpq_opq_end_to_end(spark, tmp_path):
     )
     out = ivfpq_search(spark, res, qs, k=4, n_probe=4)
     assert out.groupBy("query_id").count().filter("count != 4").count() == 0
+
+
+def test_index_stats_tracks_adds_and_compaction(spark, tmp_path):
+    """index_stats (pure FS listing, no Spark job): files-per-partition
+    grows with each incremental add and returns to 1 after
+    index_compact — the signal the production compaction rule keys on."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        index_compact,
+        index_stats,
+        ivf_sq_index_add,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    path = str(tmp_path / "idx")
+    build_ivf_sq_index(emb.filter("vec_id % 3 = 0"), path, n_lists=4, n_iter=1)
+    s0 = index_stats(spark, path)["cells"]
+    assert s0["partitions"] == 4 and s0["files"] >= 4 and s0["bytes"] > 0
+    for m in (1, 2):
+        ivf_sq_index_add(spark, path, emb.filter(f"vec_id % 3 = {m}"))
+    s1 = index_stats(spark, path)["cells"]
+    assert s1["files"] > s0["files"]
+    assert s1["max_files_per_partition"] > s0["max_files_per_partition"]
+    index_compact(spark, path)
+    s2 = index_stats(spark, path)["cells"]
+    assert s2["max_files_per_partition"] == 1
+    assert s2["partitions"] == 4
+    # a path with no known stores reports nothing
+    assert index_stats(spark, str(tmp_path / "nothing")) == {}
