@@ -3475,3 +3475,38 @@ def test_index_stats_tracks_adds_and_compaction(spark, tmp_path):
     assert s2["partitions"] == 4
     # a path with no known stores reports nothing
     assert index_stats(spark, str(tmp_path / "nothing")) == {}
+
+
+def test_ann_search_batched_composes_with_ivf_sq(spark, tmp_path):
+    """The chunked driver stays searcher-generic: batched probing of
+    the int8 IVF index equals the one-shot call (per-query
+    independence holds for the newest index family too)."""
+    from networkframe_spark.functions.similarity import (
+        ann_search_batched,
+        build_ivf_sq_index,
+        ivf_sq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    path = str(tmp_path / "sqb")
+    build_ivf_sq_index(emb, path, n_lists=4, n_iter=1)
+    qs = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["d2"]) for r in df.collect()
+    )
+    want = rows(
+        ivf_sq_search(
+            spark, path, qs, k=4, n_probe=2,
+            query_id_col="query_id", exclude_self=False,
+        )
+    )
+    got = rows(
+        ann_search_batched(
+            spark, path, qs, batch_size=3, searcher=ivf_sq_search,
+            k=4, n_probe=2, exclude_self=False,
+        )
+    )
+    assert got == want and len(got) > 0

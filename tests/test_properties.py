@@ -884,3 +884,37 @@ def test_ann_rerank_is_brute_on_full_candidates(spark, vecs, k):
         "d2",
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_round_half_up_matches_spark_round(spark, vals):
+    """round_half_up (the numpy twin the fused int8 quantize pass and
+    pq_encode score through) must agree with F.round on arbitrary
+    doubles INCLUDING decimal midpoints — a divergence here would
+    silently shift int8/PQ codes away from the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.similarity import round_half_up
+
+    # exercise exact .5 midpoints too: append half-integer variants
+    probe = vals + [float(int(v)) + 0.5 for v in vals[:3]]
+    df = spark.createDataFrame([(v,) for v in probe], "x double")
+    got = [
+        r["r"]
+        for r in df.select(F.round("x", 0).alias("r"))
+        .collect()
+    ]
+    want = [float(round_half_up(v, 0)) for v in probe]
+    assert got == want
