@@ -1217,6 +1217,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_sq_compacted"] = q_ivf_sq_compacted
 
+    # token-budgeted corpus selection (the curation pipeline's final
+    # step): greedily keep the best-scoring docs whose running token
+    # total fits the budget — rank by (score DESC, id), keep the
+    # maximal prefix with inclusive cum <= budget.  Distributed
+    # prefix sum (two-phase range scheme), no global window.
+    def q_select_budget(spark, sf):
+        from networkframe_spark.functions.pipeline import (
+            select_under_budget,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        return select_under_budget(
+            docs, budget=8_000, score_col="n_chars"
+        )
+
+    q["select_under_budget"] = q_select_budget
+
+    # DSIR importance weights (Xie et al. 2023, unigram variant):
+    # score every source doc by the target/source log-likelihood
+    # ratio of its tokens (add-1 smoothing over the union vocab) —
+    # the cheap lever for shifting a generic crawl toward a curated
+    # target domain.  Target here: the corpus's English slice.
+    def q_dsir(spark, sf):
+        from networkframe_spark.functions.pipeline import dsir_weights
+
+        docs = read_table(spark, sf, "documents")
+        return dsir_weights(docs, docs.filter("lang = 'en'"))
+
+    q["dsir_weights"] = q_dsir
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -3036,17 +3066,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ops that have never appeared in any round's CORRECTNESS
         # window (computed across CORRECTNESS_r01-r12; every one is
         # green in the independent 220/220 replay, this window gives
-        # each its driver hash).  16 + 2 + 32 = 50 = the window size;
+        # each its driver hash).  14 + 4 + 32 = 50 = the window size;
         # after this round every registered op has been driver-hashed
-        # at least once.
+        # at least once.  (remove_edges / reindex_nodes — hash-green
+        # in every round since r1 — cede their core slots to the two
+        # late-r13 registrations.)
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
-        "remove_nodes", "remove_edges", "reindex_nodes",
+        "remove_nodes",
         "apply_node_features", "groupby_size", "condense_sum",
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components", "adjacency_dense",
-        # r13 registrations: persisted int8 IVF search + the
-        # add-then-compact maintenance cycle
+        # r13 registrations: persisted int8 IVF search, the
+        # add-then-compact maintenance cycle, token-budget selection,
+        # DSIR importance weights
         "ivf_sq_search", "ivf_sq_compacted",
+        "select_under_budget", "dsir_weights",
         # the 32-op backlog, engine paths first, profiles after
         "ivfpq_add_search", "snm_recall", "embedding_outliers",
         "edge_jaccard", "community_quality", "attribute_mixing",
@@ -4099,6 +4133,78 @@ SELECT query_id, vec_id, d2, CAST(rk AS INTEGER) AS rank FROM (
            c.vec_id ASC) AS rk
   FROM q, deq c
 ) WHERE rk <= 3
+"""
+
+    # token-budget prefix selection: rank by (n_chars DESC, doc_id),
+    # keep while the ROWS-framed inclusive running token total fits
+    o["select_under_budget"] = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         len(t) AS n_tokens
+  FROM toks
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+)
+SELECT doc_id, score AS n_chars,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 8000
+"""
+
+    # DSIR unigram log-likelihood ratio, add-1 smoothing over the
+    # union vocabulary; target = the lang='en' slice
+    o["dsir_weights"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+freq_s AS (SELECT tok, sum(c) AS ns FROM tf GROUP BY tok),
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE lang = 'en'
+),
+ttok AS (SELECT doc_id, unnest(t) AS tok FROM ttoks),
+ttf AS (
+  SELECT doc_id, tok, count(*) AS c FROM ttok WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+freq_t AS (SELECT tok, sum(c) AS nt FROM ttf GROUP BY tok),
+v AS (SELECT count(*) AS v FROM
+      (SELECT tok FROM freq_s UNION SELECT tok FROM freq_t)),
+cs AS (SELECT sum(ns) AS ts FROM freq_s),
+ct AS (SELECT sum(nt) AS tt FROM freq_t),
+lr AS (
+  SELECT s.tok,
+         ln(CAST(coalesce(t.nt, 0) + 1 AS DOUBLE) / (ct.tt + v.v))
+         - ln(CAST(s.ns + 1 AS DOUBLE) / (cs.ts + v.v)) AS lr
+  FROM freq_s s LEFT JOIN freq_t t USING (tok), v, cs, ct
+),
+agg AS (
+  SELECT tf.doc_id, sum(tf.c) AS n_tokens,
+         round(sum(tf.c * lr.lr), 6) AS log_ratio_sum,
+         round(sum(tf.c * lr.lr) / sum(tf.c), 6) AS log_ratio_mean
+  FROM tf JOIN lr USING (tok) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       agg.log_ratio_sum, agg.log_ratio_mean
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
     # sorted-neighborhood blocking: every pair within 4 positions of

@@ -1667,3 +1667,158 @@ def rolling_origin_splits(
         .filter(F.col(out_col).isNotNull())
         .drop("__mn", "__mx")
     )
+
+
+def select_under_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budgeted corpus selection: keep the best-scoring documents
+    whose running token total fits inside ``budget`` — the standard
+    final step of a curation pipeline ("we can afford N tokens; take
+    the best ones").  Documents are ranked by (``score_col`` DESC,
+    id ASC — deterministic ties) and the kept set is the maximal
+    PREFIX whose inclusive cumulative token count is <= budget (the
+    first overflowing document and everything after it is dropped;
+    prefix semantics keep the op exactly SQL-replayable).  Returns
+    ``(id_col, score_col, n_tokens, cum_tokens)``.
+
+    Scale design — distributed prefix sum, NO global window: the same
+    two-phase scheme as :func:`pack_token_sequences` (range-partition
+    on the sort key, per-partition running totals, driver prefix-sum
+    of one tiny row per partition broadcast back).  The budget filter
+    is map-side after the offset join.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    ).withColumn("skey", -F.col("score"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartitionByRange(n_part, "skey", "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("pid").orderBy("skey", "id")
+    d = d.withColumn(
+        "local_cum", F.sum("n_tokens").over(local)
+    ).localCheckpoint(eager=False)
+    part_totals = (
+        d.groupBy("pid")
+        .agg(F.max("local_cum").alias("total"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in part_totals:
+        offsets[r["pid"]] = acc
+        acc += r["total"]
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, part_offset long"
+    )
+    return (
+        d.join(F.broadcast(off_df), on="pid")
+        .withColumn("cum_tokens", F.col("part_offset") + F.col("local_cum"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("score").alias(score_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", unigram variant):
+    score every SOURCE document by how much more likely its tokens are
+    under the TARGET corpus's empirical unigram distribution than the
+    source's own — ``log_ratio_sum = Σ_tok c·(ln p_t(tok) − ln
+    p_s(tok))`` with add-1 (Laplace) smoothing over the UNION
+    vocabulary, so target-absent tokens penalize rather than blow up.
+    Returns ``(id_col, n_tokens, log_ratio_sum, log_ratio_mean)``,
+    6 dp.  Resample the source proportionally to
+    ``exp(log_ratio_sum)`` (or just take the top slice by
+    ``log_ratio_mean``) to shift a generic crawl toward a curated
+    target domain — the standard cheap alternative to training a
+    quality classifier per target.
+
+    Scale design: both corpora reduce to token-count tables (far
+    smaller than the token streams); the source tf table joins the
+    two frequency tables token-keyed (uniform keys), totals and |V|
+    are 1-row broadcasts; no UDF anywhere.
+    """
+    from .text import tokens_col
+
+    def _tf(df):
+        return (
+            df.select(
+                F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    tf_s = _tf(source)
+    freq_s = tf_s.groupBy("tok").agg(F.sum("__c").alias("__ns"))
+    freq_t = (
+        _tf(target).groupBy("tok").agg(F.sum("__c").alias("__nt"))
+    )
+    vocab = freq_s.select("tok").union(freq_t.select("tok")).distinct()
+    consts = (
+        vocab.agg(F.count(F.lit(1)).alias("__v"))
+        .crossJoin(freq_s.agg(F.sum("__ns").alias("__ts")))
+        .crossJoin(freq_t.agg(F.sum("__nt").alias("__tt")))
+    )
+    lr = (
+        freq_s.join(freq_t, on="tok", how="left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("__nt"), F.lit(0)) + 1)
+                    / (F.col("__tt") + F.col("__v"))
+                )
+                - F.log(
+                    (F.col("__ns") + 1) / (F.col("__ts") + F.col("__v"))
+                )
+            ).alias("__lr"),
+        )
+    )
+    agg = (
+        tf_s.join(lr, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.round(F.sum(F.col("__c") * F.col("__lr")), 6).alias(
+                "log_ratio_sum"
+            ),
+            F.round(
+                F.sum(F.col("__c") * F.col("__lr")) / F.sum("__c"), 6
+            ).alias("log_ratio_mean"),
+        )
+    )
+    return (
+        source.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "log_ratio_sum",
+            "log_ratio_mean",
+        )
+    )

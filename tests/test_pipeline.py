@@ -834,3 +834,67 @@ def test_json_key_profile_census(spark):
     assert got["a"] == (2, 0.5)
     assert got["b"] == (1, 0.25)
     assert set(got) == {"a", "b"}
+
+
+def test_select_under_budget_prefix_semantics(spark):
+    """The kept set is the maximal score-DESC prefix whose inclusive
+    cumulative token count fits the budget: budget respected, the
+    next-best excluded doc would overflow it, and every kept score
+    >= every dropped score (ties broken by id)."""
+    from networkframe_spark.functions.pipeline import select_under_budget
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    budget = 5_000
+    kept = select_under_budget(docs, budget=budget, score_col="n_chars")
+    rows = kept.orderBy("cum_tokens").collect()
+    assert 0 < len(rows) < docs.count()
+    assert rows[-1]["cum_tokens"] <= budget
+    # inclusive cumulative sum is consistent
+    acc = 0
+    for r in rows:
+        acc += r["n_tokens"]
+        assert r["cum_tokens"] == acc
+    # the best excluded doc would overflow the budget
+    kept_ids = {r["doc_id"] for r in rows}
+    from pyspark.sql import functions as F
+    from networkframe_spark.functions.text import tokens_col
+
+    dropped = (
+        docs.filter(~F.col("doc_id").isin(list(kept_ids)))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("s"),
+            F.size(tokens_col("text")).alias("nt"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .first()
+    )
+    assert rows[-1]["cum_tokens"] + dropped["nt"] > budget
+    # prefix property: min kept score >= max dropped score
+    min_kept = min(r["n_chars"] for r in rows)
+    assert min_kept >= dropped["s"]
+
+
+def test_dsir_weights_directional(spark):
+    """Docs in the target language score a higher mean log-ratio than
+    docs in other languages (the weights point toward the target
+    distribution), every source doc gets a row, and token counts match
+    the tokenizer."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.pipeline import dsir_weights
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter("lang = 'en'")
+    w = dsir_weights(docs, target)
+    assert w.count() == docs.count()
+    j = w.join(docs.select("doc_id", "lang"), on="doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_ratio_mean").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
