@@ -1247,6 +1247,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir
 
+    # Gumbel-top-k weighted sampling (Vieira 2014) — DSIR's
+    # importance-resampling step as an operator: rank on w − ln(−ln u)
+    # with the standard md5 coin, distributed TakeOrdered for the
+    # global top-n, rank window over only the n survivors.
+    def q_gumbel(spark, sf):
+        from networkframe_spark.functions.pipeline import (
+            gumbel_topk_sample,
+        )
+
+        docs = read_table(spark, sf, "documents").select(
+            "doc_id", (F.col("n_chars") / 100.0).alias("weight")
+        )
+        return gumbel_topk_sample(docs, n=50)
+
+    q["gumbel_topk"] = q_gumbel
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -3068,19 +3084,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green in the independent 220/220 replay, this window gives
         # each its driver hash).  14 + 4 + 32 = 50 = the window size;
         # after this round every registered op has been driver-hashed
-        # at least once.  (remove_edges / reindex_nodes — hash-green
-        # in every round since r1 — cede their core slots to the two
-        # late-r13 registrations.)
+        # at least once.  (remove_edges / reindex_nodes /
+        # adjacency_dense — hash-green in prior rounds, r12 included —
+        # cede their core slots to the three late-r13 registrations.)
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes",
         "apply_node_features", "groupby_size", "condense_sum",
         "khop_aggregation", "weak_components", "aggregated_edges",
-        "largest_component", "strong_components", "adjacency_dense",
+        "largest_component", "strong_components",
         # r13 registrations: persisted int8 IVF search, the
         # add-then-compact maintenance cycle, token-budget selection,
-        # DSIR importance weights
+        # DSIR importance weights + their Gumbel resampling step
         "ivf_sq_search", "ivf_sq_compacted",
-        "select_under_budget", "dsir_weights",
+        "select_under_budget", "dsir_weights", "gumbel_topk",
         # the 32-op backlog, engine paths first, profiles after
         "ivfpq_add_search", "snm_recall", "embedding_outliers",
         "edge_jaccard", "community_quality", "attribute_mixing",
@@ -4205,6 +4221,26 @@ SELECT d.doc_id,
        CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
        agg.log_ratio_sum, agg.log_ratio_mean
 FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+    # Gumbel-top-k: per-row uniform from the standard md5 coin,
+    # perturbed key w - ln(-ln u), global top-50 by (key DESC, id)
+    o["gumbel_topk"] = """
+WITH d AS (
+  SELECT doc_id, n_chars / 100.0 AS weight,
+         ((('0x' || substr(md5(doc_id || ':42'), 1, 15))::BIGINT
+           % 1000000) + 0.5) / 1000000.0 AS u
+  FROM documents
+),
+g AS (SELECT doc_id, weight, weight - ln(-ln(u)) AS gk FROM d),
+r AS (
+  SELECT doc_id, weight, gk,
+         row_number() OVER (ORDER BY gk DESC, doc_id ASC) AS rk
+  FROM g
+)
+SELECT doc_id, weight, round(gk, 6) AS gumbel_key,
+       CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 50
 """
 
     # sorted-neighborhood blocking: every pair within 4 positions of

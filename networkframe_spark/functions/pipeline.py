@@ -1822,3 +1822,47 @@ def dsir_weights(
             "log_ratio_mean",
         )
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "weight",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "md5",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k
+    trick (Vieira 2014): draw ``n`` rows with probability proportional
+    to ``exp(weight_col)`` by ranking on the perturbed key ``g = w −
+    ln(−ln(u))`` with a deterministic per-row uniform ``u`` (the same
+    md5 coin every sampler here uses — append-stable, re-run
+    identical, engine-portable).  The natural companion to
+    :func:`dsir_weights`: feed its ``log_ratio_sum`` in as the weight
+    and this IS DSIR's importance-resampling step.  Returns
+    ``(key_col, weight_col, gumbel_key, rank)``.
+
+    Scale design: the perturbation is one map-side expression; the
+    global top-n is ``orderBy().limit(n)`` (Spark's distributed
+    TakeOrdered — per-partition heaps, no full sort, no global
+    window); the rank window runs over only the n surviving rows.
+    """
+    from pyspark.sql import Window
+
+    u = (_bucket_col(F.col(key_col), seed, method) + 0.5) / float(_HASH_MOD)
+    g = F.col(weight_col).cast("double") - F.log(-F.log(u))
+    top = (
+        df.select(F.col(key_col), F.col(weight_col), g.alias("__g"))
+        .orderBy(F.desc("__g"), F.asc(key_col))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("__g"), F.asc(key_col))  # n rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            key_col,
+            weight_col,
+            F.round(F.col("__g"), 6).alias("gumbel_key"),
+            "rank",
+        )
+    )

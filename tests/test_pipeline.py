@@ -898,3 +898,32 @@ def test_dsir_weights_directional(spark):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_gumbel_topk_sample_properties(spark):
+    """Gumbel-top-k: deterministic across runs, returns exactly n
+    distinct rows ranked by perturbed key, and is genuinely
+    weight-biased — sampling with a huge weight offset on one slice
+    always includes that slice."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.pipeline import gumbel_topk_sample
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("weight")
+    )
+    a = gumbel_topk_sample(docs, n=20).collect()
+    b = gumbel_topk_sample(docs, n=20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 20 == len({r["doc_id"] for r in a})
+    assert [r["rank"] for r in a] == list(range(1, 21))
+    keys = [r["gumbel_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # weight dominance: +1000 on doc_id < 10 forces all ten in
+    boosted = docs.withColumn(
+        "weight",
+        F.col("weight") + F.when(F.col("doc_id") < 10, 1000.0).otherwise(0.0),
+    )
+    top = {r["doc_id"] for r in gumbel_topk_sample(boosted, n=10).collect()}
+    assert top == set(range(10))
