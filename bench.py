@@ -169,6 +169,9 @@ HEADLINE = [
     "sorted_neighborhood",   # two-phase rank + block equi-join SNM (r12)
     "snm_dedup",             # SNM blocking + exact Jaccard verify (r12)
     "snm_recall",            # SNM blocking recall vs exhaustive truth (r12)
+    "select_under_budget",   # token-budget prefix selection (r13)
+    "dsir_weights",          # DSIR target/source unigram LLR (r13)
+    "gumbel_topk",           # Gumbel-top-k importance resampling (r13)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
     # ivfpq_recall / ivfpq_residual_recall / ivfpq_rerank /
     # ivfpq_batched / lsh_index_search /
