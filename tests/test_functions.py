@@ -3510,3 +3510,21 @@ def test_ann_search_batched_composes_with_ivf_sq(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_sq_search_empty_query_batch(spark, tmp_path):
+    """An empty query batch returns an empty result with the search
+    schema (probing nothing) — matching the lsh/ivf/ivfpq probe paths,
+    not a numpy shape crash."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        ivf_sq_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    path = str(tmp_path / "sqe")
+    build_ivf_sq_index(emb, path, n_lists=4, n_iter=1)
+    out = ivf_sq_search(spark, path, emb.filter("vec_id < 0"), k=3, n_probe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "d2", "rank"]
