@@ -41,6 +41,13 @@ EXTRA_OPS = [
     "ivfpq_search",
     "ivf_sq_search",
     "ivf_sq_compacted",
+    # round-13 curation ops: budget selection is a range-sort prefix
+    # sum (expect ~sort-bounded), DSIR is token-keyed joins over
+    # token-count tables (~linear in distinct tokens), Gumbel top-k is
+    # a map-side expression + TakeOrdered (~scan-bounded)
+    "select_under_budget",
+    "dsir_weights",
+    "gumbel_topk",
 ]
 
 

@@ -521,6 +521,30 @@ def corpus_stress(n_docs: int = 2_000_000) -> None:
             base, evalset, window=25, stride=26
         ),
     )
+    # round-13 curation ops
+    from networkframe_spark.functions.pipeline import (
+        dsir_weights,
+        gumbel_topk_sample,
+        select_under_budget,
+    )
+
+    scored2 = base.withColumn("n_chars", F.length("text"))
+    # budget = ~10% of the corpus's token mass (60 tokens/doc)
+    run(
+        "select_under_budget",
+        lambda: select_under_budget(
+            scored2, budget=n_docs * 6, score_col="n_chars"
+        ),
+    )
+    # target = the ~0.1% eval slice (distribution shift toward it)
+    run("dsir_weights", lambda: dsir_weights(base, evalset))
+    weighted = base.withColumn(
+        "weight", (F.xxhash64("doc_id") % 1000).cast("double") / 100.0
+    )
+    run(
+        "gumbel_topk_sample",
+        lambda: gumbel_topk_sample(weighted, n=10_000),
+    )
     print(json.dumps({"n_docs": n_docs, "timings": timings,
                       "total": round(sum(timings.values()), 2)}))
     spark.stop()
