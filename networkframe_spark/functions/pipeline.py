@@ -1669,6 +1669,34 @@ def rolling_origin_splits(
     )
 
 
+def _budget_stage(
+    df: DataFrame,
+    score_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The two-phase prefix-sum stage of :func:`select_under_budget`,
+    pre-checkpoint: range-exchange on (−score, id) + a pid-keyed
+    running-total window.  Factored out so the plan-guard test can
+    assert its shape directly (the production op localCheckpoints this
+    plan, which hides it from the final DataFrame's executed plan)."""
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    ).withColumn("skey", -F.col("score"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartitionByRange(n_part, "skey", "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("pid").orderBy("skey", "id")
+    return d.withColumn("local_cum", F.sum("n_tokens").over(local))
+
+
 def select_under_budget(
     df: DataFrame,
     budget: int,
@@ -1692,23 +1720,9 @@ def select_under_budget(
     of one tiny row per partition broadcast back).  The budget filter
     is map-side after the offset join.
     """
-    from pyspark.sql import Window
-
-    from .text import tokens_col
-
-    d = df.select(
-        F.col(id_col).alias("id"),
-        F.col(score_col).cast("double").alias("score"),
-        F.size(tokens_col(text_col)).alias("n_tokens"),
-    ).withColumn("skey", -F.col("score"))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    d = d.repartitionByRange(n_part, "skey", "id").withColumn(
-        "pid", F.spark_partition_id()
+    d = _budget_stage(df, score_col, text_col, id_col).localCheckpoint(
+        eager=False
     )
-    local = Window.partitionBy("pid").orderBy("skey", "id")
-    d = d.withColumn(
-        "local_cum", F.sum("n_tokens").over(local)
-    ).localCheckpoint(eager=False)
     part_totals = (
         d.groupBy("pid")
         .agg(F.max("local_cum").alias("total"))

@@ -600,3 +600,62 @@ def test_asof_join_plans_have_no_shrinking_frame(spark):
             )
         )
         assert "unboundedfollowing" not in plan.lower(), direction
+
+
+def test_select_under_budget_plan_two_phase(spark):
+    """The global running token total must come from the two-phase
+    range scheme (range exchange + pid-keyed window), never a
+    single-partition global window; no Python evaluation anywhere.
+    The prefix-sum stage is asserted directly (_budget_stage) because
+    the production op localCheckpoints it, hiding the exchange from
+    the final DataFrame's plan; the end-to-end op is additionally
+    checked for SinglePartition/Python absence."""
+    from networkframe_spark.functions.pipeline import (
+        _budget_stage,
+        select_under_budget,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    stage = _plan(_budget_stage(docs, "n_chars", "text", "doc_id"))
+    assert "Exchange SinglePartition" not in stage
+    assert "rangepartitioning" in stage
+    assert "partitionBy=[pid" in stage or "pid" in stage
+    plan = _plan(select_under_budget(docs, budget=8_000, score_col="n_chars"))
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_plan_token_keyed(spark):
+    """DSIR's joins are token/doc-keyed hash aggregates + joins over
+    token-COUNT tables; the only cartesian-shaped node is the 1-row
+    constants broadcast (totals + |V|), and no Python evaluation."""
+    from networkframe_spark.functions.pipeline import dsir_weights
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(dsir_weights(docs, docs.filter("lang = 'en'")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the constants side rides a broadcast, never a shuffled join
+    # (the SinglePartition exchanges present are the 1-row scalar
+    # aggregates — totals and |V| — which is the intended shape)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # token-keyed work plans as hash aggregates, not sorts
+    assert "HashAggregate" in plan
+
+
+def test_gumbel_topk_plan_take_ordered(spark):
+    """The global top-n must plan as TakeOrdered (per-partition heaps),
+    not a full sort; the rank window runs over only the n survivors
+    (a SinglePartition exchange of n rows is fine and expected)."""
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.pipeline import gumbel_topk_sample
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("weight")
+    )
+    plan = _plan(gumbel_topk_sample(docs, n=50))
+    assert "TakeOrdered" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
