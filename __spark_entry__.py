@@ -1263,6 +1263,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gumbel_topk"] = q_gumbel
 
+    # persisted MinHash index (dedup.build_minhash_index /
+    # minhash_index_decontaminate): the lexical twin of the embedding
+    # LSH index — corpus shingled/signed/banded ONCE into a
+    # (band, kmod)-partitioned store, every eval probe prunes at file
+    # listing and decides on the signature-agreement estimate; the
+    # oracle replays banding + estimate verbatim (no exhaustive trick).
+    def q_minhash_index(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.dedup import (
+            build_minhash_index,
+            minhash_index_decontaminate,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_mhidx_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_minhash_index(
+            docs.filter("doc_id % 20 != 0"), path,
+            n_perm=4, bands=2, n_kmod=16, mode="overwrite",
+        )
+        return minhash_index_decontaminate(
+            spark, path, docs.filter("doc_id % 20 = 0"), threshold=0.25
+        )
+
+    q["minhash_index_decon"] = q_minhash_index
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -3085,18 +3116,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each its driver hash).  14 + 4 + 32 = 50 = the window size;
         # after this round every registered op has been driver-hashed
         # at least once.  (remove_edges / reindex_nodes /
-        # adjacency_dense — hash-green in prior rounds, r12 included —
-        # cede their core slots to the three late-r13 registrations.)
+        # adjacency_dense / condense_sum — hash-green in prior rounds,
+        # r12 included — cede their core slots to the late-r13
+        # registrations.)
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes",
-        "apply_node_features", "groupby_size", "condense_sum",
+        "apply_node_features", "groupby_size",
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components",
         # r13 registrations: persisted int8 IVF search, the
         # add-then-compact maintenance cycle, token-budget selection,
-        # DSIR importance weights + their Gumbel resampling step
+        # DSIR importance weights + their Gumbel resampling step, and
+        # the persisted MinHash decontamination index
         "ivf_sq_search", "ivf_sq_compacted",
         "select_under_budget", "dsir_weights", "gumbel_topk",
+        "minhash_index_decon",
         # the 32-op backlog, engine paths first, profiles after
         "ivfpq_add_search", "snm_recall", "embedding_outliers",
         "edge_jaccard", "community_quality", "attribute_mixing",
@@ -3889,6 +3923,36 @@ FROM shared s
 JOIN sizes st ON s.train_id = st.id
 JOIN sizes se ON s.eval_id = se.id
 WHERE round(s.shared::DOUBLE / (st.n_sh + se.n_sh - s.shared), 6) >= 0.5
+"""
+
+    # persisted MinHash index probe: same LCG signatures, band
+    # collisions (h0_h1 / h2_h3), decision = signature-component
+    # agreement fraction >= 0.5 — the banding + estimate replayed
+    # verbatim, no exhaustive-mode trick needed
+    o["minhash_index_decon"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, h0, h1, h2, h3,
+         0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, h0, h1, h2, h3,
+         1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.id AS train_id, b.id AS eval_id,
+         round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+              + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT) / 4.0, 6)
+           AS est_jaccard
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id % 20 <> 0 AND b.id % 20 = 0
+)
+SELECT train_id, eval_id, est_jaccard FROM pairs
+WHERE est_jaccard >= 0.25
 """
 
     votes = ", ".join(

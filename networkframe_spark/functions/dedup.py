@@ -1444,3 +1444,250 @@ def snm_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash index (lexical twin of similarity.build_lsh_index)
+# ---------------------------------------------------------------------------
+def _mh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int,
+    bands: int,
+    shingle_n: int,
+    max_df: int | None,
+    n_kmod: int,
+) -> DataFrame:
+    """One banded row per (document, band), CARRYING the full MinHash
+    signature: ``(doc_id, sig, band, key, kmod)`` — the persisted
+    storage layout, shared by build / add / probe so the three can
+    never drift.  ``kmod = pmod(xxhash64(key), n_kmod)`` folds the
+    unbounded band-key space into a bounded partition-directory space
+    (band × kmod dirs) so probes prune at file listing."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_perm, shingle_n, max_df=max_df
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    return banded.select(
+        "doc_id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        F.pmod(F.xxhash64(F.col("bk.key")), F.lit(n_kmod)).alias("kmod"),
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    n_kmod: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "error",
+) -> dict:
+    """Build and persist a MinHash LSH index over a DOCUMENT corpus —
+    the lexical twin of the embedding family's
+    :func:`~networkframe_spark.functions.similarity.build_lsh_index`:
+    the corpus is shingled, signed, and banded ONCE offline into
+    ``<path>/mbands`` parquet PARTITIONED BY ``(band, kmod)``
+    (signature carried per band row, the standard LSH-table
+    duplication), with the parameters in ``<path>/meta``.
+
+    This is the decontamination duty cycle at 100 TB:
+    :func:`fuzzy_decontaminate` re-shingles and re-signs the ENTIRE
+    train corpus on every call, but eval sets arrive monthly and the
+    train corpus changes by appends — band it once, absorb appends via
+    :func:`minhash_index_add`, and every
+    :func:`minhash_index_decontaminate` probe reads only the band
+    directories the eval set's keys hash into.  ``kmod`` folds the
+    unbounded key space into ``n_kmod`` directories per band, so the
+    store has at most ``bands × n_kmod`` partitions and a probe scans
+    only the (band, kmod) cells the eval batch touches.
+    Compact after adds with
+    :func:`~networkframe_spark.functions.similarity.index_compact`;
+    health via :func:`~networkframe_spark.functions.similarity.
+    index_stats` (both know this layout).
+    """
+    import json as _json
+    import os as _os
+
+    if n_perm % bands:
+        raise ValueError("build_minhash_index: n_perm must divide by bands")
+    rows = _mh_band_rows(
+        corpus, id_col, text_col, n_perm, bands, shingle_n, max_df, n_kmod
+    )
+    rows.write.mode(mode).partitionBy("band", "kmod").parquet(
+        _os.path.join(path, "mbands")
+    )
+    meta = {
+        "n_perm": n_perm,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "max_df": max_df,
+        "n_kmod": n_kmod,
+    }
+    (
+        corpus.sparkSession.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .json(_os.path.join(path, "meta"))
+    )
+    return meta
+
+
+def _mh_meta(spark, path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    return _json.loads(
+        spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
+    )
+
+
+def minhash_index_add(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedupe: bool = True,
+) -> None:
+    """Incremental MinHash-index maintenance: shingle/sign/band
+    ``new_docs`` with the STORED parameters and append into the
+    partition directories — nothing existing is read or rewritten
+    (mirror of ``lsh_index_add``; band membership is a pure function
+    of the stored deterministic parameters, so post-add probing is
+    identical to a full rebuild over the union).  With
+    ``dedupe=True`` the batch anti-joins ids already present in the
+    band-0 cells it would land in (every document appears in every
+    band, so band 0 is definitive), making replayed adds append zero
+    rows.
+    """
+    import os as _os
+
+    meta = _mh_meta(spark, path)
+    rows = _mh_band_rows(
+        new_docs, id_col, text_col, int(meta["n_perm"]), int(meta["bands"]),
+        int(meta["shingle_n"]), meta.get("max_df"), int(meta["n_kmod"]),
+    )
+    store = _os.path.join(path, "mbands")
+    if dedupe:
+        touched = [
+            r["kmod"]
+            for r in rows.filter(F.col("band") == 0)
+            .select("kmod")
+            .distinct()
+            .collect()
+        ]
+        existing = (
+            spark.read.parquet(store)
+            .filter((F.col("band") == 0) & F.col("kmod").isin(touched))
+            .select("doc_id")
+        )
+        rows = rows.join(existing, on="doc_id", how="left_anti")
+        rows = rows.localCheckpoint(eager=True)
+    rows.write.mode("append").partitionBy("band", "kmod").parquet(store)
+
+
+def minhash_index_decontaminate(
+    spark,
+    path: str,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a persisted MinHash index with an eval set: returns
+    ``(train_id, eval_id, est_jaccard)`` for every banded collision
+    whose SIGNATURE-estimated Jaccard (fraction of agreeing MinHash
+    components — the unbiased estimator banding is built on) reaches
+    ``threshold``.  The whole decision — banding, collision, estimate —
+    is a deterministic function of the stored parameters, so the
+    operator is exactly SQL-replayable with no exhaustive-mode trick
+    (the driver oracle replays the LCG signatures, the band join, and
+    the component-agreement count verbatim).  For the exact
+    shingle-Jaccard decision re-verify the returned pairs with
+    :func:`fuzzy_decontaminate` restricted to the matched ids; the
+    estimator's error is priced by ``fuzzy_decon_recall``'s oracle.
+
+    Scale: the eval side bands map-side with the stored params; the
+    scan of ``<path>/mbands`` carries a per-band ``kmod IN (...)``
+    partition filter (collected from the eval bands — at most
+    bands × n_kmod values), so file listing prunes to the touched
+    cells; the join keys on (band, key); the estimate is one
+    ``zip_with`` over the two carried signatures — no shingle
+    recomputation for the train corpus, ever.
+    """
+    import os as _os
+
+    meta = _mh_meta(spark, path)
+    n_perm = int(meta["n_perm"])
+    ev = _mh_band_rows(
+        eval_df, id_col, text_col, n_perm, int(meta["bands"]),
+        int(meta["shingle_n"]), meta.get("max_df"), int(meta["n_kmod"]),
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("sig").alias("e_sig"),
+        "band",
+        "key",
+        "kmod",
+    ).localCheckpoint(eager=True)
+    wanted: dict[int, set] = {}
+    for r in ev.select("band", "kmod").distinct().collect():
+        wanted.setdefault(int(r["band"]), set()).add(int(r["kmod"]))
+    if not wanted:
+        return spark.createDataFrame(
+            [], "train_id long, eval_id long, est_jaccard double"
+        )
+    pred = None
+    for b, kmods in sorted(wanted.items()):
+        clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
+        pred = clause if pred is None else (pred | clause)
+    store = spark.read.parquet(_os.path.join(path, "mbands")).filter(pred)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("e_sig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        store.join(ev, on=["band", "key", "kmod"])
+        .select(
+            F.col("doc_id").alias("train_id"),
+            F.col("eval_id"),
+            F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("train_id", "eval_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )

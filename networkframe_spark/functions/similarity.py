@@ -3484,6 +3484,7 @@ _INDEX_DATA_LAYOUT = {
     "cells": ("list_id",),        # build_ivf_index / build_ivf_sq_index
     "codes": ("list_id",),        # build_ivfpq_index
     "bands": ("table", "bucket"),  # build_lsh_index
+    "mbands": ("band", "kmod"),   # dedup.build_minhash_index
 }
 
 
@@ -3547,9 +3548,9 @@ def index_compact(
         df = spark.read.parquet(data)
         n = df.count()
         n_tasks = max(1, _math.ceil(n / target_records_per_file))
-        sort_cols = list(part_cols) + (
-            ["vec_id"] if "vec_id" in df.columns else []
-        )
+        sort_cols = list(part_cols) + [
+            c for c in ("vec_id", "doc_id") if c in df.columns
+        ][:1]
         tmp = data + ".__compact_tmp__"
         old = data + ".__compact_old__"
         (

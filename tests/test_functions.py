@@ -3528,3 +3528,60 @@ def test_ivf_sq_search_empty_query_batch(spark, tmp_path):
     out = ivf_sq_search(spark, path, emb.filter("vec_id < 0"), k=3, n_probe=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "d2", "rank"]
+
+
+def test_minhash_index_lifecycle(spark, tmp_path):
+    """Persisted MinHash index: probe == full-rebuild probe after
+    incremental adds (band membership is a pure function of the
+    stored params), replayed adds append zero rows, compaction leaves
+    the decision bit-identical, and the probe scan partition-prunes
+    the (band, kmod) store."""
+    import glob
+
+    from networkframe_spark.functions.dedup import (
+        build_minhash_index,
+        minhash_index_add,
+        minhash_index_decontaminate,
+    )
+    from networkframe_spark.functions.similarity import index_compact
+    from networkframe_spark.sources import read_table
+    from tests.conftest import scan_partition_counts
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter("doc_id % 20 != 0")
+    ev = docs.filter("doc_id % 20 = 0")
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_minhash_index(train, full, n_perm=4, bands=2, n_kmod=16)
+    rows = lambda p: sorted(
+        map(
+            tuple,
+            minhash_index_decontaminate(
+                spark, p, ev, threshold=0.25
+            ).collect(),
+        )
+    )
+    want = rows(full)
+    assert len(want) > 0
+    # estimates are k/4 fractions
+    assert all(r[2] in (0.25, 0.5, 0.75, 1.0) for r in want)
+    build_minhash_index(
+        train.filter("doc_id % 2 = 1"), inc, n_perm=4, bands=2, n_kmod=16
+    )
+    minhash_index_add(spark, inc, train.filter("doc_id % 2 = 0"))
+    assert rows(inc) == want
+    n_before = spark.read.parquet(inc + "/mbands").count()
+    minhash_index_add(spark, inc, train.filter("doc_id % 2 = 0"))  # replay
+    assert spark.read.parquet(inc + "/mbands").count() == n_before
+    f_before = len(glob.glob(inc + "/mbands/**/*.parquet", recursive=True))
+    rep = index_compact(spark, inc)
+    f_after = len(glob.glob(inc + "/mbands/**/*.parquet", recursive=True))
+    assert rep["mbands"]["files_after"] == f_after < f_before
+    assert rows(inc) == want
+    # pruning: a tiny eval batch touches fewer (band, kmod) dirs than
+    # exist on disk
+    out = minhash_index_decontaminate(spark, full, ev.limit(2))
+    total = len(glob.glob(full + "/mbands/band=*/kmod=*"))
+    scans = scan_partition_counts(out)
+    assert scans
+    scanned = max(s.get("numPartitions", 0) for s in scans)
+    assert 0 < scanned <= 4 < total, (scanned, total)
