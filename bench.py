@@ -174,11 +174,12 @@ HEADLINE = [
     "gumbel_topk",           # Gumbel-top-k importance resampling (r13)
     # ivf_index_search / ivf_index_add_search / ivfpq_search /
     # ivfpq_recall / ivfpq_residual_recall / ivfpq_rerank /
-    # ivfpq_batched / lsh_index_search /
-    # ivfpq_add_search are excluded on purpose: each run rebuilds and
+    # ivfpq_batched / lsh_index_search / ivfpq_add_search /
+    # ivf_sq_search / ivf_sq_compacted / minhash_index_decon are
+    # excluded on purpose: each run rebuilds and
     # WRITES the on-disk index (an offline, amortized cost), so their
     # wall time measures the build, not the probe.  Solo numbers live
-    # in SCALE.md.
+    # in SCALE.md; sf1 exponents in BENCH_SF1.json.
 ]
 
 

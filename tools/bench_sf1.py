@@ -48,6 +48,8 @@ EXTRA_OPS = [
     "select_under_budget",
     "dsir_weights",
     "gumbel_topk",
+    # persisted MinHash decontamination index (build + probe)
+    "minhash_index_decon",
 ]
 
 
