@@ -1294,6 +1294,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_index_decon"] = q_minhash_index
 
+    # corpus SELF-dedup against the persisted index
+    # (dedup.minhash_index_duplicates): the stored banding is
+    # self-joined within (band, key) buckets — zero shingle
+    # recomputation — decision = the same signature-agreement
+    # estimate the decon probe uses, replayed verbatim below
+    def q_minhash_index_dup(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.dedup import (
+            build_minhash_index,
+            minhash_index_duplicates,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_mhdup_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_minhash_index(
+            docs, path, n_perm=4, bands=2, n_kmod=16, mode="overwrite"
+        )
+        return minhash_index_duplicates(spark, path, threshold=0.25)
+
+    q["minhash_index_dup"] = q_minhash_index_dup
+
+    # incremental duty cycle: index the odd half, minhash_index_add the
+    # even half, then dedup ONLY the delta (new x old + new x new pairs
+    # via the partition-pruned probe) — the oracle replays the full
+    # banding restricted to pairs touching the even half
+    def q_minhash_index_dup_delta(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.dedup import (
+            build_minhash_index,
+            minhash_index_add,
+            minhash_index_duplicates,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_mhdupd_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_minhash_index(
+            docs.filter("doc_id % 2 = 1"), path,
+            n_perm=4, bands=2, n_kmod=16, mode="overwrite",
+        )
+        new = docs.filter("doc_id % 2 = 0")
+        minhash_index_add(spark, path, new)
+        return minhash_index_duplicates(
+            spark, path, threshold=0.25, delta_docs=new
+        )
+
+    q["minhash_index_dup_delta"] = q_minhash_index_dup_delta
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -3952,6 +4011,64 @@ pairs AS (
   WHERE a.id % 20 <> 0 AND b.id % 20 = 0
 )
 SELECT train_id, eval_id, est_jaccard FROM pairs
+WHERE est_jaccard >= 0.25
+"""
+
+    # persisted-index SELF-dedup: same signatures/banding, self-pairs
+    # within buckets, same agreement estimator — est is a pure function
+    # of the pair's sigs so DISTINCT == the Spark groupBy-max fold
+    o["minhash_index_dup"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, h0, h1, h2, h3,
+         0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, h0, h1, h2, h3,
+         1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+              + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT) / 4.0, 6)
+           AS est_jaccard
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, est_jaccard FROM pairs
+WHERE est_jaccard >= 0.25
+"""
+
+    # delta duty cycle: full banding restricted to pairs touching the
+    # even half (the added batch) — new x old plus new x new, already
+    # canonical under id_a < id_b
+    o["minhash_index_dup_delta"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, h0, h1, h2, h3,
+         0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, h0, h1, h2, h3,
+         1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+              + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT) / 4.0, 6)
+           AS est_jaccard
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id AND (a.id % 2 = 0 OR b.id % 2 = 0)
+)
+SELECT id_a, id_b, est_jaccard FROM pairs
 WHERE est_jaccard >= 0.25
 """
 

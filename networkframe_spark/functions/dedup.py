@@ -1086,15 +1086,23 @@ def dedup_corpus(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_path: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus deduplication — the one-call convenience a
     pipeline actually invokes: find near-duplicate pairs with
     ``method`` (``"exact"`` | ``"minhash_lsh"`` | ``"ngram_jaccard"``
-    | ``"snm"`` | ``"containment"``),
+    | ``"snm"`` | ``"containment"`` | ``"minhash_index"``),
     fold them into clusters (:func:`duplicate_clusters`), and KEEP one
     representative per cluster (the minimum id).  Returns the
     surviving rows of ``df`` unchanged, plus ``cluster_id`` so lineage
     survives the drop.
+
+    ``method="minhash_index"`` reuses a PERSISTED banding
+    (``index_path`` from :func:`build_minhash_index` over the same
+    corpus) instead of re-shingling/re-signing/re-banding ``df`` —
+    the decision is the signature-agreement estimate (same estimator
+    as :func:`minhash_index_decontaminate`), not the exact
+    shingle-Jaccard the transient methods verify with.
 
     Scale shape is whatever the chosen pair finder has (banded LSH by
     default — no all-pairs path); the fold is the union-find CC over
@@ -1126,10 +1134,19 @@ def dedup_corpus(
         pairs = containment_duplicates(
             df, threshold=threshold, id_col=id_col, text_col=text_col
         ).select(F.col("id_a"), F.col("id_b"))
+    elif method == "minhash_index":
+        if index_path is None:
+            raise ValueError(
+                "dedup_corpus(method='minhash_index') needs index_path "
+                "(a build_minhash_index store over this corpus)"
+            )
+        pairs = minhash_index_duplicates(
+            df.sparkSession, index_path, threshold=threshold
+        ).select(F.col("id_a"), F.col("id_b"))
     else:
         raise ValueError(
             "method must be 'exact', 'minhash_lsh', 'ngram_jaccard', "
-            "'snm', or 'containment'"
+            "'snm', 'containment', or 'minhash_index'"
         )
     clusters = duplicate_clusters(df, pairs, id_col=id_col)
     return df.join(
@@ -1588,10 +1605,14 @@ def minhash_index_add(
     (mirror of ``lsh_index_add``; band membership is a pure function
     of the stored deterministic parameters, so post-add probing is
     identical to a full rebuild over the union).  With
-    ``dedupe=True`` the batch anti-joins ids already present in the
-    band-0 cells it would land in (every document appears in every
-    band, so band 0 is definitive), making replayed adds append zero
-    rows.
+    ``dedupe=True`` the batch anti-joins ALL doc_ids present in band 0
+    (every document appears in every band, so band 0 is definitive):
+    replayed adds append zero rows, and a re-add of an existing id with
+    CHANGED text — which would land in different kmod cells and leave
+    two conflicting signature sets for one id — is also dropped.  The
+    scan is 1/bands of the store and reads only the ``doc_id`` column;
+    to mutate an existing document, remove-then-rebuild (the store is
+    append-only by contract).
     """
     import os as _os
 
@@ -1602,16 +1623,9 @@ def minhash_index_add(
     )
     store = _os.path.join(path, "mbands")
     if dedupe:
-        touched = [
-            r["kmod"]
-            for r in rows.filter(F.col("band") == 0)
-            .select("kmod")
-            .distinct()
-            .collect()
-        ]
         existing = (
             spark.read.parquet(store)
-            .filter((F.col("band") == 0) & F.col("kmod").isin(touched))
+            .filter(F.col("band") == 0)
             .select("doc_id")
         )
         rows = rows.join(existing, on="doc_id", how="left_anti")
@@ -1662,18 +1676,32 @@ def minhash_index_decontaminate(
         "key",
         "kmod",
     ).localCheckpoint(eager=True)
+    store_all = spark.read.parquet(_os.path.join(path, "mbands"))
     wanted: dict[int, set] = {}
     for r in ev.select("band", "kmod").distinct().collect():
         wanted.setdefault(int(r["band"]), set()).add(int(r["kmod"]))
     if not wanted:
+        # derive id types from the store / eval schemas — a string-id
+        # corpus must get a string-typed empty frame, not a long one
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         return spark.createDataFrame(
-            [], "train_id long, eval_id long, est_jaccard double"
+            [],
+            StructType(
+                [
+                    StructField(
+                        "train_id", store_all.schema["doc_id"].dataType
+                    ),
+                    StructField("eval_id", eval_df.schema[id_col].dataType),
+                    StructField("est_jaccard", DoubleType()),
+                ]
+            ),
         )
     pred = None
     for b, kmods in sorted(wanted.items()):
         clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
         pred = clause if pred is None else (pred | clause)
-    store = spark.read.parquet(_os.path.join(path, "mbands")).filter(pred)
+    store = store_all.filter(pred)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig"), F.col("e_sig"), lambda a, b: a == b),
@@ -1689,5 +1717,144 @@ def minhash_index_decontaminate(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .groupBy("train_id", "eval_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def minhash_index_duplicates(
+    spark,
+    path: str,
+    threshold: float = 0.5,
+    delta_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus SELF-dedup against a persisted MinHash index: returns
+    ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` for every banded
+    collision inside the store whose signature-agreement estimate
+    reaches ``threshold`` — the same replay-verbatim estimator as
+    :func:`minhash_index_decontaminate`, pointed at the biggest
+    recurring 100 TB job.  :func:`dedup_corpus` re-shingles, re-signs,
+    and re-bands the whole corpus on EVERY call;
+    :func:`build_minhash_index` already persisted exactly the banding
+    that call would recompute, so self-dedup becomes a self-join within
+    the stored ``(band, key)`` buckets — zero shingle recomputation.
+
+    Incremental duty cycle (``delta_docs`` given): after
+    :func:`minhash_index_add` of a new batch, pass the SAME batch here
+    and only the delta's pairs are found — new x old and new x new —
+    by re-banding just the delta map-side (deterministic, so it equals
+    the stored rows) and probing the store with the decontaminate
+    path's ``(band, kmod IN ...)`` partition-pruned scan.  Appending a
+    batch therefore costs O(delta x collisions), never a re-band of
+    the accumulated corpus; pairs among pre-existing documents were
+    already reported by earlier cycles, so the union over cycles
+    equals one full :func:`minhash_index_duplicates` over the final
+    store (add-then-selfdup == rebuild, contract-tested).
+
+    Scale: the full mode is one self-equi-join keyed on
+    ``(band, key, kmod)`` — Spark shuffles both sides by the bucket
+    key, each bucket pairs locally, and the estimate is a ``zip_with``
+    over the two CARRIED signatures (no text column is ever read);
+    bucket blow-up is bounded by the LSH banding itself, exactly as in
+    :func:`minhash_lsh_duplicates`.  Mirrors reference scope
+    (networkframe has no dedup surface; SURVEY §2.11 extension).
+    """
+    import os as _os
+
+    meta = _mh_meta(spark, path)
+    n_perm = int(meta["n_perm"])
+    store_path = _os.path.join(path, "mbands")
+
+    def _est(sig_a, sig_b):
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col(sig_a), F.col(sig_b), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        return F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard")
+
+    if delta_docs is None:
+        store = spark.read.parquet(store_path)
+        left = store.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "key",
+            "kmod",
+        )
+        right = store.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            "band",
+            "key",
+            "kmod",
+        )
+        pairs = left.join(right, on=["band", "key", "kmod"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        scored = pairs.select("id_a", "id_b", _est("sig_a", "sig_b"))
+    else:
+        # delta probe: band ONLY the new batch map-side with the stored
+        # params; the store scan partition-prunes to the (band, kmod)
+        # cells the delta touches, exactly like decontaminate's probe
+        dv = _mh_band_rows(
+            delta_docs, id_col, text_col, n_perm, int(meta["bands"]),
+            int(meta["shingle_n"]), meta.get("max_df"), int(meta["n_kmod"]),
+        ).select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "key",
+            "kmod",
+        ).localCheckpoint(eager=True)
+        wanted: dict[int, set] = {}
+        for r in dv.select("band", "kmod").distinct().collect():
+            wanted.setdefault(int(r["band"]), set()).add(int(r["kmod"]))
+        if not wanted:
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            id_t = delta_docs.schema[id_col].dataType
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("id_a", id_t),
+                        StructField("id_b", id_t),
+                        StructField("est_jaccard", DoubleType()),
+                    ]
+                ),
+            )
+        pred = None
+        for b, kmods in sorted(wanted.items()):
+            clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
+            pred = clause if pred is None else (pred | clause)
+        store = spark.read.parquet(store_path).filter(pred)
+        right = store.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            "band",
+            "key",
+            "kmod",
+        )
+        # new x old appears once (one side fixed in the delta); new x
+        # new appears in both orientations — canonicalize to (min, max)
+        # and the groupBy below folds the mirror image away
+        pairs = dv.join(right, on=["band", "key", "kmod"]).filter(
+            F.col("id_a") != F.col("id_b")
+        )
+        scored = pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            _est("sig_a", "sig_b"),
+        )
+    return (
+        scored.filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )

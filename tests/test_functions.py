@@ -3585,3 +3585,110 @@ def test_minhash_index_lifecycle(spark, tmp_path):
     assert scans
     scanned = max(s.get("numPartitions", 0) for s in scans)
     assert 0 < scanned <= 4 < total, (scanned, total)
+
+
+def test_minhash_index_duplicates_contract(spark, tmp_path):
+    """Persisted-index self-dedup: (1) full-store self-join equals the
+    incremental duty cycle — selfdup(old) UNION deltadup(new) after
+    minhash_index_add — (2) the delta probe partition-prunes, (3) a
+    re-add of an existing id with CHANGED text appends nothing (the
+    band-0 anti-join is id-definitive, not kmod-local), and (4)
+    dedup_corpus(method='minhash_index') wires survivors + cluster_id."""
+    import glob
+
+    from networkframe_spark.functions.dedup import (
+        build_minhash_index,
+        dedup_corpus,
+        minhash_index_add,
+        minhash_index_duplicates,
+    )
+    from networkframe_spark.sources import read_table
+    from tests.conftest import scan_partition_counts
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_minhash_index(docs, full, n_perm=4, bands=2, n_kmod=16)
+    want = sorted(
+        map(
+            tuple,
+            minhash_index_duplicates(spark, full, threshold=0.25).collect(),
+        )
+    )
+    assert len(want) > 0
+    assert all(a < b for a, b, _ in want)
+
+    old, new = docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    build_minhash_index(old, inc, n_perm=4, bands=2, n_kmod=16)
+    old_pairs = minhash_index_duplicates(spark, inc, threshold=0.25).collect()
+    minhash_index_add(spark, inc, new)
+    delta = minhash_index_duplicates(
+        spark, inc, threshold=0.25, delta_docs=new
+    )
+    got = sorted(set(map(tuple, old_pairs)) | set(map(tuple, delta.collect())))
+    assert got == want  # add-then-selfdup == full rebuild
+
+    # the delta probe prunes the (band, kmod) store at file listing
+    tiny = minhash_index_duplicates(
+        spark, inc, threshold=0.25, delta_docs=new.limit(2)
+    )
+    total = len(glob.glob(inc + "/mbands/band=*/kmod=*"))
+    scans = scan_partition_counts(tiny)
+    assert scans
+    assert 0 < max(s.get("numPartitions", 0) for s in scans) <= 4 < total
+
+    # changed-text re-add: same id, different text -> zero rows appended
+    n_before = spark.read.parquet(inc + "/mbands").count()
+    mutated = new.limit(3).withColumn(
+        "text", F.concat(F.lit("MUTATED "), F.col("text"))
+    )
+    minhash_index_add(spark, inc, mutated)
+    assert spark.read.parquet(inc + "/mbands").count() == n_before
+
+    # one-call wiring
+    out = dedup_corpus(
+        docs, method="minhash_index", threshold=0.25, index_path=full
+    )
+    dropped = {b for _, b, _ in want} - {a for a, _, _ in want}
+    assert out.count() <= docs.count()
+    assert "cluster_id" in out.columns
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every surviving doc is its own cluster representative's member;
+    # no kept id is a pure duplicate-side of a pair
+    assert ids.isdisjoint(dropped) or all(
+        i in ids for i in {a for a, _, _ in want}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="index_path"):
+        dedup_corpus(docs, method="minhash_index")
+
+
+def test_minhash_index_string_ids_empty_eval(spark, tmp_path):
+    """Empty-eval decontaminate and empty-delta selfdup derive their
+    id types from the store/eval schemas (string ids stay string)."""
+    from pyspark.sql.types import StringType
+
+    from networkframe_spark.functions.dedup import (
+        build_minhash_index,
+        minhash_index_decontaminate,
+        minhash_index_duplicates,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(40)
+        .withColumn("doc_id", F.concat(F.lit("d"), F.col("doc_id")))
+    )
+    path = str(tmp_path / "sidx")
+    build_minhash_index(docs, path, n_perm=4, bands=2, n_kmod=16)
+    empty = docs.filter("1 = 0")
+    out = minhash_index_decontaminate(spark, path, empty)
+    assert out.count() == 0
+    assert isinstance(out.schema["train_id"].dataType, StringType)
+    assert isinstance(out.schema["eval_id"].dataType, StringType)
+    dup = minhash_index_duplicates(spark, path, delta_docs=empty)
+    assert dup.count() == 0
+    assert isinstance(dup.schema["id_a"].dataType, StringType)
+    # and the non-empty string-id path works end-to-end
+    assert minhash_index_duplicates(spark, path, threshold=0.25).count() >= 0
