@@ -712,17 +712,22 @@ def stream_index_add(
     path: str,
     checkpoint: str,
     index: str = "lsh",
-    id_col: str = "vec_id",
+    id_col: str | None = None,
     emb_col: str = "embedding",
+    text_col: str = "text",
     query_name: str = "index_add",
 ):
-    """Streaming ingestion into a persisted ANN index: every
-    micro-batch of ``(id, embedding)`` rows is absorbed by the
-    index family's incremental add (``index`` = ``"lsh"`` |
-    ``"ivf"`` | ``"ivf_sq"`` | ``"ivfpq"`` —
+    """Streaming ingestion into a persisted ANN or text index: every
+    micro-batch is absorbed by the index family's incremental add
+    (``index`` = ``"lsh"`` | ``"ivf"`` | ``"ivf_sq"`` | ``"ivfpq"``
+    over ``(id, embedding)`` rows —
     :func:`~networkframe_spark.functions.similarity.lsh_index_add`
-    and siblings), so the index a batch search probes is always
-    current without an offline rebuild.  At streaming cadence each
+    and siblings — or ``"minhash"`` over ``(id, text)`` documents —
+    :func:`~networkframe_spark.functions.dedup.minhash_index_add`,
+    the decontamination/self-dedup store), so the index a batch
+    search probes is always current without an offline rebuild.
+    ``id_col`` defaults per family: ``vec_id`` for the embedding
+    indexes, ``doc_id`` for ``minhash``.  At streaming cadence each
     partition directory accumulates a file per touched micro-batch —
     schedule :func:`~networkframe_spark.functions.similarity.
     index_compact` as the companion maintenance job (measured 12.7×
@@ -748,6 +753,7 @@ def stream_index_add(
 
     Returns the started StreamingQuery (caller stops it).
     """
+    from ..functions.dedup import minhash_index_add
     from ..functions.similarity import (
         ivf_index_add,
         ivf_sq_index_add,
@@ -760,21 +766,33 @@ def stream_index_add(
         "ivf": ivf_index_add,
         "ivf_sq": ivf_sq_index_add,
         "ivfpq": ivfpq_index_add,
+        "minhash": minhash_index_add,
     }
     if index not in adders:
         raise ValueError(
-            "stream_index_add: index must be lsh|ivf|ivf_sq|ivfpq"
+            "stream_index_add: index must be lsh|ivf|ivf_sq|ivfpq|minhash"
         )
     add = adders[index]
+    rid = id_col or ("doc_id" if index == "minhash" else "vec_id")
 
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if index == "minhash":
+            add(
+                batch_df.sparkSession,
+                path,
+                batch_df,
+                id_col=rid,
+                text_col=text_col,
+                dedupe=True,
+            )
             return
         add(
             batch_df.sparkSession,
             path,
             batch_df,
-            id_col=id_col,
+            id_col=rid,
             emb_col=emb_col,
             dedupe=True,
         )

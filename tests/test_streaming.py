@@ -1161,3 +1161,80 @@ def test_stream_index_add_ivf_sq_then_compact(spark, tmp_path):
     assert n_after < n_before and n_after <= 4
     assert rep["cells"]["files_after"] == n_after
     assert rows() == got
+
+
+def test_stream_index_add_minhash_equals_rebuild(spark, tmp_path):
+    """Streaming document micro-batches absorbed into the persisted
+    MinHash text index: after the stream drains, both probes — the
+    decontaminate eval probe AND the self-dedup — are identical to a
+    full offline rebuild over the union; at-least-once replays append
+    zero rows (band-0 anti-join retry guard); index_stats sees the
+    mbands store and index_compact shrinks the micro-batch file
+    accumulation while leaving the decision bit-identical."""
+    import glob
+
+    from networkframe_spark.functions.dedup import (
+        build_minhash_index,
+        minhash_index_decontaminate,
+        minhash_index_duplicates,
+    )
+    from networkframe_spark.functions.similarity import (
+        index_compact,
+        index_stats,
+    )
+    from networkframe_spark.sources import read_table
+    from networkframe_spark.streaming.stream import stream_index_add
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter("doc_id % 20 != 0")
+    ev = docs.filter("doc_id % 20 = 0")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    build_minhash_index(
+        train.filter("doc_id % 2 = 0"), inc, n_perm=4, bands=2, n_kmod=16
+    )
+    odd = train.filter("doc_id % 2 = 1").select("doc_id", "text")
+    # three micro-batch files, one doc_id overlap across batches so the
+    # retry guard sees a genuine replayed id, not just Spark replays
+    odd.filter("doc_id % 4 = 1").write.mode("append").parquet(src)
+    odd.filter("doc_id % 4 = 3 OR doc_id = 1").write.mode("append").parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index_add(stream, inc, ckpt, index="minhash")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_minhash_index(train, full, n_perm=4, bands=2, n_kmod=16)
+    decon = lambda p: sorted(
+        map(
+            tuple,
+            minhash_index_decontaminate(
+                spark, p, ev, threshold=0.25
+            ).collect(),
+        )
+    )
+    dup = lambda p: sorted(
+        map(
+            tuple,
+            minhash_index_duplicates(spark, p, threshold=0.25).collect(),
+        )
+    )
+    assert decon(inc) == decon(full)
+    assert dup(inc) == dup(full)
+    # exactly bands rows per doc despite the overlapping micro-batch
+    n_docs = train.count()
+    assert spark.read.parquet(inc + "/mbands").count() == 2 * n_docs
+    st = index_stats(spark, inc)
+    assert "mbands" in st and st["mbands"]["files"] > 0
+    want_decon, want_dup = decon(inc), dup(inc)
+    f_before = len(glob.glob(inc + "/mbands/**/*.parquet", recursive=True))
+    rep = index_compact(spark, inc)
+    f_after = len(glob.glob(inc + "/mbands/**/*.parquet", recursive=True))
+    assert rep["mbands"]["files_after"] == f_after < f_before
+    assert decon(inc) == want_decon and dup(inc) == want_dup

@@ -354,6 +354,56 @@ def main() -> None:
 
 
 
+def clustered_corpus(spark, n_docs: int, cluster_size: int = 5,
+                     mutate_mod: int = 20, words_per_doc: int = 60):
+    """Clustered NON-replicated synthetic corpus: documents come in
+    clusters of ``cluster_size`` sharing a base word sequence, but
+    each doc mutates ~1/``mutate_mod`` of its positions to a
+    doc-specific word — near-duplicates with realistic within-cluster
+    shingle Jaccard (≈0.55-0.65 at mutate_mod=20 over 3-shingles),
+    never byte-identical, plus every 7th cluster is a singleton (no
+    dup partner).  This is the fixture the replicated `corpus_stress`
+    generator can't provide: banded dedup on 10-way *identical*
+    replicas collapses to the exact-hash case and flatters the
+    exponent.  Deterministic — xxhash64-derived, no RNG state."""
+    words = F.array(*[F.lit(w) for w in (
+        "spark hash join scan filter table row batch window sort group "
+        "key value vector stream query data column merge fast slow "
+        "plan stage shuffle codegen arrow parquet bucket skew salt"
+    ).split()])
+    n_words = 29
+    cluster = F.col("id") - F.pmod(F.col("id"), F.lit(cluster_size))
+    # singleton clusters: every 7th cluster keys words by doc id, so
+    # its docs share nothing with neighbours
+    base_key = F.when(
+        F.pmod((cluster / cluster_size).cast("long"), F.lit(7)) == 0,
+        F.col("id") + 10_000_019,
+    ).otherwise(cluster)
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda i: F.element_at(
+                    words,
+                    (
+                        F.pmod(
+                            F.when(
+                                F.pmod(F.xxhash64(F.col("id"), i), mutate_mod)
+                                == 0,
+                                F.xxhash64(F.col("id"), i, F.lit(1)),
+                            ).otherwise(F.xxhash64(base_key, i)),
+                            F.lit(n_words),
+                        )
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def corpus_stress(n_docs: int = 2_000_000) -> None:
     """Scale-shape check for the corpus-pipeline operators on a
     synthetic document table ~40x the sf0.1 fixture (deterministic —
