@@ -217,11 +217,26 @@ def main() -> None:
     # accumulated broadcast cleanup) inflated the in-suite common-18
     # +23% with zero real regressions (VERDICT r8).  The isolated run
     # is directly comparable to the solo numbers in SCALE.md.
-    spark = get_spark("bench_common18")
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    c18_timings = run_set(spark, qs, COMMON18, sf_dir)
-    spark.stop()
-    common18 = round(sum(c18_timings.values()), 3)
+    #
+    # r14: MEDIAN-OF-3 isolated passes (each its own fresh session),
+    # with the min/max spread carried alongside — the r13 driver read
+    # +11% on a single pass while same-code host runs spread ±27%, so
+    # a single isolated pass cannot distinguish host drift from
+    # regression.  The median is the headline; the spread prices the
+    # host; PLAN_FINGERPRINTS.json (tools/plan_fingerprint.py --check)
+    # proves whether any plan actually changed.
+    c18_passes: list[dict[str, float]] = []
+    for _ in range(3):
+        spark = get_spark("bench_common18")
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        c18_passes.append(run_set(spark, qs, COMMON18, sf_dir))
+        spark.stop()
+    c18_totals = sorted(round(sum(p.values()), 3) for p in c18_passes)
+    common18 = c18_totals[1]
+    # per-query map from the median-total pass
+    c18_timings = next(
+        p for p in c18_passes if round(sum(p.values()), 3) == common18
+    )
 
     # Phase 2 — the full headline suite in its own session.
     spark = get_spark("bench")
@@ -233,8 +248,9 @@ def main() -> None:
         sum(timings[n] for n in COMMON18 if n in timings), 3
     )
     # key semantics (fixed names for cross-round comparability):
-    #   value (metric=common18_total_wall) = ISOLATED fresh-session
-    #                        sum of the FIXED 18-query basket (phase 1)
+    #   value (metric=common18_total_wall) = MEDIAN of 3 isolated
+    #                        fresh-session sums of the FIXED 18-query
+    #                        basket (phase 1; spread in common18_spread)
     #                        — the round-over-round comparable and the
     #                        number BASELINE/r3-era anchors use.  The
     #                        growing-suite total moved to a secondary
@@ -256,6 +272,8 @@ def main() -> None:
         "queries": timings,
         "suite_total": total,
         "common18_isolated_queries": c18_timings,
+        "common18_runs": c18_totals,
+        "common18_spread": round(c18_totals[-1] - c18_totals[0], 3),
         "common18_in_suite": common18_in_suite,
         "sf": sf,
     }
@@ -281,6 +299,7 @@ def main() -> None:
                 "queries": worst5,
                 "n_queries": len(timings),
                 "suite_total": total,
+                "common18_runs": c18_totals,
                 "common18_in_suite": common18_in_suite,
                 "sf": sf,
                 "full_artifact": "BENCH_LOCAL.json",

@@ -634,13 +634,32 @@ class NetworkFrame:
         pivot driver-side under a size guard if a matrix is required."""
         return self.k_hop_pairs(k, directed=directed, drop_self=False)
 
+    #: k_hop_decomposition issues one filter job per distinct ego node
+    #: — a driver loop by design (the reference's return type is a
+    #: per-node Series of frames).  Past this many egos that is
+    #: thousands of Spark jobs; the distributed form is k_hop_pairs.
+    _DECOMP_LOCAL_MAX_EGOS = 10_000
+
     def k_hop_decomposition(self, k: int, directed: bool = False):
         """Yield ``(node_id, subframe)`` per node — the reference's
         Series of per-node k-hop subframes (networkframe.py:1309-1330).
         Driver loop over collected ego ids; each subframe is a lazy
         induced selection.  Small-graph parity surface — the scalable
-        form is :meth:`k_hop_pairs` grouped by ego node."""
+        form is :meth:`k_hop_pairs` grouped by ego node; guarded at
+        ``_DECOMP_LOCAL_MAX_EGOS`` like every other local twin
+        (``_SCC_LOCAL_MAX_EDGES`` policy)."""
         pairs = self.k_hop_pairs(k, directed=directed, drop_self=False)
+        n_egos = pairs.select("node").distinct().count()
+        if n_egos > self._DECOMP_LOCAL_MAX_EGOS:
+            raise ValueError(
+                f"k_hop_decomposition: {n_egos} ego nodes would issue "
+                f"{n_egos} driver-side Spark jobs (one induced-subframe "
+                "filter per node). This surface exists for reference "
+                "parity on small graphs; for the distributed form use "
+                "k_hop_pairs(k) grouped by 'node' (one shuffle, no "
+                "driver loop), or raise _DECOMP_LOCAL_MAX_EGOS "
+                "deliberately."
+            )
         for row in pairs.select("node").distinct().toLocalIterator():
             ego = row["node"]
             members = pairs.filter(F.col("node") == F.lit(ego)).select(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
+
 from .text import fingerprint_col, normalized_text_col, tokens_col
 
 # MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
@@ -537,7 +539,7 @@ def _embedding_duplicates_exact(
     # of the join (identical float path to dividing inside the pair).
     # The left side is repartitioned so the pair scoring parallelizes
     # even when the input is a single small parquet partition.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
@@ -585,7 +587,7 @@ def _embedding_duplicates_lsh(
     tables = [
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
     ]
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     banded = (
         df.repartition(n_part)
         .select(
@@ -1315,7 +1317,7 @@ def sorted_neighborhood_pairs(
     k = F.col(key) if isinstance(key, str) else key
     spark = df.sparkSession
     d = df.select(F.col(id_col).alias("id"), k.alias("k"))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(spark)
     d = d.repartitionByRange(n_part, "k", "id").withColumn(
         "pid", F.spark_partition_id()
     )
@@ -1697,11 +1699,17 @@ def minhash_index_decontaminate(
                 ]
             ),
         )
-    pred = None
-    for b, kmods in sorted(wanted.items()):
-        clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
-        pred = clause if pred is None else (pred | clause)
-    store = store_all.filter(pred)
+    # a large eval batch can touch every (band, kmod) cell — the OR
+    # predicate would then prune nothing and only cost evaluation time
+    n_cells = int(meta["bands"]) * int(meta["n_kmod"])
+    if sum(len(v) for v in wanted.values()) >= n_cells:
+        store = store_all
+    else:
+        pred = None
+        for b, kmods in sorted(wanted.items()):
+            clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
+            pred = clause if pred is None else (pred | clause)
+        store = store_all.filter(pred)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig"), F.col("e_sig"), lambda a, b: a == b),
@@ -1830,11 +1838,18 @@ def minhash_index_duplicates(
                     ]
                 ),
             )
-        pred = None
-        for b, kmods in sorted(wanted.items()):
-            clause = (F.col("band") == b) & F.col("kmod").isin(sorted(kmods))
-            pred = clause if pred is None else (pred | clause)
-        store = spark.read.parquet(store_path).filter(pred)
+        # full-coverage deltas prune nothing — skip the OR predicate
+        n_cells = int(meta["bands"]) * int(meta["n_kmod"])
+        if sum(len(v) for v in wanted.values()) >= n_cells:
+            store = spark.read.parquet(store_path)
+        else:
+            pred = None
+            for b, kmods in sorted(wanted.items()):
+                clause = (F.col("band") == b) & F.col("kmod").isin(
+                    sorted(kmods)
+                )
+                pred = clause if pred is None else (pred | clause)
+            store = spark.read.parquet(store_path).filter(pred)
         right = store.select(
             F.col("doc_id").alias("id_b"),
             F.col("sig").alias("sig_b"),

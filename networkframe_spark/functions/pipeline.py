@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
+
 from .text import tokens_col
 
 _HASH_MOD = 1_000_000
@@ -317,7 +319,7 @@ def pack_token_sequences(
         _bucket_col(F.col(id_col), seed, method).alias("key"),
         F.size(tokens_col(text_col)).alias("n_tokens"),
     )
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     d = d.repartitionByRange(n_part, "key", "id").withColumn(
         "pid", F.spark_partition_id()
     )
@@ -1689,7 +1691,7 @@ def _budget_stage(
         F.col(score_col).cast("double").alias("score"),
         F.size(tokens_col(text_col)).alias("n_tokens"),
     ).withColumn("skey", -F.col("score"))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     d = d.repartitionByRange(n_part, "skey", "id").withColumn(
         "pid", F.spark_partition_id()
     )

@@ -16,6 +16,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
+
 
 def round_half_up(x, decimals: int = 6):
     """Numpy twin of ``F.round`` / DuckDB ``round`` (HALF_UP — ties away
@@ -79,7 +81,7 @@ def brute_force_top_k(
     # norms are per-row: compute once per side instead of per pair, and
     # spread the corpus so scoring parallelizes even from a single
     # parquet partition
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(corpus.sparkSession)
     # per-side self-products: norm for cosine, squared norm for L2
     # (computed directly — NOT norm^2 — so the expression tree matches
     # the SQL twin's list_dot_product(v, v) term exactly)
@@ -369,7 +371,7 @@ def ivf_top_k(
         centroids = ivf_fit_centroids(
             corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
         )
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(corpus.sparkSession)
     c = ivf_assign(
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -475,7 +477,7 @@ def lsh_top_k(
     # home bucket); combinations-enumerated — ball-sized driver cost
     masks = _hamming_ball_masks(n_planes, n_probe_bits)
 
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(corpus.sparkSession)
 
     def banded(
         df: DataFrame,

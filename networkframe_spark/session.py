@@ -55,3 +55,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count as an int, tolerating
+    platforms where ``spark.sql.shuffle.partitions`` is the literal
+    string ``"auto"`` (AQE auto-coalescing) — falls back to the
+    cluster's default parallelism.  Use this anywhere an operator
+    needs an explicit partition count for ``repartitionByRange`` /
+    salting fan-out instead of int()-ing the conf directly."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

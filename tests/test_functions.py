@@ -282,6 +282,24 @@ def test_k_hop_decomposition(spark):
     assert decomp[3] == [2, 3]
 
 
+def test_k_hop_decomposition_guard(spark, monkeypatch):
+    """The per-ego driver loop is loudly guarded past
+    _DECOMP_LOCAL_MAX_EGOS, pointing at k_hop_pairs (the
+    _SCC_LOCAL_MAX_EDGES policy — no unguarded local path)."""
+    import pytest
+
+    from networkframe_spark import NetworkFrame
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "source long, target long"
+    )
+    nf = NetworkFrame(nodes, edges)
+    monkeypatch.setattr(NetworkFrame, "_DECOMP_LOCAL_MAX_EGOS", 3)
+    with pytest.raises(ValueError, match="k_hop_pairs"):
+        list(nf.k_hop_decomposition(1, directed=False))
+
+
 def test_embedding_duplicates_lsh_matches_exact(spark):
     """The bucketed (scale) path must agree with the exact path on
     planted near-duplicates: deterministic hyperplanes, near-1 cosine
@@ -3692,3 +3710,31 @@ def test_minhash_index_string_ids_empty_eval(spark, tmp_path):
     assert isinstance(dup.schema["id_a"].dataType, StringType)
     # and the non-empty string-id path works end-to-end
     assert minhash_index_duplicates(spark, path, threshold=0.25).count() >= 0
+
+
+def test_shuffle_partitions_auto_fallback():
+    """Platforms with AQE auto shuffle partitions expose the literal
+    string 'auto' — the helper must fall back to defaultParallelism
+    instead of ValueError.  (Vanilla Spark rejects setting 'auto', so
+    the conf surface is stubbed.)"""
+    from networkframe_spark.session import shuffle_partitions
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        sparkContext = _SC()
+
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert shuffle_partitions(_Spark("auto")) == 7
+    assert shuffle_partitions(_Spark(None)) == 7
+    assert shuffle_partitions(_Spark("16")) == 16
