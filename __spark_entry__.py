@@ -1053,6 +1053,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_residual_recall"] = q_ivfpq_residual_recall
 
+    # OPQ path under the driver hash (similarity.opq_rotation /
+    # build_ivfpq_index(rotation=)): the whole index lives in rotated
+    # space — coarse cells, codebook, codes — and ivfpq_search applies
+    # the stored R to queries automatically.  The rotation here is a
+    # LITERAL Givens-structured orthogonal matrix (theta=0.6 pairing
+    # dim i with i+32, so it genuinely mixes across all four PQ
+    # subspaces); production learns R via opq_rotation, but the
+    # learned matrix is driver-side algebra — what the oracle must
+    # pin is the ENGINE path: rotate -> route -> encode -> ADC.
+    # Exhaustive no-residual probe == pq_search over the rotated
+    # corpus, so the SQL twin is pq_search with a rotated e CTE
+    # (float64 literals round-trip exactly; the Givens matmul is
+    # bit-identical to the two-term expression).
+    def q_ivfpq_opq(spark, sf):
+        import math as _math
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.similarity import (
+            build_ivfpq_index,
+            ivfpq_search,
+        )
+
+        emb = read_embeddings(spark, sf)
+        c, s = _math.cos(0.6), _math.sin(0.6)
+        R = [[0.0] * 64 for _ in range(64)]
+        for i in range(64):
+            R[i][i] = c
+        for i in range(32):
+            R[i][i + 32] = s
+            R[i + 32][i] = -s
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_ivfpqopq_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_ivfpq_index(
+            emb, path, n_lists=8, m=4, k_codes=16,
+            codebook_init="first_ids", coarse_init="first_ids",
+            residual=False, rotation=R, mode="overwrite",
+        )
+        qs = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivfpq_search(spark, path, qs, k=5, n_probe=8)
+
+    q["ivfpq_opq"] = q_ivfpq_opq
+
     # oversampled IVF-PQ candidates + EXACT rerank (ann_rerank,
     # Jegou et al. 2011 re-rank-with-source-coding): the production
     # fix for the quantization recall cliff the 500k A/B measured —
@@ -7741,6 +7789,27 @@ FROM scored QUALIFY rank <= 5
         "FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT 16)",
         "FROM (SELECT * FROM e WHERE vec_id % 2 = 0"
         " ORDER BY vec_id ASC LIMIT 16)",
+    )
+
+    # OPQ: exhaustive no-residual probe over the rotated corpus IS
+    # pq_search on x @ R — replay the Givens rotation (theta=0.6,
+    # dim i paired with i+32) as two-term expressions; float64
+    # literals round-trip exactly and the sparse matmul is
+    # bit-identical to this form (zero terms are FP-neutral)
+    import math as _math
+
+    _c, _s = _math.cos(0.6), _math.sin(0.6)
+    o["ivfpq_opq"] = o["pq_search"].replace(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb"
+        " FROM embeddings),",
+        f"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb0
+  FROM embeddings),
+e AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN i <= 32 THEN {_c!r} * emb0[i] - {_s!r} * emb0[i+32]
+                ELSE {_s!r} * emb0[i-32] + {_c!r} * emb0[i] END) AS emb
+  FROM e0),""",
     )
 
     # IVF-PQ recall under genuine pruning: full pipeline replay —
