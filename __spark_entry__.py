@@ -2945,6 +2945,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_corpus"] = q_dedup_corpus
 
+    # the one-call dedup riding the PERSISTED banding end-to-end:
+    # pair finder = the stored-index self-join (signature-agreement
+    # estimate decision), cluster fold + keep identical to
+    # dedup_corpus — the oracle composes minhash_index_dup's pair SQL
+    # with dedup_clusters' recursive reach
+    def q_dedup_corpus_index(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.dedup import (
+            build_minhash_index,
+            dedup_corpus,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_dcidx_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_minhash_index(
+            docs, path, n_perm=4, bands=2, n_kmod=16, mode="overwrite"
+        )
+        return dedup_corpus(
+            docs, method="minhash_index", threshold=0.25, index_path=path
+        ).select("doc_id", "cluster_id")
+
+    q["dedup_corpus_index"] = q_dedup_corpus_index
+
     def q_chi2_independence(spark, sf):
         from networkframe_spark.functions.stats import chi2_independence
 
@@ -7544,6 +7573,45 @@ FROM b, s
 
     o["dedup_corpus"] = f"""
 WITH qc AS ({o["dedup_clusters"]})
+SELECT d.doc_id, qc.cluster_id
+FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+WHERE qc.doc_id = qc.cluster_id
+"""
+
+    # persisted-index one-call dedup: minhash_index_dup's estimate
+    # pairs (threshold 0.25) folded through the same recursive reach +
+    # min-id keep as dedup_corpus
+    o["dedup_corpus_index"] = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, h0, h1, h2, h3,
+         0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, h0, h1, h2, h3,
+         1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id
+    AND round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+             + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT) / 4.0, 6) >= 0.25
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+),
+qc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT d.doc_id, qc.cluster_id
 FROM documents d JOIN qc ON d.doc_id = qc.doc_id
 WHERE qc.doc_id = qc.cluster_id
