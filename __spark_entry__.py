@@ -1401,6 +1401,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_index_dup_delta"] = q_minhash_index_dup_delta
 
+    # retraction lifecycle (similarity.index_remove): build on the
+    # full corpus, remove the %5==1 slice in place (touched-partition
+    # dynamic overwrite), probe with the %20==0 evals — the oracle is
+    # the decon replay with the train side restricted to the
+    # remaining ids (eval ids are %20==0 ⊂ %5==0, so removal never
+    # touches a probe; self-collisions est=1.0 are in BOTH sides)
+    def q_minhash_index_removed(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.dedup import (
+            build_minhash_index,
+            minhash_index_decontaminate,
+        )
+        from networkframe_spark.functions.similarity import index_remove
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_mhrm_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_minhash_index(
+            docs, path, n_perm=4, bands=2, n_kmod=16, mode="overwrite"
+        )
+        index_remove(
+            spark, path, docs.filter("doc_id % 5 = 1").select("doc_id")
+        )
+        return minhash_index_decontaminate(
+            spark, path, docs.filter("doc_id % 20 = 0"), threshold=0.25
+        )
+
+    q["minhash_index_removed"] = q_minhash_index_removed
+
     # sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995
     # merge/purge): order-based blocking over a 12-char text prefix
     # key — the classic ER complement to the hash-bucket near-dup
@@ -4117,6 +4151,35 @@ pairs AS (
   WHERE a.id < b.id
 )
 SELECT id_a, id_b, est_jaccard FROM pairs
+WHERE est_jaccard >= 0.25
+"""
+
+    # post-removal probe: the decon replay with the train side
+    # restricted to the ids left in the store (%5 <> 1); eval side
+    # unchanged (%20 == 0 never removed), self-collisions included
+    o["minhash_index_removed"] = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+sigs AS (SELECT id, {sig_cols} FROM hashed GROUP BY id),
+banded AS (
+  SELECT id, h0, h1, h2, h3,
+         0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sigs
+  UNION ALL
+  SELECT id, h0, h1, h2, h3,
+         1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.id AS train_id, b.id AS eval_id,
+         round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+              + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT) / 4.0, 6)
+           AS est_jaccard
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id % 5 <> 1 AND b.id % 20 = 0
+)
+SELECT train_id, eval_id, est_jaccard FROM pairs
 WHERE est_jaccard >= 0.25
 """
 

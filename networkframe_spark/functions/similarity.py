@@ -3632,3 +3632,123 @@ def index_stats(spark, path: str) -> dict:
             ),
         }
     return report
+
+
+def index_remove(spark, path: str, ids, id_col: str | None = None) -> dict:
+    """Remove documents/vectors from a persisted index IN PLACE — the
+    retraction / right-to-be-forgotten half of the maintenance loop
+    (:func:`index_compact` repairs file counts, :func:`index_stats`
+    observes, this removes content).  Works on every store layout in
+    ``_INDEX_DATA_LAYOUT`` (ivf/ivf_sq ``cells``, ivfpq ``codes``, lsh
+    ``bands``, minhash ``mbands``); manifests (centroids / planes /
+    codebooks / minhash params) are untouched — they are trained
+    artifacts, not per-row state, so post-remove search behaves
+    exactly as pre-remove search with the removed ids absent from
+    every candidate set (contract-tested; for the corpus-independent
+    manifests — LSH planes, MinHash params — remove-then-probe is
+    BIT-IDENTICAL to a rebuild over the remaining corpus).
+
+    ``ids`` is a single-column DataFrame or a Python list.  ``id_col``
+    defaults per store to whichever of ``vec_id`` / ``doc_id`` the
+    store carries.
+
+    Scale shape: one column-pruned scan of the store's id column
+    semi-joined to the removal set finds the TOUCHED partition
+    directories (bounded by the dir count); only those partitions are
+    re-written (Spark dynamic partition overwrite, materialized via
+    localCheckpoint before the write because the plan reads the files
+    it replaces — same rule as ``stream_upsert_parquet``); partitions
+    whose every row is removed are deleted explicitly (dynamic
+    overwrite only touches partitions present in the written data).
+    For mass deletions (a large fraction of the corpus), prefer a
+    rebuild — this op is sized for retraction batches.  Crash window:
+    per-partition parquet overwrite is not atomic; re-running the
+    same removal converges (the anti-join is idempotent).
+
+    Returns ``{store: {"rows_removed": n, "partitions_rewritten": k,
+    "partitions_deleted": m}}``.
+    """
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], ["__rm_id"])
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("__rm_id"))
+    ids = F.broadcast(ids.distinct())
+
+    report: dict = {}
+    for sub, part_cols in _INDEX_DATA_LAYOUT.items():
+        data = _os.path.join(path, sub)
+        fs = HPath(data).getFileSystem(hconf)
+        if not fs.exists(HPath(data)):
+            continue
+        store = spark.read.parquet(data)
+        rid = id_col or (
+            "vec_id" if "vec_id" in store.columns else "doc_id"
+        )
+        hit = store.join(ids, on=store[rid] == F.col("__rm_id"), how="inner")
+        touched = [
+            tuple(r[c] for c in part_cols)
+            for r in hit.select(*part_cols).distinct().collect()
+        ]
+        n_removed = hit.count()
+        if not touched:
+            report[sub] = {
+                "rows_removed": 0,
+                "partitions_rewritten": 0,
+                "partitions_deleted": 0,
+            }
+            continue
+        def _part_pred(parts):
+            p = None
+            for t in parts:
+                clause = None
+                for c, v in zip(part_cols, t):
+                    eq = F.col(c) == F.lit(v)
+                    clause = eq if clause is None else (clause & eq)
+                p = clause if p is None else (p | clause)
+            return p
+
+        kept = (
+            store.filter(_part_pred(touched))
+            .join(ids, on=store[rid] == F.col("__rm_id"), how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        kept_parts = {
+            tuple(r[c] for c in part_cols)
+            for r in kept.select(*part_cols).distinct().collect()
+        }
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if kept_parts:
+                # kept already contains only touched partitions; write
+                # it all back — dynamic mode replaces exactly the
+                # partitions present in the data
+                (
+                    kept.write.mode("overwrite")
+                    .partitionBy(*part_cols)
+                    .parquet(data)
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        emptied = [t for t in touched if t not in kept_parts]
+        for t in emptied:
+            d = _os.path.join(
+                data, *[f"{c}={v}" for c, v in zip(part_cols, t)]
+            )
+            fs.delete(HPath(d), True)
+        report[sub] = {
+            "rows_removed": n_removed,
+            "partitions_rewritten": len(kept_parts),
+            "partitions_deleted": len(emptied),
+        }
+    return report

@@ -3738,3 +3738,104 @@ def test_shuffle_partitions_auto_fallback():
     assert shuffle_partitions(_Spark("auto")) == 7
     assert shuffle_partitions(_Spark(None)) == 7
     assert shuffle_partitions(_Spark("16")) == 16
+
+
+def test_index_remove_contract(spark, tmp_path):
+    """index_remove (retraction lifecycle): for corpus-independent
+    manifests (MinHash params, LSH planes) remove-then-probe is
+    BIT-IDENTICAL to a rebuild over the remaining corpus; re-running
+    the same removal is a no-op; fully-emptied partitions are deleted
+    from disk; ivf_sq post-remove exhaustive search equals the
+    pre-remove search with removed ids dropped from candidates."""
+    import glob
+    import os
+
+    from networkframe_spark.functions.dedup import (
+        build_minhash_index,
+        minhash_index_decontaminate,
+        minhash_index_duplicates,
+    )
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        build_lsh_index,
+        index_remove,
+        ivf_sq_search,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings, read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rm = docs.filter("doc_id % 5 = 1").select("doc_id")
+    full, part = str(tmp_path / "f"), str(tmp_path / "p")
+    build_minhash_index(docs, full, n_perm=4, bands=2, n_kmod=16)
+    rep = index_remove(spark, full, rm)
+    assert rep["mbands"]["rows_removed"] == 2 * rm.count()
+    build_minhash_index(
+        docs.filter("doc_id % 5 != 1"), part, n_perm=4, bands=2, n_kmod=16
+    )
+    ev = docs.filter("doc_id % 20 = 0")
+    probe = lambda p: sorted(
+        map(
+            tuple,
+            minhash_index_decontaminate(
+                spark, p, ev, threshold=0.25
+            ).collect(),
+        )
+    )
+    assert probe(full) == probe(part)
+    dups = lambda p: sorted(
+        map(
+            tuple,
+            minhash_index_duplicates(spark, p, threshold=0.25).collect(),
+        )
+    )
+    assert dups(full) == dups(part)
+    # idempotent
+    assert index_remove(spark, full, rm)["mbands"]["rows_removed"] == 0
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    l1, l2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    build_lsh_index(emb, l1, n_planes=4, n_tables=2)
+    index_remove(spark, l1, emb.filter("vec_id % 3 = 0").select("vec_id"))
+    build_lsh_index(emb.filter("vec_id % 3 != 0"), l2, n_planes=4, n_tables=2)
+    qs = emb.filter("vec_id < 5")
+    srch = lambda p: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in lsh_index_search(spark, p, qs, k=4).collect()
+    )
+    assert srch(l1) == srch(l2)
+
+    # ivf_sq: manifests are corpus-trained, so the contract is
+    # candidate-set subtraction — post-remove exhaustive search ==
+    # pre-remove search minus removed ids, re-ranked
+    s1 = str(tmp_path / "s1")
+    build_ivf_sq_index(emb, s1, n_lists=4, n_iter=1)
+    pre = ivf_sq_search(
+        spark, s1, qs, k=100, n_probe=4, exclude_self=False
+    ).collect()
+    index_remove(spark, s1, emb.filter("vec_id % 3 = 0").select("vec_id"))
+    post = ivf_sq_search(
+        spark, s1, qs, k=100, n_probe=4, exclude_self=False
+    ).collect()
+    assert all(r["vec_id"] % 3 != 0 for r in post)
+    want = {}
+    for r in sorted(
+        (r for r in pre if r["vec_id"] % 3 != 0),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        want.setdefault(r["query_id"], []).append((r["vec_id"], r["d2"]))
+    got = {}
+    for r in sorted(post, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["d2"]))
+    assert got == want
+
+    # emptied-partition deletion: remove every doc of a tiny index
+    tiny = str(tmp_path / "tiny")
+    build_minhash_index(
+        docs.filter("doc_id < 10"), tiny, n_perm=4, bands=2, n_kmod=16
+    )
+    rep = index_remove(
+        spark, tiny, docs.filter("doc_id < 10").select("doc_id")
+    )
+    assert rep["mbands"]["partitions_deleted"] > 0
+    assert not glob.glob(os.path.join(tiny, "mbands", "band=*", "kmod=*"))

@@ -97,11 +97,22 @@ def main() -> None:
         print(f"  {name}@{size_tag}: {best:.2f}s rows={n_out}",
               file=sys.stderr)
 
+    scratch = tempfile.mkdtemp(prefix="nfspark_dedupsweep_")
     for n, tag in ((n_small, "small"), (n_big, "big")):
-        docs = clustered_corpus(spark, n).persist()
-        docs.count()
-        emb = clustered_embeddings(spark, n).persist()
-        emb.count()
+        # materialize fixtures to parquet and read back: generated
+        # (range->transform) relations carry tiny Catalyst size
+        # estimates, which at 2M docs planned a shingle-table join as
+        # BROADCAST and blew spark.driver.maxResultSize — file-based
+        # stats give the planner the truth (and real pipelines read
+        # files anyway)
+        clustered_corpus(spark, n).write.mode("overwrite").parquet(
+            f"{scratch}/docs_{n}"
+        )
+        docs = spark.read.parquet(f"{scratch}/docs_{n}")
+        clustered_embeddings(spark, n).write.mode("overwrite").parquet(
+            f"{scratch}/emb_{n}"
+        )
+        emb = spark.read.parquet(f"{scratch}/emb_{n}")
         measure(
             "exact_dedup", tag, lambda: exact_duplicates(docs)
         )
@@ -130,9 +141,8 @@ def main() -> None:
             lambda: embedding_duplicates(
                 emb, threshold=0.99, mode="lsh", dim=16
             ),
+            reps=1,
         )
-        docs.unpersist()
-        emb.unpersist()
 
     ratio = math.log(n_big / n_small)
     exps = {
@@ -155,6 +165,7 @@ def main() -> None:
             }
         )
     )
+    shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
 
