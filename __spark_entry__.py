@@ -3275,44 +3275,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by 25 rotated-in newer ops, then everything else in
     # registration order.  Every entry keeps its oracle either way.
     _window = [
-        # round-13 rotation (VERDICT r12 task 1: burn the never-
-        # driver-hashed backlog to ZERO).  Layout: a 16-query stable
-        # core (cross-round comparability — the same frame/graph
-        # anchors every window has carried), the two r13 registrations
-        # (newest engine paths = highest mismatch risk), then ALL 32
-        # ops that have never appeared in any round's CORRECTNESS
-        # window (computed across CORRECTNESS_r01-r12; every one is
-        # green in the independent 220/220 replay, this window gives
-        # each its driver hash).  14 + 4 + 32 = 50 = the window size;
-        # after this round every registered op has been driver-hashed
-        # at least once.  (remove_edges / reindex_nodes /
-        # adjacency_dense / condense_sum — hash-green in prior rounds,
-        # r12 included — cede their core slots to the late-r13
-        # registrations.)
+        # round-14 rotation — the STALENESS POLICY now that the
+        # never-hashed backlog is zero (r13): every window = 16-query
+        # stable core (cross-round comparability: the same frame/graph
+        # anchors, restored to the full 16 after four ceded slots in
+        # r13) + this round's NEW registrations (never hashed = age 0,
+        # highest mismatch risk) + the remaining slots filled with the
+        # registered ops whose LAST driver hash is OLDEST (ties broken
+        # alphabetically; computed from CORRECTNESS_r01..r13 — this
+        # window refreshes the r01/r05/r06 cohorts).  Slot math:
+        # 16 core + 5 r14 registrations + 29 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
-        "remove_nodes",
+        "remove_nodes", "remove_edges", "reindex_nodes",
+        "adjacency_dense", "condense_sum",
         "apply_node_features", "groupby_size",
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components",
-        # r13 registrations: persisted int8 IVF search, the
-        # add-then-compact maintenance cycle, token-budget selection,
-        # DSIR importance weights + their Gumbel resampling step, and
-        # the persisted MinHash decontamination index
-        "ivf_sq_search", "ivf_sq_compacted",
-        "select_under_budget", "dsir_weights", "gumbel_topk",
-        "minhash_index_decon",
-        # the 32-op backlog, engine paths first, profiles after
-        "ivfpq_add_search", "snm_recall", "embedding_outliers",
-        "edge_jaccard", "community_quality", "attribute_mixing",
-        "attribute_assortativity", "weighted_sample_k", "mix_domains",
-        "target_encoding", "filter_by_percentile",
-        "group_rare_categories", "top_event_paths", "funnel_steps",
-        "rfm_segments", "trend_slope", "lexical_diversity",
-        "script_profile", "sentence_stats", "char_entropy",
-        "zipf_fit", "corpus_describe", "degree_distribution",
-        "category_stats", "column_profile", "value_percentiles",
-        "numeric_histogram", "robust_outliers", "json_key_profile",
-        "join_skew_report", "time_profile", "ab_test_report",
+        # r14 registrations: persisted-index self-dedup (full + delta
+        # duty cycle), the OPQ rotate->encode->ADC path, the one-call
+        # index-backed dedup_corpus, and the retraction lifecycle
+        "minhash_index_dup", "minhash_index_dup_delta", "ivfpq_opq",
+        "dedup_corpus_index", "minhash_index_removed",
+        # oldest-hashed cohort: last driver hash r01 (5), r05 (4),
+        # r06 (20) — alphabetical within a round
+        "cosine_topk_ivf", "events_sliding_window", "events_window_agg",
+        "multimodal_features", "session_windows",
+        "cosine_topk", "embedding_dedup", "minhash_lsh_dedup", "simhash",
+        "bpe_token_count", "clean_text", "compact_roundtrip",
+        "exact_dedup", "filter_quality", "fingerprint", "frame_equality",
+        "gopher_rules", "graph_save_load", "group_metadata",
+        "hash_sample", "language_id", "leakage_report",
+        "minhash_signatures", "ngram_jaccard_dedup", "quality_score",
+        "repetition_score", "serde_roundtrip", "sort_spectral",
+        "stratified_sample",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
