@@ -3839,3 +3839,16 @@ def test_index_remove_contract(spark, tmp_path):
     )
     assert rep["mbands"]["partitions_deleted"] > 0
     assert not glob.glob(os.path.join(tiny, "mbands", "band=*", "kmod=*"))
+
+    # remove -> re-add duty cycle: the add's band-0 retry guard no
+    # longer sees the removed ids, so they re-enter cleanly and the
+    # store converges back to the pre-remove probe
+    from networkframe_spark.functions.dedup import minhash_index_add
+
+    pre = probe(part)
+    minhash_index_add(spark, full, docs.filter("doc_id % 5 = 1"))
+    full_again = probe(full)
+    build_minhash_index(docs, str(tmp_path / "f2"), n_perm=4, bands=2,
+                        n_kmod=16)
+    assert full_again == probe(str(tmp_path / "f2"))
+    assert pre == probe(part)  # part untouched throughout
