@@ -50,6 +50,14 @@ EXTRA_OPS = [
     "gumbel_topk",
     # persisted MinHash decontamination index (build + probe)
     "minhash_index_decon",
+    # round-14: the index-backed dedup duty cycle (build + self-join),
+    # its delta mode (build + add + pruned delta probe), the OPQ
+    # rotate->encode->ADC path, and the retraction lifecycle
+    # (build + remove + probe)
+    "minhash_index_dup",
+    "minhash_index_dup_delta",
+    "ivfpq_opq",
+    "minhash_index_removed",
 ]
 
 
