@@ -13,7 +13,16 @@ This sweep re-measures on CLUSTERED, NEVER-IDENTICAL synthetic data:
 
 Exponent = log(w_big / w_small) / log(big / small); sublinear < 1.
 
+`embedding_dedup_lsh` is swept at CONSTANT BUCKET DENSITY — `n_planes
+= round(log2(n / 200))` per size (10 at 200k, 13 at 2M), which is how
+the knob is meant to be driven: at fixed planes the same-bucket pair
+count grows ~n²/2^planes (the 8-plane default would take hours at 2M),
+while at constant density the candidate join scales with n.  The
+exponent therefore prices the properly-operated gadget, banding cost
+included.
+
 Usage: python tools/bench_dedup_synth.py [n_small] [n_big]
+         [--embedding-only | --skip-embedding]
 (defaults 200_000 2_000_000; prints one JSON line)
 """
 
@@ -63,8 +72,11 @@ def clustered_embeddings(spark, n_vecs: int, dim: int = 16,
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    emb_only = "--embedding-only" in sys.argv
+    skip_emb = "--skip-embedding" in sys.argv
+    n_small = int(args[0]) if args else 200_000
+    n_big = int(args[1]) if len(args) > 1 else 2_000_000
     import math
     import shutil
     import tempfile
@@ -105,44 +117,51 @@ def main() -> None:
         # BROADCAST and blew spark.driver.maxResultSize — file-based
         # stats give the planner the truth (and real pipelines read
         # files anyway)
-        clustered_corpus(spark, n).write.mode("overwrite").parquet(
-            f"{scratch}/docs_{n}"
-        )
-        docs = spark.read.parquet(f"{scratch}/docs_{n}")
-        clustered_embeddings(spark, n).write.mode("overwrite").parquet(
-            f"{scratch}/emb_{n}"
-        )
-        emb = spark.read.parquet(f"{scratch}/emb_{n}")
-        measure(
-            "exact_dedup", tag, lambda: exact_duplicates(docs)
-        )
-        measure(
-            "minhash_lsh_dedup", tag,
-            lambda: minhash_lsh_duplicates(docs, threshold=0.5),
-        )
-        measure(
-            "snm_dedup", tag,
-            lambda: snm_duplicates(docs, threshold=0.5),
-        )
+        if not emb_only:
+            clustered_corpus(spark, n).write.mode("overwrite").parquet(
+                f"{scratch}/docs_{n}"
+            )
+            docs = spark.read.parquet(f"{scratch}/docs_{n}")
+            measure(
+                "exact_dedup", tag, lambda: exact_duplicates(docs)
+            )
+            measure(
+                "minhash_lsh_dedup", tag,
+                lambda: minhash_lsh_duplicates(docs, threshold=0.5),
+            )
+            measure(
+                "snm_dedup", tag,
+                lambda: snm_duplicates(docs, threshold=0.5),
+            )
 
-        def index_cycle():
-            d = tempfile.mkdtemp(prefix="nfspark_dsweep_")
-            try:
-                build_minhash_index(docs, f"{d}/idx", mode="overwrite")
-                return minhash_index_duplicates(
-                    spark, f"{d}/idx", threshold=0.5
-                ).count()
-            finally:
-                shutil.rmtree(d, ignore_errors=True)
+            def index_cycle():
+                d = tempfile.mkdtemp(prefix="nfspark_dsweep_")
+                try:
+                    build_minhash_index(docs, f"{d}/idx", mode="overwrite")
+                    return minhash_index_duplicates(
+                        spark, f"{d}/idx", threshold=0.5
+                    ).count()
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
 
-        measure("minhash_index_build_selfdup", tag, index_cycle, reps=1)
-        measure(
-            "embedding_dedup_lsh", tag,
-            lambda: embedding_duplicates(
-                emb, threshold=0.99, mode="lsh", dim=16
-            ),
-            reps=1,
-        )
+            measure(
+                "minhash_index_build_selfdup", tag, index_cycle, reps=1
+            )
+        if not skip_emb:
+            clustered_embeddings(spark, n).write.mode("overwrite").parquet(
+                f"{scratch}/emb_{n}"
+            )
+            emb = spark.read.parquet(f"{scratch}/emb_{n}")
+            planes = max(8, round(math.log2(n / 200)))
+            measure(
+                "embedding_dedup_lsh", tag,
+                lambda: embedding_duplicates(
+                    emb, threshold=0.99, mode="lsh", dim=16,
+                    n_planes=planes,
+                ),
+                reps=1,
+            )
+            walls["embedding_dedup_lsh"][tag]["n_planes"] = planes
 
     ratio = math.log(n_big / n_small)
     exps = {
