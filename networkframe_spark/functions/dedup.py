@@ -605,7 +605,7 @@ def _embedding_duplicates_lsh(
         .select(
             F.col(id_col).alias("id"),
             F.col(emb_col).alias("emb"),
-            norm_expr(F.col(emb_col)).alias("norm"),
+            norm_expr(F.col(emb_col), dim).alias("norm"),
             F.explode(
                 F.array(
                     *[
@@ -650,7 +650,9 @@ def _embedding_duplicates_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot_expr(F.col("emb_a"), F.col("emb_b"))
+                # dim resolved above -> codegen unroll (r14: the
+                # interpreted fold was the 2M-corpus verify bottleneck)
+                dot_expr(F.col("emb_a"), F.col("emb_b"), dim)
                 / (F.col("norm_a") * F.col("norm_b")),
                 6,
             ).alias("cosine"),

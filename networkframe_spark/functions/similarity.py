@@ -32,7 +32,18 @@ def round_half_up(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.  When ``dim`` is known the
+    sum UNROLLS into an ``element_at`` chain that whole-stage codegen
+    compiles (higher-order ``aggregate``/``zip_with`` evaluate
+    interpreted — measured the bottleneck of banded-LSH verify at 2M
+    corpus scale, r14); both forms left-associate from 0.0, so they
+    are bit-identical."""
+    if dim:
+        s: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            s = s + F.element_at(a, i) * F.element_at(b, i)
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,7 +51,15 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def norm_expr(a: Column) -> Column:
+def norm_expr(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same known-``dim`` codegen unroll as :func:`dot_expr`
+    (bit-identical fold order)."""
+    if dim:
+        s: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            e = F.element_at(a, i)
+            s = s + e * e
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
@@ -48,8 +67,8 @@ def norm_expr(a: Column) -> Column:
     )
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def brute_force_top_k(
@@ -244,8 +263,14 @@ def signature_col(emb: Column, planes: list[list[int]]) -> Column:
         return F.lit(0).cast("long")
     bits = []
     for j, row in enumerate(planes):
-        signs = F.array(*[F.lit(float(s)) for s in row])
-        d = dot_expr(signs, emb)
+        # plane weights are Python literals — unroll the dot into a
+        # codegen-able chain (bit-identical to the aggregate fold:
+        # same 0.0-seeded left association; banding cost is
+        # n_tables x n_planes of these per row, the hot half of
+        # every LSH build/band pass)
+        d: Column = F.lit(0.0)
+        for i, s in enumerate(row):
+            d = d + F.lit(float(s)) * F.element_at(emb, i + 1)
         bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
