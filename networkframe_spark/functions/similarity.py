@@ -71,6 +71,18 @@ def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
+def l2_lit_expr(v: Column, cen: list[float]) -> Column:
+    """Squared L2 distance to a LITERAL centroid, unrolled into a
+    codegen-able chain — bit-identical to the
+    ``aggregate(zip_with(v, lit_array, (x-y)^2))`` fold it replaces
+    (same 0.0-seeded left association, same per-element arithmetic)."""
+    d: Column = F.lit(0.0)
+    for i, x in enumerate(cen):
+        diff = F.element_at(v, i + 1) - F.lit(float(x))
+        d = d + diff * diff
+    return d
+
+
 def brute_force_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,6 +92,7 @@ def brute_force_top_k(
     query_id_col: str | None = None,
     exclude_self: bool = True,
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: for each query row, the k most similar corpus
     rows.  ``metric="cosine"`` (default) returns ``(query_id, vec_id,
@@ -104,10 +117,13 @@ def brute_force_top_k(
     # per-side self-products: norm for cosine, squared norm for L2
     # (computed directly — NOT norm^2 — so the expression tree matches
     # the SQL twin's list_dot_product(v, v) term exactly)
+    # pass dim for the codegen unroll at corpus scale (r14); default
+    # None keeps the interpreted-fold expression tree (and therefore
+    # the registered queries' plan fingerprints) unchanged
     q_self = (
-        norm_expr(F.col(emb_col))
+        norm_expr(F.col(emb_col), dim)
         if metric == "cosine"
-        else dot_expr(F.col(emb_col), F.col(emb_col))
+        else dot_expr(F.col(emb_col), F.col(emb_col), dim)
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -118,12 +134,12 @@ def brute_force_top_k(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("c_emb"),
         (
-            norm_expr(F.col(emb_col))
+            norm_expr(F.col(emb_col), dim)
             if metric == "cosine"
-            else dot_expr(F.col(emb_col), F.col(emb_col))
+            else dot_expr(F.col(emb_col), F.col(emb_col), dim)
         ).alias("c_self"),
     ).repartition(n_part)
-    dot = dot_expr(F.col("q_emb"), F.col("c_emb"))
+    dot = dot_expr(F.col("q_emb"), F.col("c_emb"), dim)
     if metric == "cosine":
         score_col, score = "cosine", F.round(
             dot / (F.col("q_self") * F.col("c_self")), 6
@@ -357,12 +373,7 @@ def ivf_assign(
         return df.mapInPandas(fn, out_schema)
     dist_structs = []
     for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(F.col(emb_col), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d2 = l2_lit_expr(F.col(emb_col), c)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     best = F.array_min(F.array(*dist_structs))
     return df.withColumn("list_id", best["i"])
@@ -397,11 +408,12 @@ def ivf_top_k(
             corpus, n_lists=n_lists, n_iter=n_iter, id_col=id_col, emb_col=emb_col
         )
     n_part = shuffle_partitions(corpus.sparkSession)
+    dim = len(centroids[0]) if centroids else None
     c = ivf_assign(
         corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(emb_col).alias("c_emb"),
-            norm_expr(F.col(emb_col)).alias("c_norm"),
+            norm_expr(F.col(emb_col), dim).alias("c_norm"),
         ).repartition(n_part),
         centroids,
         emb_col="c_emb",
@@ -409,12 +421,7 @@ def ivf_top_k(
     # query side: explode the n_probe nearest cells
     dist_structs = []
     for i, cen in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in cen])
-        d2 = F.aggregate(
-            F.zip_with(F.col("q_emb"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d2 = l2_lit_expr(F.col("q_emb"), cen)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)
     # two NARROW broadcasts (same rewrite as ivf_index_search): the
@@ -423,7 +430,7 @@ def ivf_top_k(
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        norm_expr(F.col(emb_col)).alias("q_norm"),
+        norm_expr(F.col(emb_col), dim).alias("q_norm"),
     )
     pairs = qbase.select(
         "query_id",
@@ -435,7 +442,7 @@ def ivf_top_k(
         .withColumn(
             "cosine",
             F.round(
-                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                dot_expr(F.col("q_emb"), F.col("c_emb"), dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
@@ -533,12 +540,12 @@ def lsh_top_k(
         ).select(out_id, out_emb, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
     cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb").withColumn(
-        "c_norm", norm_expr(F.col("c_emb"))
+        "c_norm", norm_expr(F.col("c_emb"), dim)
     )
     qb = banded(
         queries, query_id_col, emb_col, "query_id", "q_emb", probe_masks=masks
     ).withColumn(
-        "q_norm", norm_expr(F.col("q_emb"))
+        "q_norm", norm_expr(F.col("q_emb"), dim)
     )
     cand = cb.join(qb, on=["table", "bucket"])
     if exclude_self:
@@ -568,7 +575,10 @@ def lsh_top_k(
             "query_id",
             "vec_id",
             F.round(
-                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                # resolved dim -> codegen unroll (r14): the interpreted
+                # fold was the per-candidate bottleneck at 2M-corpus
+                # banded verify
+                dot_expr(F.col("q_emb"), F.col("c_emb"), dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ).alias("cosine"),
@@ -1095,7 +1105,8 @@ def ivf_index_search(
         .withColumn(
             "cosine",
             F.round(
-                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                # manifest dim -> codegen unroll (r14)
+                dot_expr(F.col("q_emb"), F.col("c_emb"), len(centroids[0]))
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
@@ -3212,7 +3223,10 @@ def _band_rows(df, tables, id_col: str, emb_col: str):
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("c_emb"),
-        norm_expr(F.col(emb_col)).alias("c_norm"),
+        norm_expr(
+            F.col(emb_col),
+            len(tables[0][0]) if tables and tables[0] else None,
+        ).alias("c_norm"),
         F.explode(
             F.array(
                 *[
@@ -3399,11 +3413,12 @@ def lsh_index_search(
     # route a query away from its own stored bucket; the JVM
     # expression cannot).  limit(cap+1) bounds the plan instead of a
     # separate count() job — the _probe_assign pattern.
+    dim = len(tables[0][0]) if tables and tables[0] else None
     qpdf = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
-            norm_expr(F.col(emb_col)).alias("q_norm"),
+            norm_expr(F.col(emb_col), dim).alias("q_norm"),
             *[
                 signature_col(F.col(emb_col), tables[t]).alias(f"sig_{t}")
                 for t in range(n_tables)
@@ -3491,7 +3506,8 @@ def lsh_index_search(
             "query_id",
             "vec_id",
             F.round(
-                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                # stored-plane dim -> codegen unroll (r14)
+                dot_expr(F.col("q_emb"), F.col("c_emb"), dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ).alias("cosine"),
