@@ -281,9 +281,12 @@ def signature_col(emb: Column, planes: list[list[int]]) -> Column:
     for j, row in enumerate(planes):
         # plane weights are Python literals — unroll the dot into a
         # codegen-able chain (bit-identical to the aggregate fold:
-        # same 0.0-seeded left association; banding cost is
-        # n_tables x n_planes of these per row, the hot half of
-        # every LSH build/band pass)
+        # same 0.0-seeded left association).  CALLER CONTRACT: compute
+        # the signature ONCE per (row, table) and apply probe-mask
+        # XORs to the materialized column AFTER a generate boundary —
+        # duplicating this (planes x dim)-node tree per probe mask
+        # inflates codegen enough to OOM a 4g driver (r14, found by
+        # the multi-probe decontaminate test).
         d: Column = F.lit(0.0)
         for i, s in enumerate(row):
             d = d + F.lit(float(s)) * F.element_at(emb, i + 1)
@@ -519,8 +522,13 @@ def lsh_top_k(
         out_emb: str,
         probe_masks: list[int] | None = None,
     ) -> DataFrame:
+        # one signature per (row, table); probe masks XOR the
+        # materialized column behind the generate boundary — per-mask
+        # duplication of the unrolled signature tree OOMs codegen
+        # (signature_col's caller contract) and recomputed the dot
+        # n_masks times even interpreted
         pm = probe_masks or [0]
-        return df.repartition(n_part).select(
+        sigd = df.repartition(n_part).select(
             F.col(idc).alias(out_id),
             F.col(embc).alias(out_emb),
             F.explode(
@@ -528,16 +536,32 @@ def lsh_top_k(
                     *[
                         F.struct(
                             F.lit(t).alias("table"),
-                            signature_col(F.col(embc), tables[t])
-                            .bitwiseXOR(F.lit(m))
-                            .alias("bucket"),
+                            signature_col(F.col(embc), tables[t]).alias(
+                                "sig"
+                            ),
                         )
                         for t in range(n_tables)
-                        for m in pm
                     ]
                 )
-            ).alias("tb"),
-        ).select(out_id, out_emb, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+            ).alias("ts"),
+        ).select(
+            out_id,
+            out_emb,
+            F.col("ts.table").alias("table"),
+            F.col("ts.sig").alias("__sig"),
+        )
+        if tuple(pm) == (0,):
+            return sigd.withColumnRenamed("__sig", "bucket")
+        return (
+            sigd.select(
+                "*",
+                F.explode(
+                    F.array(*[F.lit(int(m)) for m in pm])
+                ).alias("__m"),
+            )
+            .withColumn("bucket", F.col("__sig").bitwiseXOR(F.col("__m")))
+            .drop("__sig", "__m")
+        )
 
     cb = banded(corpus, id_col, emb_col, "vec_id", "c_emb").withColumn(
         "c_norm", norm_expr(F.col("c_emb"), dim)
@@ -898,24 +922,45 @@ def semantic_decontaminate(
         ]
 
         def banded(df: DataFrame, embc: str, masks=(0,)) -> DataFrame:
-            return df.select(
+            # one signature expression per (row, table); probe masks
+            # XOR the materialized column behind the generate boundary
+            # — per-mask duplication of the unrolled signature tree
+            # OOMs codegen (signature_col's caller contract) and
+            # recomputed the dot n_masks times even interpreted
+            sigd = df.select(
                 "*",
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(t).alias("table"),
-                                signature_col(F.col(embc), tables[t])
-                                .bitwiseXOR(F.lit(m))
-                                .alias("bucket"),
+                                signature_col(
+                                    F.col(embc), tables[t]
+                                ).alias("sig"),
                             )
                             for t in range(n_tables)
-                            for m in masks
                         ]
                     )
-                ).alias("tb"),
-            ).select("*", F.col("tb.table").alias("table"),
-                     F.col("tb.bucket").alias("bucket")).drop("tb")
+                ).alias("ts"),
+            ).select(
+                "*",
+                F.col("ts.table").alias("table"),
+                F.col("ts.sig").alias("__sig"),
+            ).drop("ts")
+            if tuple(masks) == (0,):
+                return sigd.withColumnRenamed("__sig", "bucket")
+            return (
+                sigd.select(
+                    "*",
+                    F.explode(
+                        F.array(*[F.lit(int(m)) for m in masks])
+                    ).alias("__m"),
+                )
+                .withColumn(
+                    "bucket", F.col("__sig").bitwiseXOR(F.col("__m"))
+                )
+                .drop("__sig", "__m")
+            )
 
         # score-before-dedup, same reasoning as lsh_top_k: the cosine
         # is identical for every duplicate collision of a pair, so
