@@ -278,18 +278,19 @@ def signature_col(emb: Column, planes: list[list[int]]) -> Column:
     if not planes:
         return F.lit(0).cast("long")
     bits = []
+    # kept as the compact interpreted fold ON PURPOSE (r14): a full
+    # signature bank is tables x planes of these per row, and the
+    # unrolled variant was A/B'd — the (planes x dim)-node-per-bit
+    # trees ran ~5x SLOWER at sf0.1 (the bank exceeds codegen's
+    # comfortable method size and the giant tree loses to the tight
+    # interpreted loop) and OOM'd a 4g driver when multi-probe masks
+    # duplicated them.  The per-PAIR verify dot is where the unroll
+    # pays (dot_expr(dim=...)); signatures are per-ROW and small.
+    # CALLER CONTRACT either way: compute the signature ONCE per
+    # (row, table) and XOR probe masks behind a generate boundary.
     for j, row in enumerate(planes):
-        # plane weights are Python literals — unroll the dot into a
-        # codegen-able chain (bit-identical to the aggregate fold:
-        # same 0.0-seeded left association).  CALLER CONTRACT: compute
-        # the signature ONCE per (row, table) and apply probe-mask
-        # XORs to the materialized column AFTER a generate boundary —
-        # duplicating this (planes x dim)-node tree per probe mask
-        # inflates codegen enough to OOM a 4g driver (r14, found by
-        # the multi-probe decontaminate test).
-        d: Column = F.lit(0.0)
-        for i, s in enumerate(row):
-            d = d + F.lit(float(s)) * F.element_at(emb, i + 1)
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        d = dot_expr(signs, emb)
         bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
