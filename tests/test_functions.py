@@ -3852,3 +3852,47 @@ def test_index_remove_contract(spark, tmp_path):
                         n_kmod=16)
     assert full_again == probe(str(tmp_path / "f2"))
     assert pre == probe(part)  # part untouched throughout
+
+
+def test_dot_norm_unroll_bit_identity(spark):
+    """The known-dim codegen unroll of dot_expr/norm_expr/l2_lit_expr
+    must be BIT-identical to the interpreted fold (same 0.0-seeded
+    left association) — the invariant every hash-green LSH/IVF oracle
+    silently relies on."""
+    import math
+
+    from networkframe_spark.functions.similarity import (
+        dot_expr,
+        l2_lit_expr,
+        norm_expr,
+    )
+
+    rows = [
+        (i, [math.sin(0.37 * i + d) * 10 ** ((d % 5) - 2) for d in range(16)],
+         [math.cos(0.91 * i - d) for d in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    out = df.select(
+        dot_expr(F.col("a"), F.col("b")).alias("fold"),
+        dot_expr(F.col("a"), F.col("b"), 16).alias("unroll"),
+        norm_expr(F.col("a")).alias("nfold"),
+        norm_expr(F.col("a"), 16).alias("nunroll"),
+    ).collect()
+    for r in out:
+        assert r["fold"] == r["unroll"]  # exact, not approx
+        assert r["nfold"] == r["nunroll"]
+    cen = [math.sin(1.7 * d) for d in range(16)]
+    arr = F.array(*[F.lit(float(x)) for x in cen])
+    out2 = df.select(
+        F.aggregate(
+            F.zip_with(F.col("a"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("fold"),
+        l2_lit_expr(F.col("a"), cen).alias("unroll"),
+    ).collect()
+    for r in out2:
+        assert r["fold"] == r["unroll"]
