@@ -32,14 +32,25 @@ def round_half_up(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
 
 
+#: Measured JIT cliff (r14, 50k clustered vectors, banded-LSH verify,
+#: A/B'd at dims 16/32/64): the unrolled chain is 1.7x FASTER than the
+#: interpreted fold at dim=16 but 5x SLOWER at dim>=32 — the generated
+#: eval method crosses HotSpot's huge-method limit and runs in the
+#: BYTECODE interpreter, which loses to Catalyst's compact fold loop.
+#: Above the gate the fold stays; at production dims (256-4096) the
+#: vectorized-Arrow paths (semantic_dedup_arrow, ann_rerank batches)
+#: are the per-pair scoring answer, not expression unrolling.
+_UNROLL_MAX_DIM = 16
+
+
 def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product of two array columns.  When ``dim`` is known the
-    sum UNROLLS into an ``element_at`` chain that whole-stage codegen
-    compiles (higher-order ``aggregate``/``zip_with`` evaluate
-    interpreted — measured the bottleneck of banded-LSH verify at 2M
-    corpus scale, r14); both forms left-associate from 0.0, so they
-    are bit-identical."""
-    if dim:
+    """Dot product of two array columns.  When ``dim`` is known AND
+    at most ``_UNROLL_MAX_DIM``, the sum UNROLLS into an
+    ``element_at`` chain that codegen compiles (higher-order
+    ``aggregate``/``zip_with`` evaluate interpreted); both forms
+    left-associate from 0.0, so they are bit-identical.  Larger dims
+    keep the fold — see ``_UNROLL_MAX_DIM`` for the measured cliff."""
+    if dim and dim <= _UNROLL_MAX_DIM:
         s: Column = F.lit(0.0)
         for i in range(1, dim + 1):
             s = s + F.element_at(a, i) * F.element_at(b, i)
@@ -52,9 +63,9 @@ def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def norm_expr(a: Column, dim: int | None = None) -> Column:
-    """L2 norm; same known-``dim`` codegen unroll as :func:`dot_expr`
-    (bit-identical fold order)."""
-    if dim:
+    """L2 norm; same known-``dim`` gated codegen unroll as
+    :func:`dot_expr` (bit-identical fold order)."""
+    if dim and dim <= _UNROLL_MAX_DIM:
         s: Column = F.lit(0.0)
         for i in range(1, dim + 1):
             e = F.element_at(a, i)
@@ -72,15 +83,23 @@ def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def l2_lit_expr(v: Column, cen: list[float]) -> Column:
-    """Squared L2 distance to a LITERAL centroid, unrolled into a
-    codegen-able chain — bit-identical to the
-    ``aggregate(zip_with(v, lit_array, (x-y)^2))`` fold it replaces
-    (same 0.0-seeded left association, same per-element arithmetic)."""
-    d: Column = F.lit(0.0)
-    for i, x in enumerate(cen):
-        diff = F.element_at(v, i + 1) - F.lit(float(x))
-        d = d + diff * diff
-    return d
+    """Squared L2 distance to a LITERAL centroid — unrolled into a
+    codegen-able chain when the dim is at most ``_UNROLL_MAX_DIM``,
+    the interpreted fold otherwise (same JIT cliff as
+    :func:`dot_expr`); both forms are bit-identical (same 0.0-seeded
+    left association, same per-element arithmetic)."""
+    if len(cen) <= _UNROLL_MAX_DIM:
+        d: Column = F.lit(0.0)
+        for i, x in enumerate(cen):
+            diff = F.element_at(v, i + 1) - F.lit(float(x))
+            d = d + diff * diff
+        return d
+    carr = F.array(*[F.lit(float(x)) for x in cen])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v2: acc + v2,
+    )
 
 
 def brute_force_top_k(
