@@ -622,7 +622,9 @@ def _dense_rank_distributed(
     """
     from pyspark.sql import Window
 
-    n_part = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
+    from .session import shuffle_partitions
+
+    n_part = max(2, shuffle_partitions(df.sparkSession))
     part = df.repartitionByRange(n_part, *order).withColumn(
         "_pid", F.spark_partition_id()
     )

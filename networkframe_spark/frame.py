@@ -647,26 +647,44 @@ class NetworkFrame:
         induced selection.  Small-graph parity surface — the scalable
         form is :meth:`k_hop_pairs` grouped by ego node; guarded at
         ``_DECOMP_LOCAL_MAX_EGOS`` like every other local twin
-        (``_SCC_LOCAL_MAX_EDGES`` policy)."""
+        (``_SCC_LOCAL_MAX_EDGES`` policy).
+
+        The ego-count guard runs EAGERLY at call time (not at first
+        iteration): this wrapper collects the distinct ego list once
+        (bounded by the guard), raises immediately when over, and
+        returns an inner generator that reuses the collected list —
+        no second distinct job, no deferred ValueError."""
         pairs = self.k_hop_pairs(k, directed=directed, drop_self=False)
-        n_egos = pairs.select("node").distinct().count()
-        if n_egos > self._DECOMP_LOCAL_MAX_EGOS:
+        egos = [
+            r["node"]
+            for r in pairs.select("node")
+            .distinct()
+            .limit(self._DECOMP_LOCAL_MAX_EGOS + 1)
+            .collect()
+        ]
+        if len(egos) > self._DECOMP_LOCAL_MAX_EGOS:
             raise ValueError(
-                f"k_hop_decomposition: {n_egos} ego nodes would issue "
-                f"{n_egos} driver-side Spark jobs (one induced-subframe "
-                "filter per node). This surface exists for reference "
-                "parity on small graphs; for the distributed form use "
-                "k_hop_pairs(k) grouped by 'node' (one shuffle, no "
-                "driver loop), or raise _DECOMP_LOCAL_MAX_EGOS "
-                "deliberately."
+                f"k_hop_decomposition: >{self._DECOMP_LOCAL_MAX_EGOS} ego "
+                "nodes would issue one driver-side Spark job per node "
+                "(one induced-subframe filter each). This surface exists "
+                "for reference parity on small graphs; for the "
+                "distributed form use k_hop_pairs(k) grouped by 'node' "
+                "(one shuffle, no driver loop), or raise "
+                "_DECOMP_LOCAL_MAX_EGOS deliberately."
             )
-        for row in pairs.select("node").distinct().toLocalIterator():
-            ego = row["node"]
-            members = pairs.filter(F.col("node") == F.lit(ego)).select(
-                F.col("neighbor").alias("id")
-            )
-            nodes = self._nodes.join(members, on="id", how="left_semi")
-            yield ego, self._return(nodes=nodes, edges=closure_edges(self._edges, nodes))
+        egos.sort()
+
+        def _gen():
+            for ego in egos:
+                members = pairs.filter(F.col("node") == F.lit(ego)).select(
+                    F.col("neighbor").alias("id")
+                )
+                nodes = self._nodes.join(members, on="id", how="left_semi")
+                yield ego, self._return(
+                    nodes=nodes, edges=closure_edges(self._edges, nodes)
+                )
+
+        return _gen()
 
     def k_hop_aggregation(
         self,

@@ -38,11 +38,11 @@ def bm25_top_docs(
     the exploded stream before any shuffle, so cost is ~one scan +
     |matching postings|), per-(doc,term) hash-agg for tf, a tiny
     per-term document-frequency aggregate that AQE broadcasts back, one
-    per-doc sum, one global top-k window.  The global window sorts only
-    docs that matched ≥1 query term — for selective queries that's the
-    posting-list size, not the corpus; for 100 TB corpora swap the final
-    window for a per-partition ``limit k`` + driver merge if the match
-    set itself is huge.
+    per-doc sum, then a distributed top-k: ``orderBy(...).limit(k)``
+    (Spark's TakeOrdered — per-partition heaps, never a global
+    single-partition sort) followed by a rank window over only the k
+    surviving rows.  A query containing a corpus-common term therefore
+    never funnels the whole match set through one task.
 
     Determinism: per-term scores are rounded to 6 dp, summed through
     DECIMAL(38,12) (exact, order-independent), and the total rounded to
@@ -95,10 +95,10 @@ def bm25_top_docs(
     scored = per_term.groupBy("id").agg(
         F.round(F.sum("ts").cast("double"), 6).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))  # k rows only
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("id").alias(id_col), "score", "rank")
     )
 

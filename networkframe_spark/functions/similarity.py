@@ -82,6 +82,26 @@ def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
+def _validate_dim(df: DataFrame, emb_col: str, dim: int | None, fn: str) -> None:
+    """Guard the public ``dim`` contract: ``dim`` feeds the known-dim
+    codegen unroll (:func:`dot_expr` / :func:`norm_expr`), where an
+    UNDERSTATED value silently scores a prefix of every vector and an
+    overstated one yields nulls (non-ANSI) or errors (ANSI mode) —
+    wrong either way, silently.  Called once per public entry point
+    whenever the caller supplies ``dim`` explicitly: one sampled row,
+    a tiny job next to the search itself."""
+    if dim is None:
+        return
+    first = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"{fn}: dim={dim} does not match the {emb_col!r} array "
+            f"length {first['d']} sampled from the data — the known-dim "
+            "unroll would silently score a prefix (or produce nulls). "
+            "Pass the true dimension or omit dim to let it be inferred."
+        )
+
+
 def l2_lit_expr(v: Column, cen: list[float]) -> Column:
     """Squared L2 distance to a LITERAL centroid — unrolled into a
     codegen-able chain when the dim is at most ``_UNROLL_MAX_DIM``,
@@ -128,6 +148,7 @@ def brute_force_top_k(
     """
     if metric not in ("cosine", "l2"):
         raise ValueError("brute_force_top_k: metric must be 'cosine' or 'l2'")
+    _validate_dim(corpus, emb_col, dim, "brute_force_top_k")
     query_id_col = query_id_col or id_col
     # norms are per-row: compute once per side instead of per pair, and
     # spread the corpus so scoring parallelizes even from a single
@@ -523,6 +544,8 @@ def lsh_top_k(
     if dim is None:
         first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+    else:
+        _validate_dim(corpus, emb_col, dim, "lsh_top_k")
     if not 0 <= n_probe_bits <= n_planes:
         raise ValueError("lsh_top_k: 0 <= n_probe_bits <= n_planes")
     tables = [
@@ -3348,6 +3371,8 @@ def build_lsh_index(
     if dim is None:
         first = corpus.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+    else:
+        _validate_dim(corpus, emb_col, dim, "build_lsh_index")
     tables = [
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t)
         for t in range(n_tables)
@@ -3659,6 +3684,17 @@ def index_compact(
         before = _count_files(data)
         df = spark.read.parquet(data)
         n = df.count()
+        if n == 0:
+            # Fully-retracted store (zero-row marker left by
+            # index_remove): a partitioned overwrite of an empty frame
+            # writes NO files and the swap would make the store
+            # unreadable — leave it as-is.
+            report[sub] = {
+                "files_before": before,
+                "files_after": before,
+                "rows": 0,
+            }
+            continue
         n_tasks = max(1, _math.ceil(n / target_records_per_file))
         sort_cols = list(part_cols) + [
             c for c in ("vec_id", "doc_id") if c in df.columns
@@ -3852,6 +3888,35 @@ def index_remove(spark, path: str, ids, id_col: str | None = None) -> dict:
                 data, *[f"{c}={v}" for c, v in zip(part_cols, t)]
             )
             fs.delete(HPath(d), True)
+        if emptied and not kept_parts:
+            # Full-retraction guard (ADVICE r14): if every row of the
+            # store was removed, the partition-dir deletions above can
+            # leave a store with ZERO data files — and every reader
+            # (minhash_index_add(dedupe=True), minhash_index_duplicates,
+            # index searches, the streaming duty cycle) would then die
+            # with 'Unable to infer schema for Parquet'.  Leave a
+            # readable zero-row marker file INSIDE one partition
+            # directory (a root-level file would conflict with partition
+            # discovery on the next add), so the store reads back as
+            # schema-stable and empty.
+            it, n_left = fs.listFiles(HPath(data), True), 0
+            while it.hasNext():
+                if it.next().getPath().getName().endswith(".parquet"):
+                    n_left += 1
+                    break
+            if n_left == 0:
+                from pyspark.sql.types import StructType
+
+                t0 = emptied[0]
+                d0 = _os.path.join(
+                    data, *[f"{c}={v}" for c, v in zip(part_cols, t0)]
+                )
+                data_schema = StructType(
+                    [f for f in store.schema.fields if f.name not in part_cols]
+                )
+                spark.createDataFrame([], data_schema).write.mode(
+                    "overwrite"
+                ).parquet(d0)
         report[sub] = {
             "rows_removed": n_removed,
             "partitions_rewritten": len(kept_parts),

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
+
 
 def _pct_alias(p: float) -> str:
     # 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9
@@ -610,9 +612,7 @@ def ks_test_2samp(
         )
     )
     spark = df.sparkSession
-    n_part = max(
-        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    n_part = max(2, shuffle_partitions(spark))
     part = counts.repartitionByRange(n_part, v.asc()).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -855,9 +855,7 @@ def mann_whitney_u(
         )
     )
     spark = df.sparkSession
-    n_part = max(
-        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    n_part = max(2, shuffle_partitions(spark))
     part = counts.repartitionByRange(n_part, v.asc()).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -296,8 +296,11 @@ def test_k_hop_decomposition_guard(spark, monkeypatch):
     )
     nf = NetworkFrame(nodes, edges)
     monkeypatch.setattr(NetworkFrame, "_DECOMP_LOCAL_MAX_EGOS", 3)
+    # Eager contract: the ValueError fires at CALL time, before any
+    # iteration — a caller that obtains-but-defers the generator still
+    # hits the guard immediately.
     with pytest.raises(ValueError, match="k_hop_pairs"):
-        list(nf.k_hop_decomposition(1, directed=False))
+        nf.k_hop_decomposition(1, directed=False)
 
 
 def test_embedding_duplicates_lsh_matches_exact(spark):
@@ -3829,7 +3832,10 @@ def test_index_remove_contract(spark, tmp_path):
         got.setdefault(r["query_id"], []).append((r["vec_id"], r["d2"]))
     assert got == want
 
-    # emptied-partition deletion: remove every doc of a tiny index
+    # emptied-partition deletion: remove every doc of a tiny index.
+    # Full retraction must leave a READABLE zero-row store (one marker
+    # partition dir, ADVICE r14) — every reader keeps working instead
+    # of dying on 'Unable to infer schema'.
     tiny = str(tmp_path / "tiny")
     build_minhash_index(
         docs.filter("doc_id < 10"), tiny, n_perm=4, bands=2, n_kmod=16
@@ -3838,7 +3844,31 @@ def test_index_remove_contract(spark, tmp_path):
         spark, tiny, docs.filter("doc_id < 10").select("doc_id")
     )
     assert rep["mbands"]["partitions_deleted"] > 0
-    assert not glob.glob(os.path.join(tiny, "mbands", "band=*", "kmod=*"))
+    # exactly one marker partition dir survives, and it holds 0 rows
+    left = glob.glob(os.path.join(tiny, "mbands", "band=*", "kmod=*"))
+    assert len(left) == 1
+    assert spark.read.parquet(os.path.join(tiny, "mbands")).count() == 0
+    # readers on the fully-retracted store: empty results, no crash
+    assert minhash_index_duplicates(spark, tiny, threshold=0.25).count() == 0
+    assert (
+        minhash_index_decontaminate(spark, tiny, ev, threshold=0.25).count()
+        == 0
+    )
+    from networkframe_spark.functions.similarity import index_compact
+
+    # compact on the empty store is a no-op, never an unreadable swap
+    index_compact(spark, tiny)
+    assert spark.read.parquet(os.path.join(tiny, "mbands")).count() == 0
+    # the streaming/add duty cycle resumes: add docs back (dedupe=True
+    # reads the store), and the store converges to a fresh rebuild
+    from networkframe_spark.functions.dedup import minhash_index_add as _mia
+
+    _mia(spark, tiny, docs.filter("doc_id < 10"), dedupe=True)
+    tiny2 = str(tmp_path / "tiny2")
+    build_minhash_index(
+        docs.filter("doc_id < 10"), tiny2, n_perm=4, bands=2, n_kmod=16
+    )
+    assert dups(tiny) == dups(tiny2)
 
     # remove -> re-add duty cycle: the add's band-0 retry guard no
     # longer sees the removed ids, so they re-enter cleanly and the
@@ -3852,6 +3882,43 @@ def test_index_remove_contract(spark, tmp_path):
                         n_kmod=16)
     assert full_again == probe(str(tmp_path / "f2"))
     assert pre == probe(part)  # part untouched throughout
+
+
+def test_public_dim_kwarg_validated(spark):
+    """The public ``dim`` kwarg feeds the known-dim codegen unroll,
+    where a wrong value silently scores a PREFIX (understated) or
+    nulls (overstated).  Public entry points must validate a supplied
+    dim against a sampled row and raise, never silently mis-score."""
+    import pytest
+
+    from networkframe_spark.functions.similarity import (
+        brute_force_top_k,
+        build_lsh_index,
+        lsh_top_k,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    true_dim = len(emb.first()["embedding"])
+    wrong = 4 if true_dim != 4 else 8
+    with pytest.raises(ValueError, match="does not match"):
+        brute_force_top_k(emb, emb.limit(2), k=3, dim=wrong)
+    with pytest.raises(ValueError, match="does not match"):
+        lsh_top_k(emb, emb.limit(2), k=3, dim=wrong)
+    with pytest.raises(ValueError, match="does not match"):
+        build_lsh_index(emb, "/tmp/__never_written__", dim=wrong)
+    # the TRUE dim passes and matches the inferred-dim result
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_force_top_k(
+            emb, emb.limit(2), k=3, dim=true_dim
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_force_top_k(emb, emb.limit(2), k=3).collect()
+    )
+    assert got == want
 
 
 def test_dot_norm_unroll_bit_identity(spark):

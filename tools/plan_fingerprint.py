@@ -42,8 +42,12 @@ _STRIP = [
     (re.compile(r"MapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[]"),
     (re.compile(r"SQLExecutionRDD\[\d+\]"), "SQLExecutionRDD[]"),
     (re.compile(r"rdd_\d+_\d+"), "rdd"),
-    # any absolute path (parquet locations, temp dirs, checkpoints)
-    (re.compile(r"(file:)?/[^\s,\]\)]+"), "<path>"),
+    # absolute paths (parquet locations, temp dirs, checkpoints) —
+    # anchored to require a `file:` scheme or >=2 path segments so a
+    # stray plan token that merely starts with '/' (e.g. a literal)
+    # can't be over-normalized into a false "unchanged" verdict
+    (re.compile(r"file:/[^\s,\]\)]*"), "<path>"),
+    (re.compile(r"/[^\s,\]\)/]+(?:/[^\s,\]\)/]+)+/?"), "<path>"),
     # sizes / row counts / statistics
     (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
     (re.compile(r"sizeInBytes=[0-9.]+ *[A-Za-z]*"), "sizeInBytes="),
