@@ -1963,6 +1963,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = q_bm25
 
+    # persisted inverted text index (sixth family): probe ≡ transient
+    # BM25 bit-for-bit — the oracle replays the full-corpus scoring
+    def q_text_index_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            text_index_search,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_tix_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_text_index(docs, path, n_kmod=16, mode="overwrite")
+        return text_index_search(
+            spark, path, ["spark", "hash", "vector"], k=10
+        )
+
+    q["text_index_search"] = q_text_index_search
+
+    # incremental duty cycle: index the even half, text_index_add the
+    # odd half (stored params + exact-integer meta deltas) — probe ≡
+    # the same full-corpus BM25 the oracle replays
+    def q_text_index_added(spark, sf):
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            text_index_add,
+            text_index_search,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_tixadd_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        _shutil.rmtree(path, ignore_errors=True)
+        build_text_index(docs.filter("doc_id % 2 = 0"), path, n_kmod=16)
+        text_index_add(spark, path, docs.filter("doc_id % 2 = 1"))
+        return text_index_search(
+            spark, path, ["spark", "hash", "vector"], k=10
+        )
+
+    q["text_index_added"] = q_text_index_added
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -5013,6 +5066,12 @@ ranked AS (
 )
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
 """
+
+    # persisted text index: the probe (and the build+add duty cycle)
+    # is contract-identical to transient BM25, so both replay the
+    # exact full-corpus scoring SQL
+    o["text_index_search"] = o["bm25_search"]
+    o["text_index_added"] = o["bm25_search"]
 
     o["value_percentiles"] = """
 SELECT event_type,

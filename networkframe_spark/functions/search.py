@@ -103,6 +103,316 @@ def bm25_top_docs(
     )
 
 
+def _text_postings(
+    df: DataFrame, id_col: str, text_col: str, n_kmod: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared build/add tokenization → (postings, doclens).
+
+    Postings carry ``(term, doc_id, tf, dl, kmod)`` — document length
+    is DENORMALIZED into every posting row so a probe never joins a
+    lengths table (the classic impact-ordered-postings trade: one
+    extra int per posting buys a join-free score).  ``kmod =
+    pmod(xxhash64(term), n_kmod)`` folds the unbounded term space
+    into a bounded partition-directory space, the same convention as
+    the MinHash store's band keys — build, add, and probe all use
+    this ONE expression, so they can never drift."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    doclens = toks.select("doc_id", F.size("t").alias("dl"))
+    postings = (
+        toks.select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("kmod"),
+        )
+    )
+    return postings, doclens
+
+
+def _text_meta(spark, path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    return _json.loads(
+        spark.read.json(_os.path.join(path, "meta")).collect()[0]["meta"]
+    )
+
+
+def _write_text_meta(spark, path: str, meta: dict, mode: str) -> None:
+    import json as _json
+    import os as _os
+
+    (
+        spark.createDataFrame([(_json.dumps(meta),)], "meta string")
+        .coalesce(1)
+        .write.mode(mode)
+        .json(_os.path.join(path, "meta"))
+    )
+
+
+def build_text_index(
+    corpus: DataFrame,
+    path: str,
+    n_kmod: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "error",
+) -> dict:
+    """Build and persist an INVERTED TEXT INDEX — the sixth persisted
+    index family (IVF / IVF-SQ / IVF-PQ / LSH / MinHash are the other
+    five), giving lexical search the same transient-vs-persisted
+    treatment: :func:`bm25_top_docs` re-explodes, re-counts df, and
+    re-scores the whole corpus on EVERY call — at 100 TB that is a
+    full-corpus scan per query batch — while this index tokenizes
+    once offline and every online probe is a partition-pruned scan of
+    only the ``kmod`` directories the query's terms hash into.
+
+    Layout under ``path``:
+
+    - ``postings/`` — ``(term, doc_id, tf, dl)`` PARTITIONED BY
+      ``kmod`` (``pmod(xxhash64(term), n_kmod)``), sorted by
+      ``(term, doc_id)`` within files so parquet row-group min/max
+      stats prune the term filter inside each directory;
+    - ``doclens/`` — ``(doc_id, dl)`` PARTITIONED BY ``dmod``
+      (same hash fold over doc ids): the membership table the add
+      dedupe guard probes and :func:`text_index_refresh_stats`
+      recomputes corpus stats from;
+    - ``meta/`` — json ``{n_kmod, n_docs, sdl}``; ``n_docs`` and
+      ``sdl`` (exact integer total token count) make ``avgdl`` and
+      the idf's N available without touching data — adds update them
+      with exact integer deltas, so an incrementally-grown index
+      scores BIT-IDENTICALLY to a fresh rebuild (contract-tested).
+
+    Document frequency is deliberately NOT stored: a probe reads
+    every posting of its query terms anyway, so ``df`` is one
+    hash-agg over the pruned read — and it therefore self-heals
+    under :func:`~networkframe_spark.functions.similarity.
+    index_remove` with no stored-stat invalidation.  The lifecycle
+    tools know this layout (``_INDEX_DATA_LAYOUT``): ``index_stats``
+    / ``index_compact`` / ``index_remove`` / ``index_maintain`` all
+    work; after a remove, run :func:`text_index_refresh_stats` to
+    re-derive ``(n_docs, sdl)`` from ``doclens`` (remove + refresh ≡
+    rebuild, contract-tested).
+
+    Returns the meta dict.
+    """
+    import os as _os
+
+    postings, doclens = _text_postings(corpus, id_col, text_col, n_kmod)
+    (
+        postings.repartition(F.col("kmod"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode(mode)
+        .partitionBy("kmod")
+        .parquet(_os.path.join(path, "postings"))
+    )
+    (
+        doclens.withColumn(
+            "dmod", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_kmod))
+        )
+        .repartition(F.col("dmod"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("dmod")
+        .parquet(_os.path.join(path, "doclens"))
+    )
+    tot = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()[0]
+    meta = {
+        "n_kmod": n_kmod,
+        "n_docs": int(tot["n"]),
+        "sdl": int(tot["sdl"] or 0),
+    }
+    _write_text_meta(corpus.sparkSession, path, meta, mode)
+    return meta
+
+
+def text_index_add(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedupe: bool = True,
+) -> int:
+    """Incremental text-index maintenance: tokenize ``new_docs`` with
+    the STORED parameters and append postings/doclens into the
+    partition directories — nothing existing is read (beyond the
+    dedupe guard's pruned membership probe) or rewritten; corpus
+    stats in ``meta`` are updated with exact integer deltas, so
+    add-then-search ≡ rebuild-then-search bit-identically.
+
+    ``dedupe=True`` (the streaming at-least-once retry guard)
+    anti-joins the batch against ``doclens`` membership, reading only
+    the ``dmod`` directories the batch's ids hash into — a replayed
+    micro-batch appends ZERO rows, the same exactly-once-content
+    argument as every other ``*_index_add``.
+
+    Returns the number of documents actually ingested."""
+    import os as _os
+
+    meta = _text_meta(spark, path)
+    n_kmod = int(meta["n_kmod"])
+    docs = new_docs
+    if dedupe:
+        dmods = [
+            r["d"]
+            for r in new_docs.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_kmod)).alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        if dmods:
+            seen = (
+                spark.read.parquet(_os.path.join(path, "doclens"))
+                .filter(F.col("dmod").isin(dmods))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            docs = new_docs.join(seen, on=id_col, how="left_anti")
+    postings, doclens = _text_postings(docs, id_col, text_col, n_kmod)
+    doclens = doclens.localCheckpoint(eager=True)
+    tot = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()[0]
+    n_new = int(tot["n"])
+    if n_new == 0:
+        return 0
+    (
+        postings.repartition(F.col("kmod"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .partitionBy("kmod")
+        .parquet(_os.path.join(path, "postings"))
+    )
+    (
+        doclens.withColumn(
+            "dmod", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_kmod))
+        )
+        .write.mode("append")
+        .partitionBy("dmod")
+        .parquet(_os.path.join(path, "doclens"))
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + n_new
+    meta["sdl"] = int(meta["sdl"]) + int(tot["sdl"] or 0)
+    _write_text_meta(spark, path, meta, "overwrite")
+    return n_new
+
+
+def text_index_refresh_stats(spark, path: str) -> dict:
+    """Re-derive the corpus stats ``(n_docs, sdl)`` from the
+    ``doclens`` store and rewrite ``meta`` — the companion to
+    :func:`~networkframe_spark.functions.similarity.index_remove`
+    (which deletes postings/doclens rows but cannot know this
+    family's meta contract).  One column-pruned scan of the doc-count
+    -sized doclens table — never the postings.  remove + refresh ≡
+    rebuild over the remaining corpus, bit-identically
+    (contract-tested)."""
+    import os as _os
+
+    meta = _text_meta(spark, path)
+    tot = (
+        spark.read.parquet(_os.path.join(path, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    meta["n_docs"] = int(tot["n"])
+    meta["sdl"] = int(tot["sdl"] or 0)
+    _write_text_meta(spark, path, meta, "overwrite")
+    return meta
+
+
+def text_index_search(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` against a persisted inverted index — the probe
+    half of :func:`build_text_index`.  Scoring (idf formula, 6-dp
+    per-term rounding, exact DECIMAL summation, tie-breaks) is
+    IDENTICAL to :func:`bm25_top_docs`, so index search ≡ transient
+    search bit-for-bit on the same corpus (contract-tested); only the
+    COST differs: the transient path scans and tokenizes the whole
+    corpus per call, this path reads the query terms' ``kmod``
+    partition directories and nothing else.
+
+    Plan shape: the query's terms hash to their ``kmod`` values with
+    the same ``pmod(xxhash64(...))`` expression the build used (a
+    tiny |terms|-row Spark job — bit-equal by construction, no Python
+    re-implementation of the hash), the postings scan carries
+    ``kmod IN (...) AND term IN (...)`` (directory prune + row-group
+    min/max prune over the term-sorted files), ``df`` is one hash-agg
+    over that pruned read broadcast back, and the top-k is
+    distributed TakeOrdered + a bounded k-row rank window — the
+    same never-a-global-window shape as the transient path."""
+    import os as _os
+
+    meta = _text_meta(spark, path)
+    n_kmod = int(meta["n_kmod"])
+    n_docs = int(meta["n_docs"])
+    if n_docs == 0 or not query_terms:
+        return spark.createDataFrame(
+            [], f"{id_col} long, score double, rank int"
+        )
+    avgdl = int(meta["sdl"]) / n_docs
+    terms = sorted({t.lower() for t in query_terms})
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    kmods = sorted(
+        {
+            r["km"]
+            for r in tdf.select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("km")
+            ).collect()
+        }
+    )
+    tf = spark.read.parquet(_os.path.join(path, "postings")).filter(
+        F.col("kmod").isin(kmods) & F.col("term").isin(terms)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    per_term = tf.join(F.broadcast(dfreq), on="term").select(
+        F.col("doc_id").alias("id"),
+        F.round(
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+            6,
+        )
+        .cast("decimal(38,12)")
+        .alias("ts"),
+    )
+    scored = per_term.groupBy("id").agg(
+        F.round(F.sum("ts").cast("double"), 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))  # k rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str = "doc_id",

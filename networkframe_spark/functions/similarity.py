@@ -3622,6 +3622,8 @@ _INDEX_DATA_LAYOUT = {
     "codes": ("list_id",),        # build_ivfpq_index
     "bands": ("table", "bucket"),  # build_lsh_index
     "mbands": ("band", "kmod"),   # dedup.build_minhash_index
+    "postings": ("kmod",),        # search.build_text_index (inverted)
+    "doclens": ("dmod",),         # search.build_text_index (membership)
 }
 
 

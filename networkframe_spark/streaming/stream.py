@@ -722,9 +722,12 @@ def stream_index_add(
     (``index`` = ``"lsh"`` | ``"ivf"`` | ``"ivf_sq"`` | ``"ivfpq"``
     over ``(id, embedding)`` rows —
     :func:`~networkframe_spark.functions.similarity.lsh_index_add`
-    and siblings — or ``"minhash"`` over ``(id, text)`` documents —
-    :func:`~networkframe_spark.functions.dedup.minhash_index_add`,
-    the decontamination/self-dedup store), so the index a batch
+    and siblings — or ``"minhash"`` / ``"text"`` over ``(id, text)``
+    documents —
+    :func:`~networkframe_spark.functions.dedup.minhash_index_add`
+    (the decontamination/self-dedup store) and
+    :func:`~networkframe_spark.functions.search.text_index_add`
+    (the BM25 inverted index)), so the index a batch
     search probes is always current without an offline rebuild.
     ``id_col`` defaults per family: ``vec_id`` for the embedding
     indexes, ``doc_id`` for ``minhash``.  At streaming cadence each
@@ -754,6 +757,7 @@ def stream_index_add(
     Returns the started StreamingQuery (caller stops it).
     """
     from ..functions.dedup import minhash_index_add
+    from ..functions.search import text_index_add
     from ..functions.similarity import (
         ivf_index_add,
         ivf_sq_index_add,
@@ -767,18 +771,19 @@ def stream_index_add(
         "ivf_sq": ivf_sq_index_add,
         "ivfpq": ivfpq_index_add,
         "minhash": minhash_index_add,
+        "text": text_index_add,
     }
     if index not in adders:
         raise ValueError(
-            "stream_index_add: index must be lsh|ivf|ivf_sq|ivfpq|minhash"
+            "stream_index_add: index must be lsh|ivf|ivf_sq|ivfpq|minhash|text"
         )
     add = adders[index]
-    rid = id_col or ("doc_id" if index == "minhash" else "vec_id")
+    rid = id_col or ("doc_id" if index in ("minhash", "text") else "vec_id")
 
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if index == "minhash":
+        if index in ("minhash", "text"):
             add(
                 batch_df.sparkSession,
                 path,

@@ -158,6 +158,168 @@ def test_bm25_rank_ties_break_by_id(spark):
 
 
 # ---------------------------------------------------------------------------
+# persisted inverted text index (sixth index family)
+# ---------------------------------------------------------------------------
+def test_text_index_search_equals_transient(spark, tmp_path):
+    """Index probe ≡ transient bm25_top_docs bit-for-bit on the same
+    corpus (same idf, rounding, DECIMAL sum, tie-breaks) — the
+    persisted family only changes COST, never the answer."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    meta = build_text_index(docs, path, n_kmod=16)
+    assert meta["n_docs"] == docs.count()
+    terms = ["spark", "hash", "vector"]
+    a = sorted(map(tuple, bm25_top_docs(docs, terms, k=10).collect()))
+    b = sorted(
+        map(tuple, text_index_search(spark, path, terms, k=10).collect())
+    )
+    assert a == b and len(b) == 10
+
+
+def test_text_index_add_equals_rebuild(spark, tmp_path):
+    """Incremental add with stored params + exact-integer meta deltas
+    ≡ full rebuild over the union; an at-least-once replay appends
+    zero docs (doclens membership anti-join, dmod-pruned)."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_add,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_kmod=16)
+    assert text_index_add(spark, inc, docs.filter("doc_id % 2 = 1")) > 0
+    build_text_index(docs, full, n_kmod=16)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    want = srch(full)
+    assert srch(inc) == want
+    # replay: zero ingested, search unchanged
+    assert text_index_add(spark, inc, docs.filter("doc_id % 2 = 1")) == 0
+    assert srch(inc) == want
+
+
+def test_text_index_remove_refresh_equals_rebuild(spark, tmp_path):
+    """index_remove knows the postings/doclens layout; df self-heals
+    (recomputed per probe), and text_index_refresh_stats re-derives
+    (n_docs, sdl) from doclens — remove + refresh ≡ rebuild over the
+    remaining corpus, bit-identically."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_refresh_stats,
+        text_index_search,
+    )
+    from networkframe_spark.functions.similarity import index_remove
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    full, part = str(tmp_path / "f"), str(tmp_path / "p")
+    build_text_index(docs, full, n_kmod=16)
+    rm = docs.filter("doc_id % 5 = 1").select("doc_id")
+    rep = index_remove(spark, full, rm)
+    assert rep["postings"]["rows_removed"] > 0
+    assert rep["doclens"]["rows_removed"] == rm.count()
+    meta = text_index_refresh_stats(spark, full)
+    build_text_index(docs.filter("doc_id % 5 != 1"), part, n_kmod=16)
+    from networkframe_spark.functions.search import _text_meta
+
+    assert meta == _text_meta(spark, part)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(full) == srch(part)
+
+
+def test_text_index_search_plan_prunes_partitions(spark, tmp_path):
+    """The probe reads only the kmod directories the query's terms
+    hash into: PartitionFilters present, partitions actually read
+    (scan metric) < kmod directories on disk."""
+    import os
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+    from tests.conftest import scan_partition_counts
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=16)
+    out = text_index_search(spark, path, ["spark", "hash"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kmod" in plan
+    total = sum(
+        1
+        for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("kmod=")
+    )
+    scans = scan_partition_counts(out)
+    assert scans, "no FileSourceScan found in the executed plan"
+    scanned = max(s.get("numPartitions", 0) for s in scans)
+    # 2 terms touch at most 2 kmod dirs
+    assert 0 < scanned <= 2 < total, (scanned, total)
+
+
+def test_text_index_lifecycle_stats_compact_maintain(spark, tmp_path):
+    """index_stats sees postings/doclens; index_compact shrinks
+    add-accumulated files with the search bit-identical across the
+    swap."""
+    import glob
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_add,
+        text_index_search,
+    )
+    from networkframe_spark.functions.similarity import (
+        index_compact,
+        index_stats,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(docs.filter("doc_id < 100"), path, n_kmod=8)
+    for lo in (100, 200, 300):
+        text_index_add(
+            spark,
+            path,
+            docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 100}"),
+        )
+    st = index_stats(spark, path)
+    assert "postings" in st and "doclens" in st
+    assert st["postings"]["max_files_per_partition"] > 1
+    terms = ["spark", "hash", "vector"]
+    want = sorted(
+        map(tuple, text_index_search(spark, path, terms, k=10).collect())
+    )
+    f_before = len(
+        glob.glob(path + "/postings/**/*.parquet", recursive=True)
+    )
+    rep = index_compact(spark, path)
+    f_after = len(
+        glob.glob(path + "/postings/**/*.parquet", recursive=True)
+    )
+    assert rep["postings"]["files_after"] == f_after < f_before
+    got = sorted(
+        map(tuple, text_index_search(spark, path, terms, k=10).collect())
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # percentiles
 # ---------------------------------------------------------------------------
 def test_group_percentiles_exact(spark):

@@ -1238,3 +1238,48 @@ def test_stream_index_add_minhash_equals_rebuild(spark, tmp_path):
     f_after = len(glob.glob(inc + "/mbands/**/*.parquet", recursive=True))
     assert rep["mbands"]["files_after"] == f_after < f_before
     assert decon(inc) == want_decon and dup(inc) == want_dup
+
+
+def test_stream_index_add_text_equals_rebuild(spark, tmp_path):
+    """Streaming document micro-batches absorbed into the persisted
+    inverted text index (the sixth family): after the stream drains,
+    the BM25 probe is bit-identical to a full offline rebuild over
+    the union; at-least-once replays ingest zero docs (doclens
+    membership anti-join), so meta's exact-integer corpus stats
+    converge to the rebuild's."""
+    from networkframe_spark.functions.search import (
+        _text_meta,
+        build_text_index,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+    from networkframe_spark.streaming.stream import stream_index_add
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_kmod=16)
+    odd = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+    # two micro-batch files with one doc_id overlap so the dedupe
+    # guard sees a genuine replayed id, not just Spark replays
+    odd.filter("doc_id % 4 = 1").write.mode("append").parquet(src)
+    odd.filter("doc_id % 4 = 3 OR doc_id = 1").write.mode("append").parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index_add(stream, inc, ckpt, index="text")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_text_index(docs, full, n_kmod=16)
+    assert _text_meta(spark, inc) == _text_meta(spark, full)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(inc) == srch(full)
