@@ -1103,6 +1103,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     index_path: str | None = None,
+    index_build_params: dict | None = None,
 ) -> DataFrame:
     """End-to-end corpus deduplication — the one-call convenience a
     pipeline actually invokes: find near-duplicate pairs with
@@ -1118,7 +1119,15 @@ def dedup_corpus(
     corpus) instead of re-shingling/re-signing/re-banding ``df`` —
     the decision is the signature-agreement estimate (same estimator
     as :func:`minhash_index_decontaminate`), not the exact
-    shingle-Jaccard the transient methods verify with.
+    shingle-Jaccard the transient methods verify with.  COLD START:
+    when no store exists at ``index_path`` yet, the call builds one
+    over ``df`` first (:func:`build_minhash_index` with
+    ``index_build_params``, defaulting to that function's defaults)
+    and then self-dedups against it — one call works cold and warm,
+    and the store it leaves behind is the real deliverable: the next
+    call (or :func:`minhash_index_add` append + delta probe, or the
+    ``stream_index_add`` duty cycle) pays only the delta, never a
+    re-shingle of the corpus.
 
     Scale shape is whatever the chosen pair finder has (banded LSH by
     default — no all-pairs path); the fold is the union-find CC over
@@ -1154,10 +1163,26 @@ def dedup_corpus(
         if index_path is None:
             raise ValueError(
                 "dedup_corpus(method='minhash_index') needs index_path "
-                "(a build_minhash_index store over this corpus)"
+                "(a build_minhash_index store over this corpus, or the "
+                "location the cold-start build should leave one at)"
+            )
+        import os as _os
+
+        spark = df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        meta_dir = HPath(_os.path.join(index_path, "meta"))
+        if not meta_dir.getFileSystem(hconf).exists(meta_dir):
+            build_minhash_index(
+                df,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                **(index_build_params or {}),
             )
         pairs = minhash_index_duplicates(
-            df.sparkSession, index_path, threshold=threshold
+            spark, index_path, threshold=threshold
         ).select(F.col("id_a"), F.col("id_b"))
     else:
         raise ValueError(

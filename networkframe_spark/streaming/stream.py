@@ -716,6 +716,8 @@ def stream_index_add(
     emb_col: str = "embedding",
     text_col: str = "text",
     query_name: str = "index_add",
+    maintain_every: int | None = None,
+    max_files_per_partition: int = 32,
 ):
     """Streaming ingestion into a persisted ANN or text index: every
     micro-batch is absorbed by the index family's incremental add
@@ -732,10 +734,18 @@ def stream_index_add(
     ``id_col`` defaults per family: ``vec_id`` for the embedding
     indexes, ``doc_id`` for ``minhash``.  At streaming cadence each
     partition directory accumulates a file per touched micro-batch —
-    schedule :func:`~networkframe_spark.functions.similarity.
-    index_compact` as the companion maintenance job (measured 12.7×
-    probe restoration after 30 adds, SCALE.md r13; search is
-    bit-identical across the swap).
+    pass ``maintain_every=N`` to run
+    :func:`~networkframe_spark.functions.similarity.index_maintain`
+    every N micro-batches: a pure file-listing check that compacts
+    ONLY the stores whose files-per-partition breached
+    ``max_files_per_partition`` (measured 12.7× probe restoration
+    after 30 adds, SCALE.md r13; search is bit-identical across the
+    swap).  The cadence is opt-in because compaction rewrites data
+    the next micro-batch would otherwise append next to — on object
+    stores without atomic rename, run it under the add's own
+    maintenance lock (here it IS under it: foreachBatch serializes
+    batches, so the compact runs between adds, never concurrent with
+    one).
 
     Restart semantics: foreachBatch is at-least-once, but every add
     carries the partition-pruned retry guard (the batch anti-joins
@@ -781,26 +791,33 @@ def stream_index_add(
     rid = id_col or ("doc_id" if index in ("minhash", "text") else "vec_id")
 
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if index in ("minhash", "text"):
-            add(
+        if not batch_df.isEmpty():
+            if index in ("minhash", "text"):
+                add(
+                    batch_df.sparkSession,
+                    path,
+                    batch_df,
+                    id_col=rid,
+                    text_col=text_col,
+                    dedupe=True,
+                )
+            else:
+                add(
+                    batch_df.sparkSession,
+                    path,
+                    batch_df,
+                    id_col=rid,
+                    emb_col=emb_col,
+                    dedupe=True,
+                )
+        if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
+            from ..functions.similarity import index_maintain
+
+            index_maintain(
                 batch_df.sparkSession,
                 path,
-                batch_df,
-                id_col=rid,
-                text_col=text_col,
-                dedupe=True,
+                max_files_per_partition=max_files_per_partition,
             )
-            return
-        add(
-            batch_df.sparkSession,
-            path,
-            batch_df,
-            id_col=rid,
-            emb_col=emb_col,
-            dedupe=True,
-        )
 
     return (
         df.writeStream.foreachBatch(_absorb)

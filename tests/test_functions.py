@@ -3683,6 +3683,29 @@ def test_minhash_index_duplicates_contract(spark, tmp_path):
     with _pytest.raises(ValueError, match="index_path"):
         dedup_corpus(docs, method="minhash_index")
 
+    # COLD START (r15): no store at index_path -> build-if-missing with
+    # the given params, then selfdup; result == the warm call against a
+    # pre-built store at the same params, and the store left behind is
+    # reusable (second call is warm and identical)
+    cold = str(tmp_path / "cold")
+    out_cold = dedup_corpus(
+        docs,
+        method="minhash_index",
+        threshold=0.25,
+        index_path=cold,
+        index_build_params={"n_perm": 4, "bands": 2, "n_kmod": 16},
+    )
+    rows = lambda d: sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in d.select("doc_id", "cluster_id").collect()
+    )
+    assert rows(out_cold) == rows(out)
+    assert glob.glob(cold + "/mbands/band=*/kmod=*")  # store left behind
+    out_warm = dedup_corpus(
+        docs, method="minhash_index", threshold=0.25, index_path=cold
+    )
+    assert rows(out_warm) == rows(out)
+
 
 def test_minhash_index_string_ids_empty_eval(spark, tmp_path):
     """Empty-eval decontaminate and empty-delta selfdup derive their
@@ -3963,3 +3986,53 @@ def test_dot_norm_unroll_bit_identity(spark):
     ).collect()
     for r in out2:
         assert r["fold"] == r["unroll"]
+
+
+def test_index_maintain_compacts_only_breached(spark, tmp_path):
+    """index_maintain: pure-listing trigger — below threshold it
+    returns {} and touches nothing; above, it compacts ONLY the
+    breached stores, with search bit-identical and file counts
+    restored to ~one per partition."""
+    import glob
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_add,
+        text_index_search,
+    )
+    from networkframe_spark.functions.similarity import (
+        index_maintain,
+        index_stats,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(docs.filter("doc_id < 100"), path, n_kmod=8)
+    # below threshold: no-op
+    assert index_maintain(spark, path, max_files_per_partition=1000) == {}
+    for lo in (100, 200, 300, 400):
+        text_index_add(
+            spark, path, docs.filter(f"doc_id >= {lo} AND doc_id < {lo+100}")
+        )
+    st = index_stats(spark, path)
+    assert st["postings"]["max_files_per_partition"] > 2
+    terms = ["spark", "hash", "vector"]
+    want = sorted(
+        map(tuple, text_index_search(spark, path, terms, k=10).collect())
+    )
+    rep = index_maintain(spark, path, max_files_per_partition=2)
+    assert "postings" in rep  # breached store compacted
+    for sub in rep:
+        assert rep[sub]["files_after"] < rep[sub]["files_before"]
+    st2 = index_stats(spark, path)
+    assert (
+        st2["postings"]["max_files_per_partition"]
+        < st["postings"]["max_files_per_partition"]
+    )
+    got = sorted(
+        map(tuple, text_index_search(spark, path, terms, k=10).collect())
+    )
+    assert got == want
+    # idempotent: a second maintain right after finds nothing breached
+    assert index_maintain(spark, path, max_files_per_partition=2) == {}

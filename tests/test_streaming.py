@@ -1283,3 +1283,46 @@ def test_stream_index_add_text_equals_rebuild(spark, tmp_path):
         map(tuple, text_index_search(spark, p, terms, k=10).collect())
     )
     assert srch(inc) == srch(full)
+
+
+def test_stream_index_add_maintain_cadence(spark, tmp_path):
+    """stream_index_add(maintain_every=2): the micro-batch cadence
+    auto-compacts breached stores between adds — file accumulation
+    stays bounded while the drained index still equals a rebuild."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_search,
+    )
+    from networkframe_spark.functions.similarity import index_stats
+    from networkframe_spark.sources import read_table
+    from networkframe_spark.streaming.stream import stream_index_add
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    build_text_index(docs.filter("doc_id % 5 = 0"), inc, n_kmod=4)
+    rest = docs.filter("doc_id % 5 != 0").select("doc_id", "text")
+    for m in (1, 2, 3, 4):
+        rest.filter(f"doc_id % 5 = {m}").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index_add(
+        stream, inc, ckpt, index="text",
+        maintain_every=2, max_files_per_partition=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the cadence compacted at least once: bounded accumulation
+    st = index_stats(spark, inc)
+    assert st["postings"]["max_files_per_partition"] <= 4
+    build_text_index(docs, full, n_kmod=4)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(inc) == srch(full)
