@@ -183,6 +183,28 @@ HEADLINE = [
 ]
 
 
+def canary_wall(spark) -> float:
+    """Host-speed canary: a FIXED pure-Spark workload touching zero
+    project code — range → keyed shuffle agg → scalar agg.  The r13/r14
+    driver walls moved +24% over two rounds with every plan fingerprint
+    unchanged; the canary prices the HOST each run, so
+    ``common18_per_canary`` (basket wall / canary wall) is the
+    host-normalized round-over-round comparable.  Deterministic by
+    construction (no sampling, no clock, no project code)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(200_000_000)
+        .select((F.col("id") % 1_000_000).alias("k"), F.col("id"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("s").alias("ss"), F.sum("c").alias("sc"))
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
 def run_set(spark, qs, names, sf_dir, reps: int = 3) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -225,6 +247,20 @@ def main() -> None:
     # regression.  The median is the headline; the spread prices the
     # host; PLAN_FINGERPRINTS.json (tools/plan_fingerprint.py --check)
     # proves whether any plan actually changed.
+    # Phase 0 — host-speed canary in its own fresh session (median of
+    # 3): prices the host so the basket can be normalized (r15).
+    spark = get_spark("bench_canary")
+    # untimed warmup: JIT/codegen compile of the canary's operators —
+    # the canary prices steady-state host speed, not first-run compile
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(
+        (F.col("id") % 1000).alias("k")
+    ).groupBy("k").count().collect()
+    canary_runs = sorted(canary_wall(spark) for _ in range(3))
+    spark.stop()
+    canary = canary_runs[1]
+
     c18_passes: list[dict[str, float]] = []
     for _ in range(3):
         spark = get_spark("bench_common18")
@@ -275,6 +311,9 @@ def main() -> None:
         "common18_runs": c18_totals,
         "common18_spread": round(c18_totals[-1] - c18_totals[0], 3),
         "common18_in_suite": common18_in_suite,
+        "canary_wall": canary,
+        "canary_runs": canary_runs,
+        "common18_per_canary": round(common18 / canary, 3),
         "sf": sf,
     }
     # the full per-query map outgrew the driver's tail capture in r6
@@ -301,6 +340,8 @@ def main() -> None:
                 "suite_total": total,
                 "common18_runs": c18_totals,
                 "common18_in_suite": common18_in_suite,
+                "canary_wall": canary,
+                "common18_per_canary": round(common18 / canary, 3),
                 "sf": sf,
                 "full_artifact": "BENCH_LOCAL.json",
             }

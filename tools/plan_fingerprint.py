@@ -72,6 +72,25 @@ def fingerprint_df(df) -> dict:
     }
 
 
+#: The 10 heaviest non-common18 suite queries by r14 wall (VERDICT r14
+#: "Next round" §3): they dominate the full-suite total, and until r15
+#: their drift was only arguable from "file untouched" diffs.  With
+#: fingerprints, a wall move on any of them is decidable the same way
+#: the common-18 is.
+HEAVY10 = [
+    "hits_scores",
+    "betweenness_approx",
+    "stream_neardup_twin",
+    "node2vec_walks",
+    "harmonic_centrality",
+    "leiden_communities",
+    "snm_recall",
+    "label_propagation_weighted",
+    "random_walks",
+    "pairwise_corr",
+]
+
+
 def build(sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
     from bench import COMMON18
@@ -81,7 +100,7 @@ def build(sf_dir: str) -> dict:
     spark = get_spark("plan_fingerprint")
     qs = entry_mod.queries()
     fps: dict[str, dict] = {}
-    for name in COMMON18:
+    for name in COMMON18 + HEAVY10:
         # constructing the DataFrame may run bounded jobs (manifest
         # reads, localCheckpoint inside iterative loops) — that's fine;
         # the fingerprint is the FINAL optimized plan, pre-execution
