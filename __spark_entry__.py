@@ -3328,39 +3328,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by 25 rotated-in newer ops, then everything else in
     # registration order.  Every entry keeps its oracle either way.
     _window = [
-        # round-14 rotation — the STALENESS POLICY now that the
-        # never-hashed backlog is zero (r13): every window = 16-query
-        # stable core (cross-round comparability: the same frame/graph
-        # anchors, restored to the full 16 after four ceded slots in
-        # r13) + this round's NEW registrations (never hashed = age 0,
-        # highest mismatch risk) + the remaining slots filled with the
-        # registered ops whose LAST driver hash is OLDEST (ties broken
-        # alphabetically; computed from CORRECTNESS_r01..r13 — this
-        # window refreshes the r01/r05/r06 cohorts).  Slot math:
-        # 16 core + 5 r14 registrations + 29 oldest = 50.
+        # round-15 rotation — the codified STALENESS POLICY (r14):
+        # every window = 16-query stable core (cross-round
+        # comparability: the same frame/graph anchors) + this round's
+        # NEW registrations (never hashed = age 0, highest mismatch
+        # risk) + the remaining slots filled with the registered ops
+        # whose LAST driver hash is OLDEST (ties broken
+        # alphabetically; computed from CORRECTNESS_r01..r14 — this
+        # window refreshes the r06/r07/r08 cohorts).  Slot math:
+        # 16 core + 2 r15 registrations + 32 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "reindex_nodes",
         "adjacency_dense", "condense_sum",
         "apply_node_features", "groupby_size",
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components",
-        # r14 registrations: persisted-index self-dedup (full + delta
-        # duty cycle), the OPQ rotate->encode->ADC path, the one-call
-        # index-backed dedup_corpus, and the retraction lifecycle
-        "minhash_index_dup", "minhash_index_dup_delta", "ivfpq_opq",
-        "dedup_corpus_index", "minhash_index_removed",
-        # oldest-hashed cohort: last driver hash r01 (5), r05 (4),
-        # r06 (20) — alphabetical within a round
-        "cosine_topk_ivf", "events_sliding_window", "events_window_agg",
-        "multimodal_features", "session_windows",
-        "cosine_topk", "embedding_dedup", "minhash_lsh_dedup", "simhash",
-        "bpe_token_count", "clean_text", "compact_roundtrip",
-        "exact_dedup", "filter_quality", "fingerprint", "frame_equality",
-        "gopher_rules", "graph_save_load", "group_metadata",
-        "hash_sample", "language_id", "leakage_report",
-        "minhash_signatures", "ngram_jaccard_dedup", "quality_score",
-        "repetition_score", "serde_roundtrip", "sort_spectral",
-        "stratified_sample",
+        # r15 registrations: the persisted inverted text index (probe
+        # and build+add duty cycle)
+        "text_index_search", "text_index_added",
+        # oldest-hashed cohort: last driver hash r06 (5), r07 (24),
+        # r08 (3) — alphabetical within a round
+        "tfidf_top_terms", "token_count", "token_histogram",
+        "train_test_split", "weighted_sample",
+        "betweenness_approx", "core_numbers", "cosine_topk_lsh", "ewma",
+        "exact_substring_decontaminate", "fill_gaps",
+        "fuzzy_decontaminate", "harmonic_centrality", "hits_scores",
+        "ivf_index_search", "k_truss", "label_propagation_weighted",
+        "n_components", "node2vec_walks", "pagerank", "pq_search",
+        "random_walks", "resample_events", "retention_cohorts",
+        "rolling_stats", "semantic_dedup_arrow", "shortest_paths",
+        "stream_condense_twin", "triangle_count",
+        "ann_recall_cell_pruned", "anomaly_zscore", "asof_join",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():

@@ -490,6 +490,7 @@ def embedding_duplicates(
     n_planes: int = 8,
     n_tables: int = 12,
     dim: int | None = None,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity >= threshold.
     Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
@@ -511,9 +512,21 @@ def embedding_duplicates(
 
     ``mode="auto"`` picks exact under the row guard (one cheap
     limit+count job), LSH above it.
+
+    ``verify`` selects HOW the LSH path scores its candidate pairs
+    (the per-pair cosine): ``"expr"`` = JVM column expression (the
+    known-dim codegen unroll at dim <= 16, the interpreted
+    higher-order fold above — the r14 2M-corpus bottleneck);
+    ``"arrow"`` = vectorized Arrow batch verify (``mapInPandas``, one
+    ``einsum`` per batch); ``"auto"`` = expr inside the unroll gate,
+    arrow above it (measured crossover, SCALE.md r15).  Cosines are
+    6-dp rounded in every mode (``round_half_up`` is F.round's exact
+    twin), so the mode changes cost, not answers.
     """
     if mode not in ("auto", "exact", "lsh"):
         raise ValueError("mode must be 'auto', 'exact' or 'lsh'")
+    if verify not in ("auto", "expr", "arrow"):
+        raise ValueError("verify must be 'auto', 'expr' or 'arrow'")
     if mode == "auto":
         n = df.limit(exact_max_rows + 1).count()
         mode = "exact" if n <= exact_max_rows else "lsh"
@@ -525,7 +538,7 @@ def embedding_duplicates(
             df, emb_col, id_col, threshold, exact_max_rows, check=not checked
         )
     return _embedding_duplicates_lsh(
-        df, emb_col, id_col, threshold, n_planes, n_tables, dim
+        df, emb_col, id_col, threshold, n_planes, n_tables, dim, verify
     )
 
 
@@ -586,16 +599,28 @@ def _embedding_duplicates_lsh(
     n_planes: int,
     n_tables: int,
     dim: int | None,
+    verify: str = "auto",
 ) -> DataFrame:
     """Banded self-join: explode each row into its ``n_tables`` bucket
     keys, equi-join on (table, bucket), dedupe candidate pairs, verify
     with exact cosine.  The only shuffles are the bucket join and the
     pair dedup — both keyed, both AQE-skew-splittable."""
-    from .similarity import _hyperplane_signs, dot_expr, norm_expr, signature_col
+    from .similarity import (
+        _UNROLL_MAX_DIM,
+        _hyperplane_signs,
+        dot_expr,
+        norm_expr,
+        signature_col,
+    )
 
     if dim is None:
         first = df.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+    if verify == "auto":
+        # measured crossover (SCALE.md r15): inside the unroll gate the
+        # codegen'd expression wins; above it the interpreted fold
+        # loses to the Arrow batch verify
+        verify = "expr" if dim <= _UNROLL_MAX_DIM else "arrow"
     tables = [
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
     ]
@@ -643,10 +668,67 @@ def _embedding_duplicates_lsh(
     # only the (id_a, id_b, cosine) survivors, and the hash aggregate
     # partially combines map-side.  The threshold filter commutes past
     # the dedup because the per-pair value is deterministic.
+    cand = a.join(b, on=["table", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if verify == "arrow":
+        # Arrow batch verify (r15): above the unroll gate the JVM
+        # expression evaluates the dot as an INTERPRETED higher-order
+        # fold per candidate (the exact mechanism behind r14's 1.241
+        # superlinearity); one vectorized einsum per Arrow batch pays
+        # the Python transfer once and scores thousands of pairs per
+        # BLAS call.  Carried norms keep the division identical to the
+        # expr path; round_half_up is F.round's exact twin.
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        from .similarity import round_half_up
+
+        id_type = df.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        thr = float(threshold)
+
+        def fn(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+                cos = round_half_up(
+                    np.einsum("ij,ij->i", A, B)
+                    / (
+                        pdf["norm_a"].to_numpy()
+                        * pdf["norm_b"].to_numpy()
+                    ),
+                    6,
+                )
+                keep = cos >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": pdf["id_a"].to_numpy()[keep],
+                            "id_b": pdf["id_b"].to_numpy()[keep],
+                            "cosine": cos[keep],
+                        }
+                    )
+
+        scored = cand.select(
+            "id_a", "id_b", "emb_a", "emb_b", "norm_a", "norm_b"
+        ).mapInPandas(fn, schema)
+        return scored.groupBy("id_a", "id_b").agg(
+            F.max("cosine").alias("cosine")
+        )
     return (
-        a.join(b, on=["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             F.round(
