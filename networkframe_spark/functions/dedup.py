@@ -616,6 +616,10 @@ def _embedding_duplicates_lsh(
     if dim is None:
         first = df.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = first["d"] if first else 0
+    else:
+        from .similarity import _validate_dim
+
+        _validate_dim(df, emb_col, dim, "embedding_duplicates")
     if verify == "auto":
         # measured crossover (SCALE.md r15): inside the unroll gate the
         # codegen'd expression wins; above it the interpreted fold

@@ -4036,3 +4036,41 @@ def test_index_maintain_compacts_only_breached(spark, tmp_path):
     assert got == want
     # idempotent: a second maintain right after finds nothing breached
     assert index_maintain(spark, path, max_files_per_partition=2) == {}
+
+
+def test_embedding_duplicates_arrow_verify_equals_expr(spark):
+    """verify='arrow' (mapInPandas einsum batch verify) must equal the
+    expression path pair-for-pair at 6 dp on planted near-dups — the
+    mode changes cost, never answers; 'auto' resolves to arrow above
+    the unroll gate and expr inside it."""
+    from networkframe_spark.functions.dedup import embedding_duplicates
+
+    # planted clusters of 3 near-identical 32-dim vectors (dim > the
+    # unroll gate, so 'auto' takes the arrow path)
+    import math
+
+    rows = []
+    for c in range(40):
+        base = [math.sin(1.0 + 7 * c + i) for i in range(32)]
+        for m in range(3):
+            rows.append(
+                (3 * c + m, [v + 0.001 * m * ((i % 5) - 2) for i, v in enumerate(base)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, mode="lsh", n_planes=4, n_tables=4)
+    e = sorted(
+        map(tuple, embedding_duplicates(emb, verify="expr", **kw).collect())
+    )
+    a = sorted(
+        map(tuple, embedding_duplicates(emb, verify="arrow", **kw).collect())
+    )
+    au = sorted(
+        map(tuple, embedding_duplicates(emb, verify="auto", **kw).collect())
+    )
+    assert len(e) > 0
+    assert e == a == au
+    # wrong caller-supplied dim is rejected, never silently mis-scored
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match"):
+        embedding_duplicates(emb, dim=16, **kw)
