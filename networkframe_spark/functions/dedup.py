@@ -516,12 +516,14 @@ def embedding_duplicates(
     ``verify`` selects HOW the LSH path scores its candidate pairs
     (the per-pair cosine): ``"expr"`` = JVM column expression (the
     known-dim codegen unroll at dim <= 16, the interpreted
-    higher-order fold above — the r14 2M-corpus bottleneck);
-    ``"arrow"`` = vectorized Arrow batch verify (``mapInPandas``, one
-    ``einsum`` per batch); ``"auto"`` = expr inside the unroll gate,
-    arrow above it (measured crossover, SCALE.md r15).  Cosines are
-    6-dp rounded in every mode (``round_half_up`` is F.round's exact
-    twin), so the mode changes cost, not answers.
+    higher-order fold above); ``"arrow"`` = vectorized Arrow batch
+    verify (``mapInPandas``, one ``einsum`` per batch); ``"auto"`` =
+    expr — the Arrow default was A/B'd on the clustered 2M fixture at
+    dims 64/256 and REJECTED (wash at 500k, −10% at 2M: the verify is
+    bounded by the candidate join's shuffle width, which both modes
+    pay identically — SCALE.md r15).  Cosines are 6-dp rounded in
+    every mode (``round_half_up`` is F.round's exact twin), so the
+    mode changes cost, not answers.
     """
     if mode not in ("auto", "exact", "lsh"):
         raise ValueError("mode must be 'auto', 'exact' or 'lsh'")
@@ -606,7 +608,6 @@ def _embedding_duplicates_lsh(
     with exact cosine.  The only shuffles are the bucket join and the
     pair dedup — both keyed, both AQE-skew-splittable."""
     from .similarity import (
-        _UNROLL_MAX_DIM,
         _hyperplane_signs,
         dot_expr,
         norm_expr,
@@ -621,10 +622,15 @@ def _embedding_duplicates_lsh(
 
         _validate_dim(df, emb_col, dim, "embedding_duplicates")
     if verify == "auto":
-        # measured crossover (SCALE.md r15): inside the unroll gate the
-        # codegen'd expression wins; above it the interpreted fold
-        # loses to the Arrow batch verify
-        verify = "expr" if dim <= _UNROLL_MAX_DIM else "arrow"
+        # A/B'd and REJECTED as a default (SCALE.md r15,
+        # tools/bench_arrow_verify.py): at dims 64/256 on the
+        # clustered 2M fixture the Arrow verify is a wash at 500k
+        # (0.99x / 1.02x) and LOSES 10% at 2M — the banded verify is
+        # bounded by the candidate join's shuffle width (2 x dim
+        # doubles per candidate), which both modes pay identically;
+        # Arrow only adds serialization.  The fold is the bottleneck
+        # ONLY below the unroll gate, where the unroll already wins.
+        verify = "expr"
     tables = [
         _hyperplane_signs(n_planes, dim, seed=42 + 1000 * t) for t in range(n_tables)
     ]
