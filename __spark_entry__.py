@@ -2016,6 +2016,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_index_added"] = q_text_index_added
 
+    # batched retrieval run: per-query BM25 top-k against the persisted
+    # index (one pruned postings scan for the term union; query-keyed
+    # top-k window, never global) — the shape rrf_fuse(query_col=)
+    # fuses with vector rankings
+    def q_text_index_batch(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            text_index_search_batch,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_tixb_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_text_index(docs, path, n_kmod=16, mode="overwrite")
+        queries = spark.createDataFrame(
+            [
+                (1, ["spark", "hash"]),
+                (2, ["vector", "data", "spark"]),
+                (3, ["partition"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        return text_index_search_batch(spark, queries, path, k=5)
+
+    q["text_index_batch"] = q_text_index_batch
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -3336,7 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose LAST driver hash is OLDEST (ties broken
         # alphabetically; computed from CORRECTNESS_r01..r14 — this
         # window refreshes the r06/r07/r08 cohorts).  Slot math:
-        # 16 core + 2 r15 registrations + 32 oldest = 50.
+        # 16 core + 3 r15 registrations + 31 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "reindex_nodes",
         "adjacency_dense", "condense_sum",
@@ -3345,7 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "largest_component", "strong_components",
         # r15 registrations: the persisted inverted text index (probe
         # and build+add duty cycle)
-        "text_index_search", "text_index_added",
+        "text_index_search", "text_index_added", "text_index_batch",
         # oldest-hashed cohort: last driver hash r06 (5), r07 (24),
         # r08 (3) — alphabetical within a round
         "tfidf_top_terms", "token_count", "token_histogram",
@@ -3358,7 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks", "resample_events", "retention_cohorts",
         "rolling_stats", "semantic_dedup_arrow", "shortest_paths",
         "stream_condense_twin", "triangle_count",
-        "ann_recall_cell_pruned", "anomaly_zscore", "asof_join",
+        "ann_recall_cell_pruned", "anomaly_zscore",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -5070,6 +5102,55 @@ SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
     # exact full-corpus scoring SQL
     o["text_index_search"] = o["bm25_search"]
     o["text_index_added"] = o["bm25_search"]
+
+    # batched retrieval run: the same BM25 scoring replayed per query
+    # (df/N/avgdl are query-independent globals; top-k partitions by
+    # query)
+    o["text_index_batch"] = f"""
+WITH {TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+qt AS (
+  SELECT * FROM (VALUES
+    (1, 'spark'), (1, 'hash'),
+    (2, 'vector'), (2, 'data'), (2, 'spark'),
+    (3, 'partition')
+  ) AS v(query_id, term)
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN (SELECT term FROM qt)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6)
+         AS DECIMAL(38,12)) AS ts
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN qt ON tf.term = qt.term
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT query_id, doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+  FROM per_term GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+FROM ranked WHERE rank <= 5
+"""
 
     o["value_percentiles"] = """
 SELECT event_type,

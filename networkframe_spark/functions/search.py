@@ -413,6 +413,119 @@ def text_index_search(
     )
 
 
+def text_index_search_batch(
+    spark,
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` per query for a BATCH of queries against the
+    persisted inverted index — the retrieval-run shape
+    (``queries`` = ``(query_id, terms array<string>)``) whose output
+    feeds :func:`rrf_fuse` ``(query_col=...)`` for hybrid
+    lexical+vector fusion.  Per-query scoring is IDENTICAL to
+    :func:`text_index_search` (same idf, rounding, DECIMAL summation,
+    tie-breaks), so batch ≡ per-query loop bit-for-bit
+    (contract-tested); the batch pays ONE pruned postings scan for
+    the union of all query terms instead of one scan per query.
+
+    Plan shape: the query set explodes into distinct (query_id, term)
+    probes; the union of terms prunes the postings read exactly as
+    the single-query path (``kmod IN`` directory prune computed with
+    the same ``pmod(xxhash64)`` expression, ``term IN`` row-group
+    prune); ``df`` per term is ONE hash-agg over the pruned read
+    (term df is query-independent, so it is computed once for the
+    batch); per-(query, doc) scores aggregate keyed on (query_id,
+    id); the top-k is a query-keyed window — bounded per group,
+    NEVER global.  The query side is a broadcast-sized term list by
+    construction (a retrieval batch, not a corpus); batches beyond
+    ~millions of terms should chunk.
+
+    Returns ``(query_id, id_col, score, rank)``, rank 1..k per query
+    ordered by (score desc, id asc)."""
+    import os as _os
+
+    meta = _text_meta(spark, path)
+    n_kmod = int(meta["n_kmod"])
+    n_docs = int(meta["n_docs"])
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("term"),
+        )
+        .select("query_id", F.lower(F.col("term")).alias("term"))
+        .distinct()
+    )
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [],
+            f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+            f" {id_col} long, score double, rank int",
+        )
+    avgdl = int(meta["sdl"]) / n_docs
+    # term union for the pruned scan: collected driver-side (a
+    # retrieval batch's distinct term count is bounded by construction)
+    term_rows = (
+        qt.select(
+            "term",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("km"),
+        )
+        .distinct()
+        .collect()
+    )
+    if not term_rows:
+        return spark.createDataFrame(
+            [],
+            f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+            f" {id_col} long, score double, rank int",
+        )
+    terms = sorted({r["term"] for r in term_rows})
+    kmods = sorted({r["km"] for r in term_rows})
+    tf = spark.read.parquet(_os.path.join(path, "postings")).filter(
+        F.col("kmod").isin(kmods) & F.col("term").isin(terms)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(qt), on="term")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("id"),
+            F.round(
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+                6,
+            )
+            .cast("decimal(38,12)")
+            .alias("ts"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "id").agg(
+        F.round(F.sum("ts").cast("double"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str = "doc_id",

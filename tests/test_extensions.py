@@ -872,3 +872,40 @@ def test_semantic_decontaminate_multiprobe_monotone_and_degenerate(spark):
         semantic_decontaminate(
             tr, ev, method="lsh", n_planes=4, n_probe_bits=9
         )
+
+
+def test_text_index_search_batch_equals_per_query(spark, tmp_path):
+    """Batched retrieval run ≡ per-query text_index_search loop
+    bit-for-bit; the batch pays one pruned postings scan for the term
+    union and its top-k window is query-keyed, never global."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_search,
+        text_index_search_batch,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=16)
+    qsets = {
+        1: ["spark", "hash"],
+        2: ["vector", "data", "spark"],
+        3: ["zzz_no_such_term"],
+    }
+    queries = spark.createDataFrame(
+        [(qid, ts) for qid, ts in qsets.items()],
+        "query_id long, terms array<string>",
+    )
+    got = sorted(
+        map(
+            tuple,
+            text_index_search_batch(spark, queries, path, k=5).collect(),
+        )
+    )
+    want = []
+    for qid, ts in qsets.items():
+        for r in text_index_search(spark, path, ts, k=5).collect():
+            want.append((qid, r["doc_id"], r["score"], r["rank"]))
+    assert got == sorted(want)
+    assert len(got) > 0
