@@ -58,6 +58,13 @@ EXTRA_OPS = [
     "minhash_index_dup_delta",
     "ivfpq_opq",
     "minhash_index_removed",
+    # round-15: the persisted inverted text index (each registered
+    # query builds the index then probes, so the exponent blends the
+    # ≈linear offline tokenize+write with the pruned online probe);
+    # the batch variant adds the multi-query retrieval-run shape
+    "text_index_search",
+    "text_index_added",
+    "text_index_batch",
 ]
 
 
