@@ -2048,6 +2048,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_index_batch"] = q_text_index_batch
 
+    # hybrid retrieval: BM25 (persisted text index) + cosine ANN
+    # (persisted LSH index, exhaustive-probe so the vector leg is
+    # provably brute force — the lsh_index_search oracle trick) fused
+    # per query with RRF.  The oracle composes the three proven SQL
+    # twins (per-query BM25, brute cosine top-k, decimal RRF).
+    def q_hybrid_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            hybrid_search_batch,
+        )
+        from networkframe_spark.functions.similarity import build_lsh_index
+
+        docs = read_table(spark, sf, "documents")
+        emb = read_embeddings(spark, sf)
+        base = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_hyb_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_text_index(docs, base + "/tix", n_kmod=16, mode="overwrite")
+        build_lsh_index(
+            emb, base + "/lsh", n_planes=4, n_tables=2, mode="overwrite"
+        )
+        terms = spark.createDataFrame(
+            [
+                (0, ["spark", "hash"]),
+                (1, ["vector", "data"]),
+                (2, ["partition", "spark"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        queries = terms.join(
+            emb.selectExpr("vec_id as query_id", "embedding"),
+            on="query_id",
+        )
+        return hybrid_search_batch(
+            spark,
+            queries,
+            base + "/tix",
+            base + "/lsh",
+            k=10,
+            lexical_k=5,
+            vector_k=3,
+            n_probe_bits=4,  # = n_planes: exhaustive, vector leg == brute
+            exclude_self=True,
+        )
+
+    q["hybrid_search"] = q_hybrid_search
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -3368,7 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose LAST driver hash is OLDEST (ties broken
         # alphabetically; computed from CORRECTNESS_r01..r14 — this
         # window refreshes the r06/r07/r08 cohorts).  Slot math:
-        # 16 core + 3 r15 registrations + 31 oldest = 50.
+        # 16 core + 4 r15 registrations + 30 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "reindex_nodes",
         "adjacency_dense", "condense_sum",
@@ -3378,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r15 registrations: the persisted inverted text index (probe
         # and build+add duty cycle)
         "text_index_search", "text_index_added", "text_index_batch",
+        "hybrid_search",
         # oldest-hashed cohort: last driver hash r06 (5), r07 (24),
         # r08 (3) — alphabetical within a round
         "tfidf_top_terms", "token_count", "token_histogram",
@@ -3390,7 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks", "resample_events", "retention_cohorts",
         "rolling_stats", "semantic_dedup_arrow", "shortest_paths",
         "stream_condense_twin", "triangle_count",
-        "ann_recall_cell_pruned", "anomaly_zscore",
+        "ann_recall_cell_pruned",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -5150,6 +5203,87 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
 FROM ranked WHERE rank <= 5
+"""
+
+    # hybrid retrieval: per-query BM25 top-5 + brute cosine top-3
+    # (the exhaustive-probe LSH leg) fused with 12-dp DECIMAL RRF —
+    # each leg's SQL is the already-proven twin, composed
+    o["hybrid_search"] = f"""
+WITH {TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+qt AS (
+  SELECT * FROM (VALUES
+    (0, 'spark'), (0, 'hash'),
+    (1, 'vector'), (1, 'data'),
+    (2, 'partition'), (2, 'spark')
+  ) AS v(query_id, term)
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN (SELECT term FROM qt)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6)
+         AS DECIMAL(38,12)) AS ts
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN qt ON tf.term = qt.term
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+),
+scored_lex AS (
+  SELECT query_id, doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+  FROM per_term GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored_lex QUALIFY rank <= 5
+),
+vscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(list_dot_product((q.embedding::DOUBLE[]), (c.embedding::DOUBLE[]))
+           / (sqrt(list_dot_product((q.embedding::DOUBLE[]), (q.embedding::DOUBLE[])))
+              * sqrt(list_dot_product((c.embedding::DOUBLE[]), (c.embedding::DOUBLE[])))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+),
+vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC
+         ) AS rank
+  FROM vscored QUALIFY rank <= 3
+),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12)) AS term
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12))
+  FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, count(*) AS n_lists,
+         round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_score,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+       ) AS fused_rank
+FROM fused QUALIFY fused_rank <= 10
 """
 
     o["value_percentiles"] = """

@@ -526,6 +526,79 @@ def text_index_search_batch(
     )
 
 
+def hybrid_search_batch(
+    spark,
+    queries: DataFrame,
+    text_index_path: str,
+    lsh_index_path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    emb_col: str = "embedding",
+    k: int = 10,
+    lexical_k: int = 100,
+    vector_k: int = 100,
+    rrf_k: int = 60,
+    n_probe_bits: int = 0,
+    exclude_self: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval against TWO persisted
+    indexes — the complete RAG-retrieval duty cycle in one call:
+    per-query BM25 top-``lexical_k`` from the inverted text index
+    (:func:`text_index_search_batch`), per-query cosine
+    top-``vector_k`` from the persisted LSH index
+    (:func:`~networkframe_spark.functions.similarity.lsh_index_search`,
+    multi-probe via ``n_probe_bits``), fused per query with
+    reciprocal-rank fusion (:func:`rrf_fuse`, the zero-tuning
+    combiner).  ``queries`` carries one row per query:
+    ``(query_id, terms array<string>, embedding array)``.
+
+    Returns ``(query_id, id_col, n_lists, rrf_score, fused_rank)``,
+    ``fused_rank`` 1..k per query (rrf_score desc, id asc).
+
+    Scale design is inherited, not new: BOTH legs are partition-pruned
+    probes of offline-built stores (kmod dirs for terms, (table,
+    bucket) dirs for signatures) — no corpus scan anywhere — and the
+    fusion is one union + one (query, id)-keyed hash aggregate + a
+    query-keyed rank window (never global).  The two legs share
+    nothing and Spark schedules their stages independently.
+    Determinism: each leg's ranks are deterministic (6-dp rounded
+    scores, id tie-breaks), and RRF sums 12-dp reciprocal terms
+    through DECIMAL(38,12) — bit-reproducible at any parallelism.
+    """
+    lex = text_index_search_batch(
+        spark,
+        queries.select(query_id_col, terms_col),
+        text_index_path,
+        query_id_col=query_id_col,
+        terms_col=terms_col,
+        k=lexical_k,
+        id_col=id_col,
+    ).select(F.col("query_id"), F.col(id_col), F.col("rank"))
+    from .similarity import lsh_index_search
+
+    vec = lsh_index_search(
+        spark,
+        lsh_index_path,
+        queries.select(query_id_col, emb_col),
+        k=vector_k,
+        n_probe_bits=n_probe_bits,
+        query_id_col=query_id_col,
+        emb_col=emb_col,
+        exclude_self=exclude_self,
+    ).select(
+        F.col("query_id"), F.col("vec_id").alias(id_col), F.col("rank")
+    )
+    return rrf_fuse(
+        [lex, vec],
+        id_col=id_col,
+        rank_col="rank",
+        k=rrf_k,
+        query_col="query_id",
+        top_k=k,
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str = "doc_id",

@@ -909,3 +909,64 @@ def test_text_index_search_batch_equals_per_query(spark, tmp_path):
             want.append((qid, r["doc_id"], r["score"], r["rank"]))
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_hybrid_search_batch_equals_leg_composition(spark, tmp_path):
+    """hybrid_search_batch == rrf_fuse(text_index_search_batch,
+    lsh_index_search) composed by hand — one call, two persisted
+    indexes, bit-identical fusion; exhaustive probes make the vector
+    leg equal brute force so the whole result is deterministic."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        hybrid_search_batch,
+        rrf_fuse,
+        text_index_search_batch,
+    )
+    from networkframe_spark.functions.similarity import (
+        build_lsh_index,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings, read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    tix, lsh = str(tmp_path / "tix"), str(tmp_path / "lsh")
+    build_text_index(docs, tix, n_kmod=8)
+    build_lsh_index(emb, lsh, n_planes=4, n_tables=2)
+    terms = spark.createDataFrame(
+        [(0, ["spark", "hash"]), (1, ["vector", "data"])],
+        "query_id long, terms array<string>",
+    )
+    queries = terms.join(
+        emb.selectExpr("vec_id as query_id", "embedding"), on="query_id"
+    )
+    got = sorted(
+        map(
+            tuple,
+            hybrid_search_batch(
+                spark, queries, tix, lsh,
+                k=10, lexical_k=5, vector_k=3,
+                n_probe_bits=4, exclude_self=True,
+            ).collect(),
+        )
+    )
+    lex = text_index_search_batch(
+        spark, terms, tix, k=5
+    ).select("query_id", "doc_id", "rank")
+    vec = lsh_index_search(
+        spark, lsh, queries.select("query_id", "embedding"),
+        k=3, n_probe_bits=4, query_id_col="query_id", exclude_self=True,
+    ).selectExpr("query_id", "vec_id as doc_id", "rank")
+    want = sorted(
+        map(
+            tuple,
+            rrf_fuse(
+                [lex, vec], id_col="doc_id", query_col="query_id", top_k=10
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # both legs contribute: some fused rows carry n_lists == 2 or the
+    # union spans both sources (vector-only ids exist since vector_k
+    # ids need not match any lexical term)
+    assert any(r[2] >= 1 for r in got)
