@@ -146,6 +146,23 @@ def _text_meta(spark, path: str) -> dict:
     )
 
 
+def _text_id_type(spark, path: str) -> str:
+    """The stored doc-id type, from the ``doclens`` store's parquet
+    footer (one schema read, no data scan).  Empty-result branches use
+    this so an index built over STRING doc ids returns the same schema
+    from the empty-terms/empty-index path as from the normal path —
+    hardcoding ``long`` there would break downstream unions (e.g.
+    :func:`rrf_fuse` fusing an empty lexical leg with a string-id
+    vector leg; ADVICE r15)."""
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(path, "doclens"))
+        .schema["doc_id"]
+        .dataType.simpleString()
+    )
+
+
 def _write_text_meta(spark, path: str, meta: dict, mode: str) -> None:
     import json as _json
     import os as _os
@@ -236,6 +253,84 @@ def build_text_index(
     return meta
 
 
+def text_index_repair(spark, path: str) -> int:
+    """Converge a text index left mid-add by a crash — the recovery
+    half of :func:`text_index_add`'s pending-marker protocol.  An add
+    runs marker-write → postings-append → doclens-append →
+    meta-update → marker-delete; ``doclens`` membership is the COMMIT
+    record (the dedupe guard probes it), so a crash between the two
+    appends leaves ORPHANED postings — rows whose doc is in
+    ``postings`` but not ``doclens``.  A naive replay would then
+    re-append those docs' postings, silently doubling their tf/df and
+    corrupting BM25 scores.
+
+    For every pending marker this (a) finds the marker's docs that
+    never reached ``doclens`` (a ``dmod``-pruned membership probe),
+    (b) retracts their orphaned postings rows via
+    :func:`~networkframe_spark.functions.similarity.index_remove`
+    (touched-partition rewrite — rare-path cost only), (c) refreshes
+    ``meta`` from ``doclens`` (idempotent exact-integer recompute,
+    healing the crash-after-doclens-before-meta window), then (d)
+    deletes the marker.  Every crash point therefore converges to
+    either "batch fully absent" (the replay re-ingests it cleanly) or
+    "batch fully present" (the dedupe guard skips it) — the
+    exactly-once-content claim holds through ANY single crash +
+    replay (contract-tested).  Runs automatically at the start of
+    every :func:`text_index_add`; call directly after a crash if no
+    further adds are scheduled.  Single-writer assumption as for all
+    index maintenance.  Returns the number of markers processed."""
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    pend = _os.path.join(path, "_pending")
+    fs = HPath(pend).getFileSystem(hconf)
+    if not fs.exists(HPath(pend)):
+        return 0
+    markers = [
+        st.getPath().toString()
+        for st in fs.listStatus(HPath(pend))
+        if st.isDirectory()
+    ]
+    if not markers:
+        return 0
+    from .similarity import index_remove
+
+    meta = _text_meta(spark, path)
+    n_kmod = int(meta["n_kmod"])
+    for m in markers:
+        try:
+            batch_ids = spark.read.parquet(
+                _os.path.join(m, "docs")
+            ).localCheckpoint(eager=True)
+        except Exception:
+            # Marker write itself crashed midway → nothing was
+            # appended yet (the marker is written BEFORE any append);
+            # just drop the partial marker.
+            fs.delete(HPath(m), True)
+            continue
+        dmods = [
+            r["d"]
+            for r in batch_ids.select(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_kmod)).alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        seen = (
+            spark.read.parquet(_os.path.join(path, "doclens"))
+            .filter(F.col("dmod").isin(dmods))
+            .select("doc_id")
+        )
+        orphans = batch_ids.join(seen, on="doc_id", how="left_anti")
+        if orphans.limit(1).count() > 0:
+            index_remove(spark, path, orphans, id_col="doc_id")
+        text_index_refresh_stats(spark, path)
+        fs.delete(HPath(m), True)
+    return len(markers)
+
+
 def text_index_add(
     spark,
     path: str,
@@ -255,11 +350,21 @@ def text_index_add(
     anti-joins the batch against ``doclens`` membership, reading only
     the ``dmod`` directories the batch's ids hash into — a replayed
     micro-batch appends ZERO rows, the same exactly-once-content
-    argument as every other ``*_index_add``.
+    argument as every other ``*_index_add``.  Because the guard
+    probes only ``doclens``, a crash BETWEEN the postings and doclens
+    appends would otherwise let a replay duplicate the batch's
+    postings: each add therefore writes a pending marker (the batch's
+    doc ids, under ``path/_pending/<token>/``) before appending and
+    deletes it after the meta update, and every add first runs
+    :func:`text_index_repair`, which retracts orphaned postings any
+    prior marker left behind — making retries CONVERGENT through any
+    single crash point (contract-tested).
 
     Returns the number of documents actually ingested."""
     import os as _os
+    import uuid as _uuid
 
+    text_index_repair(spark, path)
     meta = _text_meta(spark, path)
     n_kmod = int(meta["n_kmod"])
     docs = new_docs
@@ -287,6 +392,13 @@ def text_index_add(
     n_new = int(tot["n"])
     if n_new == 0:
         return 0
+    marker = _os.path.join(path, "_pending", _uuid.uuid4().hex)
+    (
+        doclens.select("doc_id")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(_os.path.join(marker, "docs"))
+    )
     (
         postings.repartition(F.col("kmod"))
         .sortWithinPartitions("term", "doc_id")
@@ -305,6 +417,11 @@ def text_index_add(
     meta["n_docs"] = int(meta["n_docs"]) + n_new
     meta["sdl"] = int(meta["sdl"]) + int(tot["sdl"] or 0)
     _write_text_meta(spark, path, meta, "overwrite")
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    HPath(marker).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    ).delete(HPath(marker), True)
     return n_new
 
 
@@ -365,7 +482,8 @@ def text_index_search(
     n_docs = int(meta["n_docs"])
     if n_docs == 0 or not query_terms:
         return spark.createDataFrame(
-            [], f"{id_col} long, score double, rank int"
+            [], f"{id_col} {_text_id_type(spark, path)}, score double,"
+            " rank int"
         )
     avgdl = int(meta["sdl"]) / n_docs
     terms = sorted({t.lower() for t in query_terms})
@@ -465,7 +583,7 @@ def text_index_search_batch(
         return spark.createDataFrame(
             [],
             f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
-            f" {id_col} long, score double, rank int",
+            f" {id_col} {_text_id_type(spark, path)}, score double, rank int",
         )
     avgdl = int(meta["sdl"]) / n_docs
     # term union for the pruned scan: collected driver-side (a
@@ -482,7 +600,7 @@ def text_index_search_batch(
         return spark.createDataFrame(
             [],
             f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
-            f" {id_col} long, score double, rank int",
+            f" {id_col} {_text_id_type(spark, path)}, score double, rank int",
         )
     terms = sorted({r["term"] for r in term_rows})
     kmods = sorted({r["km"] for r in term_rows})

@@ -943,9 +943,7 @@ def semantic_decontaminate(
         ).alias("cosine")
 
     if method == "brute":
-        n_part = int(
-            train.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_part = shuffle_partitions(train.sparkSession)
         scored = (
             te.repartition(n_part)
             .join(F.broadcast(ee))
@@ -2643,9 +2641,7 @@ def mine_hard_negatives(
     """
     anchors_df = anchors if anchors is not None else emb
     if method == "brute":
-        n_part = int(
-            emb.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_part = shuffle_partitions(emb.sparkSession)
         q = anchors_df.select(
             F.col(id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
@@ -3626,6 +3622,17 @@ _INDEX_DATA_LAYOUT = {
     "doclens": ("dmod",),         # search.build_text_index (membership)
 }
 
+#: Preferred within-file sort columns per store (after the partition
+#: columns).  Stores not listed fall back to whichever of
+#: ``vec_id`` / ``doc_id`` they carry.  ``postings`` MUST lead with
+#: ``term``: build_text_index documents the (term, doc_id) file sort
+#: as the basis for parquet row-group min/max pruning of the probe's
+#: ``term IN (...)`` filter — a compaction that sorted by doc_id
+#: alone would silently degrade probe cost (ADVICE r15).
+_INDEX_SORT_COLS = {
+    "postings": ("term", "doc_id"),
+}
+
 
 def index_compact(
     spark,
@@ -3705,13 +3712,18 @@ def index_compact(
             }
             continue
         n_tasks = max(1, _math.ceil(n / target_records_per_file))
-        sort_cols = list(part_cols) + [
-            c for c in ("vec_id", "doc_id") if c in df.columns
-        ][:1]
+        pref = _INDEX_SORT_COLS.get(sub)
+        if pref is not None:
+            sort_cols = list(part_cols) + [c for c in pref if c in df.columns]
+        else:
+            sort_cols = list(part_cols) + [
+                c for c in ("vec_id", "doc_id") if c in df.columns
+            ][:1]
         tmp = data + ".__compact_tmp__"
         old = data + ".__compact_old__"
         (
             df.repartitionByRange(n_tasks, *[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", target_records_per_file)
             .partitionBy(*part_cols)

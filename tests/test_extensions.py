@@ -319,6 +319,168 @@ def test_text_index_lifecycle_stats_compact_maintain(spark, tmp_path):
     assert got == want
 
 
+def _simulate_crashed_add(spark, path, batch, after_doclens=False):
+    """Reproduce text_index_add's write sequence up to a crash point:
+    marker + postings appended, doclens (and meta) not yet —
+    or, with after_doclens=True, marker + postings + doclens appended
+    but meta stale and marker never deleted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from networkframe_spark.functions.search import (
+        _text_meta,
+        _text_postings,
+    )
+
+    meta = _text_meta(spark, path)
+    n_kmod = int(meta["n_kmod"])
+    postings, doclens = _text_postings(batch, "doc_id", "text", n_kmod)
+    (
+        doclens.select("doc_id")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(os.path.join(path, "_pending", "crashtok", "docs"))
+    )
+    (
+        postings.repartition(F.col("kmod"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .partitionBy("kmod")
+        .parquet(os.path.join(path, "postings"))
+    )
+    if after_doclens:
+        (
+            doclens.withColumn(
+                "dmod", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_kmod))
+            )
+            .write.mode("append")
+            .partitionBy("dmod")
+            .parquet(os.path.join(path, "doclens"))
+        )
+
+
+def test_text_index_add_retry_after_postings_crash_converges(
+    spark, tmp_path
+):
+    """The ADVICE-r15 crash window: postings appended, doclens not.
+    A naive replay would re-append those postings (doubling tf/df and
+    corrupting BM25); the pending-marker repair retracts the orphans
+    first, so retry ≡ clean add ≡ full rebuild bit-for-bit."""
+    import os
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_add,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_kmod=8)
+    batch = docs.filter("doc_id % 2 = 1")
+    _simulate_crashed_add(spark, inc, batch)
+    # replay the SAME batch — repair must retract the orphaned
+    # postings before re-ingesting, and the add must ingest fully
+    assert text_index_add(spark, inc, batch) == batch.count()
+    assert not os.path.exists(os.path.join(inc, "_pending", "crashtok"))
+    build_text_index(docs, full, n_kmod=8)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(inc) == srch(full)
+
+
+def test_text_index_add_retry_after_doclens_crash_converges(
+    spark, tmp_path
+):
+    """Crash after BOTH appends but before the meta update: the batch
+    is committed content (doclens membership), so the replay must
+    ingest zero docs while the repair heals the stale meta from
+    doclens — add-after-crash ≡ rebuild bit-for-bit."""
+    from networkframe_spark.functions.search import (
+        _text_meta,
+        build_text_index,
+        text_index_add,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_kmod=8)
+    batch = docs.filter("doc_id % 2 = 1")
+    _simulate_crashed_add(spark, inc, batch, after_doclens=True)
+    assert text_index_add(spark, inc, batch) == 0  # replay: all dupes
+    build_text_index(docs, full, n_kmod=8)
+    assert _text_meta(spark, inc) == _text_meta(spark, full)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(inc) == srch(full)
+
+
+def test_text_index_repair_direct_restores_pre_add_state(spark, tmp_path):
+    """text_index_repair alone (no follow-up add) rolls a
+    postings-only crash back to 'batch fully absent': search and meta
+    ≡ the pre-add index bit-for-bit."""
+    from networkframe_spark.functions.search import (
+        _text_meta,
+        build_text_index,
+        text_index_repair,
+        text_index_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, half = str(tmp_path / "inc"), str(tmp_path / "half")
+    build_text_index(docs.filter("doc_id % 2 = 0"), inc, n_kmod=8)
+    _simulate_crashed_add(spark, inc, docs.filter("doc_id % 2 = 1"))
+    assert text_index_repair(spark, inc) == 1
+    build_text_index(docs.filter("doc_id % 2 = 0"), half, n_kmod=8)
+    assert _text_meta(spark, inc) == _text_meta(spark, half)
+    terms = ["spark", "hash", "vector"]
+    srch = lambda p: sorted(
+        map(tuple, text_index_search(spark, p, terms, k=10).collect())
+    )
+    assert srch(inc) == srch(half)
+
+
+def test_text_index_empty_result_id_type_follows_store(spark, tmp_path):
+    """Empty-terms / empty-index branches derive the id column type
+    from the stored doclens schema (ADVICE r15) — a string-id index
+    returns string-id empties, union-compatible with its normal
+    path."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_search,
+        text_index_search_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "spark hash"), ("b", "vector spark")],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=4)
+    normal = text_index_search(spark, path, ["spark"], k=5)
+    empty = text_index_search(spark, path, [], k=5)
+    typ = lambda df: [(f.name, f.dataType) for f in df.schema.fields]
+    assert typ(empty) == typ(normal) and empty.count() == 0
+    q = spark.createDataFrame(
+        [(1, ["spark"])], "query_id long, terms array<string>"
+    )
+    q_empty = spark.createDataFrame(
+        [], "query_id long, terms array<string>"
+    )
+    nb = text_index_search_batch(spark, q, path)
+    eb = text_index_search_batch(spark, q_empty, path)
+    assert typ(eb) == typ(nb) and eb.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # percentiles
 # ---------------------------------------------------------------------------

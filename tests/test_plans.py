@@ -659,3 +659,25 @@ def test_gumbel_topk_plan_take_ordered(spark):
     plan = _plan(gumbel_topk_sample(docs, n=50))
     assert "TakeOrdered" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_raw_shuffle_partitions_conf_reads():
+    """Repo lint: ``spark.sql.shuffle.partitions`` may be the literal
+    string ``"auto"`` on AQE-auto-coalescing platforms, so int()-ing the
+    conf raises ValueError there.  Every operator must go through the
+    tolerant ``session.shuffle_partitions()`` helper; this lint makes
+    the raw-read class unrecurrable (r15 verdict task 1)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "networkframe_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "session.py":
+            continue
+        text = py.read_text()
+        if 'conf.get("spark.sql.shuffle.partitions"' in text:
+            offenders.append(str(py))
+    assert not offenders, (
+        "raw shuffle-partitions conf read (use session.shuffle_partitions): "
+        f"{offenders}"
+    )
