@@ -2100,6 +2100,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_search"] = q_hybrid_search
 
+    # hybrid retrieval with the QUANTIZED vector leg (r15 verdict task
+    # 2): vector_index="ivf_sq" rides the int8 IVF store — the 100 TB
+    # memory answer — instead of LSH.  Exhaustive probe (n_probe =
+    # n_lists) makes the leg equal brute L2 over the DEQUANTIZED
+    # corpus (the sq_topk oracle arithmetic), so the whole fusion is
+    # SQL-expressible: BM25 twin + sq-brute twin + decimal RRF.
+    def q_hybrid_search_ivfsq(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            hybrid_search_batch,
+        )
+        from networkframe_spark.functions.similarity import (
+            build_ivf_sq_index,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        emb = read_embeddings(spark, sf)
+        base = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_hybsq_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_text_index(docs, base + "/tix", n_kmod=16, mode="overwrite")
+        build_ivf_sq_index(
+            emb, base + "/ivfsq", n_lists=8, n_iter=2, mode="overwrite"
+        )
+        terms = spark.createDataFrame(
+            [
+                (0, ["spark", "hash"]),
+                (1, ["vector", "data"]),
+                (2, ["partition", "spark"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        queries = terms.join(
+            emb.selectExpr("vec_id as query_id", "embedding"),
+            on="query_id",
+        )
+        return hybrid_search_batch(
+            spark,
+            queries,
+            base + "/tix",
+            base + "/ivfsq",
+            k=10,
+            lexical_k=5,
+            vector_k=3,
+            vector_index="ivf_sq",
+            n_probe=8,  # = n_lists: exhaustive, vector leg == sq-brute
+            exclude_self=False,
+        )
+
+    q["hybrid_search_ivfsq"] = q_hybrid_search_ivfsq
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -5262,6 +5318,101 @@ vec AS (
   SELECT query_id, doc_id,
          row_number() OVER (
            PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC
+         ) AS rank
+  FROM vscored QUALIFY rank <= 3
+),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12)) AS term
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(38,12))
+  FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, count(*) AS n_lists,
+         round(CAST(SUM(term) AS DOUBLE), 6) AS rrf_score
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_score,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+       ) AS fused_rank
+FROM fused QUALIFY fused_rank <= 10
+"""
+
+    # hybrid with the int8-quantized vector leg: BM25 twin + sq-brute
+    # L2 twin (exhaustive probe == dequantized brute force, the
+    # sq_topk arithmetic) + decimal RRF — same fusion SQL as
+    # hybrid_search with the cosine leg swapped for the d2-asc leg
+    o["hybrid_search_ivfsq"] = f"""
+WITH {TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+qt AS (
+  SELECT * FROM (VALUES
+    (0, 'spark'), (0, 'hash'),
+    (1, 'vector'), (1, 'data'),
+    (2, 'partition'), (2, 'spark')
+  ) AS v(query_id, term)
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN (SELECT term FROM qt)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6)
+         AS DECIMAL(38,12)) AS ts
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN qt ON tf.term = qt.term
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+),
+scored_lex AS (
+  SELECT query_id, doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+  FROM per_term GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored_lex QUALIFY rank <= 5
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> round(x / scale) * scale)
+         END AS demb
+  FROM s
+),
+vscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(list_dot_product(q.emb, q.emb)
+           - 2 * list_dot_product(q.emb, c.demb)
+           + list_dot_product(c.demb, c.demb), 6) AS d2
+  FROM e q, deq c
+  WHERE q.vec_id < 3
+),
+vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY d2 ASC, doc_id ASC
          ) AS rank
   FROM vscored QUALIFY rank <= 3
 ),

@@ -648,7 +648,7 @@ def hybrid_search_batch(
     spark,
     queries: DataFrame,
     text_index_path: str,
-    lsh_index_path: str,
+    vector_index_path: str,
     query_id_col: str = "query_id",
     terms_col: str = "terms",
     emb_col: str = "embedding",
@@ -659,30 +659,55 @@ def hybrid_search_batch(
     n_probe_bits: int = 0,
     exclude_self: bool = False,
     id_col: str = "doc_id",
+    vector_index: str = "lsh",
+    n_probe: int = 4,
+    vector_metric: str = "l2",
 ) -> DataFrame:
     """Hybrid lexical + vector retrieval against TWO persisted
     indexes — the complete RAG-retrieval duty cycle in one call:
     per-query BM25 top-``lexical_k`` from the inverted text index
-    (:func:`text_index_search_batch`), per-query cosine
-    top-``vector_k`` from the persisted LSH index
-    (:func:`~networkframe_spark.functions.similarity.lsh_index_search`,
-    multi-probe via ``n_probe_bits``), fused per query with
+    (:func:`text_index_search_batch`), per-query top-``vector_k``
+    from a persisted vector index, fused per query with
     reciprocal-rank fusion (:func:`rrf_fuse`, the zero-tuning
     combiner).  ``queries`` carries one row per query:
     ``(query_id, terms array<string>, embedding array)``.
+
+    ``vector_index`` picks the vector leg — all three persisted
+    families that carry a batch probe:
+
+    - ``"lsh"`` (default) —
+      :func:`~networkframe_spark.functions.similarity.lsh_index_search`,
+      cosine multi-probe via ``n_probe_bits``;
+    - ``"ivf_sq"`` —
+      :func:`~networkframe_spark.functions.similarity.ivf_sq_search`,
+      int8-quantized cells (8× smaller store — the memory answer at
+      100 TB), ``n_probe`` cells per query,
+      ``vector_metric`` ``"l2"``/``"cosine"``;
+    - ``"ivfpq"`` —
+      :func:`~networkframe_spark.functions.similarity.ivfpq_search`,
+      PQ ADC scoring (m-byte codes, 4-32× smaller), ``n_probe``
+      cells per query (l2-rank by construction; ``exclude_self`` is
+      not supported on this leg — PQ probes have no self notion).
+
+    Each leg contributes only its RANKS to the fusion, so swapping
+    the vector family never changes the fusion arithmetic — the
+    result is ``rrf_fuse(lexical leg, chosen vector leg)``
+    bit-for-bit (contract-tested against hand-composed legs for all
+    three families).
 
     Returns ``(query_id, id_col, n_lists, rrf_score, fused_rank)``,
     ``fused_rank`` 1..k per query (rrf_score desc, id asc).
 
     Scale design is inherited, not new: BOTH legs are partition-pruned
     probes of offline-built stores (kmod dirs for terms, (table,
-    bucket) dirs for signatures) — no corpus scan anywhere — and the
-    fusion is one union + one (query, id)-keyed hash aggregate + a
-    query-keyed rank window (never global).  The two legs share
-    nothing and Spark schedules their stages independently.
-    Determinism: each leg's ranks are deterministic (6-dp rounded
-    scores, id tie-breaks), and RRF sums 12-dp reciprocal terms
-    through DECIMAL(38,12) — bit-reproducible at any parallelism.
+    bucket) dirs for LSH signatures, list_id dirs for IVF cells) — no
+    corpus scan anywhere — and the fusion is one union + one
+    (query, id)-keyed hash aggregate + a query-keyed rank window
+    (never global).  The two legs share nothing and Spark schedules
+    their stages independently.  Determinism: each leg's ranks are
+    deterministic (6-dp rounded scores / DECIMAL ADC sums, id
+    tie-breaks), and RRF sums 12-dp reciprocal terms through
+    DECIMAL(38,12) — bit-reproducible at any parallelism.
     """
     lex = text_index_search_batch(
         spark,
@@ -693,18 +718,57 @@ def hybrid_search_batch(
         k=lexical_k,
         id_col=id_col,
     ).select(F.col("query_id"), F.col(id_col), F.col("rank"))
-    from .similarity import lsh_index_search
+    if vector_index == "lsh":
+        from .similarity import lsh_index_search
 
-    vec = lsh_index_search(
-        spark,
-        lsh_index_path,
-        queries.select(query_id_col, emb_col),
-        k=vector_k,
-        n_probe_bits=n_probe_bits,
-        query_id_col=query_id_col,
-        emb_col=emb_col,
-        exclude_self=exclude_self,
-    ).select(
+        vec = lsh_index_search(
+            spark,
+            vector_index_path,
+            queries.select(query_id_col, emb_col),
+            k=vector_k,
+            n_probe_bits=n_probe_bits,
+            query_id_col=query_id_col,
+            emb_col=emb_col,
+            exclude_self=exclude_self,
+        )
+    elif vector_index == "ivf_sq":
+        from .similarity import ivf_sq_search
+
+        vec = ivf_sq_search(
+            spark,
+            vector_index_path,
+            queries.select(query_id_col, emb_col),
+            k=vector_k,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            emb_col=emb_col,
+            metric=vector_metric,
+            exclude_self=exclude_self,
+        )
+    elif vector_index == "ivfpq":
+        if exclude_self:
+            raise ValueError(
+                "hybrid_search_batch: exclude_self is not supported with"
+                " vector_index='ivfpq' (PQ probes carry no self notion);"
+                " retrieve with external query ids"
+            )
+        from .similarity import ivfpq_search
+
+        vec = ivfpq_search(
+            spark,
+            vector_index_path,
+            queries.select(query_id_col, emb_col),
+            k=vector_k,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            emb_col=emb_col,
+        )
+    else:
+        raise ValueError(
+            "hybrid_search_batch: vector_index must be 'lsh', 'ivf_sq'"
+            f" or 'ivfpq', got {vector_index!r}"
+        )
+    vec = vec.select(
         F.col("query_id"), F.col("vec_id").alias(id_col), F.col("rank")
     )
     return rrf_fuse(

@@ -1132,3 +1132,107 @@ def test_hybrid_search_batch_equals_leg_composition(spark, tmp_path):
     # union spans both sources (vector-only ids exist since vector_k
     # ids need not match any lexical term)
     assert any(r[2] >= 1 for r in got)
+
+
+def test_hybrid_search_batch_vector_leg_dispatch(spark, tmp_path):
+    """vector_index='ivf_sq'/'ivfpq' swaps the vector leg for the
+    quantized stores (the 100 TB memory answer) with the fusion
+    arithmetic unchanged: hybrid == rrf_fuse(lexical leg, chosen
+    probe) composed by hand, bit-for-bit, for both families."""
+    import pytest as _pytest
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        hybrid_search_batch,
+        rrf_fuse,
+        text_index_search_batch,
+    )
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        build_ivfpq_index,
+        ivf_sq_search,
+        ivfpq_search,
+    )
+    from networkframe_spark.sources import read_embeddings, read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    tix = str(tmp_path / "tix")
+    build_text_index(docs, tix, n_kmod=8)
+    terms = spark.createDataFrame(
+        [(0, ["spark", "hash"]), (1, ["vector", "data"])],
+        "query_id long, terms array<string>",
+    )
+    queries = terms.join(
+        emb.selectExpr("vec_id as query_id", "embedding"), on="query_id"
+    )
+    lex = text_index_search_batch(
+        spark, terms, tix, k=5
+    ).select("query_id", "doc_id", "rank")
+
+    def fused(vec_df):
+        return sorted(
+            map(
+                tuple,
+                rrf_fuse(
+                    [lex, vec_df.selectExpr(
+                        "query_id", "vec_id as doc_id", "rank"
+                    )],
+                    id_col="doc_id", query_col="query_id", top_k=10,
+                ).collect(),
+            )
+        )
+
+    # --- ivf_sq leg ---
+    sq = str(tmp_path / "ivfsq")
+    build_ivf_sq_index(emb, sq, n_lists=4, n_iter=2)
+    got_sq = sorted(
+        map(
+            tuple,
+            hybrid_search_batch(
+                spark, queries, tix, sq,
+                k=10, lexical_k=5, vector_k=3,
+                vector_index="ivf_sq", n_probe=2, exclude_self=False,
+            ).collect(),
+        )
+    )
+    want_sq = fused(
+        ivf_sq_search(
+            spark, sq, queries.select("query_id", "embedding"),
+            k=3, n_probe=2, query_id_col="query_id",
+            exclude_self=False,
+        )
+    )
+    assert got_sq == want_sq and len(got_sq) > 0
+
+    # --- ivfpq leg ---
+    pq = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        emb, pq, n_lists=4, m=4, k_codes=16,
+        codebook_init="first_ids", residual=False,
+    )
+    got_pq = sorted(
+        map(
+            tuple,
+            hybrid_search_batch(
+                spark, queries, tix, pq,
+                k=10, lexical_k=5, vector_k=3,
+                vector_index="ivfpq", n_probe=2,
+            ).collect(),
+        )
+    )
+    want_pq = fused(
+        ivfpq_search(
+            spark, pq, queries.select("query_id", "embedding"),
+            k=3, n_probe=2, query_id_col="query_id",
+        )
+    )
+    assert got_pq == want_pq and len(got_pq) > 0
+
+    with _pytest.raises(ValueError, match="exclude_self"):
+        hybrid_search_batch(
+            spark, queries, tix, pq,
+            vector_index="ivfpq", exclude_self=True,
+        )
+    with _pytest.raises(ValueError, match="vector_index"):
+        hybrid_search_batch(spark, queries, tix, pq, vector_index="hnsw")
