@@ -3839,6 +3839,191 @@ def index_maintain(
     )
 
 
+def index_recall_check(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_probe_bits: int = 0,
+    min_recall: float = 0.9,
+    max_imbalance: float = 8.0,
+    corpus: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """RECALL-DRIFT monitor for a persisted ANN index — the one
+    index-lifecycle contract nothing watched until r16:
+    :func:`index_maintain` guards FILE counts, but every
+    ``*_index_add`` assigns against FROZEN centroids/planes, so after
+    many adds from a shifted distribution the cells grow imbalanced
+    and probe recall silently degrades with zero observable change in
+    answers-per-query (the probe still returns k rows — they're just
+    the wrong k).  This runs the held-out ``probes`` through the
+    store's own search, scores recall@k against brute-force truth
+    over the store's content (:func:`ann_recall_report`), summarizes
+    cell balance, and says whether the store needs retraining.
+
+    Family is auto-detected from the store layout: ``codes`` →
+    IVF-PQ (``corpus`` with raw embeddings REQUIRED — PQ codes are
+    not reconstructible to full precision), ``bands`` → LSH,
+    ``cells`` + quantize manifest → IVF-SQ, ``cells`` → raw IVF.
+    For the self-contained families the truth corpus is read back
+    from the index itself (raw cells / dequantized int8 cells /
+    distinct band rows), so the check isolates exactly the
+    DRIFT-induced pruning loss: quantization loss is frozen at build
+    time, and with ``n_probe = n_lists`` recall is 1.0 by the probe
+    contracts regardless of drift.
+
+    Returns ``{"family", "n_queries", "mean_recall", "p10_recall",
+    "min_recall_seen", "recall_breached", "balance": {"partitions",
+    "max_rows", "avg_rows", "imbalance"}, "balance_breached",
+    "recommend"}`` where ``imbalance = max_rows/avg_rows`` over the
+    data store's partition key and ``recommend`` is ``"rebuild"``
+    when either gate trips (re-run the family's ``build_*`` over the
+    current corpus with ``mode="overwrite"`` — retraining
+    centroids/codebooks is the repair; a rebuilt store then searches
+    identically to a fresh build by construction, contract-tested) or
+    ``"ok"``.
+
+    Scale: the truth pass is brute force over (store × probes) — run
+    it on a SAMPLED probe set at a maintenance cadence, exactly like
+    :func:`ann_recall_report`; the balance summary is one hash
+    aggregate over the store's partition column (column-pruned scan).
+    """
+    import json as _json
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _exists(sub: str) -> bool:
+        p = _os.path.join(path, sub)
+        return HPath(p).getFileSystem(hconf).exists(HPath(p))
+
+    qs = probes.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col)
+    )
+    if _exists("codes"):
+        family, store_sub, part_col = "ivfpq", "codes", "list_id"
+        if corpus is None:
+            raise ValueError(
+                "index_recall_check: the IVF-PQ family needs the raw"
+                " corpus (PQ codes are not reconstructible) — pass"
+                " corpus=<DataFrame with vec_id + embeddings>"
+            )
+        truth_corpus = corpus.select(
+            F.col("vec_id"), F.col(emb_col).alias("embedding")
+        )
+        approx = ivfpq_search(
+            spark, path, qs, k=k, n_probe=n_probe,
+            query_id_col="query_id", emb_col=emb_col,
+        )
+        metric = "l2"
+    elif _exists("bands"):
+        family, store_sub, part_col = "lsh", "bands", "bucket"
+        truth_corpus = (
+            spark.read.parquet(_os.path.join(path, "bands"))
+            .select("vec_id", F.col("c_emb").alias("embedding"))
+            .dropDuplicates(["vec_id"])
+        )
+        approx = lsh_index_search(
+            spark, path, qs, k=k, n_probe_bits=n_probe_bits,
+            query_id_col="query_id", emb_col=emb_col,
+            exclude_self=False,
+        )
+        metric = "cosine"
+    elif _exists("cells"):
+        man = spark.read.json(_os.path.join(path, "centroids")).collect()[0]
+        quantized = "quantize" in man.asDict() and man["quantize"] == "sq8"
+        cells = spark.read.parquet(_os.path.join(path, "cells"))
+        part_col, store_sub = "list_id", "cells"
+        if quantized:
+            family = "ivf_sq"
+            truth_corpus = cells.select(
+                "vec_id",
+                dequantize_expr(
+                    F.col("qembedding"), F.col("scale")
+                ).alias("embedding"),
+            )
+            approx = ivf_sq_search(
+                spark, path, qs, k=k, n_probe=n_probe,
+                query_id_col="query_id", emb_col=emb_col,
+                metric="l2", exclude_self=False,
+            )
+            metric = "l2"
+        else:
+            family = "ivf"
+            truth_corpus = cells.select(
+                "vec_id", F.col("c_emb").alias("embedding")
+            )
+            approx = ivf_index_search(
+                spark, path, qs, k=k, n_probe=n_probe,
+                query_id_col="query_id", emb_col=emb_col,
+                exclude_self=False,
+            )
+            metric = "cosine"
+    else:
+        raise ValueError(
+            f"index_recall_check: no ANN data store found under {path}"
+        )
+    rep = ann_recall_report(
+        truth_corpus,
+        probes.select(
+            F.col(query_id_col).alias("vec_id"),
+            F.col(emb_col).alias("embedding"),
+        ),
+        approx,
+        k=k,
+        exclude_self=False,
+        metric=metric,
+    )
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("recall").alias("mean_r"),
+        F.min("recall").alias("min_r"),
+        F.expr("percentile(recall, 0.1)").alias("p10"),
+    ).collect()[0]
+    bal = (
+        spark.read.parquet(_os.path.join(path, store_sub))
+        .groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.max("rows").alias("max_rows"),
+            F.avg("rows").alias("avg_rows"),
+        )
+        .collect()[0]
+    )
+    imbalance = (
+        float(bal["max_rows"]) / float(bal["avg_rows"])
+        if bal["avg_rows"]
+        else 0.0
+    )
+    mean_recall = float(agg["mean_r"] or 0.0)
+    recall_breached = mean_recall < min_recall
+    balance_breached = imbalance > max_imbalance
+    return {
+        "family": family,
+        "n_queries": int(agg["n"]),
+        "mean_recall": round(mean_recall, 6),
+        "p10_recall": round(float(agg["p10"] or 0.0), 6),
+        "min_recall_seen": round(float(agg["min_r"] or 0.0), 6),
+        "recall_breached": recall_breached,
+        "balance": {
+            "partitions": int(bal["parts"]),
+            "max_rows": int(bal["max_rows"] or 0),
+            "avg_rows": round(float(bal["avg_rows"] or 0.0), 2),
+            "imbalance": round(imbalance, 3),
+        },
+        "balance_breached": balance_breached,
+        "recommend": (
+            "rebuild" if (recall_breached or balance_breached) else "ok"
+        ),
+    }
+
+
 def index_remove(spark, path: str, ids, id_col: str | None = None) -> dict:
     """Remove documents/vectors from a persisted index IN PLACE — the
     retraction / right-to-be-forgotten half of the maintenance loop

@@ -4074,3 +4074,143 @@ def test_embedding_duplicates_arrow_verify_equals_expr(spark):
 
     with pytest.raises(ValueError, match="does not match"):
         embedding_duplicates(emb, dim=16, **kw)
+
+
+def test_index_recall_check_drift_duty_cycle(spark, tmp_path):
+    """The r15-verdict recall-drift monitor: adds against FROZEN
+    centroids silently degrade probe recall; index_recall_check trips
+    on a deliberately drifted store (adds from a shifted cluster
+    distribution), passes on the healthy and rebuilt stores, and the
+    documented repair (in-place build_* mode='overwrite' retrain)
+    searches bit-identically to a fresh build."""
+    import random
+
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        index_recall_check,
+        ivf_sq_index_add,
+        ivf_sq_search,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+
+    def cluster_rows(centers, n_per, id0):
+        rows, i = [], id0
+        for cj in centers:
+            for _ in range(n_per):
+                v = [0.0] * dim
+                v[cj] = 10.0
+                rows.append(
+                    (i, [x + rng.uniform(-0.5, 0.5) for x in v])
+                )
+                i += 1
+        return rows
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(cluster_rows(range(8), 50, 0), schema)
+    drift = spark.createDataFrame(
+        cluster_rows(range(8, 16), 50, 10000), schema
+    )
+    path = str(tmp_path / "ix")
+    build_ivf_sq_index(base, path, n_lists=8, n_iter=5)
+    probes_a = base.filter("vec_id % 10 = 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    healthy = index_recall_check(
+        spark, path, probes_a, k=10, n_probe=1, min_recall=0.9
+    )
+    assert healthy["family"] == "ivf_sq"
+    assert not healthy["recall_breached"]
+    assert healthy["recommend"] == "ok"
+    assert healthy["mean_recall"] > 0.95
+    # drift: a second distribution ingested against the frozen
+    # centroids — every new cluster's points scatter across the old
+    # cells, so n_probe=1 probes miss most true neighbors
+    ivf_sq_index_add(spark, path, drift)
+    probes_b = drift.filter("vec_id % 10 = 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    drifted = index_recall_check(
+        spark, path, probes_b, k=10, n_probe=1, min_recall=0.9
+    )
+    assert drifted["recall_breached"]
+    assert drifted["recommend"] == "rebuild"
+    assert drifted["mean_recall"] < 0.6
+    # repair = retrain in place over the current corpus
+    union = base.unionByName(drift)
+    build_ivf_sq_index(
+        union, path, n_lists=16, n_iter=5, mode="overwrite"
+    )
+    rebuilt = index_recall_check(
+        spark, path, probes_b, k=10, n_probe=1, min_recall=0.9
+    )
+    assert not rebuilt["recall_breached"]
+    assert rebuilt["recommend"] == "ok"
+    assert rebuilt["mean_recall"] > 0.95
+    # in-place rebuild == fresh build, bit-for-bit
+    fresh = str(tmp_path / "fresh")
+    build_ivf_sq_index(union, fresh, n_lists=16, n_iter=5)
+    a = sorted(
+        map(
+            tuple,
+            ivf_sq_search(
+                spark, path, probes_b, k=5, n_probe=2,
+                query_id_col="query_id", exclude_self=False,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_sq_search(
+                spark, fresh, probes_b, k=5, n_probe=2,
+                query_id_col="query_id", exclude_self=False,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_index_recall_check_family_detection(spark, tmp_path):
+    """Auto-detection covers all four ANN families; ivfpq without a
+    corpus is a loud error (codes are not reconstructible)."""
+    import pytest
+
+    from networkframe_spark.functions.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        build_lsh_index,
+        index_recall_check,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 100")
+    probes = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, n_lists=4, n_iter=2)
+    # exhaustive probe: recall exactly 1.0 by the probe contract —
+    # drift-induced pruning loss is the ONLY thing this can lose
+    chk = index_recall_check(spark, ivf, probes, k=5, n_probe=4)
+    assert chk["family"] == "ivf" and chk["mean_recall"] == 1.0
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, n_planes=4, n_tables=2)
+    chk = index_recall_check(
+        spark, lsh, probes, k=5, n_probe_bits=4, min_recall=0.99
+    )
+    assert chk["family"] == "lsh" and chk["mean_recall"] == 1.0
+    pq = str(tmp_path / "pq")
+    build_ivfpq_index(
+        emb, pq, n_lists=4, m=4, k_codes=16,
+        codebook_init="first_ids", residual=False,
+    )
+    with pytest.raises(ValueError, match="corpus"):
+        index_recall_check(spark, pq, probes, k=5)
+    chk = index_recall_check(
+        spark, pq, probes, k=5, n_probe=4, corpus=emb, min_recall=0.0
+    )
+    assert chk["family"] == "ivfpq" and chk["n_queries"] == 5
