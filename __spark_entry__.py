@@ -2156,6 +2156,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_search_ivfsq"] = q_hybrid_search_ivfsq
 
+    # exact phrase search over the POSITIONAL text index (r15 verdict
+    # task 4): build half the corpus with positions=True, text_index_add
+    # the other half (pinning the positional add ≡ rebuild identity),
+    # then phrase-probe — Lucene PhraseQuery semantics (tf = phrase
+    # occurrences, df = matching docs) through the same partition-pruned
+    # postings read as bag-of-terms search.
+    def q_phrase_search(spark, sf):
+        import os as _os
+        import tempfile as _tempfile
+
+        from networkframe_spark.functions.search import (
+            build_text_index,
+            text_index_add,
+            text_index_phrase_search,
+        )
+
+        docs = read_table(spark, sf, "documents")
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"nfspark_phr_{_os.path.basename(sf.rstrip('/'))}"
+            f"_{_os.getpid()}",
+        )
+        build_text_index(
+            docs.filter("doc_id % 2 = 0"), path, n_kmod=16,
+            mode="overwrite", positions=True,
+        )
+        text_index_add(spark, path, docs.filter("doc_id % 2 = 1"))
+        return text_index_phrase_search(spark, path, ["hash", "join"], k=10)
+
+    q["phrase_search"] = q_phrase_search
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -5435,6 +5466,39 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_score,
          PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
        ) AS fused_rank
 FROM fused QUALIFY fused_rank <= 10
+"""
+
+    # phrase 'hash join': chain-join of per-term positions (b.o =
+    # a.o + 1), tf = occurrence count per doc, df = matching docs,
+    # BM25 single-virtual-term scoring — the engine's array_intersect
+    # fold over shifted position arrays computes the same set
+    o["phrase_search"] = f"""
+WITH {TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
+p AS (SELECT doc_id, t[i] AS w, i AS o FROM idx),
+a AS (SELECT doc_id, o FROM p WHERE w = 'hash'),
+b AS (SELECT doc_id, o FROM p WHERE w = 'join'),
+m AS (
+  SELECT a.doc_id, count(*) AS ptf
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+  GROUP BY a.doc_id
+),
+dfp AS (SELECT count(*) AS df_p FROM m),
+scored AS (
+  SELECT m.doc_id,
+         round(ln(1.0 + (tot.n::DOUBLE - dfp.df_p + 0.5) / (dfp.df_p + 0.5))
+           * (m.ptf * 2.2)
+           / (m.ptf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6) AS score
+  FROM m
+  JOIN lens ON m.doc_id = lens.doc_id
+  CROSS JOIN tot CROSS JOIN dfp
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM scored QUALIFY rank <= 10
 """
 
     o["value_percentiles"] = """

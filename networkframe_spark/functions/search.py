@@ -104,7 +104,11 @@ def bm25_top_docs(
 
 
 def _text_postings(
-    df: DataFrame, id_col: str, text_col: str, n_kmod: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_kmod: int,
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared build/add tokenization → (postings, doclens).
 
@@ -115,24 +119,52 @@ def _text_postings(
     pmod(xxhash64(term), n_kmod)`` folds the unbounded term space
     into a bounded partition-directory space, the same convention as
     the MinHash store's band keys — build, add, and probe all use
-    this ONE expression, so they can never drift."""
+    this ONE expression, so they can never drift.
+
+    ``positions=True`` adds a ``pos array<int>`` column: the term's
+    1-based token positions within the doc, SORTED (``sort_array``
+    canonicalizes the collect order, preserving the add ≡ rebuild
+    bit-identity contract under any parallelism) — the positional
+    layout phrase search needs.  Standard positional-index trade:
+    postings grow by ~one int per occurrence."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
     )
     doclens = toks.select("doc_id", F.size("t").alias("dl"))
-    postings = (
-        toks.select(
-            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    if positions:
+        agg = (
+            toks.select(
+                "doc_id",
+                F.size("t").alias("dl"),
+                F.posexplode("t").alias("p0", "term"),
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(
+                    F.collect_list((F.col("p0") + F.lit(1)).cast("int"))
+                ).alias("pos"),
+            )
         )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-            F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("kmod"),
+        extra = ["pos"]
+    else:
+        agg = (
+            toks.select(
+                "doc_id",
+                F.size("t").alias("dl"),
+                F.explode("t").alias("term"),
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
+        extra = []
+    postings = agg.select(
+        "term",
+        "doc_id",
+        "tf",
+        "dl",
+        *extra,
+        F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("kmod"),
     )
     return postings, doclens
 
@@ -182,6 +214,7 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "error",
+    positions: bool = False,
 ) -> dict:
     """Build and persist an INVERTED TEXT INDEX — the sixth persisted
     index family (IVF / IVF-SQ / IVF-PQ / LSH / MinHash are the other
@@ -223,7 +256,9 @@ def build_text_index(
     """
     import os as _os
 
-    postings, doclens = _text_postings(corpus, id_col, text_col, n_kmod)
+    postings, doclens = _text_postings(
+        corpus, id_col, text_col, n_kmod, positions
+    )
     (
         postings.repartition(F.col("kmod"))
         .sortWithinPartitions("term", "doc_id")
@@ -248,6 +283,7 @@ def build_text_index(
         "n_kmod": n_kmod,
         "n_docs": int(tot["n"]),
         "sdl": int(tot["sdl"] or 0),
+        "positions": bool(positions),
     }
     _write_text_meta(corpus.sparkSession, path, meta, mode)
     return meta
@@ -384,7 +420,10 @@ def text_index_add(
                 .select(F.col("doc_id").alias(id_col))
             )
             docs = new_docs.join(seen, on=id_col, how="left_anti")
-    postings, doclens = _text_postings(docs, id_col, text_col, n_kmod)
+    postings, doclens = _text_postings(
+        docs, id_col, text_col, n_kmod,
+        positions=bool(meta.get("positions", False)),
+    )
     doclens = doclens.localCheckpoint(eager=True)
     tot = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
@@ -522,6 +561,125 @@ def text_index_search(
     )
     scored = per_term.groupBy("id").agg(
         F.round(F.sum("ts").cast("double"), 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))  # k rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )
+
+
+def text_index_phrase_search(
+    spark,
+    path: str,
+    phrase: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact PHRASE top-``k`` against a POSITIONAL text index
+    (:func:`build_text_index` with ``positions=True``): documents
+    where the phrase's terms occur at consecutive token positions, in
+    order — the query a search user types the moment bag-of-terms
+    BM25 mis-ranks ("new york" ≠ "york new").
+
+    Matching is pure position arithmetic over the stored postings:
+    the phrase's start positions in a doc are
+    ``intersect_i (pos(term_i) - i)`` — fold ``array_intersect`` over
+    per-term position arrays shifted by their phrase offset; a
+    non-empty result is a match and its SIZE is the phrase term
+    frequency.  Scoring treats the phrase as one virtual term with
+    Lucene PhraseQuery semantics: BM25 over ``tf = phrase
+    occurrences`` and ``df = docs matching the phrase``, same idf
+    formula / 6-dp rounding / tie-breaks as :func:`text_index_search`.
+
+    Returns ``(id_col, score, rank)``, rank 1..k by
+    (score desc, id asc).
+
+    Plan shape: the probe reads ONLY the phrase terms' ``kmod``
+    partition directories (same directory + row-group prune as the
+    bag-of-terms probe — plan-asserted), folds positions per doc in
+    one keyed hash aggregate (docs missing any phrase term drop via a
+    count pre-filter; the map-lookup fold nulls out on absent terms
+    as defense in depth), broadcasts the 1-row phrase-df aggregate,
+    and finishes with the distributed TakeOrdered + k-row rank
+    window.  No corpus scan, no global window, no Python evaluation.
+    """
+    import os as _os
+
+    meta = _text_meta(spark, path)
+    if not meta.get("positions", False):
+        raise ValueError(
+            "text_index_phrase_search: index was built without"
+            " positions — rebuild with build_text_index(...,"
+            " positions=True)"
+        )
+    n_kmod = int(meta["n_kmod"])
+    n_docs = int(meta["n_docs"])
+    terms = [t.lower() for t in phrase]
+    if n_docs == 0 or not terms:
+        return spark.createDataFrame(
+            [], f"{id_col} {_text_id_type(spark, path)}, score double,"
+            " rank int"
+        )
+    uniq = sorted(set(terms))
+    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    kmods = sorted(
+        {
+            r["km"]
+            for r in tdf.select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_kmod)).alias("km")
+            ).collect()
+        }
+    )
+    tf = spark.read.parquet(_os.path.join(path, "postings")).filter(
+        F.col("kmod").isin(kmods) & F.col("term").isin(uniq)
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        F.count(F.lit(1)).alias("nt"),
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "pos"))
+        ).alias("m"),
+    ).filter(F.col("nt") == F.lit(len(uniq)))
+    def _shift_by(offset: int):
+        # MUST stay a 1-arg lambda: F.transform feeds a 2-arg lambda
+        # (element, array_index) — a default-arg capture would be
+        # silently treated as the index parameter
+        return lambda x: x - F.lit(offset)
+
+    starts = F.col("m").getItem(terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        starts = F.array_intersect(
+            starts, F.transform(F.col("m").getItem(t), _shift_by(i))
+        )
+    matched = (
+        per_doc.select(
+            "doc_id", "dl", F.size(starts).alias("ptf")
+        )
+        .filter(F.col("ptf") > 0)
+    )
+    dfc = matched.agg(F.count(F.lit(1)).alias("df_p"))
+    avgdl = int(meta["sdl"]) / n_docs
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_p") + F.lit(0.5))
+        / (F.col("df_p") + F.lit(0.5))
+    )
+    scored = matched.crossJoin(F.broadcast(dfc)).select(
+        F.col("doc_id").alias("id"),
+        F.round(
+            idf
+            * (F.col("ptf") * F.lit(k1 + 1.0))
+            / (
+                F.col("ptf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+            6,
+        ).alias("score"),
     )
     top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))  # k rows only

@@ -449,6 +449,138 @@ def test_text_index_repair_direct_restores_pre_add_state(spark, tmp_path):
     assert srch(inc) == srch(half)
 
 
+def test_text_index_phrase_search_exact_semantics(spark, tmp_path):
+    """Phrase matching is positional: in-order consecutive occurrence
+    only ('york new' must NOT match 'new york'), repeated-term
+    phrases work, and scoring is BM25 over (tf = occurrences, df =
+    matching docs) — hand-checked on a tiny corpus."""
+    import math
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "new york city is big"),
+            (1, "york new haven line"),
+            (2, "i love new york and new york loves me"),
+            (3, "new new york york"),
+            (4, "totally unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=4, positions=True)
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in text_index_phrase_search(
+            spark, path, ["new", "york"], k=10
+        ).collect()
+    }
+    assert set(got) == {0, 2, 3}  # doc 1 has the words, wrong order
+    # doc 2: ptf=2, dl=9; N=5, df_p=3, avgdl=25/5=5.0
+    idf = math.log(1 + (5 - 3 + 0.5) / 3.5)
+    s2 = round(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 9 / 5.0)), 6)
+    assert got[2][0] == pytest.approx(s2, abs=1e-6)
+    # 3-term phrase: only doc 0
+    three = text_index_phrase_search(
+        spark, path, ["new", "york", "city"], k=10
+    ).collect()
+    assert [r["doc_id"] for r in three] == [0]
+    # repeated-term phrase: only doc 3 has 'new new'
+    rep = text_index_phrase_search(spark, path, ["new", "new"], k=10)
+    assert [r["doc_id"] for r in rep.collect()] == [3]
+    # no match at all
+    assert (
+        text_index_phrase_search(
+            spark, path, ["city", "york"], k=10
+        ).count()
+        == 0
+    )
+
+
+def test_text_index_positional_add_equals_rebuild(spark, tmp_path):
+    """positions=True rides the add ≡ rebuild bit-identity contract:
+    build half + add half produces phrase results identical to one
+    build over the union (sort_array canonicalizes position collect
+    order)."""
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_add,
+        text_index_phrase_search,
+    )
+    from networkframe_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(
+        docs.filter("doc_id % 2 = 0"), inc, n_kmod=8, positions=True
+    )
+    assert text_index_add(spark, inc, docs.filter("doc_id % 2 = 1")) > 0
+    build_text_index(docs, full, n_kmod=8, positions=True)
+    srch = lambda p: sorted(
+        map(
+            tuple,
+            text_index_phrase_search(
+                spark, p, ["hash", "join"], k=10
+            ).collect(),
+        )
+    )
+    want = srch(full)
+    assert srch(inc) == want and len(want) > 0
+    # replay appends nothing, results unchanged
+    assert text_index_add(spark, inc, docs.filter("doc_id % 2 = 1")) == 0
+    assert srch(inc) == want
+
+
+def test_text_index_phrase_search_plan_prunes_partitions(spark, tmp_path):
+    """The phrase probe reads only the phrase terms' kmod directories
+    — same PartitionFilters + row-group prune as the bag-of-terms
+    probe — and stays JVM-side (no Python evaluation)."""
+    import os
+
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_phrase_search,
+    )
+    from networkframe_spark.sources import read_table
+    from tests.conftest import scan_partition_counts
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=16, positions=True)
+    out = text_index_phrase_search(spark, path, ["hash", "join"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kmod" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    total = sum(
+        1
+        for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("kmod=")
+    )
+    scans = scan_partition_counts(out)
+    assert scans, "no FileSourceScan found in the executed plan"
+    scanned = max(s.get("numPartitions", 0) for s in scans)
+    assert 0 < scanned <= 2 < total, (scanned, total)
+
+
+def test_text_index_phrase_requires_positions(spark, tmp_path):
+    from networkframe_spark.functions.search import (
+        build_text_index,
+        text_index_phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_kmod=4)
+    with pytest.raises(ValueError, match="positions"):
+        text_index_phrase_search(spark, path, ["a", "b"])
+
+
 def test_text_index_empty_result_id_type_follows_store(spark, tmp_path):
     """Empty-terms / empty-index branches derive the id column type
     from the stored doclens schema (ADVICE r15) — a string-id index
