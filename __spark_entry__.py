@@ -2187,6 +2187,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_search"] = q_phrase_search
 
+    # CJK-aware tokenization (r15 verdict task 5): whitespace split +
+    # character-bigram expansion of CJK/kana tokens (C4/CCNet and
+    # Lucene CJKAnalyzer practice) — a whitespace tokenizer sees one
+    # CJK sentence as ONE token, silently degrading BM25/shingles/
+    # token gates on multilingual corpora.  Deterministic inline
+    # mixed-script fixture (the sf documents are ASCII-only).
+    _CJK_FIXTURE = [
+        (0, "the weather is nice today"),
+        (1, "今日は良い天気です"),
+        (2, "明日も良い天気でしょう"),
+        (3, "spark で 分散処理 is fast"),
+        (4, "天気 weather 天気"),
+        (5, "悪い天気の日"),
+        (6, "nothing related here"),
+        (7, "良い本を読む"),
+    ]
+
+    def q_cjk_tokens(spark, sf):
+        from networkframe_spark.functions.text import tokens_col
+
+        docs = spark.createDataFrame(
+            _CJK_FIXTURE, "doc_id long, text string"
+        )
+        t = tokens_col("text", mode="cjk_aware")
+        return docs.select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.concat_ws("|", t).alias("tok_str"),
+        )
+
+    q["cjk_tokens"] = q_cjk_tokens
+
+    def q_cjk_bm25(spark, sf):
+        from networkframe_spark.functions.search import bm25_top_docs
+
+        docs = spark.createDataFrame(
+            _CJK_FIXTURE, "doc_id long, text string"
+        )
+        # the query phrase expands through the SAME tokenizer:
+        # '良い天気' -> ['良い', 'い天', '天気']
+        return bm25_top_docs(
+            docs, ["良い天気"], k=10, tokenizer="cjk_aware"
+        )
+
+    q["cjk_bm25"] = q_cjk_bm25
+
     def q_percentiles(spark, sf):
         events = read_events(spark, sf)
         return group_percentiles(
@@ -5496,6 +5542,69 @@ scored AS (
   CROSS JOIN tot CROSS JOIN dfp
 )
 SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+    # shared mixed-script fixture + cjk_aware token expression for the
+    # two CJK oracles below (DuckDB list_transform/substr twin of
+    # text.tokens_col(mode='cjk_aware'))
+    _CJK_VALUES = """(VALUES
+    (0, 'the weather is nice today'),
+    (1, '今日は良い天気です'),
+    (2, '明日も良い天気でしょう'),
+    (3, 'spark で 分散処理 is fast'),
+    (4, '天気 weather 天気'),
+    (5, '悪い天気の日'),
+    (6, 'nothing related here'),
+    (7, '良い本を読む')
+  ) AS v(doc_id, text)"""
+    _CJK_TOKS = r"""list_filter(flatten(list_transform(
+      regexp_split_to_array(lower(trim(text)), '\s+'),
+      t -> CASE WHEN regexp_matches(t, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]')
+           THEN list_transform(generate_series(1, greatest(length(t)-1, 1)),
+                               i -> t[i:i+1])
+           ELSE [t] END)), x -> x <> '')"""
+
+    o["cjk_tokens"] = f"""
+WITH d AS (SELECT * FROM {_CJK_VALUES}),
+toks AS (SELECT doc_id, {_CJK_TOKS} AS t FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       list_aggregate(t, 'string_agg', '|') AS tok_str
+FROM toks
+"""
+
+    o["cjk_bm25"] = f"""
+WITH d AS (SELECT * FROM {_CJK_VALUES}),
+toks AS (SELECT doc_id, {_CJK_TOKS} AS t FROM d),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tot AS (SELECT SUM(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM lens),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ('良い', 'い天', '天気')
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / tot.avgdl)), 6)
+         AS DECIMAL(38,12)) AS ts
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+  FROM per_term GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
          AS rank
 FROM scored QUALIFY rank <= 10

@@ -59,11 +59,17 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
-def shingles_col(col: str | Column = "text", n: int = 3) -> Column:
+def shingles_col(
+    col: str | Column = "text", n: int = 3, tokenizer: str = "ws"
+) -> Column:
     """Distinct word n-gram shingles of the normalized text (inline
     tokenizer — prefer :func:`shingles_from_tokens` over a materialized
-    token column in hot paths)."""
-    return shingles_from_tokens(tokens_col(col), n)
+    token column in hot paths).  ``tokenizer="cjk_aware"`` expands
+    CJK/kana tokens into character bigrams first (see
+    :func:`~networkframe_spark.functions.text.tokens_col`), so
+    unsegmented-script documents shingle over real units instead of
+    whole sentences."""
+    return shingles_from_tokens(tokens_col(col, mode=tokenizer), n)
 
 
 def shingle_hash_col(shingle: Column) -> Column:
@@ -108,7 +114,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """(id, shingle) long table, one row per distinct doc-shingle pair.
 
@@ -122,7 +133,7 @@ def _shingle_table(
     Jaccard stays a true Jaccard over the filtered sets.
     """
     sh = (
-        df.withColumn("__toks", tokens_col(text_col))
+        df.withColumn("__toks", tokens_col(text_col, mode=tokenizer))
         .select(
             F.col(id_col).alias("id"),
             F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"),
@@ -237,6 +248,7 @@ def minhash_signatures(
     n_perm: int = 32,
     shingle_n: int = 3,
     max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Per-document MinHash signature as ``sig`` array<bigint>.
 
@@ -246,7 +258,9 @@ def minhash_signatures(
     hashing — see :func:`_shingle_table`.
     """
     params = minhash_params(n_perm)
-    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df)
+    sh = _shingle_table(
+        df, text_col, id_col, shingle_n, max_df=max_df, tokenizer=tokenizer
+    )
     # materialize the shingle hash once; the n_perm aggregates then
     # reference the attribute instead of re-deriving md5 per permutation
     hashed = sh.withColumn(
@@ -271,6 +285,7 @@ def minhash_band_table(
     bands: int = 8,
     shingle_n: int = 3,
     max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """LSH band-bucket table ``(id, band, key)``: the MinHash signature
     split into ``bands`` bands of ``n_perm // bands`` rows, each band's
@@ -282,7 +297,10 @@ def minhash_band_table(
     a micro-batch alone and unioned into a persisted band table.
     """
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n, max_df=max_df)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_perm, shingle_n, max_df=max_df,
+        tokenizer=tokenizer,
+    )
     return sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -310,6 +328,7 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs
     ``(id_a, id_b)`` against the corpus ``df``: returns the pairs with
@@ -330,7 +349,9 @@ def jaccard_verify(
     + `minhash_index_duplicates(delta_docs=...)`) whose state is
     append-only and whose decision needs no shingle recomputation.
     """
-    sh = _shingle_table(df, text_col, id_col, shingle_n, max_df=max_df).cache()
+    sh = _shingle_table(
+        df, text_col, id_col, shingle_n, max_df=max_df, tokenizer=tokenizer
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -362,6 +383,7 @@ def minhash_lsh_duplicates(
     threshold: float = 0.8,
     verify: bool = True,
     max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band buckets →
     same-bucket candidate pairs → (optional) exact Jaccard verification.
@@ -374,7 +396,8 @@ def minhash_lsh_duplicates(
     skew control; default off = exact).
     """
     banded = minhash_band_table(
-        df, text_col, id_col, n_perm, bands, shingle_n, max_df=max_df
+        df, text_col, id_col, n_perm, bands, shingle_n, max_df=max_df,
+        tokenizer=tokenizer,
     )
     cand = (
         banded.alias("a")
@@ -386,7 +409,8 @@ def minhash_lsh_duplicates(
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
     return jaccard_verify(
-        cand, df, text_col, id_col, shingle_n, threshold, max_df=max_df
+        cand, df, text_col, id_col, shingle_n, threshold, max_df=max_df,
+        tokenizer=tokenizer,
     )
 
 

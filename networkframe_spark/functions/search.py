@@ -25,6 +25,7 @@ def bm25_top_docs(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-terms query under BM25:
 
@@ -49,9 +50,12 @@ def bm25_top_docs(
     6 dp — bit-reproducible at any parallelism and engine-portable
     (``avgdl`` is an exact-integer-sum / count double division).
     """
-    terms = [t.lower() for t in query_terms]
+    terms = _expand_query_terms(
+        df.sparkSession, [t.lower() for t in query_terms], tokenizer
+    )
     toks = df.select(
-        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+        F.col(id_col).alias("id"),
+        tokens_col(text_col, mode=tokenizer).alias("t"),
     )
     lens = toks.select("id", F.size("t").alias("dl"))
     tot = lens.agg(
@@ -109,6 +113,7 @@ def _text_postings(
     text_col: str,
     n_kmod: int,
     positions: bool = False,
+    tokenizer: str = "ws",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared build/add tokenization → (postings, doclens).
 
@@ -128,7 +133,8 @@ def _text_postings(
     layout phrase search needs.  Standard positional-index trade:
     postings grow by ~one int per occurrence."""
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col, mode=tokenizer).alias("t"),
     )
     doclens = toks.select("doc_id", F.size("t").alias("dl"))
     if positions:
@@ -207,6 +213,24 @@ def _write_text_meta(spark, path: str, meta: dict, mode: str) -> None:
     )
 
 
+def _expand_query_terms(spark, terms, tokenizer: str) -> list:
+    """Expand query-term strings through the SAME tokenizer expression
+    the corpus was tokenized with (a tiny |terms|-row Spark job — no
+    Python re-implementation, so query and corpus can never drift).
+    Order-preserving: a phrase term's n-grams stay consecutive, which
+    phrase search depends on.  ``"ws"`` is the identity."""
+    if tokenizer == "ws" or not terms:
+        return list(terms)
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i int, term string"
+    )
+    rows = tdf.select(
+        "i",
+        F.posexplode(tokens_col("term", mode=tokenizer)).alias("p", "tok"),
+    ).collect()
+    return [r["tok"] for r in sorted(rows, key=lambda r: (r["i"], r["p"]))]
+
+
 def build_text_index(
     corpus: DataFrame,
     path: str,
@@ -215,6 +239,7 @@ def build_text_index(
     text_col: str = "text",
     mode: str = "error",
     positions: bool = False,
+    tokenizer: str = "ws",
 ) -> dict:
     """Build and persist an INVERTED TEXT INDEX — the sixth persisted
     index family (IVF / IVF-SQ / IVF-PQ / LSH / MinHash are the other
@@ -257,7 +282,7 @@ def build_text_index(
     import os as _os
 
     postings, doclens = _text_postings(
-        corpus, id_col, text_col, n_kmod, positions
+        corpus, id_col, text_col, n_kmod, positions, tokenizer
     )
     (
         postings.repartition(F.col("kmod"))
@@ -284,6 +309,7 @@ def build_text_index(
         "n_docs": int(tot["n"]),
         "sdl": int(tot["sdl"] or 0),
         "positions": bool(positions),
+        "tokenizer": tokenizer,
     }
     _write_text_meta(corpus.sparkSession, path, meta, mode)
     return meta
@@ -423,6 +449,7 @@ def text_index_add(
     postings, doclens = _text_postings(
         docs, id_col, text_col, n_kmod,
         positions=bool(meta.get("positions", False)),
+        tokenizer=meta.get("tokenizer", "ws"),
     )
     doclens = doclens.localCheckpoint(eager=True)
     tot = doclens.agg(
@@ -525,7 +552,15 @@ def text_index_search(
             " rank int"
         )
     avgdl = int(meta["sdl"]) / n_docs
-    terms = sorted({t.lower() for t in query_terms})
+    terms = sorted(
+        set(
+            _expand_query_terms(
+                spark,
+                [t.lower() for t in query_terms],
+                meta.get("tokenizer", "ws"),
+            )
+        )
+    )
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     kmods = sorted(
         {
@@ -618,7 +653,9 @@ def text_index_phrase_search(
         )
     n_kmod = int(meta["n_kmod"])
     n_docs = int(meta["n_docs"])
-    terms = [t.lower() for t in phrase]
+    terms = _expand_query_terms(
+        spark, [t.lower() for t in phrase], meta.get("tokenizer", "ws")
+    )
     if n_docs == 0 or not terms:
         return spark.createDataFrame(
             [], f"{id_col} {_text_id_type(spark, path)}, score double,"
@@ -729,14 +766,21 @@ def text_index_search_batch(
     meta = _text_meta(spark, path)
     n_kmod = int(meta["n_kmod"])
     n_docs = int(meta["n_docs"])
-    qt = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(terms_col).alias("term"),
+    tok_mode = meta.get("tokenizer", "ws")
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("term"),
+    ).select("query_id", F.lower(F.col("term")).alias("term"))
+    if tok_mode != "ws":
+        # bag-of-terms: re-tokenize each query term with the stored
+        # corpus tokenizer (order is irrelevant here, unlike phrase)
+        qt = qt.select(
+            "query_id",
+            F.explode(tokens_col(F.col("term"), mode=tok_mode)).alias(
+                "term"
+            ),
         )
-        .select("query_id", F.lower(F.col("term")).alias("term"))
-        .distinct()
-    )
+    qt = qt.distinct()
     if n_docs == 0:
         return spark.createDataFrame(
             [],

@@ -25,10 +25,54 @@ STOPWORDS = {
 _EN_STOPWORDS = STOPWORDS["en"]
 
 
-def tokens_col(col: str | Column = "text") -> Column:
-    """Whitespace tokenization of lowercased text → array<string>."""
+# Unicode ranges of the unsegmented scripts (no spaces between words):
+# CJK unified ideographs + Japanese kana.  A whitespace tokenizer sees a
+# whole CJK sentence as ONE token, silently degrading BM25, MinHash
+# shingles, and token-count gates on exactly the multilingual corpora a
+# large pipeline ingests — the cjk_aware mode below applies the standard
+# public remedy (character n-grams for these scripts; C4/CCNet and
+# Lucene's CJKAnalyzer practice).
+_CJK_CLASS = "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]"
+
+
+def tokens_col(
+    col: str | Column = "text", mode: str = "ws", n: int = 2
+) -> Column:
+    """Tokenization of lowercased text → array<string>.
+
+    ``mode="ws"`` (default): whitespace split — unchanged legacy
+    behavior, every existing plan and oracle keeps its shape.
+
+    ``mode="cjk_aware"``: whitespace split, then any token containing
+    CJK ideographs or kana (``_CJK_CLASS``) expands IN PLACE into its
+    character ``n``-grams (default bigrams — the Lucene CJKAnalyzer
+    convention); pure-Latin tokens pass through whole, so mixed-script
+    text gets sane tokens on both sides.  Tokens shorter than ``n``
+    stay whole.  Pure codegen'd higher-order functions — no UDF —
+    and expressible in DuckDB (list_transform + substr) for oracle
+    replay.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    ws = F.split(F.lower(F.trim(c)), r"\s+")
+    if mode == "ws":
+        return ws
+    if mode != "cjk_aware":
+        raise ValueError(
+            f"tokens_col: mode must be 'ws' or 'cjk_aware', got {mode!r}"
+        )
+
+    def _expand(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+        return F.when(t.rlike(_CJK_CLASS), grams).otherwise(F.array(t))
+
+    return F.filter(
+        F.flatten(F.transform(ws, _expand)), lambda x: x != F.lit("")
+    )
 
 
 def word_tokens_col(col: str | Column = "text") -> Column:
