@@ -3545,38 +3545,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by 25 rotated-in newer ops, then everything else in
     # registration order.  Every entry keeps its oracle either way.
     _window = [
-        # round-15 rotation — the codified STALENESS POLICY (r14):
+        # round-16 rotation — the codified STALENESS POLICY (r14):
         # every window = 16-query stable core (cross-round
         # comparability: the same frame/graph anchors) + this round's
         # NEW registrations (never hashed = age 0, highest mismatch
         # risk) + the remaining slots filled with the registered ops
         # whose LAST driver hash is OLDEST (ties broken
-        # alphabetically; computed from CORRECTNESS_r01..r14 — this
-        # window refreshes the r06/r07/r08 cohorts).  Slot math:
-        # 16 core + 4 r15 registrations + 30 oldest = 50.
+        # alphabetically; computed from CORRECTNESS_r01..r15 — this
+        # window refreshes the r08/r09/r10 cohorts).  Slot math:
+        # 16 core + 4 r16 registrations + 30 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "reindex_nodes",
         "adjacency_dense", "condense_sum",
         "apply_node_features", "groupby_size",
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components",
-        # r15 registrations: the persisted inverted text index (probe
-        # and build+add duty cycle)
-        "text_index_search", "text_index_added", "text_index_batch",
-        "hybrid_search",
-        # oldest-hashed cohort: last driver hash r06 (5), r07 (24),
-        # r08 (3) — alphabetical within a round
-        "tfidf_top_terms", "token_count", "token_histogram",
-        "train_test_split", "weighted_sample",
-        "betweenness_approx", "core_numbers", "cosine_topk_lsh", "ewma",
-        "exact_substring_decontaminate", "fill_gaps",
-        "fuzzy_decontaminate", "harmonic_centrality", "hits_scores",
-        "ivf_index_search", "k_truss", "label_propagation_weighted",
-        "n_components", "node2vec_walks", "pagerank", "pq_search",
-        "random_walks", "resample_events", "retention_cohorts",
-        "rolling_stats", "semantic_dedup_arrow", "shortest_paths",
-        "stream_condense_twin", "triangle_count",
-        "ann_recall_cell_pruned",
+        # r16 registrations: quantized hybrid leg, positional phrase
+        # search, CJK-aware tokenization
+        "hybrid_search_ivfsq", "phrase_search", "cjk_tokens", "cjk_bm25",
+        # oldest-hashed cohort: last driver hash r08 (23), r09 (1),
+        # r10 (6) — alphabetical within a round
+        "anomaly_zscore", "asof_join", "asof_join_forward",
+        "asof_join_nearest", "bootstrap_ci_mean", "chi2_independence",
+        "ks_test_2samp", "mann_whitney_u", "maximal_independent_set",
+        "mmr_rerank", "modularity_refine", "pagerank_personalized",
+        "pagerank_personalized_batch", "psi_drift", "range_join",
+        "retrieval_metrics", "rrf_fusion", "sample_negative_edges",
+        "stream_neardup_twin", "time_split", "topological_levels",
+        "train_quality_classifier", "winsorize",
+        "add_nodes", "bm25_search", "bpe_train", "calibration_bins",
+        "cap_per_group", "classification_report", "containment_dedup",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():

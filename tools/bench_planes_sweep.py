@@ -84,7 +84,15 @@ def main() -> None:
         truth = planted_truth(spark, path).localCheckpoint(eager=True)
         n_truth = truth.count()
         res = {"n_truth": n_truth, "sweep": {}}
-        for planes in (8, 10, 11, 12, 13, 14):
+        # density-relative range: bucket_rows from ~800 down to ~50
+        # (below ~50 the banding overhead dominates; above ~800 the
+        # per-bucket pair quadratic dominates and a 2M planes=8 run
+        # would evaluate tens of billions of pairs)
+        import math
+
+        lo = max(8, round(math.log2(n / 800)))
+        hi = min(16, round(math.log2(n / 50)))
+        for planes in range(lo, hi + 1):
             t0 = time.time()
             found = embedding_duplicates(
                 emb, threshold=THRESHOLD, mode="lsh", dim=dim,
