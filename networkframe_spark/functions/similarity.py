@@ -3880,11 +3880,10 @@ def index_recall_check(
     "max_rows", "avg_rows", "imbalance"}, "balance_breached",
     "recommend"}`` where ``imbalance = max_rows/avg_rows`` over the
     data store's partition key and ``recommend`` is ``"rebuild"``
-    when either gate trips (re-run the family's ``build_*`` over the
-    current corpus with ``mode="overwrite"`` — retraining
-    centroids/codebooks is the repair; a rebuilt store then searches
-    identically to a fresh build by construction, contract-tested) or
-    ``"ok"``.
+    when either gate trips — run :func:`index_rebuild` (retraining
+    centroids/codebooks over the current corpus is the repair; a
+    rebuilt store searches identically to a fresh build,
+    contract-tested) — or ``"ok"``.
 
     Scale: the truth pass is brute force over (store × probes) — run
     it on a SAMPLED probe set at a maintenance cadence, exactly like
@@ -4022,6 +4021,107 @@ def index_recall_check(
             "rebuild" if (recall_breached or balance_breached) else "ok"
         ),
     }
+
+
+def index_rebuild(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **overrides,
+) -> dict:
+    """Retrain a persisted ANN index IN PLACE over ``corpus`` — the
+    repair :func:`index_recall_check` recommends when drift trips its
+    gates.  Family and stored structural parameters are read from the
+    index itself (IVF/IVF-SQ: ``n_lists`` from the centroid manifest;
+    IVF-PQ: ``n_lists`` + ``m``/``k_codes``/``residual``/rotation
+    from manifests; LSH: ``n_planes``/``n_tables`` from meta), then
+    the family's ``build_*`` runs with ``mode="overwrite"`` — so a
+    rebuilt store searches BIT-IDENTICALLY to a fresh build over the
+    same corpus (contract-tested; the builds are deterministic).
+    TRAINING parameters that are not persisted (``n_iter``,
+    ``codebook_init``, …) take the build's defaults; pass any of them
+    — or a new ``n_lists`` for a corpus that outgrew its cell count —
+    as keyword ``overrides``.
+
+    Returns ``{"family": ..., "params": {...}}`` (the parameters the
+    rebuild actually used).  Single-writer assumption as for all
+    index maintenance; searches racing the overwrite should retry.
+    """
+    import json as _json
+    import os as _os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _exists(sub: str) -> bool:
+        p = _os.path.join(path, sub)
+        return HPath(p).getFileSystem(hconf).exists(HPath(p))
+
+    def _centroid_count() -> int:
+        return len(
+            _json.loads(
+                spark.read.json(
+                    _os.path.join(path, "centroids")
+                ).collect()[0]["centroids"]
+            )
+        )
+
+    if _exists("codes"):
+        meta = _read_ivfpq_meta(spark, path)
+        params = {
+            "n_lists": _centroid_count(),
+            "m": int(meta["m"]),
+            "k_codes": int(meta["k_codes"]),
+            "residual": bool(meta.get("residual", False)),
+        }
+        if meta.get("rotation") is not None:
+            params["rotation"] = meta["rotation"]
+        params.update(overrides)
+        build_ivfpq_index(
+            corpus, path, id_col=id_col, emb_col=emb_col,
+            mode="overwrite", **params,
+        )
+        return {"family": "ivfpq", "params": params}
+    if _exists("bands"):
+        meta = _json.loads(
+            spark.read.json(_os.path.join(path, "meta")).collect()[0][
+                "meta"
+            ]
+        )
+        params = {
+            "n_planes": int(meta["n_planes"]),
+            "n_tables": int(meta["n_tables"]),
+        }
+        params.update(overrides)
+        build_lsh_index(
+            corpus, path, id_col=id_col, emb_col=emb_col,
+            mode="overwrite", **params,
+        )
+        return {"family": "lsh", "params": params}
+    if _exists("cells"):
+        man = spark.read.json(
+            _os.path.join(path, "centroids")
+        ).collect()[0]
+        quantized = (
+            "quantize" in man.asDict() and man["quantize"] == "sq8"
+        )
+        params = {"n_lists": _centroid_count()}
+        params.update(overrides)
+        builder = build_ivf_sq_index if quantized else build_ivf_index
+        builder(
+            corpus, path, id_col=id_col, emb_col=emb_col,
+            mode="overwrite", **params,
+        )
+        return {
+            "family": "ivf_sq" if quantized else "ivf",
+            "params": params,
+        }
+    raise ValueError(
+        f"index_rebuild: no ANN data store found under {path}"
+    )
 
 
 def index_remove(spark, path: str, ids, id_col: str | None = None) -> dict:

@@ -4214,3 +4214,68 @@ def test_index_recall_check_family_detection(spark, tmp_path):
         spark, pq, probes, k=5, n_probe=4, corpus=emb, min_recall=0.0
     )
     assert chk["family"] == "ivfpq" and chk["n_queries"] == 5
+
+
+def test_index_rebuild_retrains_with_stored_params(spark, tmp_path):
+    """index_rebuild re-reads the stored structural params (n_lists /
+    planes / PQ shape) and retrains in place with mode='overwrite' —
+    searches bit-identical to a fresh build over the same corpus, for
+    all three families with trained state."""
+    from networkframe_spark.functions.similarity import (
+        build_ivf_sq_index,
+        build_ivfpq_index,
+        build_lsh_index,
+        index_rebuild,
+        ivf_sq_search,
+        ivfpq_search,
+        lsh_index_search,
+    )
+    from networkframe_spark.sources import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 150")
+    half = emb.filter("vec_id < 75")
+    probes = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    # ivf_sq: build on half, rebuild over full, compare to fresh full
+    sq, sq_fresh = str(tmp_path / "sq"), str(tmp_path / "sqf")
+    build_ivf_sq_index(half, sq, n_lists=4, n_iter=2)
+    rep = index_rebuild(spark, sq, emb, n_iter=2)
+    assert rep["family"] == "ivf_sq" and rep["params"]["n_lists"] == 4
+    build_ivf_sq_index(emb, sq_fresh, n_lists=4, n_iter=2)
+    srch = lambda p: sorted(map(tuple, ivf_sq_search(
+        spark, p, probes, k=5, n_probe=2,
+        query_id_col="query_id", exclude_self=False).collect()))
+    assert srch(sq) == srch(sq_fresh) and len(srch(sq)) > 0
+
+    # lsh: params (n_planes, n_tables) survive the rebuild
+    lsh, lsh_fresh = str(tmp_path / "lsh"), str(tmp_path / "lshf")
+    build_lsh_index(half, lsh, n_planes=4, n_tables=2)
+    rep = index_rebuild(spark, lsh, emb)
+    assert rep["family"] == "lsh"
+    assert rep["params"] == {"n_planes": 4, "n_tables": 2}
+    build_lsh_index(emb, lsh_fresh, n_planes=4, n_tables=2)
+    lsrch = lambda p: sorted(map(tuple, lsh_index_search(
+        spark, p, probes, k=5, n_probe_bits=4,
+        query_id_col="query_id", exclude_self=False).collect()))
+    assert lsrch(lsh) == lsrch(lsh_fresh) and len(lsrch(lsh)) > 0
+
+    # ivfpq: PQ shape (m, k_codes, residual) rides the manifest
+    pq, pq_fresh = str(tmp_path / "pq"), str(tmp_path / "pqf")
+    kw = dict(n_lists=4, m=4, k_codes=16,
+              codebook_init="first_ids", residual=False)
+    build_ivfpq_index(half, pq, **kw)
+    rep = index_rebuild(
+        spark, pq, emb, codebook_init="first_ids", n_iter=3
+    )
+    assert rep["family"] == "ivfpq"
+    assert rep["params"]["m"] == 4 and rep["params"]["k_codes"] == 16
+    assert rep["params"]["residual"] is False
+    build_ivfpq_index(emb, pq_fresh, **kw)
+    psrch = lambda p: sorted(map(tuple, ivfpq_search(
+        spark, p, probes, k=5, n_probe=4,
+        query_id_col="query_id").collect()))
+    assert psrch(pq) == psrch(pq_fresh) and len(psrch(pq)) > 0
