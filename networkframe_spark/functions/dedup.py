@@ -1126,6 +1126,7 @@ def fuzzy_decontaminate(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Cross-corpus NEAR-duplicate contamination: training documents
     whose shingle-set Jaccard with any eval document reaches
@@ -1149,8 +1150,14 @@ def fuzzy_decontaminate(
     shingle table, so the train corpus is never shuffled, only
     scanned.
     """
-    sh_t = _shingle_table(train, text_col, id_col, shingle_n, max_df=max_df)
-    sh_e = _shingle_table(eval_df, text_col, id_col, shingle_n, max_df=max_df)
+    sh_t = _shingle_table(
+        train, text_col, id_col, shingle_n, max_df=max_df,
+        tokenizer=tokenizer,
+    )
+    sh_e = _shingle_table(
+        eval_df, text_col, id_col, shingle_n, max_df=max_df,
+        tokenizer=tokenizer,
+    )
     shared = (
         sh_t.select(F.col("id").alias("train_id"), "sh")
         .join(sh_e.select(F.col("id").alias("eval_id"), "sh"), on="sh")
@@ -1162,7 +1169,8 @@ def fuzzy_decontaminate(
 
         def banded(df: DataFrame, out: str) -> DataFrame:
             sigs = minhash_signatures(
-                df, text_col, id_col, n_perm, shingle_n, max_df=max_df
+                df, text_col, id_col, n_perm, shingle_n, max_df=max_df,
+                tokenizer=tokenizer,
             )
             return sigs.select(
                 F.col(id_col).alias(out),

@@ -84,14 +84,16 @@ def main() -> None:
         truth = planted_truth(spark, path).localCheckpoint(eager=True)
         n_truth = truth.count()
         res = {"n_truth": n_truth, "sweep": {}}
-        # density-relative range: bucket_rows from ~800 down to ~50
-        # (below ~50 the banding overhead dominates; above ~800 the
-        # per-bucket pair quadratic dominates and a 2M planes=8 run
-        # would evaluate tens of billions of pairs)
+        # density-relative range: bucket_rows from ~500 down to ~30
+        # (below ~30 the banding overhead dominates; above ~500 the
+        # per-bucket pair quadratic dominates — a 500k planes=9 point
+        # (~980 rows/bucket, ~3B candidate pairs) ran >12 min before
+        # this cap, which is the blowup the density policy exists to
+        # avoid, not a useful datapoint)
         import math
 
-        lo = max(8, round(math.log2(n / 800)))
-        hi = min(16, round(math.log2(n / 50)))
+        lo = max(8, round(math.log2(n / 500)))
+        hi = min(16, round(math.log2(n / 30)))
         for planes in range(lo, hi + 1):
             t0 = time.time()
             found = embedding_duplicates(
