@@ -740,6 +740,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dedup_lsh"] = q_embed_dups_lsh
 
+    # the r16 auto-plane policy under the driver hash: n_planes=None
+    # resolves via auto_n_planes(count, threshold, n_tables) — at
+    # threshold 0.42 the S-curve recall cap pins planes to 4 at EVERY
+    # corpus size (p=0.638: even 4 planes exceed a 1% miss budget at
+    # 2 tables, so density can never push higher), making the oracle
+    # the SAME banding SQL as embedding_dedup_lsh — if the policy
+    # arithmetic drifts, the hash goes red
+    def q_embed_dups_auto(spark, sf):
+        emb = read_embeddings(spark, sf)
+        return embedding_duplicates(
+            emb, threshold=0.42, mode="lsh", n_planes=None, n_tables=2
+        )
+
+    q["embedding_dedup_auto"] = q_embed_dups_auto
+
     def q_lsh_dedup(spark, sf):
         docs = read_table(spark, sf, "documents")
         return minhash_lsh_duplicates(
@@ -3553,7 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose LAST driver hash is OLDEST (ties broken
         # alphabetically; computed from CORRECTNESS_r01..r15 — this
         # window refreshes the r08/r09/r10 cohorts).  Slot math:
-        # 16 core + 4 r16 registrations + 30 oldest = 50.
+        # 16 core + 5 r16 registrations + 29 oldest = 50.
         "query_nodes", "query_nodes_closure", "query_edges", "loc_block",
         "remove_nodes", "remove_edges", "reindex_nodes",
         "adjacency_dense", "condense_sum",
@@ -3561,8 +3576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_aggregation", "weak_components", "aggregated_edges",
         "largest_component", "strong_components",
         # r16 registrations: quantized hybrid leg, positional phrase
-        # search, CJK-aware tokenization
+        # search, CJK-aware tokenization, auto-plane policy
         "hybrid_search_ivfsq", "phrase_search", "cjk_tokens", "cjk_bm25",
+        "embedding_dedup_auto",
         # oldest-hashed cohort: last driver hash r08 (23), r09 (1),
         # r10 (6) — alphabetical within a round
         "anomaly_zscore", "asof_join", "asof_join_forward",
@@ -3574,7 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup_twin", "time_split", "topological_levels",
         "train_quality_classifier", "winsorize",
         "add_nodes", "bm25_search", "bpe_train", "calibration_bins",
-        "cap_per_group", "classification_report", "containment_dedup",
+        "cap_per_group", "classification_report",
     ]
     ordered = {k: q[k] for k in _window if k in q}
     for k, v in q.items():
@@ -9938,6 +9954,11 @@ SELECT id_a, id_b, cosine FROM (
   JOIN e eb ON eb.vec_id = cand.id_b
 ) WHERE cosine >= 0.42
 """
+
+    # auto-plane policy twin: threshold 0.42 pins planes=4 at every
+    # corpus size (recall cap), so the SQL banding is identical
+    o["embedding_dedup_auto"] = o["embedding_dedup_lsh"]
+
 
     # semantic-decontamination LSH recall: truth = exhaustive
     # train x eval cosine pairs at the 0.42 threshold; pred = the

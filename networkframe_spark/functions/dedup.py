@@ -504,6 +504,55 @@ def simhash_duplicates(
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
+#: Target bucket density for the LSH auto-plane policy (rows per
+#: bucket per table).  Measured on the clustered non-replicated 64-dim
+#: fixture (tools/bench_planes_sweep.py, SCALE.md r16): wall falls
+#: steeply as density drops from ~500 to ~100 rows (the candidate
+#: join's pair count is quadratic per bucket), flattens below ~100,
+#: and recall on planted 0.99-cosine pairs stays 1.0 across the whole
+#: range at the default 12 tables.
+LSH_TARGET_BUCKET_ROWS = 100
+
+
+def auto_n_planes(
+    n_rows: int,
+    threshold: float,
+    n_tables: int,
+    target_rows: int = LSH_TARGET_BUCKET_ROWS,
+    miss_budget: float = 0.01,
+) -> int:
+    """The measured n_planes policy (r15 verdict task 6): the
+    Arrow-verify A/B proved the LSH dedup lever is FEWER CANDIDATES,
+    not a faster verify, so planes should track corpus size — density
+    ``n / 2^planes`` held near the measured optimum — capped by the
+    S-curve so recall never silently collapses:
+
+    - density term: ``round(log2(n / target_rows))`` keeps bucket
+      density constant as the corpus grows (the r14 constant-density
+      operating rule, now the default instead of documentation);
+    - recall cap: the largest ``planes`` with miss probability
+      ``(1 - p^planes)^n_tables <= miss_budget`` at the requested
+      threshold (``p = 1 - acos(t)/pi``).  At t=0.99 / 12 tables the
+      cap is ~24 (never binds); at t=0.8 it binds hard (planes ~5)
+      — low-threshold LSH inherently needs coarse bands or more
+      tables, and the policy surfaces that instead of shredding
+      recall;
+    - clamped to [4, 16] (16 = the partitioned-store directory-count
+      rule of thumb; 4 = below that the bucket count stops bucketing).
+    """
+    import math
+
+    density = round(math.log2(max(n_rows, 1) / target_rows)) if n_rows > target_rows else 4
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    cap = 4
+    for k in range(4, 33):
+        if (1.0 - p ** k) ** n_tables <= miss_budget:
+            cap = k
+        else:
+            break
+    return min(16, max(4, min(density, cap)))
+
+
 def embedding_duplicates(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -511,7 +560,7 @@ def embedding_duplicates(
     threshold: float = 0.95,
     mode: str = "auto",
     exact_max_rows: int = 20_000,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 12,
     dim: int | None = None,
     verify: str = "auto",
@@ -536,6 +585,14 @@ def embedding_duplicates(
 
     ``mode="auto"`` picks exact under the row guard (one cheap
     limit+count job), LSH above it.
+
+    ``n_planes=None`` (the default since r16 — the adopted policy)
+    resolves via :func:`auto_n_planes` (one count job on the LSH
+    path): bucket density held at ``LSH_TARGET_BUCKET_ROWS`` as the
+    corpus grows, capped by the S-curve recall budget at the
+    requested threshold.  Pass an int to pin the banding explicitly
+    (every registered oracle does, for determinism across scale
+    factors).
 
     ``verify`` selects HOW the LSH path scores its candidate pairs
     (the per-pair cosine): ``"expr"`` = JVM column expression (the
@@ -563,6 +620,8 @@ def embedding_duplicates(
         return _embedding_duplicates_exact(
             df, emb_col, id_col, threshold, exact_max_rows, check=not checked
         )
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), threshold, n_tables)
     return _embedding_duplicates_lsh(
         df, emb_col, id_col, threshold, n_planes, n_tables, dim, verify
     )

@@ -4279,3 +4279,65 @@ def test_index_rebuild_retrains_with_stored_params(spark, tmp_path):
         spark, p, probes, k=5, n_probe=4,
         query_id_col="query_id").collect()))
     assert psrch(pq) == psrch(pq_fresh) and len(psrch(pq)) > 0
+
+
+def test_auto_n_planes_policy_math():
+    """The adopted LSH plane policy: density term tracks corpus size
+    at constant bucket rows; the S-curve recall cap binds at low
+    thresholds so recall never silently collapses; clamped [4, 16]."""
+    from networkframe_spark.functions.dedup import (
+        LSH_TARGET_BUCKET_ROWS,
+        auto_n_planes,
+    )
+
+    t = LSH_TARGET_BUCKET_ROWS
+    # density term: n = target * 2^k -> k planes (high threshold,
+    # cap never binds at 0.99 / 12 tables)
+    assert auto_n_planes(t * 2 ** 10, 0.99, 12) == 10
+    assert auto_n_planes(t * 2 ** 13, 0.99, 12) == 13
+    # growth: 4x corpus -> +2 planes (constant density)
+    assert (
+        auto_n_planes(t * 2 ** 12, 0.99, 12)
+        - auto_n_planes(t * 2 ** 10, 0.99, 12)
+        == 2
+    )
+    # clamps
+    assert auto_n_planes(10, 0.99, 12) == 4
+    assert auto_n_planes(t * 2 ** 30, 0.99, 12) == 16
+    # recall cap binds at low thresholds: t=0.8 with 12 tables allows
+    # only ~5 planes within a 1% miss budget — density never overrides
+    import math
+
+    p = 1 - math.acos(0.8) / math.pi
+    got = auto_n_planes(t * 2 ** 12, 0.8, 12)
+    assert got < 12
+    assert (1 - p ** got) ** 12 <= 0.01
+    # more tables relax the cap
+    assert auto_n_planes(t * 2 ** 12, 0.8, 64) > got
+
+
+def test_embedding_duplicates_auto_planes_end_to_end(spark):
+    """n_planes=None resolves through the policy and equals the same
+    call with the resolved planes pinned explicitly."""
+    import math
+
+    from networkframe_spark.functions.dedup import (
+        auto_n_planes,
+        embedding_duplicates,
+    )
+
+    rows = []
+    for c in range(60):
+        base = [math.sin(1.0 + 5 * c + i) for i in range(16)]
+        for m in range(3):
+            rows.append(
+                (3 * c + m,
+                 [v + 0.001 * m * ((i % 5) - 2) for i, v in enumerate(base)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    resolved = auto_n_planes(emb.count(), 0.99, 12)
+    a = sorted(map(tuple, embedding_duplicates(
+        emb, threshold=0.99, mode="lsh").collect()))
+    b = sorted(map(tuple, embedding_duplicates(
+        emb, threshold=0.99, mode="lsh", n_planes=resolved).collect()))
+    assert a == b and len(a) > 0

@@ -84,15 +84,16 @@ def main() -> None:
         truth = planted_truth(spark, path).localCheckpoint(eager=True)
         n_truth = truth.count()
         res = {"n_truth": n_truth, "sweep": {}}
-        # density-relative range: bucket_rows from ~500 down to ~30
-        # (below ~30 the banding overhead dominates; above ~500 the
-        # per-bucket pair quadratic dominates — a 500k planes=9 point
-        # (~980 rows/bucket, ~3B candidate pairs) ran >12 min before
-        # this cap, which is the blowup the density policy exists to
-        # avoid, not a useful datapoint)
+        # density-relative range: bucket_rows from ~300 down to ~30
+        # (below ~30 the banding overhead dominates; above ~300 the
+        # per-bucket pair quadratic dominates — measured: 500k at
+        # planes=10 (~490 rows/bucket, ~1.5B candidate pairs) = 641s,
+        # and ~980 rows ran >12 min before being killed; the blowup is
+        # the thing the density policy exists to avoid, so one
+        # measured dense point (kept in SCALE.md) documents it)
         import math
 
-        lo = max(8, round(math.log2(n / 500)))
+        lo = max(8, round(math.log2(n / 300)))
         hi = min(16, round(math.log2(n / 30)))
         for planes in range(lo, hi + 1):
             t0 = time.time()
