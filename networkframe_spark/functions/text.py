@@ -83,13 +83,19 @@ def word_tokens_col(col: str | Column = "text") -> Column:
 
 
 def add_token_count(
-    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    tokenizer: str = "ws",
 ) -> DataFrame:
-    """Whitespace token count (empty text → 0)."""
+    """Token count (empty text → 0).  ``tokenizer="cjk_aware"`` counts
+    character bigrams for CJK/kana tokens, so an unsegmented-script
+    document stops reading as 1 token (the silent length-gate failure
+    mode on multilingual corpora)."""
     return df.withColumn(
         out_col,
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-            F.size(tokens_col(text_col))
+            F.size(tokens_col(text_col, mode=tokenizer))
         ),
     )
 
