@@ -506,12 +506,16 @@ def simhash_duplicates(
 # ---------------------------------------------------------------------------
 #: Target bucket density for the LSH auto-plane policy (rows per
 #: bucket per table).  Measured on the clustered non-replicated 64-dim
-#: fixture (tools/bench_planes_sweep.py, SCALE.md r16): wall falls
-#: steeply as density drops from ~500 to ~100 rows (the candidate
-#: join's pair count is quadratic per bucket), flattens below ~100,
-#: and recall on planted 0.99-cosine pairs stays 1.0 across the whole
-#: range at the default 12 tables.
-LSH_TARGET_BUCKET_ROWS = 100
+#: fixture at 500k and 2M (tools/bench_planes_sweep.py, SCALE.md r16):
+#: wall falls monotonically as density drops across the whole measured
+#: range (488 -> 30 rows: 641s -> 124s at 500k; 2036s -> 382s at 2M)
+#: because the candidate join's pair count is quadratic per bucket,
+#: while recall on planted 0.99-cosine pairs stays EXACTLY 1.0 at the
+#: default 12 tables — so the adopted target is the lowest MEASURED
+#: density (30), where the 4x-span exponent is also best (0.81 vs
+#: 1.07 at 244 rows).  The banding-overhead floor sits below the
+#: measured range; going lower is extrapolation, not measurement.
+LSH_TARGET_BUCKET_ROWS = 30
 
 
 def auto_n_planes(
