@@ -981,24 +981,33 @@ def pagerank(
         )
         init_col = F.when(in_seeds, F.lit(1.0 / k)).otherwise(F.lit(0.0))
     pr = nodes.select("id", init_col.alias("pr"))
+    # r16 optimization (guide §2.4): the per-iteration `nodes` left
+    # join existed only to hand no-inflow nodes an s=0 row.  Folding a
+    # zero row per node into the SAME aggregate exchange (union before
+    # groupBy — partial aggregation absorbs it map-side) yields the
+    # identical sum for every id while guaranteeing every node a row,
+    # so the join (and its node-table re-scan) disappears from all
+    # n_iter rounds; the zero table is checkpointed once up front.
+    # Relies on the induced contract (edge endpoints ⊆ nodes, frame.py
+    # C1): a stray target id would now surface as a row instead of
+    # being silently dropped by the old left join.
+    zeros = nodes.select(
+        "id", F.lit(0).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
-        contrib = (
+        pr = (
             e.join(pr.withColumnRenamed("id", "source"), on="source")
             .select(
                 F.col("target").alias("id"),
                 F.floor(F.col("pr") * F.col("share") * F.lit(1e18)).alias("c"),
             )
+            .unionByName(zeros)
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
-        )
-        pr = (
-            nodes.join(contrib, on="id", how="left")
             .select(
                 "id",
                 F.round(
-                    base_col
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(1e18)),
+                    base_col + F.lit(damping) * (F.col("s") / F.lit(1e18)),
                     12,
                 ).alias("pr"),
             )
@@ -1647,8 +1656,8 @@ def label_propagation(
     deterministic argmax via ``min_by`` on the (-votes, label) pair.
     All shuffles key on the node id; lineage is cut per round.
     """
-    # cached pre-partitioned on the per-round join key: each round
-    # then shuffles only the node-sized label table into the join
+    # pre-partitioned on the per-round join key: each round then
+    # shuffles only the node-sized label table into the join
     if weight_col is None:
         pairs = _edge_pairs(frame, directed).filter(
             F.col("source") != F.col("target")
@@ -1659,7 +1668,13 @@ def label_propagation(
             F.col("source") != F.col("target")
         )
         vote = F.col("w")
-    pairs = pairs.repartition("source").cache()
+    # localCheckpoint, not cache(): with the per-round count() action
+    # gone (see below) nothing materializes before the caller's first
+    # action, so a cache+unpersist-after-loop protocol would evict the
+    # blocks before they were ever used; RDD-scoped checkpoint blocks
+    # are freed by the ContextCleaner instead (same pattern as
+    # pagerank's edge table) and preserve the source partitioning
+    pairs = pairs.repartition("source").localCheckpoint(eager=False)
     self_vote = F.lit(1 if weight_col is None else self_weight).cast(
         "decimal(28,6)"
     )
@@ -1693,16 +1708,17 @@ def label_propagation(
             # keeps the tie-break legal for string node ids
             F.expr("min_by(nb_label, struct(-n, nb_label))").alias("__new")
         )
-        labels = (
-            labels.join(winner, on="id", how="left")
-            .select(
-                "id",
-                F.coalesce("__new", "community").alias("community"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        labels.count()  # materialize; cuts lineage for the next round
-    pairs.unpersist()
+        # r16 optimization (guide §2.4): `votes` unions a self-vote row
+        # for EVERY current label row, so `winner` covers every node —
+        # the old `labels.join(winner, left) + coalesce` was a
+        # node-sized join per round that could never miss; `winner` IS
+        # the next label table.  The explicit count() materializer is
+        # gone too: the lazy checkpoint materializes inside the next
+        # round's first job (same compute, one fewer job barrier per
+        # round).
+        labels = winner.select(
+            "id", F.col("__new").alias("community")
+        ).localCheckpoint(eager=False)
     return labels
 
 
@@ -1871,32 +1887,43 @@ def hits(frame, n_iter: int = 3, directed: bool = True) -> DataFrame:
     )
     dec = "decimal(38,12)"
 
+    # r16 optimization (guide §2.4, same shape as pagerank): each
+    # half-round used to left-join `nodes` just to hand mass-less
+    # nodes an s=0.0 row.  Folding one zero row per node into the SAME
+    # aggregate exchange (union before groupBy — absorbed by map-side
+    # partial aggregation) yields the identical decimal sum per id
+    # while covering every node, so the per-half node join disappears
+    # — 2·n_iter fewer node-sized joins at 100 TB.  The L1 total is
+    # unchanged (the zero rows add exactly 0).
+    zeros = nodes.select(
+        "id", F.lit(0).cast(dec).alias("__c")
+    ).localCheckpoint(eager=False)
+
     def _half(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
         """One half-round: push `scores` (id, s) across edges
         from_col -> to_col, L1-normalize, 12-dp round."""
         raw = (
             e.join(scores.withColumnRenamed("id", from_col), on=from_col)
-            .groupBy(F.col(to_col).alias("id"))
-            .agg(F.sum(F.round(F.col("s"), 12).cast(dec)).alias("__raw"))
-        )
-        tot = raw.agg(F.sum("__raw").alias("__tot"))
-        return (
-            nodes.join(raw, on="id", how="left")
-            .crossJoin(F.broadcast(tot))
             .select(
-                "id",
-                F.when(
-                    F.coalesce(F.col("__raw"), F.lit(0).cast(dec)) == 0, 0.0
-                )
-                .otherwise(
-                    F.round(
-                        F.col("__raw").cast("double")
-                        / F.col("__tot").cast("double"),
-                        12,
-                    )
-                )
-                .alias("s"),
+                F.col(to_col).alias("id"),
+                F.round(F.col("s"), 12).cast(dec).alias("__c"),
             )
+            .unionByName(zeros)
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__raw"))
+        ).localCheckpoint(eager=False)
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "id",
+            F.when(F.col("__raw") == 0, 0.0)
+            .otherwise(
+                F.round(
+                    F.col("__raw").cast("double")
+                    / F.col("__tot").cast("double"),
+                    12,
+                )
+            )
+            .alias("s"),
         )
 
     # F.round (HALF_UP) not Python round (half-even) — keeps the init
