@@ -2126,7 +2126,10 @@ def random_walks(
             ).alias("rank"),
             F.count(F.lit(1)).over(win).alias("deg"),
         )
-        .repartition("source")
+        # no repartition("source"): the window's own exchange already
+        # established hashpartitioning(source) — re-shuffling the |E|
+        # table on the same key was a pure extra exchange (r16, guide
+        # §2.4).
         # localCheckpoint, not cache(): blocks are RDD-scoped (freed by
         # the ContextCleaner when the walk result is dropped) instead
         # of pinning an edge-sized table in the CacheManager for the
@@ -2223,20 +2226,6 @@ def node2vec_walks(
     adj = _edge_pairs(frame, directed).filter(
         F.col("source") != F.col("target")
     )
-    ranked = (
-        adj.select(
-            "source",
-            "target",
-            (
-                F.row_number().over(
-                    w.partitionBy("source").orderBy(F.col("target").asc())
-                )
-                - 1
-            ).alias("rank"),
-        )
-        .repartition("source")
-        .localCheckpoint(eager=True)
-    )
     # dist-1 side table: neighbor SETS as sorted arrays, node-sized.
     # Joining this on `prev` alone (broadcastable when the node table
     # fits; one single-key exchange otherwise) replaces the previous
@@ -2245,9 +2234,30 @@ def node2vec_walks(
     # bit.  Hub rows carry deg-sized arrays — the usual skew note:
     # the array is only materialized once, and the per-step join key
     # is `prev`, which AQE can split.
+    #
+    # r16 optimization (guide §2.4): the arrays are aggregated FIRST
+    # (one hash-agg exchange on `source`) and the ranked adjacency is
+    # their posexplode — rank in a sorted distinct array ≡ the old
+    # row_number() over (source ORDER BY target), bit-identical, but
+    # the window's full |E| sort and the redundant follow-up
+    # repartition("source") (the window exchange already established
+    # that partitioning) disappear; posexplode is narrow, so `ranked`
+    # keeps the agg's source partitioning for the per-step joins.
+    # Per-source degree rides along as size(__nbrs) — the step-1
+    # count() window is gone too.  Hub exposure is unchanged: the
+    # deg-sized array per node existed either way.
     nbr_arr = (
-        ranked.groupBy(F.col("source").alias("__ps"))
+        adj.groupBy(F.col("source").alias("__ps"))
         .agg(F.sort_array(F.collect_list("target")).alias("__nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = (
+        nbr_arr.select(
+            F.col("__ps").alias("source"),
+            F.size("__nbrs").alias("__deg"),
+            F.posexplode("__nbrs").alias("rank", "target"),
+        )
+        .select("source", "target", "rank", "__deg")
         .localCheckpoint(eager=True)
     )
     reps = F.explode(
@@ -2266,7 +2276,6 @@ def node2vec_walks(
     cum_w = walk_w.orderBy(F.col("rank").asc()).rowsBetween(
         w.unboundedPreceding, w.currentRow
     )
-    deg_w = F.count(F.lit(1)).over(w.partitionBy("source"))
     for t in range(1, walk_length + 1):
         base = (
             F.pmod(F.col("start_id"), F.lit(P))
@@ -2291,7 +2300,7 @@ def node2vec_walks(
             c = cur
             cur = (
                 c.join(
-                    ranked.withColumn("__deg", deg_w),
+                    ranked,
                     (c["id"] == ranked["source"])
                     & (
                         ranked["rank"]
