@@ -2938,15 +2938,27 @@ def modularity_refine(
     def _q_scaled(lab: DataFrame):
         """Exact Q·4m² = 2m·(ordered internal pairs) − Σ vol_c² as a
         1-row DECIMAL(38,0) scalar (bounded collect)."""
-        tagged = sym.join(
-            lab.select(F.col("id").alias("source"), F.col("community").alias("__la")),
-            on="source",
-        ).join(
-            lab.select(F.col("id").alias("target"), F.col("community").alias("__lb")),
-            on="target",
+        # r16: both scalar aggregates collect in ONE job (a 2-row
+        # union) instead of a count() + a .first() — same aggregates,
+        # half the driver barriers per accept test.
+        internal_df = (
+            sym.join(
+                lab.select(
+                    F.col("id").alias("source"), F.col("community").alias("__la")
+                ),
+                on="source",
+            )
+            .join(
+                lab.select(
+                    F.col("id").alias("target"), F.col("community").alias("__lb")
+                ),
+                on="target",
+            )
+            .filter(F.col("__la") == F.col("__lb"))
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("v"))
+            .select(F.lit("internal").alias("k"), "v")
         )
-        internal = tagged.filter(F.col("__la") == F.col("__lb")).count()
-        volsq = (
+        volsq_df = (
             lab.join(deg, on="id", how="left")
             .groupBy("community")
             .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
@@ -2955,11 +2967,16 @@ def modularity_refine(
                     F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
                 ).alias("v")
             )
-            .first()["v"]
+            .select(F.lit("volsq").alias("k"), "v")
         )
+        got = {
+            r["k"]: r["v"] for r in internal_df.unionByName(volsq_df).collect()
+        }
         from decimal import Decimal
 
-        return Decimal(m2) * Decimal(internal) - (volsq or Decimal(0))
+        internal = got.get("internal") or 0
+        volsq = got.get("volsq")
+        return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
 
     q_before = _q_scaled(cur)
     for _ in range(n_rounds):
@@ -3097,7 +3114,11 @@ def _louvain_phase(
     cur = _cut_lineage(nodes.select("id", F.col("id").alias("community")))
 
     def _q_scaled(lab: DataFrame):
-        internal = (
+        # r16: both scalar aggregates collect in ONE job (a 2-row
+        # union) instead of two .first() round trips — the accept
+        # test runs 2x per phase round, so this halves its driver
+        # barriers; the aggregates themselves are unchanged.
+        internal_df = (
             wedges.join(
                 lab.select(
                     F.col("id").alias("source"), F.col("community").alias("__la")
@@ -3111,10 +3132,10 @@ def _louvain_phase(
                 on="target",
             )
             .filter(F.col("__la") == F.col("__lb"))
-            .agg(F.sum("w").alias("s"))
-            .first()["s"]
-        ) or 0
-        volsq = (
+            .agg(F.sum("w").cast("decimal(38,0)").alias("v"))
+            .select(F.lit("internal").alias("k"), "v")
+        )
+        volsq_df = (
             lab.join(deg, on="id", how="left")
             .groupBy("community")
             .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
@@ -3123,8 +3144,13 @@ def _louvain_phase(
                     F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
                 ).alias("v")
             )
-            .first()["v"]
+            .select(F.lit("volsq").alias("k"), "v")
         )
+        got = {
+            r["k"]: r["v"] for r in internal_df.unionByName(volsq_df).collect()
+        }
+        internal = got.get("internal") or 0
+        volsq = got.get("volsq")
         return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
 
     q_before = _q_scaled(cur)
