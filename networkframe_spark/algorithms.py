@@ -33,19 +33,46 @@ _MAX_ITER = 200
 _HIER_MAX_ROWS_PER_PART = 30_000_000
 
 
-def _edge_pairs(frame, directed: bool) -> DataFrame:
+def _edge_pairs(
+    frame, directed: bool, partition_by_source: bool = False
+) -> DataFrame:
     """Distinct (source, target) pairs, symmetrized when undirected.
 
-    Undirected path: collapse to the UNORDERED pair first (least/
-    greatest), distinct once, then mirror the non-loops — the same
-    result set as distinct-after-symmetrize but the dedup shuffle
-    carries the raw edge count, not twice it (on a multigraph like
-    the TPC-H fixture that's 6M rows through the exchange instead of
-    12M; measured ~2x faster at sf0.1)."""
+    ``partition_by_source=False`` (unordered consumers): collapse to
+    the UNORDERED pair first (least/greatest), distinct once, then
+    mirror the non-loops — the same result set as
+    distinct-after-symmetrize but the dedup shuffle carries the raw
+    edge count, not twice it (on a multigraph like the TPC-H fixture
+    that's 6M rows through the exchange instead of 12M; measured ~2x
+    faster at sf0.1).
+
+    ``partition_by_source=True`` (r16, guide §2.4 — for iterative
+    callers that need the result hash-partitioned on ``source`` for
+    per-round joins): symmetrize FIRST, repartition("source") ONCE,
+    and dedupe partition-locally — HashPartitioning(source) satisfies
+    the (source, target) clustering the aggregate needs (partitioning
+    on a subset of the grouping keys), so the dedup adds NO second
+    exchange.  The old shape shuffled the table twice (distinct
+    exchange + the caller's repartition: raw + 2·distinct rows); the
+    fused shape shuffles 2·raw rows once and replaces two exchanges
+    with one.  Same distinct row set either way."""
+    e = frame.edges.select("source", "target")
+    if partition_by_source:
+        sym = (
+            e
+            if directed
+            else e.union(
+                e.filter(F.col("source") != F.col("target")).select(
+                    F.col("target").alias("source"),
+                    F.col("source").alias("target"),
+                )
+            )
+        )
+        return sym.repartition("source").dropDuplicates(["source", "target"])
     if directed:
-        return frame.edges.select("source", "target").distinct()
+        return e.distinct()
     und = (
-        frame.edges.select(
+        e.select(
             F.least("source", "target").alias("source"),
             F.greatest("source", "target").alias("target"),
         )
@@ -58,12 +85,39 @@ def _edge_pairs(frame, directed: bool) -> DataFrame:
     )
 
 
-def _weighted_pairs(frame, directed: bool, weight_col: str) -> DataFrame:
+def _weighted_pairs(
+    frame, directed: bool, weight_col: str, partition_by_source: bool = False
+) -> DataFrame:
     """``(source, target, w)`` with parallel edges collapsed by
     exact DECIMAL(28,6) weight sums; symmetrized when undirected
     (same unordered-pair-first dedup shape as :func:`_edge_pairs` —
-    the aggregate shuffle carries the raw edge count, not twice it)."""
+    the aggregate shuffle carries the raw edge count, not twice it).
+
+    ``partition_by_source=True``: same fused one-exchange shape as
+    :func:`_edge_pairs` — symmetrize raw edges first (mirroring only
+    non-loops, so self-loop weights count once), repartition("source")
+    once, aggregate partition-locally (no second exchange; decimal
+    sums are order-independent, so the collapsed weights are
+    bit-identical to the unordered-pair form)."""
     wcol = F.col(weight_col).cast("decimal(28,6)")
+    if partition_by_source:
+        e = frame.edges.select("source", "target", wcol.alias("w"))
+        sym = (
+            e
+            if directed
+            else e.union(
+                e.filter(F.col("source") != F.col("target")).select(
+                    F.col("target").alias("source"),
+                    F.col("source").alias("target"),
+                    F.col("w"),
+                )
+            )
+        )
+        return (
+            sym.repartition("source")
+            .groupBy("source", "target")
+            .agg(F.sum("w").alias("w"))
+        )
     if directed:
         return frame.edges.groupBy("source", "target").agg(
             F.sum(wcol).alias("w")
@@ -105,7 +159,7 @@ def reachable_from(frame, node_id: Any, directed: bool = True) -> DataFrame:
     (small) frontier; the frontier count is the single action per round
     and materializes the lazy checkpoint as a side effect.
     """
-    edges = _edge_pairs(frame, directed).repartition("source").cache()
+    edges = _edge_pairs(frame, directed, partition_by_source=True).cache()
     visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
     frontier = visited
     for it in range(_MAX_ITER):
@@ -132,7 +186,7 @@ def k_hop_reachable(frame, node_id: Any, k: int, directed: bool = False) -> Data
     ``limit=k``, unweighted); here the BFS loop bounded at k rounds,
     same per-round plan shape as :func:`reachable_from`.
     """
-    edges = _edge_pairs(frame, directed).repartition("source").cache()
+    edges = _edge_pairs(frame, directed, partition_by_source=True).cache()
     visited = _seed_df(frame, node_id).localCheckpoint(eager=True)
     frontier = visited
     for _ in range(k):
@@ -1159,7 +1213,7 @@ def hop_distances(
     to it, and the single action per round is the frontier count.
     Rounds are bounded by graph diameter (or ``max_hops``).
     """
-    pairs = _edge_pairs(frame, directed).cache()
+    pairs = _edge_pairs(frame, directed, partition_by_source=True).cache()
     if pairs.count() <= _BFS_LOCAL_MAX_EDGES:
         # same guarded driver-local strategy as SCC/spectral (and the
         # reference's own scipy shortest_path, networkframe.py:962-998):
@@ -1171,7 +1225,7 @@ def hop_distances(
         out = _bfs_local(frame, pairs, node_id, max_hops)
         pairs.unpersist()
         return out
-    edges = pairs.repartition("source").cache()
+    edges = pairs  # already hash-partitioned on source by _edge_pairs
     seed = (
         _seed_df(frame, node_id)
         .select("id", F.lit(0).alias("dist"))
@@ -1659,14 +1713,14 @@ def label_propagation(
     # pre-partitioned on the per-round join key: each round then
     # shuffles only the node-sized label table into the join
     if weight_col is None:
-        pairs = _edge_pairs(frame, directed).filter(
+        pairs = _edge_pairs(frame, directed, partition_by_source=True).filter(
             F.col("source") != F.col("target")
         )
         vote = F.lit(1).cast("decimal(28,6)")
     else:
-        pairs = _weighted_pairs(frame, directed, weight_col).filter(
-            F.col("source") != F.col("target")
-        )
+        pairs = _weighted_pairs(
+            frame, directed, weight_col, partition_by_source=True
+        ).filter(F.col("source") != F.col("target"))
         vote = F.col("w")
     # localCheckpoint, not cache(): with the per-round count() action
     # gone (see below) nothing materializes before the caller's first
@@ -1674,7 +1728,8 @@ def label_propagation(
     # blocks before they were ever used; RDD-scoped checkpoint blocks
     # are freed by the ContextCleaner instead (same pattern as
     # pagerank's edge table) and preserve the source partitioning
-    pairs = pairs.repartition("source").localCheckpoint(eager=False)
+    # established inside _edge_pairs/_weighted_pairs
+    pairs = pairs.localCheckpoint(eager=False)
     self_vote = F.lit(1 if weight_col is None else self_weight).cast(
         "decimal(28,6)"
     )
@@ -1975,7 +2030,7 @@ def multi_source_hop_distances(
     # so it is neither recomputed nor re-cached (betweenness shares
     # ONE materialization across BFS, sigma, and delta joins)
     if pairs is None:
-        edges = _edge_pairs(frame, directed).repartition("source").cache()
+        edges = _edge_pairs(frame, directed, partition_by_source=True).cache()
     else:
         edges = pairs
     seed = (
@@ -2113,7 +2168,7 @@ def random_walks(
     from pyspark.sql import Window as w
 
     P = 1000003
-    adj = _edge_pairs(frame, directed).filter(
+    adj = _edge_pairs(frame, directed, partition_by_source=True).filter(
         F.col("source") != F.col("target")
     )
     win = w.partitionBy("source")
@@ -2223,6 +2278,12 @@ def node2vec_walks(
             "node2vec_walks: p and q must be positive multiples of 0.25"
         )
     w_ret, w_nbr, w_out = 4 * q4, p4 * q4, 4 * p4
+    # default (unordered-first) pair shape, NOT partition_by_source:
+    # A/B'd in r16 — feeding the fused source-partitioned form into
+    # the collect_list aggregate measured 7.10s vs 5.80s at sf0.1 (the
+    # two stacked partition-local aggregates beat the separate distinct
+    # exchange only when no array-building agg follows); random_walks
+    # keeps the fused form, where it measured 2.97s vs 3.55s.
     adj = _edge_pairs(frame, directed).filter(
         F.col("source") != F.col("target")
     )
@@ -2389,8 +2450,12 @@ def topological_levels(frame, max_rounds: int = 64) -> DataFrame:
     e = (
         frame.edges.select("source", "target")
         .filter(F.col("source") != F.col("target"))
-        .distinct()
+        # repartition BEFORE the dedup: HashPartitioning(source)
+        # satisfies the (source, target) clustering, so the distinct
+        # runs partition-locally and the old second exchange is gone
+        # (r16, guide §2.4 — same fused shape as _edge_pairs)
         .repartition("source")
+        .dropDuplicates(["source", "target"])
         .cache()
     )
     lv = frame.nodes.select("id", F.lit(0).alias("level")).localCheckpoint(
@@ -2464,9 +2529,8 @@ def maximal_independent_set(
     hash-partitioned once.
     """
     sym = (
-        _edge_pairs(frame, False)
+        _edge_pairs(frame, False, partition_by_source=True)
         .filter(F.col("source") != F.col("target"))
-        .repartition("source")
         .cache()
     )
     pr = F.md5(
@@ -2627,9 +2691,8 @@ def betweenness_approx(
     # the hash partitioning, so the sigma/delta joins all read
     # co-located partitions without re-shuffling)
     e = (
-        _edge_pairs(frame, directed)
+        _edge_pairs(frame, directed, partition_by_source=True)
         .filter(F.col("source") != F.col("target"))
-        .repartition("source")
         .localCheckpoint(eager=True)
     )
     dec = "decimal(38,12)"
@@ -2915,9 +2978,8 @@ def modularity_refine(
     if n_rounds < 1:
         raise ValueError("modularity_refine: n_rounds >= 1")
     sym = (
-        _edge_pairs(frame, False)
+        _edge_pairs(frame, False, partition_by_source=True)
         .filter(F.col("source") != F.col("target"))
-        .repartition("source")
         .cache()
     )
     deg = sym.groupBy(F.col("source").alias("id")).agg(
@@ -3532,9 +3594,8 @@ def neighbor_sample(
     if any(f < 1 for f in fanouts):
         raise ValueError(f"fanouts must be >= 1, got {fanouts}")
     adj = (
-        _edge_pairs(frame, directed)
+        _edge_pairs(frame, directed, partition_by_source=True)
         .filter(F.col("source") != F.col("target"))
-        .repartition("source")
         .localCheckpoint(eager=True)
     )
     frontier = frame.nodes.select("id").filter(F.col("id").isin(list(seeds)))
