@@ -1362,30 +1362,41 @@ def link_prediction(
     existing-edge exclusion is a left-anti join on the same key.
     Scores round to 6 dp for engine-portable hashes.
 
-    ``und`` and ``deg`` are lazily checkpointed: the plan references
-    them 3-4x each and Catalyst has no common-subtree elimination
-    across those references — without the checkpoint the upstream
-    scan+join+distinct re-executes per reference (measured 26 parquet
-    scans / 114 exchanges in the un-checkpointed plan).
+    ``nb`` and ``deg`` are cached: the plan references them 2-4x each
+    and Catalyst has no common-subtree elimination across those
+    references — without reuse the upstream scan+union+dedup
+    re-executes per reference (measured 26 parquet scans / 114
+    exchanges in the unshared plan).  Cache (not localCheckpoint)
+    because InMemoryRelation preserves the clustered-on-``w``
+    outputPartitioning the fused shape establishes.
     """
     e = frame.edges.select("source", "target").filter(
         F.col("source") != F.col("target")
     )
-    und = (
-        e.select(
-            F.least("source", "target").alias("u"),
-            F.greatest("source", "target").alias("v"),
+    # r16 (guide §2.4): symmetrize the raw edges FIRST, repartition on
+    # the wedge-center key `w` once, and dedupe partition-locally
+    # (grouping keys ⊇ partitioning key) — the same fused one-exchange
+    # shape as _edge_pairs(partition_by_source=True).  Everything that
+    # joins on `w` below (hub semi-join, wdeg decoration, the wedge
+    # self-join) is then already clustered and adds NO further
+    # exchange; `deg`'s node-keyed aggregate is the one extra shuffle.
+    # The old und/nb lazy localCheckpoints erased that partitioning
+    # (LogicalRDD reports UnknownPartitioning under AQE), so both
+    # tables are .cache()d instead — cache preserves the plan's
+    # outputPartitioning, and each is referenced 2-4x.  Same row sets.
+    nb = (
+        e.select(F.col("source").alias("w"), F.col("target").alias("x"))
+        .union(
+            e.select(F.col("target").alias("w"), F.col("source").alias("x"))
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nb = und.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
-        und.select(F.col("v").alias("w"), F.col("u").alias("x"))
+        .repartition("w")
+        .dropDuplicates(["w", "x"])
+        .cache()
     )
     deg = (
         nb.groupBy(F.col("x").alias("id"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     centers = nb
     if max_hub_degree is not None:
@@ -1408,7 +1419,10 @@ def link_prediction(
         )
         .filter(F.col("n_common") >= min_common)
         .join(
-            und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            # the old `und` (u < v) is exactly nb's lower-triangle
+            nb.filter(F.col("w") < F.col("x")).select(
+                F.col("w").alias("a"), F.col("x").alias("b")
+            ),
             on=["a", "b"],
             how="left_anti",
         )
@@ -3699,7 +3713,25 @@ def bipartite_project(
     shared, proj = (
         ("source", "target") if side == "target" else ("target", "source")
     )
-    e = frame.edges.select(shared, proj).distinct()
+    # r16 (guide §2.4): ONE exchange keyed on the shared node feeds
+    # everything up to the pair aggregate.  repartition(shared) first;
+    # the dedup (grouping keys ⊇ partitioning key), the hub-degree
+    # count (grouping = partitioning key), the semi-join (both sides
+    # clustered on `shared`), and the wedge self-join (both sides the
+    # same cached table, already clustered on the join key) then all
+    # run partition-locally with NO further exchange.  The old shape
+    # paid distinct + degree-agg + semi-join + two self-join
+    # exchanges; a lazy localCheckpoint before the self-join erased
+    # the partitioning Catalyst had (LogicalRDD reports
+    # UnknownPartitioning under AQE), so .cache() — which preserves
+    # the cached plan's outputPartitioning — replaces it.  Same
+    # distinct row set, same counts.
+    e = (
+        frame.edges.select(shared, proj)
+        .repartition(shared)
+        .dropDuplicates([shared, proj])
+        .cache()
+    )
     if max_hub_degree is not None:
         deg = (
             e.groupBy(shared)
@@ -3708,7 +3740,6 @@ def bipartite_project(
             .select(shared)
         )
         e = e.join(deg, on=shared, how="left_semi")
-    e = e.localCheckpoint(eager=False)
     a = e.select(F.col(shared).alias("__k"), F.col(proj).alias("a"))
     b = e.select(F.col(shared).alias("__k"), F.col(proj).alias("b"))
     return (

@@ -3051,6 +3051,13 @@ def ann_recall_report(
     broadcast, corpus scanned once); the comparison itself is one
     equi-join on (query, id) + a query-keyed aggregate.
     """
+    # NOTE (r16, measured): do NOT cache `truth` despite its two
+    # references below — the brute-force subtree ends in the top-k
+    # aggregate's Exchange, which Spark's ReuseExchange already serves
+    # to both branches; an explicit cache() ADDS an InMemoryRelation
+    # materialization barrier and measured neutral-to-slower
+    # (interleaved A/B at sf0.1: lsh_recall_report 2.07->2.12s,
+    # lsh_multiprobe_recall 2.10->2.28s).
     truth = brute_force_top_k(
         corpus,
         queries,
@@ -3109,6 +3116,12 @@ def pair_recall_report(
     aggregate — evaluation cost is output-sized, never corpus-sized.
     """
     keys = list(pair_cols)
+    # NOTE (r16, measured): `t` is referenced twice below but its
+    # subtree ends in the dropDuplicates Exchange, which ReuseExchange
+    # already serves to both branches; an explicit cache() measured
+    # consistently SLOWER (fuzzy_decon_recall 2.56->3.08s interleaved
+    # A/B at sf0.1 — the materialization barrier defeats the pipelined
+    # exchange reuse), so the double reference stays as-is.
     t = truth.select(*keys).dropDuplicates(keys)
     p = pred.select(*keys).dropDuplicates(keys)
     hits = t.join(p, on=keys).groupBy(group_col).agg(
