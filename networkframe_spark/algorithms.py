@@ -438,6 +438,12 @@ def _max_label_fixpoint(e: DataFrame, init: DataFrame, label: str) -> DataFrame:
     trips Catalyst attribute dedup under localCheckpoint.
     """
     labels = init.localCheckpoint(eager=False)
+    # r16 NEGATIVE RESULT (interleaved A/B at sf0.1, via
+    # strong_components): .cache() instead of the checkpoint measured
+    # +15% — the label table broadcasts at this scale, so the edge
+    # side is never shuffled per round, and this helper's tables are
+    # small and short-lived (2 fixpoints per SCC peel round), making
+    # the columnar cache build pure overhead.
     e = e.repartition("source").localCheckpoint(eager=False)
     p = (
         init.select("id")
@@ -1019,10 +1025,19 @@ def pagerank(
     out_w = edges.groupBy("source").agg(
         F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_out")
     )
+    # r16 (guide §2.4): hash-partition the share table on the per-round
+    # join key ONCE and .cache() it — InMemoryRelation preserves its
+    # outputPartitioning, so all n_iter round joins read co-located
+    # partitions and only the node-sized rank table shuffles per round.
+    # The old localCheckpoint did NOT preserve partitioning (LogicalRDD
+    # reports UnknownPartitioning under AQE — probe-verified, see
+    # OPTIMIZATION_r16.md), so every round re-exchanged the edge-sized
+    # share table.  Cache is per-query scope; bench/callers clear it.
     e = (
         edges.join(out_w, on="source")
         .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
-        .localCheckpoint(eager=False)
+        .repartition("source")
+        .cache()
     )
     if personalize is None:
         base_col = F.lit((1.0 - damping) / n)
@@ -1736,14 +1751,22 @@ def label_propagation(
             frame, directed, weight_col, partition_by_source=True
         ).filter(F.col("source") != F.col("target"))
         vote = F.col("w")
-    # localCheckpoint, not cache(): with the per-round count() action
-    # gone (see below) nothing materializes before the caller's first
-    # action, so a cache+unpersist-after-loop protocol would evict the
-    # blocks before they were ever used; RDD-scoped checkpoint blocks
-    # are freed by the ContextCleaner instead (same pattern as
-    # pagerank's edge table) and preserve the source partitioning
-    # established inside _edge_pairs/_weighted_pairs
-    pairs = pairs.localCheckpoint(eager=False)
+    # r16, measured mode-split (interleaved A/B at sf0.1): in WEIGHTED
+    # mode, .cache() instead of the checkpoint measured −35%
+    # (4.65 -> 3.01 s) — the InMemoryRelation preserves the source
+    # partitioning the checkpoint loses (LogicalRDD reports
+    # UnknownPartitioning, probe-verified), so rounds stop
+    # re-exchanging the decimal-weighted pair table.  In UNWEIGHTED
+    # mode the same cache measured +40% (0.90 -> 1.26 s): the label
+    # table broadcasts there, the pair side is never shuffled anyway,
+    # and the columnar cache build is pure cost — so the unweighted
+    # path keeps the RDD-scoped checkpoint.  No unpersist on the
+    # cached path: nothing materializes before the caller's first
+    # action (cache is per-query scope; bench/callers clear it).
+    if weight_col is None:
+        pairs = pairs.localCheckpoint(eager=False)
+    else:
+        pairs = pairs.cache()
     self_vote = F.lit(1 if weight_col is None else self_weight).cast(
         "decimal(28,6)"
     )
@@ -1875,10 +1898,13 @@ def pagerank_personalized_batch(
     out_w = edges.groupBy("source").agg(
         F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_out")
     )
+    # r16: source-partitioned cached share table — same rationale as
+    # pagerank (the old checkpoint re-exchanged it every round)
     e = (
         edges.join(out_w, on="source")
         .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
-        .localCheckpoint(eager=False)
+        .repartition("source")
+        .cache()
     )
     seed_rows = (
         nodes.filter(F.col("id").isin(list(set(seeds))))
@@ -1949,6 +1975,14 @@ def hits(frame, n_iter: int = 3, directed: bool = True) -> DataFrame:
         return nodes.select(
             "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
+    # r16 NEGATIVE RESULT (measured, interleaved A/B at sf0.1): two
+    # per-join-key cached copies of the pair table (source + target
+    # layouts, so each half-round's edge-side join would be
+    # exchange-free) measured +22% (6.36 -> 7.77 s) — at this scale
+    # the score table BROADCASTS, so the edge side is never shuffled
+    # anyway and the extra repartition + columnar cache builds are
+    # pure cost.  The two-copy layout only pays once scores exceed
+    # the broadcast threshold (the 100 TB case).
     e = (
         _edge_pairs(frame, directed)
         .filter(F.col("source") != F.col("target"))
@@ -2199,11 +2233,13 @@ def random_walks(
         # established hashpartitioning(source) — re-shuffling the |E|
         # table on the same key was a pure extra exchange (r16, guide
         # §2.4).
-        # localCheckpoint, not cache(): blocks are RDD-scoped (freed by
-        # the ContextCleaner when the walk result is dropped) instead
-        # of pinning an edge-sized table in the CacheManager for the
-        # whole session; partitioning is preserved for the step joins
-        .localCheckpoint(eager=True)
+        # r16: .cache(), not localCheckpoint — the checkpoint did NOT
+        # preserve the window's partitioning (LogicalRDD reports
+        # UnknownPartitioning, probe-verified), so every step join
+        # re-exchanged the ranked adjacency; the InMemoryRelation
+        # keeps hashpartitioning(source), so each step shuffles only
+        # the walk-state table.  Cache is per-query scope.
+        .cache()
     )
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))
@@ -2321,10 +2357,16 @@ def node2vec_walks(
     # Per-source degree rides along as size(__nbrs) — the step-1
     # count() window is gone too.  Hub exposure is unchanged: the
     # deg-sized array per node existed either way.
+    # r16: .cache(), not localCheckpoint, for BOTH step-static tables —
+    # the checkpoint did not preserve the agg/posexplode partitioning
+    # (LogicalRDD reports UnknownPartitioning, probe-verified), so
+    # every step re-exchanged them; the InMemoryRelations keep
+    # hash(__ps)/hash(source), so per-step joins shuffle only the
+    # walk-state side.  Caches are per-query scope.
     nbr_arr = (
         adj.groupBy(F.col("source").alias("__ps"))
         .agg(F.sort_array(F.collect_list("target")).alias("__nbrs"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
     ranked = (
         nbr_arr.select(
@@ -2333,7 +2375,7 @@ def node2vec_walks(
             F.posexplode("__nbrs").alias("rank", "target"),
         )
         .select("source", "target", "rank", "__deg")
-        .localCheckpoint(eager=True)
+        .cache()
     )
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))
@@ -2699,15 +2741,17 @@ def betweenness_approx(
     """
     if not sources:
         raise ValueError("betweenness_approx: empty source list")
-    # ONE materialization serves every phase: repartition on the join
-    # key, then localCheckpoint (blocks are RDD-scoped — freed by the
-    # ContextCleaner, unlike a cache pin — and LogicalRDD preserves
-    # the hash partitioning, so the sigma/delta joins all read
-    # co-located partitions without re-shuffling)
+    # ONE materialization serves every phase.  r16: .cache(), not
+    # localCheckpoint — a LogicalRDD checkpoint does NOT preserve the
+    # hash partitioning (UnknownPartitioning under AQE,
+    # probe-verified), so the old shape re-exchanged the edge table in
+    # every sigma/delta join; the InMemoryRelation keeps the source
+    # layout, so all 2·max_hops round joins read co-located partitions
+    # and only the (seed, node)-sized state shuffles.
     e = (
         _edge_pairs(frame, directed, partition_by_source=True)
         .filter(F.col("source") != F.col("target"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
     dec = "decimal(38,12)"
     # forward: BFS and path counting FUSED — expand the previous
@@ -3011,6 +3055,17 @@ def modularity_refine(
         sym.unpersist()
         return cur
 
+    # r16 NEGATIVE RESULT (interleaved A/B at sf0.1): a fused-kvc
+    # accept test — checkpoint one (node, neighbor-community) weight
+    # aggregate per round and derive BOTH the internal-pair count (sum
+    # of matched __k, bit-identical to this double decoration) and the
+    # next round's move candidates from it — measured +7% here, +23%
+    # on louvain_communities, +16% on leiden.  At this scale the label
+    # table BROADCASTS, so the two decorations below are map-side-only
+    # scans of the cached pair table, while the fused form pays a real
+    # aggregate exchange + checkpoint write per accept.  The fusion
+    # only pays once labels exceed the broadcast threshold (the 100 TB
+    # case); local bench keeps the broadcast shape.
     def _q_scaled(lab: DataFrame):
         """Exact Q·4m² = 2m·(ordered internal pairs) − Σ vol_c² as a
         1-row DECIMAL(38,0) scalar (bounded collect)."""
@@ -3189,6 +3244,12 @@ def _louvain_phase(
     cross = wedges.filter(F.col("source") != F.col("target"))
     cur = _cut_lineage(nodes.select("id", F.col("id").alias("community")))
 
+    # r16 NEGATIVE RESULT: the fused-kvc accept test (see the NOTE in
+    # modularity_refine) measured +23% on louvain_communities and +16%
+    # on leiden at sf0.1 — labels broadcast at this scale, so the two
+    # decorations below are map-side scans while the fused aggregate
+    # pays a real exchange + checkpoint write per accept; kept the
+    # broadcast shape for the local bench.
     def _q_scaled(lab: DataFrame):
         # r16: both scalar aggregates collect in ONE job (a 2-row
         # union) instead of two .first() round trips — the accept
@@ -3361,6 +3422,15 @@ def louvain_communities(
     """
     if n_levels < 1 or n_rounds < 1:
         raise ValueError("louvain_communities: n_levels and n_rounds >= 1")
+    # r16 NEGATIVE RESULT (interleaved A/B at sf0.1): a source-
+    # partitioned CACHED level-0 pair table (partition_by_source=True
+    # + .cache() instead of this unordered-first build + checkpoint)
+    # measured +15% here and +34% on leiden — phase labels broadcast
+    # at this scale, so the per-round joins never shuffle the pair
+    # side, while the fused build pushes 2x the raw rows through its
+    # one exchange and the columnar cache build is extra cost.  The
+    # partitioned layout only pays once labels exceed the broadcast
+    # threshold (the 100 TB case).
     if weight_col is None:
         pairs = (
             _edge_pairs(frame, False)
@@ -3513,6 +3583,9 @@ def leiden_communities(
     """
     if n_levels < 1 or n_rounds < 1:
         raise ValueError("leiden_communities: n_levels and n_rounds >= 1")
+    # r16 NEGATIVE RESULT: the source-partitioned cached pair table
+    # measured +34% here (see the NOTE in louvain_communities) — the
+    # unordered-first build + checkpoint stays.
     if weight_col is None:
         pairs = (
             _edge_pairs(frame, False)
@@ -4005,6 +4078,12 @@ def core_numbers(
     nb = (
         und.select(F.col("u").alias("id"), F.col("v").alias("nb"))
         .unionAll(und.select(F.col("v").alias("id"), F.col("u").alias("nb")))
+        # r16 NEGATIVE RESULT (interleaved A/B at sf0.1): repartition
+        # ("nb") + .cache() measured +97% (1.20 -> 2.37 s) — the
+        # estimate table broadcasts at this scale, so the nb side is
+        # never shuffled per round and the added exchange + columnar
+        # cache build are pure cost.  The partitioned layout only
+        # pays once estimates exceed the broadcast threshold.
         .localCheckpoint(eager=False)
     )
     est = nb.groupBy("id").agg(F.count(F.lit(1)).alias("est")).localCheckpoint(
