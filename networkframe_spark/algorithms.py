@@ -1025,20 +1025,26 @@ def pagerank(
     out_w = edges.groupBy("source").agg(
         F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_out")
     )
-    # r16 (guide §2.4): hash-partition the share table on the per-round
-    # join key ONCE and .cache() it — InMemoryRelation preserves its
-    # outputPartitioning, so all n_iter round joins read co-located
-    # partitions and only the node-sized rank table shuffles per round.
-    # The old localCheckpoint did NOT preserve partitioning (LogicalRDD
-    # reports UnknownPartitioning under AQE — probe-verified, see
-    # OPTIMIZATION_r16.md), so every round re-exchanged the edge-sized
-    # share table.  Cache is per-query scope; bench/callers clear it.
-    e = (
-        edges.join(out_w, on="source")
-        .select("source", "target", (F.col("w") / F.col("w_out")).alias("share"))
-        .repartition("source")
-        .cache()
+    # r16, measured mode-split (interleaved A/B at sf0.1): in WEIGHTED
+    # mode, hash-partitioning the share table on the per-round join
+    # key and .cache()-ing it measured −15..−26% across three
+    # sessions — the InMemoryRelation preserves the partitioning the
+    # old localCheckpoint loses (LogicalRDD reports
+    # UnknownPartitioning, probe-verified), so rounds stop paying for
+    # the share table's layout.  In UNWEIGHTED mode the same change
+    # measured consistently SLOWER (best-of-5 ×3 interleaved passes:
+    # 3.69-3.97 checkpoint vs 4.51-6.19 cache) — the rank table
+    # broadcasts at this scale, so the share side is never shuffled
+    # per round and the extra repartition + columnar cache build are
+    # pure cost; the unweighted path keeps the RDD-scoped checkpoint.
+    # Cache is per-query scope; bench/callers clear it.
+    e = edges.join(out_w, on="source").select(
+        "source", "target", (F.col("w") / F.col("w_out")).alias("share")
     )
+    if weight_col is None:
+        e = e.localCheckpoint(eager=False)
+    else:
+        e = e.repartition("source").cache()
     if personalize is None:
         base_col = F.lit((1.0 - damping) / n)
         init_col = F.lit(1.0 / n)
