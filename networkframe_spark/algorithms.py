@@ -368,10 +368,18 @@ def _weak_component_min_labels(frame) -> DataFrame:
     parts = frame.spark.sparkContext.defaultParallelism
     solved = False
     while parts > 1:
-        target = max(1, parts // 8)
-        if mapping.count() / target > _HIER_MAX_ROWS_PER_PART:
+        step = max(1, parts // 8)
+        rows = mapping.count()
+        # r17: jump straight to the SMALLEST partition count the
+        # memory guard allows instead of fixed /8 levels — a mapping
+        # that fits one partition solves in ONE contract pass (one
+        # count + one materialization instead of a level per /8).
+        # Union-find roots are component minima along any merge order,
+        # so the labels are identical whichever ladder is walked.
+        need = max(1, -(-rows // _HIER_MAX_ROWS_PER_PART))  # ceil
+        if need > step:
             break
-        parts = target
+        parts = max(1, min(step, need))
         pairs = mapping.select(
             F.col("id").alias("source"), F.col("comp").alias("target")
         ).coalesce(parts)
@@ -3072,12 +3080,10 @@ def modularity_refine(
     # aggregate exchange + checkpoint write per accept.  The fusion
     # only pays once labels exceed the broadcast threshold (the 100 TB
     # case); local bench keeps the broadcast shape.
-    def _q_scaled(lab: DataFrame):
-        """Exact Q·4m² = 2m·(ordered internal pairs) − Σ vol_c² as a
-        1-row DECIMAL(38,0) scalar (bounded collect)."""
-        # r16: both scalar aggregates collect in ONE job (a 2-row
-        # union) instead of a count() + a .first() — same aggregates,
-        # half the driver barriers per accept test.
+    def _q_legs(lab: DataFrame, tag: str):
+        """The two scalar-aggregate legs of Q·4m² = 2m·(ordered
+        internal pairs) − Σ vol_c² for one labeling, key-tagged so
+        several labelings can share one union collect."""
         internal_df = (
             sym.join(
                 lab.select(
@@ -3093,7 +3099,7 @@ def modularity_refine(
             )
             .filter(F.col("__la") == F.col("__lb"))
             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("v"))
-            .select(F.lit("internal").alias("k"), "v")
+            .select(F.lit("i:" + tag).alias("k"), "v")
         )
         volsq_df = (
             lab.join(deg, on="id", how="left")
@@ -3104,18 +3110,29 @@ def modularity_refine(
                     F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
                 ).alias("v")
             )
-            .select(F.lit("volsq").alias("k"), "v")
+            .select(F.lit("v:" + tag).alias("k"), "v")
         )
-        got = {
-            r["k"]: r["v"] for r in internal_df.unionByName(volsq_df).collect()
-        }
+        return internal_df.unionByName(volsq_df)
+
+    def _q_scaled_multi(labs: dict) -> dict:
+        """Exact Q·4m² per labeling — all legs in ONE collect (r16
+        fused one labeling's two legs into one job; r17 extends the
+        union across labelings so the up-front Q of the input labels
+        rides round 1's accept collect instead of its own job)."""
         from decimal import Decimal
 
-        internal = got.get("internal") or 0
-        volsq = got.get("volsq")
-        return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
+        legs = None
+        for tag, lab in labs.items():
+            df = _q_legs(lab, tag)
+            legs = df if legs is None else legs.unionByName(df)
+        got = {r["k"]: r["v"] for r in legs.collect()}
+        return {
+            tag: Decimal(m2) * Decimal(int(got.get("i:" + tag) or 0))
+            - (got.get("v:" + tag) or Decimal(0))
+            for tag in labs
+        }
 
-    q_before = _q_scaled(cur)
+    q_before = None
     for _ in range(n_rounds):
         vol = (
             cur.join(deg, on="id", how="left")
@@ -3134,29 +3151,39 @@ def modularity_refine(
             .groupBy(F.col("target").alias("id"), "__nc")
             .agg(F.count(F.lit(1)).alias("__k"))
         )
-        base = (
-            cur.join(deg, on="id", how="left")
-            .select("id", "community", F.coalesce("__deg", F.lit(0)).alias("__deg"))
-            .join(
-                kvc.select(
-                    "id",
-                    F.col("__nc").alias("community"),
-                    F.col("__k").alias("__ka"),
-                ),
-                on=["id", "community"],
-                how="left",
-            )
+        # r17: same one-exchange kvc shape as _louvain_phase — __ka by
+        # max-over-id window on the unfiltered kvc rows (at most one
+        # row per (id, __nc), so max-of-the-match IS the value); the
+        # window's exchange doubles as the moves groupBy partitioning,
+        # and kvc crosses the network once instead of twice at scale.
+        from pyspark.sql import Window
+
+        wid = Window.partitionBy("id")
+        enriched = (
+            kvc.join(cur, on="id")
+            .join(deg, on="id", how="left")
             .select(
                 "id",
                 "community",
-                "__deg",
-                F.coalesce("__ka", F.lit(0)).alias("__ka"),
+                "__nc",
+                "__k",
+                F.coalesce("__deg", F.lit(0)).alias("__deg"),
             )
-            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
+            .withColumn(
+                "__ka",
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("__nc") == F.col("community"), F.col("__k")
+                        )
+                    ).over(wid),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
         )
         cand = (
-            base.join(kvc, on="id")
-            .filter(F.col("__nc") != F.col("community"))
+            enriched.filter(F.col("__nc") != F.col("community"))
+            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
             .join(
                 vol.select(
                     F.col("community").alias("__nc"),
@@ -3181,7 +3208,13 @@ def modularity_refine(
             .select("id", F.coalesce("__new", "community").alias("community"))
             .localCheckpoint(eager=True)
         )
-        q_after = _q_scaled(nxt)
+        if q_before is None:
+            # round 1: the input labels' Q legs ride the same collect —
+            # the moves above never read Q, so deferring it is exact
+            qs = _q_scaled_multi({"a": cur, "b": nxt})
+            q_before, q_after = qs["a"], qs["b"]
+        else:
+            q_after = _q_scaled_multi({"b": nxt})["b"]
         if q_after < q_before:
             # conflicting synchronous moves lowered Q — reject the
             # round and stop (replaying would repeat the same moves)
@@ -3226,8 +3259,12 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
 
 
 def _louvain_phase(
-    nodes: DataFrame, wedges: DataFrame, m2: int, n_rounds: int
-) -> DataFrame:
+    nodes: DataFrame,
+    wedges: DataFrame,
+    m2: int,
+    n_rounds: int,
+    q0=None,
+) -> tuple[DataFrame, object]:
     """One Louvain phase (Blondel et al. 2008 phase 1) on an integer-
     WEIGHTED ordered-pair graph, starting from singletons: up to
     ``n_rounds`` synchronous local-move rounds with the exact integer
@@ -3241,6 +3278,15 @@ def _louvain_phase(
     counts toward degree/volume/internal pairs but is never a move
     candidate (it moves with the node, so it is constant w.r.t. the
     argmax and cancels in every gain comparison).
+
+    ``q0``: the caller-known scaled modularity of the singleton start
+    (aggregation preserves Q exactly — internal weight and volumes
+    carry over as the same integers — so the previous level's accepted
+    Q IS the next level's singleton Q).  When ``None``, the singleton
+    Q is computed together with round 1's accept test in ONE collect
+    (r17: the separate up-front collect was a whole extra driver
+    barrier per phase).  Returns ``(labels, q_final)`` so callers can
+    chain the Q.
     """
     from decimal import Decimal
 
@@ -3256,11 +3302,12 @@ def _louvain_phase(
     # decorations below are map-side scans while the fused aggregate
     # pays a real exchange + checkpoint write per accept; kept the
     # broadcast shape for the local bench.
-    def _q_scaled(lab: DataFrame):
-        # r16: both scalar aggregates collect in ONE job (a 2-row
-        # union) instead of two .first() round trips — the accept
-        # test runs 2x per phase round, so this halves its driver
-        # barriers; the aggregates themselves are unchanged.
+    def _q_legs(lab: DataFrame, tag: str):
+        """The two scalar-aggregate legs of Q·4m² for one labeling,
+        key-tagged so several labelings can share one union collect.
+        (r16 fused the two legs of one labeling into one job; r17
+        extends the union across labelings so the phase-initial Q
+        rides round 1's accept collect instead of its own.)"""
         internal_df = (
             wedges.join(
                 lab.select(
@@ -3276,7 +3323,7 @@ def _louvain_phase(
             )
             .filter(F.col("__la") == F.col("__lb"))
             .agg(F.sum("w").cast("decimal(38,0)").alias("v"))
-            .select(F.lit("internal").alias("k"), "v")
+            .select(F.lit("i:" + tag).alias("k"), "v")
         )
         volsq_df = (
             lab.join(deg, on="id", how="left")
@@ -3287,16 +3334,24 @@ def _louvain_phase(
                     F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
                 ).alias("v")
             )
-            .select(F.lit("volsq").alias("k"), "v")
+            .select(F.lit("v:" + tag).alias("k"), "v")
         )
-        got = {
-            r["k"]: r["v"] for r in internal_df.unionByName(volsq_df).collect()
-        }
-        internal = got.get("internal") or 0
-        volsq = got.get("volsq")
-        return Decimal(m2) * Decimal(int(internal)) - (volsq or Decimal(0))
+        return internal_df.unionByName(volsq_df)
 
-    q_before = _q_scaled(cur)
+    def _q_scaled_multi(labs: dict) -> dict:
+        """Exact Q·4m² per labeling — all legs in ONE collect."""
+        legs = None
+        for tag, lab in labs.items():
+            df = _q_legs(lab, tag)
+            legs = df if legs is None else legs.unionByName(df)
+        got = {r["k"]: r["v"] for r in legs.collect()}
+        return {
+            tag: Decimal(m2) * Decimal(int(got.get("i:" + tag) or 0))
+            - (got.get("v:" + tag) or Decimal(0))
+            for tag in labs
+        }
+
+    q_before = q0
     for rnd in range(n_rounds):
         vol = (
             cur.join(deg, on="id", how="left")
@@ -3313,27 +3368,39 @@ def _louvain_phase(
             .groupBy(F.col("target").alias("id"), "__nc")
             .agg(F.sum("w").alias("__k"))
         )
-        base = (
-            cur.join(deg, on="id", how="left")
-            .select(
-                "id", "community", F.coalesce("__deg", F.lit(0)).alias("__deg")
-            )
-            .join(
-                kvc.select(
-                    "id",
-                    F.col("__nc").alias("community"),
-                    F.col("__k").alias("__ka"),
-                ),
-                on=["id", "community"],
-                how="left",
-            )
+        # r17 (measured by job count, bit-identical moves): the old
+        # shape joined kvc TWICE — once on (id, community) for the
+        # own-community weight __ka, once on id for the candidates —
+        # costing kvc two different exchanges.  One window over id
+        # derives __ka on the SAME kvc rows (at most one row per (id,
+        # __nc), so max-of-the-match IS the value), the window's
+        # exchange doubles as the moves groupBy's partitioning, and at
+        # scale kvc crosses the network once instead of twice.
+        # 18 -> 15 jobs on the bench graph; exceptAll-verified equal.
+        from pyspark.sql import Window
+
+        wid = Window.partitionBy("id")
+        enriched = (
+            kvc.join(cur, on="id")
+            .join(deg, on="id", how="left")
             .select(
                 "id",
                 "community",
-                "__deg",
-                F.coalesce("__ka", F.lit(0)).alias("__ka"),
+                "__nc",
+                "__k",
+                F.coalesce("__deg", F.lit(0)).alias("__deg"),
             )
-            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
+            .withColumn(
+                "__ka",
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("__nc") == F.col("community"), F.col("__k")
+                        )
+                    ).over(wid),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
         )
         direction = (
             (F.col("__nc") < F.col("community"))
@@ -3341,7 +3408,6 @@ def _louvain_phase(
             else (F.col("__nc") > F.col("community"))
         )
         cand = (
-            base.join(kvc, on="id")
             # ALTERNATE-DIRECTION rounds: even rounds move only toward
             # strictly SMALLER community ids, odd rounds toward
             # strictly LARGER.  A free-for-all synchronous round
@@ -3357,7 +3423,8 @@ def _louvain_phase(
             # escape in the next round.  (Total-order staging is the
             # standard parallel-Louvain conflict fix; alternating it
             # restores bidirectional mobility.)
-            .filter(direction)
+            enriched.filter(direction)
+            .join(vol.withColumnRenamed("__vol", "__vola"), on="community")
             .join(
                 vol.select(
                     F.col("community").alias("__nc"),
@@ -3381,14 +3448,21 @@ def _louvain_phase(
             cur.join(moves, on="id", how="left")
             .select("id", F.coalesce("__new", "community").alias("community"))
         )
-        q_after = _q_scaled(nxt)
+        if q_before is None:
+            # round 1 with unknown singleton Q: both labelings' legs in
+            # one union collect — the moves above never read Q, so
+            # deferring the singleton Q into the accept job is exact
+            qs = _q_scaled_multi({"a": cur, "b": nxt})
+            q_before, q_after = qs["a"], qs["b"]
+        else:
+            q_after = _q_scaled_multi({"b": nxt})["b"]
         # accept-or-revert per round, NO early break: a rejected round
         # is not a fixed point here — the next round's direction flips,
         # so different moves become available (unlike modularity_refine
         # where replaying an identical rejected round is futile)
         if q_after >= q_before:
             cur, q_before = nxt, q_after
-    return cur
+    return cur, q_before
 
 
 def louvain_communities(
@@ -3468,8 +3542,14 @@ def louvain_communities(
     if m2 == 0:
         return mapping.select("id", F.col("node").alias("community"))
 
+    q_level = None
     for level in range(int(n_levels)):
-        labels = _louvain_phase(nodes, wedges, m2, n_rounds)
+        # r17: thread the accepted Q through the levels — aggregation
+        # preserves Q exactly (same integer internal weight and
+        # volumes), so the next phase's singleton Q needs no collect
+        labels, q_level = _louvain_phase(
+            nodes, wedges, m2, n_rounds, q0=q_level
+        )
         moved = labels.filter(F.col("id") != F.col("community")).count()
         mapping = _cut_lineage(
             mapping.join(labels.withColumnRenamed("id", "node"), on="node")
@@ -3496,9 +3576,10 @@ def louvain_communities(
             .agg(F.sum("w").alias("w"))
         )
         wedges = _cut_lineage(wedges)
-        nodes = _cut_lineage(
-            labels.select(F.col("community").alias("id")).distinct()
-        )
+        # lazy on purpose (r17): the phase checkpoints its singleton
+        # state immediately, so an eager checkpoint here was a whole
+        # extra driver barrier for a one-scan distinct
+        nodes = labels.select(F.col("community").alias("id")).distinct()
     return mapping.select("id", F.col("node").alias("community"))
 
 
@@ -3525,7 +3606,11 @@ def _refine_connected(labels: DataFrame, wedges: DataFrame) -> DataFrame:
     from types import SimpleNamespace
 
     intra = (
-        wedges.filter(F.col("source") != F.col("target"))
+        # one direction suffices: wedges carries both (a,b) and (b,a),
+        # and union-find components are direction-insensitive — the
+        # source<target half feeds the contract half the rows for the
+        # identical component labels (r17)
+        wedges.filter(F.col("source") < F.col("target"))
         .join(
             labels.select(
                 F.col("id").alias("source"), F.col("community").alias("__la")
@@ -3618,7 +3703,11 @@ def leiden_communities(
         return mapping.select("id", F.col("node").alias("community"))
 
     for level in range(int(n_levels)):
-        phase = _louvain_phase(nodes, wedges, m2, n_rounds)
+        # q0 stays None here: refinement below changes the partition,
+        # so the aggregated graph's singleton Q is NOT the phase's
+        # accepted Q — each level's phase merges its singleton-Q legs
+        # into round 1's accept collect instead (see _louvain_phase)
+        phase, _ = _louvain_phase(nodes, wedges, m2, n_rounds)
         labels = _cut_lineage(_refine_connected(phase, wedges))
         moved = labels.filter(F.col("id") != F.col("community")).count()
         mapping = _cut_lineage(
@@ -3646,9 +3735,10 @@ def leiden_communities(
             .agg(F.sum("w").alias("w"))
         )
         wedges = _cut_lineage(wedges)
-        nodes = _cut_lineage(
-            labels.select(F.col("community").alias("id")).distinct()
-        )
+        # lazy on purpose (r17): the phase checkpoints its singleton
+        # state immediately, so an eager checkpoint here was a whole
+        # extra driver barrier for a one-scan distinct
+        nodes = labels.select(F.col("community").alias("id")).distinct()
     return mapping.select("id", F.col("node").alias("community"))
 
 

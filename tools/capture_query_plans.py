@@ -35,12 +35,20 @@ def formatted_plan(df) -> str:
     )
 
 
+USAGE = "usage: python tools/capture_query_plans.py <plans_subdir> <suffix> <query> [...]"
+
+
 def main() -> None:
+    if len(sys.argv) < 4:
+        sys.exit(USAGE)
     subdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    qs = entry_mod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries {unknown}\n{USAGE}")
     out = os.path.join(OUT_REPO, "plans", subdir)
     os.makedirs(out, exist_ok=True)
     spark = get_spark("capture_query_plans")
-    qs = entry_mod.queries()
     for name in names:
         df = qs[name](spark, SF_DIR)
         plan = formatted_plan(df)
