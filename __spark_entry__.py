@@ -1779,13 +1779,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = (None, None, None)
         for i in range(3):
             sl = docs.filter(F.col("doc_id") % 3 == i)
+            # materialize=True keeps the fold's plan bounded the way
+            # the parquet-backed streaming sink does (its overwrite is
+            # a materialization) — and checkpoints in dependency order
+            # so the pairs job reads the docs/bands checkpoints
+            # instead of re-deriving the whole fold (r17)
             state = neardup_increment(
                 sl, *state, n_perm=N_PERM, n_bands=2, shingle_n=3,
-                threshold=0.5,
+                threshold=0.5, materialize=True,
             )
-            # keep the fold's plan bounded the way the parquet-backed
-            # streaming sink does (its overwrite is a materialization)
-            state = tuple(s.localCheckpoint(eager=True) for s in state)
         return state[2]
 
     q["stream_neardup_twin"] = q_stream_neardup_twin

@@ -2019,17 +2019,26 @@ def hits(frame, n_iter: int = 3, directed: bool = True) -> DataFrame:
     def _half(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
         """One half-round: push `scores` (id, s) across edges
         from_col -> to_col, L1-normalize, 12-dp round."""
-        raw = (
+        # r17: ROLLUP folds the L1 normalizer into the per-id
+        # aggregate — the grand-total grouping set sums the same
+        # DECIMAL(38,12) contributions (exact, order-independent), so
+        # it equals the old second-pass sum of per-id sums bit-for-bit
+        # while saving one full node-sized aggregate pass (and its
+        # driver barrier) per half-round: 2·n_iter fewer jobs.
+        raw_all = (
             e.join(scores.withColumnRenamed("id", from_col), on=from_col)
             .select(
                 F.col(to_col).alias("id"),
                 F.round(F.col("s"), 12).cast(dec).alias("__c"),
             )
             .unionByName(zeros)
-            .groupBy("id")
-            .agg(F.sum("__c").alias("__raw"))
+            .rollup("id")
+            .agg(F.sum("__c").alias("__raw"), F.grouping("id").alias("__g"))
         ).localCheckpoint(eager=False)
-        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        raw = raw_all.filter(F.col("__g") == 0).select("id", "__raw")
+        tot = raw_all.filter(F.col("__g") == 1).select(
+            F.col("__raw").alias("__tot")
+        )
         return raw.crossJoin(F.broadcast(tot)).select(
             "id",
             F.when(F.col("__raw") == 0, 0.0)

@@ -664,6 +664,11 @@ def stream_neardup_parquet(
         if batch_df.isEmpty():
             return
         state = {k: _read(spark, k) for k in paths}
+        # materialize=True checkpoints the state BEFORE the overwrites
+        # delete the files the plans reference (same rule as
+        # stream_upsert) — and in dependency order, so the pairs job
+        # reads the docs/bands checkpoints instead of re-deriving the
+        # whole fold (r17)
         docs2, bands2, pairs2 = neardup_increment(
             batch_df,
             state["docs"],
@@ -675,14 +680,9 @@ def stream_neardup_parquet(
             n_bands=n_bands,
             shingle_n=shingle_n,
             threshold=threshold,
+            materialize=True,
         )
-        # materialize BEFORE overwrite: the plans reference the files
-        # the writes are about to delete (same rule as stream_upsert)
-        out = {
-            "docs": docs2.localCheckpoint(eager=True),
-            "bands": bands2.localCheckpoint(eager=True),
-            "pairs": pairs2.localCheckpoint(eager=True),
-        }
+        out = {"docs": docs2, "bands": bands2, "pairs": pairs2}
         # Write order matters for crash recovery: docs LAST.  The
         # doc-id anti-join in neardup_increment absorbs a replayed
         # micro-batch entirely once its ids are in the docs table — so
