@@ -3089,51 +3089,68 @@ def modularity_refine(
     # aggregate exchange + checkpoint write per accept.  The fusion
     # only pays once labels exceed the broadcast threshold (the 100 TB
     # case); local bench keeps the broadcast shape.
-    def _q_legs(lab: DataFrame, tag: str):
-        """The two scalar-aggregate legs of Q·4m² = 2m·(ordered
-        internal pairs) − Σ vol_c² for one labeling, key-tagged so
-        several labelings can share one union collect."""
-        internal_df = (
-            sym.join(
+    def _q_scaled_multi(labs: dict) -> dict:
+        """Exact Q·4m² = 2m·(ordered internal pairs) − Σ vol_c² per
+        labeling — all legs in ONE collect (r16 fused one labeling's
+        two legs into one job; r17 extends the union across labelings
+        so the up-front Q of the input labels rides round 1's accept
+        collect, and fuses every labeling's internal count onto ONE
+        decorated pass over the pair table — the edge-scale term —
+        instead of one full scan per labeling.  A labeling's internal
+        pair count is the null-skipping sum of label-matched 1s,
+        identical to the old filter+count as a long before the
+        decimal cast)."""
+        from decimal import Decimal
+
+        tags = list(labs)
+        dec_df = sym
+        for tag in tags:
+            lab = labs[tag]
+            dec_df = dec_df.join(
                 lab.select(
-                    F.col("id").alias("source"), F.col("community").alias("__la")
+                    F.col("id").alias("source"),
+                    F.col("community").alias("__la_" + tag),
                 ),
                 on="source",
-            )
-            .join(
+            ).join(
                 lab.select(
-                    F.col("id").alias("target"), F.col("community").alias("__lb")
+                    F.col("id").alias("target"),
+                    F.col("community").alias("__lb_" + tag),
                 ),
                 on="target",
             )
-            .filter(F.col("__la") == F.col("__lb"))
-            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("v"))
-            .select(F.lit("i:" + tag).alias("k"), "v")
-        )
-        volsq_df = (
-            lab.join(deg, on="id", how="left")
-            .groupBy("community")
-            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
-            .agg(
+        internal_row = dec_df.agg(
+            *[
                 F.sum(
-                    F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
-                ).alias("v")
-            )
-            .select(F.lit("v:" + tag).alias("k"), "v")
+                    F.when(
+                        F.col("__la_" + tag) == F.col("__lb_" + tag),
+                        F.lit(1).cast("bigint"),
+                    )
+                )
+                .cast("decimal(38,0)")
+                .alias("i_" + tag)
+                for tag in tags
+            ]
         )
-        return internal_df.unionByName(volsq_df)
-
-    def _q_scaled_multi(labs: dict) -> dict:
-        """Exact Q·4m² per labeling — all legs in ONE collect (r16
-        fused one labeling's two legs into one job; r17 extends the
-        union across labelings so the up-front Q of the input labels
-        rides round 1's accept collect instead of its own job)."""
-        from decimal import Decimal
-
-        legs = None
-        for tag, lab in labs.items():
-            df = _q_legs(lab, tag)
-            legs = df if legs is None else legs.unionByName(df)
+        kv = []
+        for tag in tags:
+            kv += [F.lit("i:" + tag), F.col("i_" + tag)]
+        legs = internal_row.select(
+            F.explode(F.create_map(*kv)).alias("k", "v")
+        )
+        for tag in tags:
+            legs = legs.unionByName(
+                labs[tag]
+                .join(deg, on="id", how="left")
+                .groupBy("community")
+                .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+                .agg(
+                    F.sum(
+                        F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
+                    ).alias("v")
+                )
+                .select(F.lit("v:" + tag).alias("k"), "v")
+            )
         got = {r["k"]: r["v"] for r in legs.collect()}
         return {
             tag: Decimal(m2) * Decimal(int(got.get("i:" + tag) or 0))
@@ -3311,48 +3328,65 @@ def _louvain_phase(
     # decorations below are map-side scans while the fused aggregate
     # pays a real exchange + checkpoint write per accept; kept the
     # broadcast shape for the local bench.
-    def _q_legs(lab: DataFrame, tag: str):
-        """The two scalar-aggregate legs of Q·4m² for one labeling,
-        key-tagged so several labelings can share one union collect.
-        (r16 fused the two legs of one labeling into one job; r17
-        extends the union across labelings so the phase-initial Q
-        rides round 1's accept collect instead of its own.)"""
-        internal_df = (
-            wedges.join(
+    def _q_scaled_multi(labs: dict) -> dict:
+        """Exact Q·4m² per labeling — all legs in ONE collect (r16
+        fused the two legs of one labeling into one job; r17 extends
+        the union across labelings so the phase-initial Q rides round
+        1's accept collect, and fuses every labeling's internal sum
+        onto ONE decorated pass over the wedge table — the edge-scale
+        term — instead of one full scan per labeling.  A labeling's
+        internal weight is the null-skipping sum of label-matched w,
+        identical to the old filter+sum as a long before the decimal
+        cast)."""
+        tags = list(labs)
+        dec_df = wedges
+        for tag in tags:
+            lab = labs[tag]
+            dec_df = dec_df.join(
                 lab.select(
-                    F.col("id").alias("source"), F.col("community").alias("__la")
+                    F.col("id").alias("source"),
+                    F.col("community").alias("__la_" + tag),
                 ),
                 on="source",
-            )
-            .join(
+            ).join(
                 lab.select(
-                    F.col("id").alias("target"), F.col("community").alias("__lb")
+                    F.col("id").alias("target"),
+                    F.col("community").alias("__lb_" + tag),
                 ),
                 on="target",
             )
-            .filter(F.col("__la") == F.col("__lb"))
-            .agg(F.sum("w").cast("decimal(38,0)").alias("v"))
-            .select(F.lit("i:" + tag).alias("k"), "v")
-        )
-        volsq_df = (
-            lab.join(deg, on="id", how="left")
-            .groupBy("community")
-            .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
-            .agg(
+        internal_row = dec_df.agg(
+            *[
                 F.sum(
-                    F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
-                ).alias("v")
-            )
-            .select(F.lit("v:" + tag).alias("k"), "v")
+                    F.when(
+                        F.col("__la_" + tag) == F.col("__lb_" + tag),
+                        F.col("w"),
+                    )
+                )
+                .cast("decimal(38,0)")
+                .alias("i_" + tag)
+                for tag in tags
+            ]
         )
-        return internal_df.unionByName(volsq_df)
-
-    def _q_scaled_multi(labs: dict) -> dict:
-        """Exact Q·4m² per labeling — all legs in ONE collect."""
-        legs = None
-        for tag, lab in labs.items():
-            df = _q_legs(lab, tag)
-            legs = df if legs is None else legs.unionByName(df)
+        kv = []
+        for tag in tags:
+            kv += [F.lit("i:" + tag), F.col("i_" + tag)]
+        legs = internal_row.select(
+            F.explode(F.create_map(*kv)).alias("k", "v")
+        )
+        for tag in tags:
+            legs = legs.unionByName(
+                labs[tag]
+                .join(deg, on="id", how="left")
+                .groupBy("community")
+                .agg(F.sum(F.coalesce("__deg", F.lit(0))).alias("__vol"))
+                .agg(
+                    F.sum(
+                        F.col("__vol").cast("decimal(38,0)") * F.col("__vol")
+                    ).alias("v")
+                )
+                .select(F.lit("v:" + tag).alias("k"), "v")
+            )
         got = {r["k"]: r["v"] for r in legs.collect()}
         return {
             tag: Decimal(m2) * Decimal(int(got.get("i:" + tag) or 0))
